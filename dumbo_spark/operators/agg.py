@@ -1,0 +1,129 @@
+"""Aggregation operators — dumbo's reducer stdlib, Catalyst-native.
+
+Reference surface re-expressed here:
+
+- ``sumreducer`` (dumbo/lib/__init__.py:~20): per-key sum, doubled as
+  its own combiner → :func:`group_sum`. Catalyst's HashAggregate runs
+  partial (map-side) + final automatically, so the combiner concept
+  needs no user surface.
+- ``sumsreducer`` (dumbo/lib/__init__.py:~25): elementwise tuple sum →
+  :func:`group_multi_sum` (several aggregates in one pass).
+- ``statscombiner``/``statsreducer`` (dumbo/lib/__init__.py:~60/~70):
+  mergeable (n, Σx, Σx², min, max) partials → (count, mean, std, min,
+  max) → :func:`group_stats`, same algebra but with exact decimal
+  moments so results are shuffle-order-independent.
+- ``examples/multicount.py`` (tagged keys, one pass, many metrics) →
+  :func:`tagged_multicount` and, as the declarative upgrade,
+  :func:`rollup_counts`.
+- ``examples/itertwice.py`` / ``Job.additer`` (chained iterations) →
+  :func:`two_phase_agg`: iteration chaining is just plan composition;
+  Catalyst pipelines both "jobs" with no temp-path materialization.
+
+Scale notes (100 TB): every aggregate here is algebraic → map-side
+partial aggregation bounds shuffle volume by |groups|·partitions, not
+by input rows. Group-by keys are low-cardinality; AQE coalesces the
+tiny post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dumbo_spark.functions.numeric import dmoney, dsum
+
+
+def group_sum(lineitem: DataFrame) -> DataFrame:
+    """Per-key sum (lib.sumreducer): total quantity per return flag."""
+    return lineitem.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+def group_multi_sum(lineitem: DataFrame) -> DataFrame:
+    """Elementwise multi-sum (lib.sumsreducer): several metrics, one pass."""
+    revenue = dmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dmoney("l_discount"))
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.sum(revenue).cast("double").alias("sum_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def group_stats(lineitem: DataFrame) -> DataFrame:
+    """(count, mean, std, min, max) per key (lib.statsreducer).
+
+    Same mergeable-moments algebra as dumbo's statscombiner —
+    (n, Σx, Σx²) partials — but on exact decimals, then finalized in
+    float and rounded to 4dp so the result is independent of shuffle
+    order (a raw stddev over doubles is not).
+    """
+    d = dmoney("l_extendedprice")
+    n = F.count("*")
+    s = F.sum(d)
+    s2 = F.sum(d * d)
+    mean = s.cast("double") / n
+    var = s2.cast("double") / n - mean * mean
+    return lineitem.groupBy("l_returnflag").agg(
+        n.alias("n_items"),
+        F.round(mean, 4).alias("mean_price"),
+        F.round(F.sqrt(var), 4).alias("std_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def count_distinct(orders: DataFrame) -> DataFrame:
+    """Exact distinct (absent in dumbo — SURVEY §2.4 gap row)."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def approx_distinct(events: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path where exact distinct's
+    full shuffle of the key column is the bottleneck. No SQL oracle:
+    Spark's HLL++ and DuckDB's sketch give different estimates by
+    design (rows-only check; a unit test pins relative error < 5%)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def rollup_counts(orders: DataFrame) -> DataFrame:
+    """ROLLUP over status × priority — the declarative upgrade of
+    examples/multicount.py's hand-tagged multi-level counts."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+def tagged_multicount(documents: DataFrame) -> DataFrame:
+    """examples/multicount.py: one pass emitting several keyed metrics.
+
+    Dumbo's mapper emits ('lang:<x>', 1) and ('source:<y>', 1) style
+    tagged keys; here a single generated ``explode(array(...))`` feeds
+    one hash aggregate — still one pass, one shuffle.
+    """
+    tag = F.explode(
+        F.array(
+            F.concat(F.lit("lang:"), F.col("lang")),
+            F.concat(F.lit("source:"), F.col("source")),
+        )
+    ).alias("tag")
+    return documents.select(tag).groupBy("tag").agg(F.count("*").alias("n_docs"))
+
+
+def two_phase_agg(orders: DataFrame) -> DataFrame:
+    """examples/itertwice.py / Job.additer: two chained MR iterations.
+
+    Phase 1 keys by customer (orders per customer); phase 2 re-keys by
+    the phase-1 value (customers per order-count). In dumbo this is two
+    Hadoop jobs with a temp path between; here it is one plan with two
+    exchanges that Catalyst pipelines — no intermediate materialization.
+    """
+    per_customer = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return per_customer.groupBy("n_orders").agg(F.count("*").alias("n_customers"))

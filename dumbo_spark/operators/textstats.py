@@ -1,0 +1,150 @@
+"""Text operators — dumbo's wordcount/ngramcount idioms plus the
+text-analysis extensions a training-data pipeline needs.
+
+Reference surface:
+
+- ``examples/wordcount.py`` (mapper yields (word,1); sumreducer) →
+  :func:`wordcount` — THE canonical dumbo program, flagship query.
+- ``examples/ngramcount.py`` (sliding n-grams per line) →
+  :func:`ngram_count`.
+- ``examples/multicount.py`` tagged metrics → see agg.tagged_multicount.
+
+North-star extensions (BASELINE.json; absent in dumbo):
+
+- :func:`doc_token_stats` — token/char statistics per language.
+- :func:`lang_id` — n-gram/stopword-heuristic language ID.
+- :func:`quality_score` — length/stopword/uniqueness quality scoring.
+- :func:`doc_fingerprint` — deterministic document fingerprints.
+
+All of these are pure column expressions (whole-stage codegen,
+zero Python boundary). At 100 TB the only shuffle in each is the final
+low-cardinality aggregate; tokenization is embarrassingly parallel and
+pipelined with the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dumbo_spark.functions.text import ngrams, tokens
+
+#: tiny per-language stopword lists for the heuristic classifier; ASCII
+#: only so Spark (Java regex/lower) and DuckDB (RE2) agree bit-for-bit.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "zh": ("de", "le", "shi", "bu", "wo", "you", "zai", "ta"),
+}
+
+#: classifier priority order (deterministic tie-break, mirrored in SQL)
+LANGS = ("en", "es", "fr", "de", "zh")
+
+
+def wordcount(documents: DataFrame) -> DataFrame:
+    """examples/wordcount.py: tokenize → count per word.
+
+    Dumbo: mapper splits each line, emits (word, 1); sumreducer (with
+    itself as combiner) sums. Here: explode(tokens) → groupBy.count —
+    Catalyst's partial hash aggregate IS the combiner, and the scan
+    reads only the ``text`` column (column pruning).
+    """
+    return (
+        documents.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ngram_count(documents: DataFrame, n: int = 2) -> DataFrame:
+    """examples/ngramcount.py: sliding n-grams per document, counted."""
+    return (
+        documents.select(F.explode(ngrams(tokens("text"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def doc_token_stats(documents: DataFrame) -> DataFrame:
+    """Per-language token/char statistics (north-star text analysis).
+
+    Token counts are exact integers, so sums/ratios are deterministic;
+    means are rounded to 4dp (see functions.numeric rationale).
+    """
+    toks = tokens("text")
+    per_doc = documents.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.length("text").alias("n_chars"),
+    )
+    n = F.count("*")
+    return per_doc.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / n, 4).alias("avg_tokens"),
+        F.round(F.sum("n_uniq") / n, 4).alias("avg_uniq_tokens"),
+        F.round(F.sum("n_chars") / n, 4).alias("avg_chars"),
+    )
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit scores with a fixed priority
+    CASE chain as tie-break — confusion-matrix output (label ×
+    prediction × count). Deterministic by construction, so it carries a
+    full SQL oracle despite being a "model"."""
+    toks = tokens("text")
+    scored = documents.select(
+        "lang", *[_stopword_hits(toks, lg).alias(f"score_{lg}") for lg in LANGS]
+    )
+    pred = None
+    for lg in LANGS:  # first lang whose score >= all others wins
+        cond = None
+        for other in LANGS:
+            c = F.col(f"score_{lg}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    scored = scored.withColumn("predicted_lang", pred)
+    return scored.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length/stopword/uniqueness quality score, bucketed histogram.
+
+    The per-document score is a fixed arithmetic expression over exact
+    integers — IEEE-identical in any engine — and the output buckets it
+    (floor(score*10)) per language. The mirror of the heuristic
+    "document quality" filters used to curate LLM training corpora.
+    """
+    toks = tokens("text")
+    per_doc = documents.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).alias("n_stop"),
+    ).where(F.col("n_tokens") > 0)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.col("n_stop") / F.col("n_tokens")) * F.lit(0.3)
+        + (F.col("n_uniq") / F.col("n_tokens")) * F.lit(0.3)
+    )
+    return (
+        per_doc.select("lang", F.floor(score * 10).alias("q_bucket"))
+        .groupBy("lang", "q_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint per document: md5 over the
+    normalized token stream. The exact-dedup key and the cheap
+    content-addressing primitive for 100 TB corpus bookkeeping."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
+    )

@@ -1,0 +1,308 @@
+"""Named query registry — the driver contract surface.
+
+Every operator from SURVEY.md §2 that ships has a named entry here:
+a callable ``(spark, sf_dir) -> DataFrame`` and, when the semantics are
+SQL-expressible, a DuckDB oracle SQL string computing the same result
+over the same parquet fixtures. ``__spark_entry__.py`` re-exports this
+registry; keeping both halves of each pair in one module is what keeps
+column names/aliases in sync (the driver hash-compares by sorted column
+name).
+
+Oracle-matching ground rules (see functions/numeric.py for the full
+rationale):
+
+- money aggregates go through DECIMAL(18,2) → exact, order-independent
+- derived ratios (means, stddevs) are rounded to 4dp on both sides
+- counts/ranks are exact integers
+- every computed column is aliased identically on both sides
+- DuckDB's ``events.ts`` is TIMESTAMP_NS; oracles CAST to µs TIMESTAMP
+  to match Spark's truncation (sources/catalog.py)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dumbo_spark.operators import agg, textstats
+from dumbo_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => rows-only driver check
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ── shared DuckDB SQL fragments ─────────────────────────────────────────
+
+# identical tokenization to functions/text.py::tokens (ASCII \W+ in both
+# Java regex and RE2)
+DUCK_TOKENS = r"list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ═══ E1: wordcount — flagship (examples/wordcount.py) ═══════════════════
+
+
+@register(
+    "wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.wordcount(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_count",
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKENS} AS t FROM documents)
+    SELECT ngram, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS ngram
+      FROM toks)
+    GROUP BY ngram
+    """,
+)
+def q_ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.ngram_count(load_table(spark, sf_dir, "documents"), n=2)
+
+
+# ═══ M1: aggregation family (dumbo/lib reducers) ════════════════════════
+
+
+@register(
+    "group_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_sum(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "group_multi_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_group_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_multi_sum(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "group_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           n AS n_items,
+           ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_price,
+           ROUND(sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 4)
+             AS std_price,
+           min_price, max_price
+    FROM m
+    """,
+)
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.count_distinct(load_table(spark, sf_dir, "orders"))
+
+
+@register("approx_count_distinct", oracle=None)  # estimator differs by engine
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.approx_distinct(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.rollup_counts(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "tagged_multicount",
+    oracle="""
+    SELECT tag, COUNT(*) AS n_docs
+    FROM (SELECT unnest(['lang:' || lang, 'source:' || source]) AS tag
+          FROM documents)
+    GROUP BY tag
+    """,
+)
+def q_tagged_multicount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.tagged_multicount(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "two_phase_agg",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.two_phase_agg(load_table(spark, sf_dir, "orders"))
+
+
+# ═══ text-analysis extensions (north star) ══════════════════════════════
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len({DUCK_TOKENS}) AS n_tokens,
+             len(list_distinct({DUCK_TOKENS})) AS n_uniq,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+           ROUND(CAST(SUM(n_uniq) AS DOUBLE) / COUNT(*), 4) AS avg_uniq_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    scores = ",\n             ".join(
+        f"len(list_filter(toks, t -> t IN ({_in_list(textstats.STOPWORDS[lg])})))"
+        f" AS score_{lg}"
+        for lg in textstats.LANGS
+    )
+    cases = "\n           ".join(
+        "WHEN "
+        + " AND ".join(f"score_{lg} >= score_{o}" for o in textstats.LANGS if o != lg)
+        + f" THEN '{lg}'"
+        for lg in textstats.LANGS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang,
+             {scores}
+      FROM (SELECT lang, {DUCK_TOKENS} AS toks FROM documents))
+    SELECT lang,
+           CASE {cases} END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY lang, predicted_lang
+    """
+
+
+@register("lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             len(list_filter(toks,
+                 t -> t IN ({_in_list(textstats.STOPWORDS["en"])}))) AS n_stop
+      FROM (SELECT lang, {DUCK_TOKENS} AS toks FROM documents)
+      WHERE len(toks) > 0)
+    SELECT lang,
+           CAST(floor((least(n_tokens / 200.0, 1.0) * 0.4
+                  + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
+                  + (n_uniq / CAST(n_tokens AS DOUBLE)) * 0.3) * 10) AS BIGINT)
+             AS q_bucket,
+           COUNT(*) AS n_docs
+    FROM per_doc GROUP BY lang, q_bucket
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({DUCK_TOKENS}, ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ── public accessors (driver contract) ──────────────────────────────────
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

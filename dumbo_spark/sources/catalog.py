@@ -1,0 +1,62 @@
+"""Fixture catalog: parquet readers with canonical schemas.
+
+Dumbo's storage surface is text / "code" (repr) lines / typedbytes
+sequence files read off HDFS paths (dumbo/util.py loadtext/loadcode,
+dumbo/backends/streaming.py StreamingIteration.run -io typedbytes).
+The new engine's canonical storage is parquet: columnar, splittable,
+predicate-pushdown- and column-pruning-friendly — the properties that
+matter at 100 TB. Semantics of the old formats are preserved elsewhere
+(sources.textio) rather than byte-compatibly re-implemented.
+
+Canonicalization applied at read time:
+
+- ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+  parquet reader rejects. We read it as raw nanos
+  (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
+  with integer arithmetic (``ts DIV 1000`` — no double round-trip,
+  which would lose precision on 1.7e18-scale values). DuckDB oracles
+  match by CASTing TIMESTAMP_NS to µs TIMESTAMP, which also truncates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumbo_spark.session import ensure_runtime_confs
+
+# The ten driver fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with canonical column types."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # nanos-long -> microsecond TimestampType. DIV is integer
+        # division on longs; values are positive so DIV == floor, the
+        # same truncation DuckDB applies casting TIMESTAMP_NS -> µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,116 @@
+"""Differential-oracle test harness.
+
+Mirrors (strictly) the driver's t2 correctness gate: run a registered
+query on Spark and its oracle SQL on DuckDB over the same parquet
+fixtures, then compare row count, column names, and values. Our
+comparison is *bit-exact* on floats — stricter than any plausible
+value-hash — so a pass here predicts a driver hash-match.
+
+This is the successor of dumbo's mapredtest golden-I/O drivers
+(dumbo/mapredtest.py MapDriver/ReduceDriver: .with_input(pairs)
+.with_output(pairs).run() asserting exact emitted pairs), upgraded to a
+differential oracle per SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from dumbo_spark.sources.catalog import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with fixture views registered the way the driver does."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v: object) -> object:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NAN"
+        if v == int(v) and abs(v) < 2**53:
+            return float(v)  # normalize -0.0 / integral floats
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_cell(v) for v in row))
+    out.sort(key=lambda r: tuple(repr(x) for x in r))
+    return out
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    mismatches: list[str] = field(default_factory=list)
+
+    def report(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
+        for m in self.mismatches[:10]:
+            msg += f"\n    {m}"
+        return msg
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> DiffResult:
+    res = DiffResult(name, True, len(spark_pdf), len(duck_pdf))
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        res.ok = False
+        res.mismatches.append(f"columns differ: spark={s_cols} oracle={d_cols}")
+        return res
+    if len(spark_pdf) != len(duck_pdf):
+        res.ok = False
+        res.mismatches.append("row counts differ")
+        return res
+    s_rows, d_rows = _canon_frame(spark_pdf), _canon_frame(duck_pdf)
+    n_bad = 0
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if a != b:
+            n_bad += 1
+            if n_bad <= 5:
+                res.mismatches.append(f"row {i}: spark={a!r} oracle={b!r}")
+    if n_bad:
+        res.ok = False
+        res.mismatches.append(f"{n_bad} mismatched rows of {len(s_rows)}")
+    return res
+
+
+def run_differential(spark, sf_dir: str, name: str) -> DiffResult:
+    """Run one registered query against its DuckDB oracle."""
+    from dumbo_spark.registry import QUERIES
+
+    q = QUERIES[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        return DiffResult(name, True, len(spark_pdf), -1, ["rows-only (no oracle)"])
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(q.oracle).fetch_df()
+    finally:
+        con.close()
+    return compare_frames(name, spark_pdf, duck_pdf)
