@@ -1,0 +1,89 @@
+"""Event-time window operators (batch forms).
+
+Dumbo is batch-only (SURVEY §2.4: no watermarks, windows, state, or
+late-data handling — timestamps were strings/epochs by convention,
+§1.2). These operators are therefore pure gap rows: the capabilities a
+stream pipeline needs, expressed first in batch form so they carry a
+full SQL oracle, and re-used by dumbo_spark.streaming with
+``readStream`` + ``withWatermark`` for the continuous versions.
+
+Determinism notes: the fixture's nanosecond timestamps are truncated
+to microseconds at scan (sources/catalog.py), and session-gap logic
+compares epoch *microseconds* (exact integers) rather than intervals,
+so batch and oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dumbo_spark.functions.numeric import dsum
+
+SESSION_GAP_MIN = 30
+
+
+def events_by_day(events: DataFrame) -> DataFrame:
+    """Daily rollup by event type (calendar bucketing — dumbo carried
+    timestamps as strings and had nothing like this)."""
+    # calendar buckets go out as ISO strings: date/timestamp objects
+    # round-trip differently through Arrow/pandas per engine, strings
+    # hash identically everywhere
+    return (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+def events_tumbling_1h(events: DataFrame) -> DataFrame:
+    """Tumbling event-time window (batch form of the streaming op).
+
+    ``F.window`` is the same operator Structured Streaming uses; in
+    batch it degenerates to epoch-aligned bucketing, which is what the
+    oracle's date_trunc('hour') computes.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionized(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user (batch form).
+
+    lag(ts) → gap>Δ flag → cumulative sum = session id — the classic
+    islands trick (SURVEY §7.3#4). Gap comparison is on exact epoch
+    microseconds. The streaming twin uses ``session_window`` /
+    ``applyInPandasWithState`` (dumbo_spark.streaming).
+
+    Scale: one shuffle on user_id; sessions never span users, so the
+    window never serializes more than one user's events per task — at
+    100 TB that is the natural partitioning (and AQE splits stragglers).
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    flagged = events.select("user_id", "event_id", "ts", "value").withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        dsum("value", "sum_value"),
+    )

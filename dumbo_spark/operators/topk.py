@@ -1,0 +1,102 @@
+"""Order/rank operators — dumbo's heap reducers as window functions.
+
+Reference surface:
+
+- ``nlargestreducer(n)`` / ``nlargestcombiner`` (dumbo/lib/__init__.py:
+  ~35/~45): per-key top-k via heapq, with a map-side partial heap →
+  :func:`topk_per_group`. The combiner's job (bound shuffle volume) is
+  done by Spark's partial aggregation / AQE; for pathological skew see
+  :func:`salted_topk_per_group`.
+- ``nsmallestreducer`` (~50) → :func:`bottomk_per_group`.
+- global top-k (nlargest with a single key) → :func:`topk_global` —
+  Spark plans ``TakeOrderedAndProject``: per-partition heap + driver
+  merge, exactly dumbo's combiner+reducer heap strategy, zero shuffle.
+- window functions: absent in dumbo (SURVEY §2.4 gap row) →
+  :func:`window_rank` (rank/dense_rank + RANGE-framed running sum).
+
+Determinism: ties are broken on the key column (orderkey) so results
+are stable across partitionings and engines — dumbo's heapq ties were
+arrival-order-dependent, a latent nondeterminism this engine fixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dumbo_spark.functions.numeric import dmoney
+
+
+def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k (lib.nlargestreducer) via row_number window."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def bottomk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group bottom-k (lib.nsmallestreducer)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def topk_global(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k: orderBy().limit() plans TakeOrderedAndProject —
+    per-partition heaps merged on the driver, no total sort."""
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def window_rank(customer: DataFrame) -> DataFrame:
+    """Ranking + analytic frame (gap row). rank/dense_rank are
+    tie-stable; the running sum uses the default RANGE frame (peers
+    aggregate together) over exact decimals, so it is deterministic
+    even with duplicate order keys."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.sum(dmoney("c_acctbal")).over(w).cast("double").alias("running_bal"),
+    )
+
+
+def salted_topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, salt: int = 16
+) -> DataFrame:
+    """Skew-safe two-phase per-group top-k (100 TB path).
+
+    A window over one hot key serializes that key's rows through one
+    task. Phase 1 computes top-k within (group, salt) — map-side-ish,
+    parallel across the hot key; phase 2 re-ranks the k·salt survivors
+    per group. Same answer, bounded per-task work; the spiritual
+    successor of dumbo's nlargestcombiner, which existed for exactly
+    this reason.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(F.col(order_col).desc())
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col(order_col).desc())
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+    )

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dumbo_spark.operators import agg, textstats
+from dumbo_spark.operators import agg, events, joins, setops, shape, textstats, topk
 from dumbo_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -295,6 +295,319 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ═══ M2: shape ops (mapper idioms P1/P5/P14/P9) ═════════════════════════
+
+
+@register(
+    "map_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS revenue,
+           l_quantity > 25 AS bulk
+    FROM lineitem
+    """,
+)
+def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape.map_project(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "map_explode",
+    oracle=f"""
+    SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
+    """,
+)
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape.map_explode(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem WHERE l_quantity >= 45 AND l_discount >= 0.05
+    """,
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape.filter_predicate(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "parse_props_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY k
+    """,
+)
+def q_parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape.parse_props(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "input_file_tag",
+    oracle="SELECT 'orders' AS src, COUNT(*) AS n_rows FROM orders",
+)
+def q_input_file_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shape.input_file_tag(load_table(spark, sf_dir, "orders"))
+
+
+# ═══ M2: set ops (P7/P8 + gap rows) ═════════════════════════════════════
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.union_all(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "multi_source_union",
+    oracle="""
+    SELECT 'customer' AS src, c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name, s_acctbal AS acctbal
+    FROM supplier
+    """,
+)
+def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.multi_source_union(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "intersect_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.intersect_keys(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "except_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.except_keys(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+# ═══ M3: joins (L10/L11 + gap rows) ═════════════════════════════════════
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.join_inner(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.join_left(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.join_semi(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.join_anti(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.join_broadcast_dim(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+# ═══ M3: order / rank (L5-L7 + gap row) ═════════════════════════════════
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.topk_per_group(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "bottomk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.bottomk_per_group(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.topk_global(load_table(spark, sf_dir, "orders"), k=10)
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.window_rank(load_table(spark, sf_dir, "customer"))
+
+
+# ═══ M3/M6: event-time windows (gap rows; batch forms) ══════════════════
+
+
+@register(
+    "events_by_day",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def q_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.events_by_day(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def q_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.events_tumbling_1h(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionized",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.events_sessionized(load_table(spark, sf_dir, "events"))
 
 
 # ── public accessors (driver contract) ──────────────────────────────────
