@@ -1,0 +1,196 @@
+"""Deduplication operators (north-star extension, BASELINE.json).
+
+Absent in dumbo (SURVEY §2.5) — these are the LLM-training-corpus ops
+the new engine adds as first-class citizens. Three tiers:
+
+- :func:`dedup_exact` — content-hash grouping. One shuffle on the
+  hash; at 100 TB, group on ``md5(text)`` (16 bytes) rather than the
+  text itself so shuffle volume is keys + ids, not documents.
+- :func:`dedup_normalized` — exact dedup after normalization
+  (casefold, punctuation/whitespace collapse): catches trivial
+  near-dups, still one shuffle, still SQL-oracle-checkable.
+- :func:`minhash_signatures` / :func:`dedup_fuzzy` — MinHash-LSH
+  near-dup candidate pairs: shingle → k-wise min-hash signature →
+  banded bucket join. NO cross join anywhere: candidate generation is
+  an equi-join on band keys, which is the property that survives
+  100 TB (pair count is bounded by bucket collisions, not n²).
+- :func:`simhash_signatures` / :func:`dedup_simhash` — 64-bit SimHash
+  with banded candidate generation and exact Hamming verification
+  (bit_count(xor) — JVM intrinsic).
+
+Probabilistic outputs carry rows-only driver checks; unit tests verify
+recall against exact Jaccard on small fixtures (SURVEY §7.3#3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dumbo_spark.functions.text import ngrams, tokens
+
+#: MinHash parameters: k = bands × rows signature components.
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeper = min(doc_id).
+
+    ``dropDuplicates`` keeps an *arbitrary* row; grouping with min() is
+    the deterministic form (and what a reproducible pipeline needs).
+    """
+    return documents.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def dedup_normalized(documents: DataFrame) -> DataFrame:
+    """Near-dup by normalized content: casefold + collapse non-word
+    runs to single spaces + trim, then exact dedup on the result."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "))
+    return documents.groupBy(F.md5(norm.cast("binary")).alias("norm_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>[k]) MinHash signatures over word
+    shingles.
+
+    The k-wise hash family is ``xxhash64(i, shingle)`` — k seeded JVM
+    hashes per shingle, no overflow-prone affine arithmetic (Spark 4's
+    ANSI mode rejects wrapping multiplies). Per doc: elementwise min
+    via k partial-aggregating min()s — Catalyst's map-side combine
+    keeps shuffle volume at docs × k longs regardless of document size.
+    """
+    shingled = documents.select(
+        "doc_id", F.explode(ngrams(tokens("text"), n_shingle)).alias("shingle")
+    )
+    per_shingle = shingled.select(
+        "doc_id",
+        F.array(
+            *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(MINHASH_K)]
+        ).alias("hs"),
+    )
+    return per_shingle.groupBy("doc_id").agg(
+        F.array(*[F.min(F.col("hs")[i]) for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def _band_keys(sig_df: DataFrame) -> DataFrame:
+    """Explode signatures into (band_key, doc_id) — the LSH bucketing."""
+    bands = []
+    for t in range(LSH_BANDS):
+        rows = [F.col("sig")[t * LSH_ROWS + r] for r in range(LSH_ROWS)]
+        bands.append(F.xxhash64(F.lit(t), *rows))
+    return sig_df.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def dedup_fuzzy(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with estimated
+    Jaccard ≥ threshold.
+
+    Candidate generation is an equi-self-join on band keys (shuffle on
+    band_key, bounded buckets) — never a cross join. The signature
+    agreement fraction then estimates Jaccard; exact verification can
+    be joined on afterwards for the survivors only.
+    """
+    sigs = minhash_signatures(documents)
+    bands = _band_keys(sigs)
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / F.lit(MINHASH_K)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash: long) 64-bit SimHash over word tokens.
+
+    Bit j of the signature is the sign of Σ_tokens (±1 by bit j of the
+    token hash). Expressed as 64 conditional sums — wide but entirely
+    JVM-side, one shuffle of 64 ints per doc (map-side combined).
+    """
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate join (4×16-bit chunks —
+    any chunk equal ⇒ candidate, guaranteed to catch all pairs with
+    Hamming ≤ 3) then exact Hamming via bit_count(xor)."""
+    sigs = simhash_signatures(documents)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.val")
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

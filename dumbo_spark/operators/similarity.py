@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Absent in dumbo (SURVEY §2.5). Two paths:
+
+- :func:`knn_cosine` — exact brute-force cosine top-k: broadcast the
+  (small) query set against the corpus; dot products via
+  ``zip_with``/``aggregate`` higher-order functions — JVM-side, no
+  Python, no UDF. The correctness baseline.
+- :func:`knn_cosine_lsh` — random-hyperplane LSH ANN: sign-bit
+  signatures bucket the corpus; candidates come from an equi-join on
+  band keys and only candidates get exact re-ranking. The 100 TB path:
+  bucket join instead of corpus × queries, so per-query work is
+  O(bucket), not O(n).
+
+Determinism: dot products fold left-to-right in double on both
+engines; cosine is rounded to 6dp before ranking with a doc-id
+tie-break, so top-k selection is stable across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: fixed hyperplane seed table — part of the operator contract
+_LSH_SEED = 0x5DEECE66D
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double (sequential fold — engine-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def knn_cosine(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each query vector.
+
+    The query side (vec_id < n_queries) is broadcast; the corpus side
+    streams — one narrow pass over the big table, a per-partition
+    top-k heap via the rank window on (query_id, rounded cos, id).
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane (splitmix-style PRNG,
+    fixed seed — no runtime randomness, reproducible across runs)."""
+    out = []
+    state = (_LSH_SEED ^ (bit * 0x9E3779B97F4A7C15)) & ((1 << 64) - 1)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out.append(1.0 if (state >> 63) else -1.0)
+    return out
+
+
+def lsh_signatures(embeddings: DataFrame, dim: int = 64, n_bits: int = 16) -> DataFrame:
+    """(vec_id, sig: long) random-hyperplane sign signatures."""
+    sig = None
+    for j in range(n_bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, j)])
+        bit = (
+            F.when(_dot(F.col("embedding"), plane) > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return embeddings.select("vec_id", "embedding", sig.alias("sig"))
+
+
+def knn_cosine_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 16,
+    n_bands: int = 8,
+) -> DataFrame:
+    """ANN cosine top-k: LSH band bucketing → candidate equi-join →
+    exact re-rank of candidates only. Recall < 1 by design (unit tests
+    pin recall vs :func:`knn_cosine` on the fixtures).
+
+    Band geometry trades recall for candidate volume: more bands with
+    fewer bits each ⇒ higher collision probability per band ⇒ higher
+    recall and bigger buckets. The 8×2-bit default favors recall on
+    weakly-clustered embeddings; at 100 TB with real clustered
+    embeddings, fewer/wider bands (e.g. 4×8 of 32 bits) keep buckets
+    small — the parameter is the contract, the plan shape is identical.
+    """
+    sigs = lsh_signatures(embeddings, dim=dim, n_bits=n_bits)
+    bits_per_band = n_bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    bands = sigs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), t * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for t in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "bk.band", "bk.val")
+    q_bands = (
+        bands.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "band",
+            "val",
+        )
+    )
+    cands = (
+        bands.join(F.broadcast(q_bands), ["band", "val"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    verification — the embedding-space analogue of MinHash dedup.
+    Candidates share a full 16-bit signature (high-precision buckets);
+    exact cosine filters to ≥ threshold."""
+    sigs = lsh_signatures(embeddings)
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "sig"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "sig"
+    )
+    pairs = a.join(b, ["sig"]).where(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

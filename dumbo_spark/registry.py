@@ -26,7 +26,17 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dumbo_spark.operators import agg, events, joins, setops, shape, textstats, topk
+from dumbo_spark.operators import (
+    agg,
+    dedup,
+    events,
+    joins,
+    setops,
+    shape,
+    similarity,
+    textstats,
+    topk,
+)
 from dumbo_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -608,6 +618,96 @@ def q_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.events_sessionized(load_table(spark, sf_dir, "events"))
+
+
+# ═══ M5: dedup (north star §2.5) ════════════════════════════════════════
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_normalized",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS norm_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_normalized(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_fuzzy", oracle=None)  # probabilistic (MinHash-LSH)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_fuzzy(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", oracle=None)  # probabilistic (SimHash)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ═══ M5: similarity search (north star §2.5) ════════════════════════════
+
+#: dot-product fragment folding left-to-right in double — bit-identical
+#: to functions used by operators/similarity.py::_dot (verified:
+#: list_inner_product is float-typed and does NOT match)
+def _duck_dot(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({x}, {y}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+@register(
+    "knn_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             round({_duck_dot('q.q_emb', 'e.embedding')}
+                   / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
+                      * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id)
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("knn_cosine_lsh", oracle=None)  # approximate by design
+def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_near_dup", oracle=None)  # LSH-bucketed candidates
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+    )
 
 
 # ── public accessors (driver contract) ──────────────────────────────────

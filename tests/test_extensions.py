@@ -1,0 +1,127 @@
+"""Unit tests for the probabilistic / rows-only operators — the checks
+the DuckDB oracle can't express (SURVEY §7.3#3): LSH recall against
+exact ground truth, sketch error bounds, skew-path equivalence, and
+dumbo-mapredtest-style edge cases (empty input, nulls, single group).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dumbo_spark.operators import agg, dedup, similarity, topk
+from dumbo_spark.sources.catalog import load_table
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the garden trees"
+)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    rows = [(0, BASE), (1, BASE.replace("garden", "forest"))]
+    rows += [(i, f"totally different text number {i} about spark engines " * 3) for i in range(2, 12)]
+    found = dedup.dedup_fuzzy(_docs(spark, rows), threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in found}
+    assert (0, 1) in pairs
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in found}[(0, 1)]
+    assert est >= 0.5
+
+
+def test_minhash_no_false_high_jaccard(spark):
+    rows = [(i, f"unique document {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f") for i in range(10)]
+    found = dedup.dedup_fuzzy(_docs(spark, rows), threshold=0.5).collect()
+    assert found == []
+
+
+def test_simhash_near_dup_pairs(spark):
+    rows = [(0, BASE), (1, BASE + " extra"), (2, "completely unrelated words about databases and storage engines and columnar formats and query optimizers for analytics")]
+    found = dedup.dedup_simhash(_docs(spark, rows), max_hamming=10).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in found}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_knn_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_cosine(emb, n_queries=8, k=5).collect()
+    approx = similarity.knn_cosine_lsh(emb, n_queries=8, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_approx_count_distinct_error(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r.event_type: r.approx_users for r in agg.approx_distinct(ev).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.05
+
+
+def test_salted_topk_matches_plain_window(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plain = topk.topk_per_group(orders, k=3).select(
+        "o_orderpriority", "o_orderkey"
+    ).collect()
+    salted = topk.salted_topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        k=3,
+    ).select("o_orderpriority", "o_orderkey").collect()
+    # same groups and same price-set; keys may differ only on ties
+    assert {(r.o_orderpriority) for r in plain} == {(r.o_orderpriority) for r in salted}
+    assert len(plain) == len(salted)
+
+
+# ── mapredtest-style edge cases (FIXTURES.md §C) ────────────────────────
+
+
+def test_empty_input(spark):
+    empty = _docs(spark, [])
+    from dumbo_spark.operators.textstats import wordcount
+
+    assert wordcount(empty).collect() == []
+    assert dedup.dedup_fuzzy(empty).collect() == []
+    assert dedup.dedup_exact(empty).collect() == []
+
+
+def test_null_text_rows_survive(spark):
+    df = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "one two two", "en", "s", 11)], DOC_SCHEMA
+    )
+    from dumbo_spark.operators.textstats import wordcount
+
+    counts = {r.word: r.cnt for r in wordcount(df).collect()}
+    assert counts == {"one": 1, "two": 2}
+
+
+def test_single_group(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "A", 1.0)], "l_orderkey long, l_linenumber int, l_returnflag string, l_quantity double"
+    )
+    res = df.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    assert res[0].n == 1
