@@ -34,7 +34,22 @@ Layout:
                     contract)
 """
 
-from dumbo_spark.session import get_session
+import os as _os
+
+# Python-UDF closures (compat veneer, multimodal extractors) pickle by
+# reference to this package; executor Python workers must be able to
+# import it even when the driver process found it via sys.path
+# manipulation only. Exporting the package parent on PYTHONPATH before
+# the pyspark worker daemon forks covers local mode; cluster deploys
+# ship a wheel / --py-files as usual.
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_parent not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_parent + (_os.pathsep + _pp if _pp else "")
+    )
+
+from dumbo_spark.session import get_session  # noqa: E402
 
 __all__ = ["get_session"]
 __version__ = "0.1.0"

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dumbo_spark.operators import (
     agg,
@@ -708,6 +708,69 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.9
     )
+
+
+# ═══ M4: compat veneer + multimodal plumbing ════════════════════════════
+
+
+@register(
+    "compat_wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def q_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/wordcount.py run through the compat veneer — the same
+    mapper/reducer/combiner callables dumbo users write, executed on
+    mapInPandas + applyInPandas, asserted against the same oracle as
+    the DataFrame-native `wordcount`."""
+    import re
+
+    from dumbo_spark.compat.mapred import map_reduce
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+
+    def mapper(k, v):
+        if v:
+            for w in re.split(r"\W+", v.lower()):
+                if w:
+                    yield (w, 1.0)
+
+    def reducer(k, vals):
+        yield (k, float(sum(vals)))
+
+    out = map_reduce(
+        docs, mapper, reducer, combiner=reducer, output_schema="word string, cnt double"
+    )
+    return out.select("word", F.col("cnt").cast("long").alias("cnt"))
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS h
+      FROM documents)
+    SELECT doc_id, n_bytes, h AS content_md5,
+           CAST(64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 192
+                AS INTEGER) AS width,
+           CAST(64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 192
+                AS INTEGER) AS height
+    FROM m
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumbo_spark.operators import multimodal
+
+    return multimodal.multimodal_features(load_table(spark, sf_dir, "documents"))
 
 
 # ── public accessors (driver contract) ──────────────────────────────────

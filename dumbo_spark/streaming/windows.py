@@ -1,0 +1,95 @@
+"""Structured Streaming variants of the event-window operators.
+
+Dumbo has no streaming at all (SURVEY §2.4: batch only; continuous
+execution, watermarks, windows, state and late-data handling are all
+gap rows). These are the continuous twins of operators/events.py:
+same logical windows, expressed with ``readStream`` + ``withWatermark``
+so late data is bounded and state is evictable — the properties a
+100 TB/day event pipeline needs.
+
+Correctness strategy: the batch forms carry the DuckDB oracles; the
+streaming forms are checked by unit tests that run them with
+``trigger(availableNow=True)`` over the same fixture files and assert
+equality with the batch results (tests/test_streaming.py). The
+windowing operators (``F.window``, ``F.session_window``) are the very
+same Catalyst expressions in both modes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dumbo_spark.functions.numeric import dsum
+from dumbo_spark.session import ensure_runtime_confs
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (same canonical
+    schema as the batch catalog: nanos → µs timestamps)."""
+    ensure_runtime_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the file streaming source requires a directory; fixtures are
+        # single files — expose one through a symlink dir (real
+        # pipelines read a growing directory, which needs none of this)
+        d = tempfile.mkdtemp(prefix="dumbo_spark_stream_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        path = d
+    stream = spark.readStream.schema(raw_schema).parquet(path)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling 1h aggregate — continuous twin of
+    operators/events.py::events_tumbling_1h. The watermark bounds both
+    late-data acceptance and state retention."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-sessionization via ``session_window`` — the
+    built-in stateful operator whose merge semantics match the batch
+    islands computation (operators/events.py::events_sessionized)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming query to completion over the available data
+    (availableNow trigger) and return the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
