@@ -65,8 +65,10 @@ def minhash_signatures(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
     via k partial-aggregating min()s — Catalyst's map-side combine
     keeps shuffle volume at docs × k longs regardless of document size.
     """
-    shingled = documents.select(
-        "doc_id", F.explode(ngrams(tokens("text"), n_shingle)).alias("shingle")
+    # tokens materialized before the n-gram transform — no CSE through
+    # HOF lambdas (see textstats.ngram_count)
+    shingled = documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(ngrams(F.col("toks"), n_shingle)).alias("shingle")
     )
     per_shingle = shingled.select(
         "doc_id",
@@ -80,12 +82,14 @@ def minhash_signatures(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
 
 
 def _band_keys(sig_df: DataFrame) -> DataFrame:
-    """Explode signatures into (band_key, doc_id) — the LSH bucketing."""
+    """Explode signatures into (band_key, doc_id, sig) — the LSH
+    bucketing. The signature rides along so the candidate join needs no
+    extra signature lookups."""
     bands = []
     for t in range(LSH_BANDS):
         rows = [F.col("sig")[t * LSH_ROWS + r] for r in range(LSH_ROWS)]
         bands.append(F.xxhash64(F.lit(t), *rows))
-    return sig_df.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+    return sig_df.select("doc_id", "sig", F.explode(F.array(*bands)).alias("band_key"))
 
 
 def dedup_fuzzy(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -93,26 +97,14 @@ def dedup_fuzzy(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     Jaccard ≥ threshold.
 
     Candidate generation is an equi-self-join on band keys (shuffle on
-    band_key, bounded buckets) — never a cross join. The signature
-    agreement fraction then estimates Jaccard; exact verification can
-    be joined on afterwards for the survivors only.
+    band_key, bounded buckets) — never a cross join. Signatures ride
+    along through the banding, so the estimated Jaccard (signature
+    agreement fraction) is computed directly on the joined pair — no
+    extra signature-lookup joins. The banded table is persisted because
+    a self-join evaluates its subplan once per branch otherwise (the
+    signature aggregation is the expensive part).
     """
-    sigs = minhash_signatures(documents)
-    bands = _band_keys(sigs)
-    pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    bands = _band_keys(minhash_signatures(documents)).persist()
     est = (
         F.size(
             F.filter(
@@ -122,8 +114,19 @@ def dedup_fuzzy(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         / F.lit(MINHASH_K)
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
@@ -157,7 +160,9 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join (4×16-bit chunks —
     any chunk equal ⇒ candidate, guaranteed to catch all pairs with
-    Hamming ≤ 3) then exact Hamming via bit_count(xor)."""
+    Hamming ≤ 3) then exact Hamming via bit_count(xor). The chunked
+    table persists across the self-join branches (the 64-way bit-sum
+    aggregation is the expensive subplan)."""
     sigs = simhash_signatures(documents)
     chunks = sigs.select(
         "doc_id",
@@ -175,7 +180,7 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk", "ck.val")
+    ).select("doc_id", "simhash", "ck.chunk", "ck.val").persist()
     pairs = (
         chunks.alias("a")
         .join(

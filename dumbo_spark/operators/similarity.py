@@ -110,6 +110,9 @@ def knn_cosine_lsh(
     """
     sigs = lsh_signatures(embeddings, dim=dim, n_bits=n_bits)
     bits_per_band = n_bits // n_bands
+    # banded table feeds both the corpus and the query branch of the
+    # candidate join — persist so the 16 hyperplane dot products per
+    # row run once, not per branch
     mask = (1 << bits_per_band) - 1
     bands = sigs.select(
         "vec_id",
@@ -127,7 +130,7 @@ def knn_cosine_lsh(
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "embedding", "bk.band", "bk.val")
+    ).select("vec_id", "embedding", "bk.band", "bk.val").persist()
     q_bands = (
         bands.where(F.col("vec_id") < n_queries)
         .select(
@@ -162,7 +165,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
     verification — the embedding-space analogue of MinHash dedup.
     Candidates share a full 16-bit signature (high-precision buckets);
     exact cosine filters to ≥ threshold."""
-    sigs = lsh_signatures(embeddings)
+    sigs = lsh_signatures(embeddings).persist()
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "sig"
     )

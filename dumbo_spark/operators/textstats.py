@@ -58,9 +58,17 @@ def wordcount(documents: DataFrame) -> DataFrame:
 
 
 def ngram_count(documents: DataFrame, n: int = 2) -> DataFrame:
-    """examples/ngramcount.py: sliding n-grams per document, counted."""
+    """examples/ngramcount.py: sliding n-grams per document, counted.
+
+    The token array is materialized in its own projection first:
+    Catalyst does not common-subexpression-eliminate through
+    higher-order-function lambdas, so inlining ``tokens("text")`` into
+    the n-gram transform would re-run split+filter per element access —
+    O(len²) per document (measured 20× slower at sf0.1).
+    """
     return (
-        documents.select(F.explode(ngrams(tokens("text"), n)).alias("ngram"))
+        documents.select(tokens("text").alias("toks"))
+        .select(F.explode(ngrams(F.col("toks"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -72,12 +80,14 @@ def doc_token_stats(documents: DataFrame) -> DataFrame:
     Token counts are exact integers, so sums/ratios are deterministic;
     means are rounded to 4dp (see functions.numeric rationale).
     """
-    toks = tokens("text")
+    toks = F.col("toks")
     per_doc = documents.select(
+        "lang", tokens("text").alias("toks"), F.length("text").alias("n_chars")
+    ).select(
         "lang",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.length("text").alias("n_chars"),
+        "n_chars",
     )
     n = F.count("*")
     return per_doc.groupBy("lang").agg(
@@ -98,8 +108,8 @@ def lang_id(documents: DataFrame) -> DataFrame:
     CASE chain as tie-break — confusion-matrix output (label ×
     prediction × count). Deterministic by construction, so it carries a
     full SQL oracle despite being a "model"."""
-    toks = tokens("text")
-    scored = documents.select(
+    toks = F.col("toks")
+    scored = documents.select("lang", tokens("text").alias("toks")).select(
         "lang", *[_stopword_hits(toks, lg).alias(f"score_{lg}") for lg in LANGS]
     )
     pred = None
@@ -121,8 +131,8 @@ def quality_score(documents: DataFrame) -> DataFrame:
     (floor(score*10)) per language. The mirror of the heuristic
     "document quality" filters used to curate LLM training corpora.
     """
-    toks = tokens("text")
-    per_doc = documents.select(
+    toks = F.col("toks")
+    per_doc = documents.select("lang", tokens("text").alias("toks")).select(
         "lang",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),

@@ -1,0 +1,48 @@
+"""Scale-posture assertions: the physical plans Catalyst produces for
+our operators must have the properties that survive 100× data growth
+(SURVEY §4.2#3 — posture is operator design + conf, not engine hacks).
+A regression here (a lost pushdown, a join falling off broadcast, a
+Python eval sneaking into a JVM path) is a perf bug even while every
+correctness test stays green."""
+
+from __future__ import annotations
+
+from dumbo_spark.operators import agg, joins, shape, topk
+from dumbo_spark.plans.explain import physical_summary
+from dumbo_spark.sources.catalog import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    s = physical_summary(shape.filter_predicate(load_table(spark, sf_dir, "lineitem")))
+    assert s["pushed_filters"], "predicate must reach the parquet scan"
+    assert s["exchanges"] == 0, "a filter+project must not shuffle"
+    assert s["python_evals"] == 0
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    s = physical_summary(
+        joins.join_broadcast_dim(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+        )
+    )
+    assert s["broadcast_joins"] >= 1, "dim join must not shuffle the fact side"
+    assert s["sortmerge_joins"] == 0
+
+
+def test_group_sum_is_single_exchange(spark, sf_dir):
+    s = physical_summary(agg.group_sum(load_table(spark, sf_dir, "lineitem")))
+    assert s["exchanges"] == 1, "one partial+final hash agg, one shuffle"
+    assert s["python_evals"] == 0
+
+
+def test_topk_global_avoids_total_sort(spark, sf_dir):
+    s = physical_summary(topk.topk_global(load_table(spark, sf_dir, "orders")))
+    assert s["take_ordered"] >= 1, "global top-k must plan TakeOrderedAndProject"
+
+
+def test_wordcount_stays_jvm_side(spark, sf_dir):
+    from dumbo_spark.operators.textstats import wordcount
+
+    s = physical_summary(wordcount(load_table(spark, sf_dir, "documents")))
+    assert s["python_evals"] == 0, "tokenization must stay in codegen"
+    assert s["exchanges"] == 1
