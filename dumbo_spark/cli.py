@@ -1,0 +1,196 @@
+"""Engine CLI — parity with the ``dumbo`` command (dumbo/cmd.py).
+
+Reference subcommands and their re-expression:
+
+| dumbo (cmd.py)           | dumbo-spark                                  |
+|--------------------------|----------------------------------------------|
+| start prog.py -input ... | ``run prog.py`` — exec a script that defines |
+|   (:~60, execs the user  | ``main(spark)``; session provided, result    |
+|   script, :~80)          | written to ``--output`` as parquet           |
+| cat path (:~140)         | ``cat path`` — decode any format, print TSV  |
+| ls / exists / rm (:~160) | same names, pyarrow.fs backed (works on      |
+| put / get (:~200)        | local + hdfs:// + s3:// URIs)                |
+| encodepipe (:~230)       | ``convert --to parquet`` (text → native)     |
+| decodepipe               | ``convert --to jsonl`` (native → text)       |
+| doctest (:~245)          | dropped — pytest owns testing (SURVEY §5)    |
+
+Usage: ``python -m dumbo_spark.cli <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+
+
+def _fs_for(path: str):
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path) if "://" in path else (pafs.LocalFileSystem(), path)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    """Submit a user program: a .py file defining ``main(spark) -> DataFrame``."""
+    from dumbo_spark.session import get_session
+
+    spec = importlib.util.spec_from_file_location("user_prog", args.program)
+    assert spec and spec.loader
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    spark = get_session(app_name=os.path.basename(args.program))
+    df = mod.main(spark)
+    if args.output:
+        from dumbo_spark.sources.textio import write_parquet
+
+        write_parquet(df, args.output)
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
+def cmd_cat(args: argparse.Namespace) -> int:
+    """Decode outputs and print key<TAB>value-style lines (cmd.py cat)."""
+    from dumbo_spark.session import get_session
+
+    spark = get_session("dumbo_spark_cat")
+    p = args.path
+    if p.endswith(".json") or p.endswith(".jsonl"):
+        df = spark.read.json(p)
+    elif p.endswith(".csv") or p.endswith(".tsv"):
+        df = spark.read.option("sep", "\t" if p.endswith(".tsv") else ",").csv(p)
+    elif p.endswith(".txt"):
+        df = spark.read.text(p)
+    else:
+        df = spark.read.parquet(p)
+    for row in df.limit(args.n).collect():
+        print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
+
+def cmd_ls(args: argparse.Namespace) -> int:
+    from pyarrow import fs as pafs
+
+    filesystem, path = _fs_for(args.path)
+    infos = filesystem.get_file_info(pafs.FileSelector(path, allow_not_found=True))
+    for i in sorted(infos, key=lambda i: i.path):
+        kind = "d" if i.type == pafs.FileType.Directory else "-"
+        print(f"{kind} {i.size or 0:>12} {i.path}")
+    return 0
+
+
+def cmd_exists(args: argparse.Namespace) -> int:
+    from pyarrow import fs as pafs
+
+    filesystem, path = _fs_for(args.path)
+    info = filesystem.get_file_info(path)
+    found = info.type != pafs.FileType.NotFound
+    print("exists" if found else "missing")
+    return 0 if found else 1
+
+
+def cmd_rm(args: argparse.Namespace) -> int:
+    from pyarrow import fs as pafs
+
+    filesystem, path = _fs_for(args.path)
+    info = filesystem.get_file_info(path)
+    if info.type == pafs.FileType.Directory:
+        filesystem.delete_dir(path)
+    elif info.type != pafs.FileType.NotFound:
+        filesystem.delete_file(path)
+    return 0
+
+
+def cmd_put(args: argparse.Namespace) -> int:
+    from pyarrow import fs as pafs
+
+    dst_fs, dst = _fs_for(args.dst)
+    with open(args.src, "rb") as f, dst_fs.open_output_stream(dst) as out:
+        out.write(f.read())
+    return 0
+
+
+def cmd_get(args: argparse.Namespace) -> int:
+    src_fs, src = _fs_for(args.src)
+    with src_fs.open_input_stream(src) as f, open(args.dst, "wb") as out:
+        out.write(f.read())
+    return 0
+
+
+def cmd_convert(args: argparse.Namespace) -> int:
+    """encodepipe/decodepipe successor: convert between formats."""
+    from dumbo_spark.session import get_session
+    from dumbo_spark.sources import textio
+
+    spark = get_session("dumbo_spark_convert")
+    src = args.src
+    if src.endswith((".json", ".jsonl")):
+        df = textio.read_jsonl(spark, src)
+    elif src.endswith(".txt"):
+        df = textio.read_text(spark, src)
+    elif src.endswith(".csv"):
+        df = textio.read_csv(spark, src)
+    else:
+        df = textio.read_parquet(spark, src)
+    if args.to == "parquet":
+        textio.write_parquet(df, args.dst)
+    elif args.to == "jsonl":
+        textio.write_jsonl(df, args.dst)
+    elif args.to == "tsv":
+        textio.write_tsv(df, args.dst)
+    else:
+        raise SystemExit(f"unknown target format: {args.to}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dumbo-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a user program (main(spark) -> DataFrame)")
+    r.add_argument("program")
+    r.add_argument("--output", default=None)
+    r.add_argument("--show", type=int, default=20)
+    r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("cat", help="decode and print a dataset")
+    c.add_argument("path")
+    c.add_argument("-n", type=int, default=100)
+    c.set_defaults(fn=cmd_cat)
+
+    for name, fn, nargs in [
+        ("ls", cmd_ls, ["path"]),
+        ("exists", cmd_exists, ["path"]),
+        ("rm", cmd_rm, ["path"]),
+    ]:
+        s = sub.add_parser(name)
+        for a in nargs:
+            s.add_argument(a)
+        s.set_defaults(fn=fn)
+
+    pu = sub.add_parser("put", help="copy local file to a filesystem URI")
+    pu.add_argument("src")
+    pu.add_argument("dst")
+    pu.set_defaults(fn=cmd_put)
+
+    g = sub.add_parser("get", help="copy a filesystem URI to a local file")
+    g.add_argument("src")
+    g.add_argument("dst")
+    g.set_defaults(fn=cmd_get)
+
+    cv = sub.add_parser("convert", help="convert between formats")
+    cv.add_argument("src")
+    cv.add_argument("dst")
+    cv.add_argument("--to", required=True, choices=["parquet", "jsonl", "tsv"])
+    cv.set_defaults(fn=cmd_convert)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

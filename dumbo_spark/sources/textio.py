@@ -1,0 +1,84 @@
+"""Text-family sources/sinks — dumbo's storage formats, re-expressed.
+
+Reference surface (SURVEY §1.3):
+
+- plain text in/out (dumbo/util.py:~230 ``loadtext``/``dumptext``;
+  ``-inputformat text``): input key = byte offset (discarded by
+  convention), value = line; output ``key\\tvalue`` lines →
+  :func:`read_text` / :func:`write_tsv`
+- "code" format (dumbo/util.py:~200 ``loadcode``/``dumpcode``):
+  ``repr(key)\\trepr(value)`` lines decoded eval-style. Self-describing
+  text with arbitrary nesting — re-expressed as JSON Lines
+  (:func:`read_jsonl` / :func:`write_jsonl`): same role, safe instead
+  of repr/eval, schema-inferable, splittable.
+- typedbytes sequence files (streaming.py:~120): the binary native
+  format → parquet (:func:`read_parquet` / :func:`write_parquet`),
+  the columnar upgrade (predicate pushdown + column pruning + stats).
+- ``-compressoutput`` (streaming.py:~160) → ``compression`` option,
+  snappy default on parquet, gzip available on text formats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_text(spark: SparkSession, path: str, with_offsets: bool = False) -> DataFrame:
+    """Lines of text. With ``with_offsets`` the dumbo mapper contract is
+    reproduced exactly: (offset: long, line: string) — offset synthesis
+    needs a per-partition scan, so the default skips it."""
+    df = spark.read.text(path)
+    if not with_offsets:
+        return df.select(F.col("value").alias("line"))
+    # per-file running byte offset (newline included), dumbo's key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    byte_len = F.octet_length("value") + F.lit(1)
+    offset = F.coalesce(
+        F.sum(byte_len).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.select(offset.alias("offset"), F.col("value").alias("line"))
+
+
+def write_tsv(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """dumptext: tab-separated ``key\\tvalue...`` lines."""
+    writer = df.write.mode("overwrite").option("sep", "\t").option("header", "false")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON Lines — the safe successor of dumbo's repr/eval "code"
+    format: self-describing, nested, splittable. Pass a schema in
+    production (inference = an extra pass over the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """The engine's native format (typedbytes-seqfile successor)."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, compression: str = "snappy") -> None:
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None, sep: str = ",") -> DataFrame:
+    reader = spark.read.option("sep", sep).option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -1,0 +1,91 @@
+"""Source/sink + CLI parity tests (dumbo's cmd.py / util.py surface)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+from dumbo_spark.sources import textio
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_text_roundtrip_with_offsets(spark):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "in.txt")
+    with open(p, "w") as f:
+        f.write("alpha beta\ngamma\n")
+    df = textio.read_text(spark, p, with_offsets=True)
+    rows = sorted((r.offset, r.line) for r in df.collect())
+    assert rows == [(0, "alpha beta"), (11, "gamma")]
+
+
+def test_jsonl_roundtrip(spark):
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    out = os.path.join(d, "out.jsonl")
+    textio.write_jsonl(df, out)
+    back = textio.read_jsonl(spark, out, schema="id long, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_tsv_write(spark):
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame([("k1", 1), ("k2", 2)], "key string, value int")
+    out = os.path.join(d, "out.tsv")
+    textio.write_tsv(df, out)
+    lines = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            lines += open(os.path.join(out, fn)).read().splitlines()
+    assert sorted(lines) == ["k1\t1", "k2\t2"]
+
+
+def test_parquet_roundtrip(spark):
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<double>")
+    out = os.path.join(d, "out.parquet")
+    textio.write_parquet(df, out)
+    back = textio.read_parquet(spark, out)
+    assert back.collect()[0].vec == [1.0, 2.0]
+
+
+def _cli(*argv: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "dumbo_spark.cli", *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_cli_fs_surface():
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "f.txt")
+    with open(src, "w") as f:
+        f.write("hello")
+    dst = os.path.join(d, "copied.txt")
+    assert _cli("put", src, dst).returncode == 0
+    assert _cli("exists", dst).returncode == 0
+    out = _cli("ls", d)
+    assert "copied.txt" in out.stdout
+    assert _cli("rm", dst).returncode == 0
+    assert _cli("exists", dst).returncode == 1
+
+
+def test_cli_run_and_cat():
+    d = tempfile.mkdtemp()
+    prog = os.path.join(d, "prog.py")
+    with open(prog, "w") as f:
+        f.write(
+            "def main(spark):\n"
+            "    return spark.createDataFrame([(1, 'x')], 'id long, s string')\n"
+        )
+    out = os.path.join(d, "result.parquet")
+    r = _cli("run", prog, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    c = _cli("cat", out)
+    assert c.returncode == 0 and "1\tx" in c.stdout
