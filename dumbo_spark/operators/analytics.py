@@ -1,0 +1,96 @@
+"""Composed analytical pipelines — multi-operator showcases.
+
+Dumbo expressed multi-stage analytics as chained MapReduce jobs with
+hand-wired temp paths (dumbo/core.py Job.additer; examples/join.py +
+examples/itertwice.py combined is exactly this shape). Here a pipeline
+is one Catalyst plan: scans prune to needed columns, filters push into
+scans, the dimension sides broadcast, and the final top-k plans as a
+window over pre-aggregated (small) data.
+
+These queries mirror classic TPC-H shapes on the fixture schema —
+the compositions a switching dumbo user would rebuild first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dumbo_spark.functions.numeric import dmoney, dsum
+
+
+def _revenue() -> F.Column:
+    return dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dmoney("l_discount")
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → wide algebraic aggregate. The
+    canonical 'is partial aggregation working' benchmark query."""
+    n = F.count("*")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dmoney("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(dmoney("l_extendedprice")).cast("double") / n, 4).alias("avg_price"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def top_revenue_nations(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q5 shape: fact⋈fact⋈fact with broadcast dims.
+
+    Join order matters at scale: lineitem⋈orders shuffles on orderkey
+    (the two big tables), the result joins customers on custkey, and
+    nation (25 rows) broadcasts — the fact tables are never broadcast
+    and never cross-joined.
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def segment_top_customers(
+    customer: DataFrame, orders: DataFrame, k: int = 5
+) -> DataFrame:
+    """TPC-H Q3 shape: join → aggregate → per-group top-k. The window
+    runs over the aggregate (|customers| rows), not the join output."""
+    per_customer = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(dsum("o_totalprice", "total_spent"), F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spent").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        per_customer.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("c_mktsegment", "c_custkey", "c_name", "total_spent", "n_orders", "rn")
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (left-semi) then count by category."""
+    shipped = lineitem.where(
+        F.col("l_shipdate") >= F.lit("1996-01-01")
+    ).select("l_orderkey")
+    return (
+        orders.join(shipped, orders.o_orderkey == shipped.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

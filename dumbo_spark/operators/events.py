@@ -56,6 +56,41 @@ def events_tumbling_1h(events: DataFrame) -> DataFrame:
     )
 
 
+def events_sliding_1h_30m(events: DataFrame) -> DataFrame:
+    """Sliding event-time window (1h window, 30m slide): every event
+    lands in exactly two windows. Same ``F.window`` operator streaming
+    uses; the oracle enumerates the two epoch-aligned candidate starts
+    per event."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_session_window(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap sessionization via the built-in ``session_window`` operator
+    (the one Structured Streaming shares). Merge rule: windows merge
+    iff they overlap, i.e. a gap strictly smaller than ``gap_min``
+    continues a session — the oracle's islands computation uses >= for
+    the break accordingly."""
+    return (
+        events.groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_sessionized(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gap-based sessionization per user (batch form).
 

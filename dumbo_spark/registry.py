@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dumbo_spark.operators import (
     agg,
+    analytics,
     dedup,
     events,
     joins,
@@ -708,6 +709,151 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.9
     )
+
+
+# ═══ composed analytical pipelines (TPC-H shapes) ═══════════════════════
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_revenue_nations",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_revenue_nations(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "segment_top_customers",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+             COUNT(*) AS n_orders,
+             CAST(ROW_NUMBER() OVER (
+                  PARTITION BY c_mktsegment
+                  ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                           c_custkey ASC) AS INTEGER) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey, c_name)
+    WHERE rn <= 5
+    """,
+)
+def q_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.segment_top_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+# ═══ extra window variants ══════════════════════════════════════════════
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    windows AS (
+      SELECT event_type, value,
+             unnest([us - us % 1800000000,
+                     us - us % 1800000000 - 1800000000]) AS start_us
+      FROM e)
+    SELECT strftime(make_timestamp(CAST(start_us AS BIGINT)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM windows GROUP BY window_start, event_type
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.events_sliding_1h_30m(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sessions AS (
+      SELECT user_id, value, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged)
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.events_session_window(load_table(spark, sf_dir, "events"))
 
 
 # ═══ M4: compat veneer + multimodal plumbing ════════════════════════════
