@@ -117,6 +117,34 @@ def tagged_multicount(documents: DataFrame) -> DataFrame:
     return documents.select(tag).groupBy("tag").agg(F.count("*").alias("n_docs"))
 
 
+def group_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles per group (absent in dumbo — computing a
+    median under MapReduce required a full secondary sort job).
+
+    ``F.percentile`` (exact, linear interpolation) matches DuckDB's
+    ``quantile_cont``; the 100 TB variant is ``approx_percentile``
+    (t-digest, fixed memory) — same API shape, sketch semantics, so it
+    gets a unit-test bound instead of an oracle (like HLL).
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+    )
+
+
+def pivot_status(lineitem: DataFrame) -> DataFrame:
+    """Pivot (absent in dumbo; the manual version is multicount's
+    tagged keys). Pivot values are declared, not discovered — at scale
+    an undeclared pivot is two jobs (distinct scan + agg)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dmoney("l_quantity")).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
 def two_phase_agg(orders: DataFrame) -> DataFrame:
     """examples/itertwice.py / Job.additer: two chained MR iterations.
 

@@ -150,6 +150,28 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_doc_freq(documents: DataFrame) -> DataFrame:
+    """Document frequency + IDF per token — the tf-idf building block
+    (north-star text analysis; dumbo users hand-rolled this as two
+    chained jobs). One aggregation pass over exploded distinct tokens;
+    the corpus size joins in as a broadcast single-row aggregate so the
+    whole computation stays in-plan (no driver-side collect of N).
+    """
+    per_doc = documents.select(
+        F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    df_counts = per_doc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = documents.select(F.count("*").alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.ln((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)), 6).alias("idf"),
+        )
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic content fingerprint per document: md5 over the
     normalized token stream. The exact-dedup key and the cheap

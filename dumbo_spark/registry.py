@@ -711,6 +711,54 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ═══ percentiles / pivot / tf-idf ═══════════════════════════════════════
+
+
+@register(
+    "group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.pivot_status(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "token_doc_freq",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT unnest(list_distinct({DUCK_TOKENS})) AS token FROM documents),
+    dfc AS (SELECT token, COUNT(*) AS doc_freq FROM per_doc GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, doc_freq,
+           ROUND(ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)), 6) AS idf
+    FROM dfc CROSS JOIN n
+    """,
+)
+def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_doc_freq(load_table(spark, sf_dir, "documents"))
+
+
 # ═══ composed analytical pipelines (TPC-H shapes) ═══════════════════════
 
 

@@ -75,6 +75,36 @@ def write_parquet(df: DataFrame, path: str, compression: str = "snappy") -> None
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], compression: str = "snappy"
+) -> None:
+    """Hive-style partitioned parquet layout (dumbo had only flat
+    output dirs). At scale this is what makes partition pruning work:
+    a reader filtering on a partition column never opens the other
+    directories."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_by: list[str], n_buckets: int = 32
+) -> None:
+    """Bucketed managed table: pre-shuffled on the bucket columns so
+    subsequent joins/aggregations on them are exchange-free — the
+    declarative successor of dumbo's -partitioner
+    KeyFieldBasedPartitioner (dumbo/backends/streaming.py:~145)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_by)
+        .sortBy(*bucket_by)
+        .saveAsTable(table)
+    )
+
+
 def read_csv(spark: SparkSession, path: str, schema: str | None = None, sep: str = ",") -> DataFrame:
     reader = spark.read.option("sep", sep).option("header", "true")
     if schema is not None:

@@ -1,0 +1,57 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The capability dumbo could never express: per-key state maintained
+across a continuous stream (dumbo's closest notion is cross-record
+state inside ONE map task via the open-mapper, dumbo/core.py:~150 —
+state died with the task). Here state is engine-managed: checkpointed,
+recovered on failure, evicted by timeout.
+
+Example operator: running per-user totals (events seen, value summed),
+emitting an updated row per user per micro-batch. The pandas function
+receives Arrow batches per key — the same columnar boundary as the
+batch compat veneer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
+STATE_SCHEMA = "total_events long, total_value double"
+
+
+def _update_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total_events, total_value = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        total_events += len(pdf)
+        total_value += float(pdf["value"].sum())
+    state.update((total_events, total_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "total_events": [total_events],
+            "total_value": [round(total_value, 2)],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Continuously-updated per-user totals. Output mode 'update': one
+    row per changed user per micro-batch. State is two numbers per
+    user — at 100 TB/day the state store stays tiny because state
+    size is O(users), not O(events)."""
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
