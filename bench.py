@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    # median-of-3 by default: the first execution of a plan pays 1-3s of
+    # whole-stage-codegen compilation that steady-state runs never see
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from dumbo_spark.registry import QUERIES

@@ -40,7 +40,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 class Params(dict):
@@ -60,6 +60,14 @@ class Params(dict):
 
 MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
 RedFn = Callable[[Any, Iterator[Any]], Iterable[tuple[Any, Any]]]
+
+
+def _ensure_workers(df: DataFrame) -> None:
+    """Ship this package to executor workers (UDF closures reference
+    it by module name; see session._ship_package)."""
+    from dumbo_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(df.sparkSession)
 
 
 def _schema_names(schema: str) -> tuple[str, str]:
@@ -100,8 +108,81 @@ def map_only(
 ) -> DataFrame:
     """Map-only job (-numreducetasks 0, dumbo/core.py:~320): no shuffle,
     no reduce — a narrow mapInPandas pass."""
+    _ensure_workers(df)
     kn, vn = _schema_names(output_schema)
     return df.mapInPandas(_map_batches(mapper, key_col, value_col, kn, vn), output_schema)
+
+
+def map_open(
+    df: DataFrame,
+    fn: Callable[[Iterator[tuple[Any, Any]]], Iterable[tuple[Any, Any]]],
+    output_schema: str,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Open (arity-1) mapper: the callable receives the whole record
+    iterator of its partition (dumbo/core.py:~150 — the hook for
+    setup/teardown and cross-record state within one task). Same
+    contract here per Spark partition, batched through Arrow.
+    """
+    _ensure_workers(df)
+    kn, vn = _schema_names(output_schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def records() -> Iterator[tuple[Any, Any]]:
+            for pdf in batches:
+                yield from zip(pdf[key_col], pdf[value_col])
+
+        out_k, out_v = [], []
+        for k2, v2 in fn(records()):
+            out_k.append(k2)
+            out_v.append(v2)
+        yield pd.DataFrame({kn: out_k, vn: out_v})
+
+    return df.mapInPandas(run, output_schema)
+
+
+def join_reduce(
+    primary: DataFrame,
+    secondary: DataFrame,
+    reducer: Callable[[Any, list[Any], list[Any]], Iterable[tuple[Any, Any]]],
+    output_schema: str = "key string, value double",
+) -> DataFrame:
+    """JoinReducer veneer (dumbo/lib/__init__.py:~90 + JoinKey secondary
+    sort, backends/common.py:~120): per key, the reducer gets the
+    primary side's values first, then the secondary side's — dumbo's
+    ``primary(key, vals)`` stash + ``secondary(key, vals)`` stream
+    collapsed into one call with both lists.
+
+    Implementation is the reduce-side join dumbo hand-built: tag each
+    side, union, group by key — one shuffle, sort-merge semantics.
+    Prefer ``DataFrame.join`` (operators/joins.py) for anything
+    relational; this exists for imperative join logic during migration.
+    """
+    _ensure_workers(primary)
+    p = primary.select(
+        F.col("key").cast("string").alias("key"),
+        F.lit(0).alias("side"),
+        F.col("value").cast("string").alias("value"),
+    )
+    s = secondary.select(
+        F.col("key").cast("string").alias("key"),
+        F.lit(1).alias("side"),
+        F.col("value").cast("string").alias("value"),
+    )
+    kn, vn = _schema_names(output_schema)
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        prim = list(pdf.loc[pdf["side"] == 0, "value"])
+        sec = list(pdf.loc[pdf["side"] == 1, "value"])
+        out_k, out_v = [], []
+        for k2, v2 in reducer(key, prim, sec):
+            out_k.append(k2)
+            out_v.append(v2)
+        return pd.DataFrame({kn: out_k, vn: out_v})
+
+    return p.unionByName(s).groupBy("key").applyInPandas(reduce_group, output_schema)
 
 
 def map_reduce(
@@ -119,6 +200,7 @@ def map_reduce(
     Catalyst pipelines the iterations with no temp-path
     materialization (SURVEY §3.4).
     """
+    _ensure_workers(df)
     # The intermediate wire pair is (key string, value double) — dumbo's
     # dynamically-typed typedbytes pairs narrowed to the common case.
     # Imperative jobs needing richer values belong on DataFrame

@@ -62,6 +62,9 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     — dumbo's per-record pipe overhead is exactly what this avoids,
     SURVEY §1.5) and must never materialize more than one batch.
     """
+    from dumbo_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(with_payload.sparkSession)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

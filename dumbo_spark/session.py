@@ -10,6 +10,8 @@ hand-set reducer counts (dumbo's -numreducetasks).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -55,7 +57,40 @@ def get_session(app_name: str = "dumbo_spark", cpus: int | None = None) -> Spark
     return spark
 
 
+_shipped_apps: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make dumbo_spark importable on executor Python workers.
+
+    UDF closures (compat veneer, multimodal extractors) pickle by
+    reference to this package. The PYTHONPATH export in __init__ only
+    helps if the package was imported before the JVM started — a host
+    application that builds its SparkSession first would still get
+    ModuleNotFoundError on workers. addPyFile is ordering-independent:
+    it propagates to already-running executors with the next task set.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped_apps:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "dumbo_spark_pyfiles.zip")
+    tmp = f"{zpath}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _shipped_apps.add(app_id)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> None:
-    """Apply runtime-settable confs to a session we didn't build."""
+    """Apply runtime-settable confs + package shipping to a session we
+    didn't build (the driver harness hands us one)."""
     for k, v in RUNTIME_CONFS.items():
         spark.conf.set(k, v)
+    _ship_package(spark)
