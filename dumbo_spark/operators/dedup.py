@@ -132,6 +132,43 @@ def dedup_fuzzy(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def dedup_fuzzy_verified(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.7,
+    candidate_threshold: float = 0.35,
+) -> DataFrame:
+    """The full production near-dup pipeline: MinHash-LSH candidates
+    (cheap, recall-oriented) → exact token-set Jaccard on candidates
+    only (precise, cost ∝ candidates, never ∝ n²).
+
+    This is the shape that survives 100 TB: the exact verification — a
+    join carrying shingle sets — touches only the LSH survivors, a
+    vanishing fraction of all pairs.
+
+    Verification uses SHINGLE-set Jaccard, the exact quantity MinHash
+    estimates — not token-set Jaccard, which degenerates on small
+    vocabularies (every document's token set converges to the whole
+    vocabulary while word order still differs completely).
+    """
+    cands = dedup_fuzzy(documents, threshold=candidate_threshold).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    tok_sets = documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("tok_set")
+    )
+    ta = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("tok_set").alias("set_a"))
+    tb = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("tok_set").alias("set_b"))
+    jaccard = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    )
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", F.round(jaccard, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash: long) 64-bit SimHash over word tokens.
 

@@ -655,6 +655,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_fuzzy(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_fuzzy_verified", oracle=None)  # LSH recall is probabilistic
+def q_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_fuzzy_verified(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash", oracle=None)  # probabilistic (SimHash)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))

@@ -52,6 +52,21 @@ def test_minhash_no_false_high_jaccard(spark):
     assert found == []
 
 
+def test_fuzzy_verified_exact_jaccard(spark):
+    """The verified pipeline reports true Jaccard for planted dups and
+    drops candidates whose exact overlap is below threshold."""
+    rows = [(0, BASE), (1, BASE.replace("garden", "forest").replace("dog", "wolf"))]
+    rows += [(i, f"noise doc {i} " + " ".join(f"w{i}x{j}" for j in range(20))) for i in range(2, 10)]
+    got = dedup.dedup_fuzzy_verified(
+        _docs(spark, rows), jaccard_threshold=0.5, candidate_threshold=0.2
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got}
+    assert (0, 1) in pairs
+    # 2 word substitutions break ≤6 of ~24 shingles: jaccard well > 0.5
+    assert pairs[(0, 1)] >= 0.5
+    assert all(a == 0 and b == 1 for a, b in pairs)
+
+
 def test_simhash_near_dup_pairs(spark):
     rows = [(0, BASE), (1, BASE + " extra"), (2, "completely unrelated words about databases and storage engines and columnar formats and query optimizers for analytics")]
     found = dedup.dedup_simhash(_docs(spark, rows), max_hamming=10).collect()
