@@ -101,6 +101,14 @@ def rollup_counts(orders: DataFrame) -> DataFrame:
     )
 
 
+def cube_counts(orders: DataFrame) -> DataFrame:
+    """CUBE over status × priority — all 2ⁿ grouping sets in one pass
+    (absent in dumbo; rollup's sibling, SURVEY §2.4)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
+    )
+
+
 def tagged_multicount(documents: DataFrame) -> DataFrame:
     """examples/multicount.py: one pass emitting several keyed metrics.
 

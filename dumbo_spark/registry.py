@@ -195,6 +195,19 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.cube_counts(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "tagged_multicount",
     oracle="""
     SELECT tag, COUNT(*) AS n_docs
