@@ -1,0 +1,109 @@
+"""Temporal join operators — as-of join, range join, cascade rollup.
+
+None of these exist in dumbo (batch k/v only) and none are single
+built-ins in Spark; each is a *composition* of DataFrame primitives
+chosen for its shuffle shape at 100 TB (SURVEY §2.4 'theta/range/as-of'
+row — the operators a time-series/feature-store workload needs):
+
+- :func:`asof_last_event` — per row, the most recent prior row of
+  another kind: expressed as a carried-forward window value
+  (last IGNORE NULLS over a ROWS frame), ONE shuffle on the partition
+  key, no join at all. The classic implementation (per-row subquery or
+  range join) is quadratic; this is linear and sort-merge friendly.
+- :func:`range_self_join` — pairs of events within a time window:
+  bucketed equi-join (each left row probes exactly two bucket keys),
+  never an inequality cross join. Pair volume bounds the cost, and the
+  equi-join shuffles hash-partitioned like any other join.
+- :func:`cascade_rollup` — hypertable-style multi-resolution rollup
+  (minute → hour → day) where each level re-aggregates the previous:
+  legal because the aggregates are algebraic (counts and exact decimal
+  sums re-sum losslessly). At scale the fine levels are materialized
+  tables and the cascade is incremental; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dumbo_spark.functions.numeric import dmoney
+
+
+def asof_last_event(
+    events: DataFrame, target_type: str = "purchase", source_type: str = "click"
+) -> DataFrame:
+    """For each `target_type` event: the most recent strictly-prior
+    `source_type` event by the same user (as-of join, backward)."""
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_src = F.col("event_type") == source_type
+    carried = events.select("user_id", "event_id", "ts", "event_type").withColumns(
+        {
+            "last_src_id": F.last(F.when(is_src, F.col("event_id")), ignorenulls=True).over(w),
+            "last_src_us": F.last(F.when(is_src, us), ignorenulls=True).over(w),
+        }
+    )
+    return (
+        carried.where((F.col("event_type") == target_type) & F.col("last_src_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("target_id"),
+            F.col("last_src_id").alias("source_id"),
+            (us - F.col("last_src_us")).alias("gap_us"),
+        )
+    )
+
+
+def range_self_join(events: DataFrame, window_sec: int = 60) -> DataFrame:
+    """Count ordered event pairs per user within `window_sec` of each
+    other (0 < t_b − t_a ≤ window).
+
+    Bucketing makes the range condition an equi-join: a pair within W
+    seconds spans at most two W-sized buckets, so the left side probes
+    (bucket, bucket+1) and each candidate matches exactly one key — no
+    duplicates, no cross join, shuffle ∝ rows × 2.
+    """
+    win_us = window_sec * 1_000_000
+    us = F.unix_micros("ts")
+    base = events.select("user_id", F.col("event_id").alias("eid"), us.alias("us"))
+    bucket = F.expr(f"us DIV {win_us}")  # integer division — no double round-trip
+    left = base.select(
+        "user_id",
+        F.col("eid").alias("eid_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(bucket, bucket + F.lit(1))).alias("bucket"),
+    )
+    right = base.select(
+        "user_id",
+        F.col("eid").alias("eid_b"),
+        F.col("us").alias("us_b"),
+        bucket.alias("bucket"),
+    )
+    pairs = left.join(right, ["user_id", "bucket"]).where(
+        (F.col("us_b") > F.col("us_a")) & (F.col("us_b") - F.col("us_a") <= win_us)
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+def cascade_rollup(events: DataFrame) -> DataFrame:
+    """Day-level aggregates computed through a minute→hour→day cascade
+    of re-aggregations (continuous-aggregate/hypertable pattern).
+    Bit-identical to direct day aggregation because count and decimal
+    sum are algebraic — which is exactly what the oracle checks."""
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("m"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.sum(dmoney("value")).alias("val"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "m").alias("h"), "event_type"
+    ).agg(F.sum("cnt").alias("cnt"), F.sum("val").alias("val"))
+    day = hour.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("val").cast("double").alias("sum_value"),
+    )
+    return day

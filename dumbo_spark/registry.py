@@ -35,6 +35,7 @@ from dumbo_spark.operators import (
     setops,
     shape,
     similarity,
+    temporal,
     textstats,
     topk,
 )
@@ -920,6 +921,67 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.events_session_window(load_table(spark, sf_dir, "events"))
+
+
+# ═══ temporal operators: as-of / range join / cascade rollup ════════════
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    WITH carried AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS last_src_id,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS) OVER w AS last_src_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id,
+           event_id AS target_id,
+           last_src_id AS source_id,
+           us - last_src_us AS gap_us
+    FROM carried
+    WHERE event_type = 'purchase' AND last_src_id IS NOT NULL
+    """,
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.asof_last_event(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_range_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us_a FROM events) a
+    JOIN (SELECT user_id AS u2, epoch_us(CAST(ts AS TIMESTAMP)) AS us_b FROM events) b
+      ON a.user_id = b.u2
+     AND b.us_b > a.us_a
+     AND b.us_b - a.us_a <= 60000000
+    GROUP BY a.user_id
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.range_self_join(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_cascade_rollup",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def q_events_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle is the DIRECT day aggregation — the cascade must be
+    lossless (algebraic aggregates), which this hash-check proves."""
+    return temporal.cascade_rollup(load_table(spark, sf_dir, "events"))
 
 
 # ═══ M4: compat veneer + multimodal plumbing ════════════════════════════
