@@ -169,6 +169,76 @@ def dedup_fuzzy_verified(
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The iterative-algorithm pattern dumbo expressed as repeated
+    Job.additer passes with temp paths (P6) — here a driver loop over
+    DataFrame joins with convergence detection. Each iteration: every
+    node takes the min of its own label and its neighbors' labels; stop
+    when no label changes. Iteration count is bounded by component
+    diameter (near-dup clusters are shallow).
+
+    Scale notes: the join shuffles on node id each round;
+    ``localCheckpoint`` truncates the growing lineage so plan size
+    stays constant. This is the standard large-graph CC shape
+    (GraphFrames does the same with large-star/small-star refinements).
+
+    edges: (doc_a, doc_b) undirected. Returns (doc_id, cluster_id)
+    where cluster_id = min doc_id of the component.
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    both = both.persist()
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Full dedup clustering: LSH candidates → exact shingle-Jaccard
+    verification → connected components → cluster summary (keeper =
+    min doc_id, cluster size). The end-to-end shape of corpus-level
+    fuzzy dedup: what you delete is `docs in cluster - keeper`."""
+    edges = dedup_fuzzy_verified(documents)
+    cc = connected_components(edges.select("doc_a", "doc_b"))
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash: long) 64-bit SimHash over word tokens.
 

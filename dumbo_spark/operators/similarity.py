@@ -160,6 +160,84 @@ def knn_cosine_lsh(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+def knn_cosine_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means quantization → probe the n_probe
+    nearest cells per query → exact cosine re-rank of cell members.
+
+    The other classic ANN scale path next to LSH
+    (:func:`knn_cosine_lsh`): corpus vectors partition into cells once
+    (seeded KMeans — deterministic for a fixed input), and each query
+    touches only ``n_probe / n_cells`` of the corpus. The cell
+    assignment is exactly the partition-pruning idea applied to vector
+    space; at 100 TB the assignment is a materialized column and the
+    probe is a partition-pruned scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = embeddings.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(vec)
+    assigned = model.transform(vec).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    ).persist()
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    centroids = None
+    for cell_id, center in enumerate(centers):
+        arr = F.array(*[F.lit(v) for v in center])
+        row = (
+            assigned.sparkSession.range(1)
+            .select(F.lit(cell_id).alias("cell"), arr.alias("centroid"))
+        )
+        centroids = row if centroids is None else centroids.unionByName(row)
+
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            (
+                _dot(F.col("q_emb"), F.col("centroid"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("centroid")))
+            ).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cell").asc())
+    probes = q_cells.withColumn("pr", F.row_number().over(w)).where(
+        F.col("pr") <= n_probe
+    ).select("query_id", "q_emb", "cell")
+
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= k)
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     verification — the embedding-space analogue of MinHash dedup.

@@ -674,6 +674,11 @@ def q_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_fuzzy_verified(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_clusters", oracle=None)  # edges are LSH-derived
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash", oracle=None)  # probabilistic (SimHash)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
@@ -721,6 +726,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_cosine_lsh", oracle=None)  # approximate by design
 def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("knn_cosine_ivf", oracle=None)  # approximate by design (IVF)
+def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_cosine_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("embedding_near_dup", oracle=None)  # LSH-bucketed candidates

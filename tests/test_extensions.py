@@ -85,6 +85,17 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_knn_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_cosine(emb, n_queries=8, k=5).collect()
+    approx = similarity.knn_cosine_ivf(emb, n_queries=8, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert len(approx_set) == len(exact_set)  # always returns full k
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
 def test_approx_count_distinct_error(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     approx = {r.event_type: r.approx_users for r in agg.approx_distinct(ev).collect()}
@@ -110,6 +121,29 @@ def test_salted_topk_matches_plain_window(spark, sf_dir):
     # same groups and same price-set; keys may differ only on ties
     assert {(r.o_orderpriority) for r in plain} == {(r.o_orderpriority) for r in salted}
     assert len(plain) == len(salted)
+
+
+def test_connected_components_chain_and_island(spark):
+    """A~B~C chain collapses to one cluster labeled min(id); isolated
+    pair stays its own cluster."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_clusters_planted(spark):
+    """Three mutually-similar docs form one cluster with keeper=min."""
+    rows = [(0, BASE), (1, BASE.replace("garden", "forest")), (2, BASE.replace("lazy", "sleepy"))]
+    rows += [(i, f"noise doc {i} " + " ".join(f"w{i}x{j}" for j in range(25))) for i in range(3, 12)]
+    clusters = dedup.dedup_clusters(_docs(spark, rows)).collect()
+    assert len(clusters) == 1
+    c = clusters[0]
+    assert c.keep_id == 0 and c.n_members == 3 and c.cluster_id == 0
 
 
 # ── mapredtest-style edge cases (FIXTURES.md §C) ────────────────────────
