@@ -8,6 +8,7 @@ from dumbo_spark.compat.mapred import (
     map_reduce,
 )
 from dumbo_spark.compat.mapredtest import MapDriver, MapReduceDriver, ReduceDriver
+from dumbo_spark.compat.run import run
 
 __all__ = [
     "Counters",
@@ -21,4 +22,5 @@ __all__ = [
     "MapDriver",
     "ReduceDriver",
     "MapReduceDriver",
+    "run",
 ]

@@ -26,7 +26,37 @@ def _load(path: str):
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
 def test_example_runs(spark, path):
     mod = _load(path)
+    if not hasattr(mod, "main"):  # classic dumbo-style scripts use run()
+        pytest.skip("script-style example, covered by test_classic_script")
     df = mod.main(spark)
     rows = df.collect()
     assert len(rows) > 0
     assert len(df.columns) >= 2
+
+
+def test_classic_script_cli(spark):
+    """The ported classic dumbo script runs with dumbo-style flags:
+    python prog.py -input in.txt -output out (dumbo start parity)."""
+    import subprocess
+    import sys
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "in.txt")
+    with open(src, "w") as f:
+        f.write("spark beats pipes\npipes were fine\n")
+    out = os.path.join(d, "out")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "examples", "classic_dumbo_script.py"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, script, "-input", src, "-output", out],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {(row.word, row.cnt) for row in spark.read.parquet(out).collect()}
+    assert ("pipes", 2.0) in got and ("spark", 1.0) in got
