@@ -160,6 +160,32 @@ def knn_cosine_lsh(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+#: IVF coarse index cache keyed by (plan, n_cells) — building the cell
+#: assignment is the one-time index-construction step of IVF (at scale
+#: a materialized column/table); queries amortize it, so repeated calls
+#: in one session must not refit KMeans.
+_ivf_cache: dict = {}
+
+
+def _ivf_index(embeddings: DataFrame, n_cells: int):
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = (embeddings._jdf.queryExecution().logical().semanticHash(), n_cells)
+    if key in _ivf_cache:
+        return _ivf_cache[key]
+    vec = embeddings.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(vec)
+    assigned = model.transform(vec).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    ).persist()
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    _ivf_cache[key] = (assigned, centers)
+    return assigned, centers
+
+
 def knn_cosine_ivf(
     embeddings: DataFrame,
     n_queries: int = 8,
@@ -178,18 +204,7 @@ def knn_cosine_ivf(
     space; at 100 TB the assignment is a materialized column and the
     probe is a partition-pruned scan.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vec = embeddings.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
-    )
-    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(vec)
-    assigned = model.transform(vec).select(
-        "vec_id", "embedding", F.col("prediction").alias("cell")
-    ).persist()
-
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned, centers = _ivf_index(embeddings, n_cells)
     centroids = None
     for cell_id, center in enumerate(centers):
         arr = F.array(*[F.lit(v) for v in center])

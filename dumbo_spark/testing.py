@@ -100,6 +100,94 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
     return res
 
 
+# ── random-query differential fuzzing ───────────────────────────────────
+#
+# A tiny spec language compiled to BOTH a Spark DataFrame plan and a
+# DuckDB SQL string, so arbitrary generated queries can be
+# differentially checked — the property-based upgrade of the fixed
+# oracle pairs (dumbo had example-golden tests only; SURVEY §5.1).
+
+AGG_FNS = ("count", "sum", "min", "max", "count_distinct")
+
+TABLE_COLS = {
+    "lineitem": {
+        "cat": ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "num": ["l_quantity", "l_extendedprice", "l_discount"],
+    },
+    "orders": {
+        "cat": ["o_orderstatus", "o_orderpriority"],
+        "num": ["o_totalprice"],
+    },
+}
+
+
+def compile_spec_spark(spark, sf_dir: str, spec: dict):
+    """spec -> Spark DataFrame (same shape the operators use)."""
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.sources.catalog import load_table
+
+    df = load_table(spark, sf_dir, spec["table"])
+    for col, op, lit in spec["filters"]:
+        c = F.col(col)
+        cond = {"<": c < lit, ">=": c >= lit, "==": c == lit}[op]
+        df = df.where(cond)
+    aggs = []
+    for fn, col, alias in spec["aggs"]:
+        if fn == "count":
+            aggs.append(F.count("*").alias(alias))
+        elif fn == "sum":
+            aggs.append(dsum(col, alias))
+        elif fn == "min":
+            aggs.append(F.min(col).alias(alias))
+        elif fn == "max":
+            aggs.append(F.max(col).alias(alias))
+        elif fn == "count_distinct":
+            aggs.append(F.countDistinct(col).alias(alias))
+    return df.groupBy(*spec["group_by"]).agg(*aggs)
+
+
+def compile_spec_sql(spec: dict) -> str:
+    """spec -> DuckDB SQL with the engine's determinism conventions."""
+    parts = []
+    for fn, col, alias in spec["aggs"]:
+        if fn == "count":
+            parts.append(f"COUNT(*) AS {alias}")
+        elif fn == "sum":
+            parts.append(
+                f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+            )
+        elif fn == "min":
+            parts.append(f"MIN({col}) AS {alias}")
+        elif fn == "max":
+            parts.append(f"MAX({col}) AS {alias}")
+        elif fn == "count_distinct":
+            parts.append(f"COUNT(DISTINCT {col}) AS {alias}")
+    select = list(spec["group_by"]) + parts
+    sql = f"SELECT {', '.join(select)} FROM {spec['table']}"
+    if spec["filters"]:
+        conds = []
+        for col, op, lit in spec["filters"]:
+            sql_op = {"<": "<", ">=": ">=", "==": "="}[op]
+            lit_sql = f"'{lit}'" if isinstance(lit, str) else repr(lit)
+            conds.append(f"{col} {sql_op} {lit_sql}")
+        sql += " WHERE " + " AND ".join(conds)
+    if spec["group_by"]:
+        sql += " GROUP BY " + ", ".join(spec["group_by"])
+    return sql
+
+
+def run_spec_differential(spark, sf_dir: str, spec: dict) -> DiffResult:
+    spark_pdf = compile_spec_spark(spark, sf_dir, spec).toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(compile_spec_sql(spec)).fetch_df()
+    finally:
+        con.close()
+    return compare_frames(f"fuzz:{spec}", spark_pdf, duck_pdf)
+
+
 def run_differential(spark, sf_dir: str, name: str) -> DiffResult:
     """Run one registered query against its DuckDB oracle."""
     from dumbo_spark.registry import QUERIES
