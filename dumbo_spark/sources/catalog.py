@@ -21,7 +21,7 @@ Canonicalization applied at read time:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from dumbo_spark.session import ensure_runtime_confs
 
@@ -44,10 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with canonical column types."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos-long -> microsecond TimestampType. DIV is integer
         # division on longs; values are positive so DIV == floor, the
         # same truncation DuckDB applies casting TIMESTAMP_NS -> µs.
+        # Conditional on the raw type: re-written datasets (e.g. scale
+        # replicas) already carry a proper timestamp column.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 

@@ -1,0 +1,88 @@
+"""Scale smoke: run headline operators on ~10× sf0.1 data (≈sf1:
+6M lineitem rows, 10M events) synthesized by replicating the fixtures
+with shifted keys into /tmp. Verifies the operator plans scale
+linearly (no accidental n² joins, no driver collects, no window over a
+global key) before anyone pays for a real cluster run.
+
+    python tools/scale_smoke.py            # prints a timing table
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPL = int(os.environ.get("SCALE_REPL", "10"))
+OUT = f"/tmp/dumbo_spark_scale_x{REPL}"
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.sources.catalog import load_table
+
+    os.makedirs(OUT, exist_ok=True)
+    plans = {
+        "lineitem": ("l_orderkey", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "events": ("event_id", 10_000_000),
+        "customer": ("c_custkey", 1_000_000),
+    }
+    for name, (key, stride) in plans.items():
+        dst = f"{OUT}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = load_table(spark, BASE_SF, name)
+        rep = df.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(REPL)])))
+        rep = rep.withColumn(key, F.col(key) + F.col("_r").cast("long") * stride).drop("_r")
+        rep.write.mode("overwrite").parquet(dst)
+    # copy small dims unchanged
+    import shutil
+
+    for name in ("part", "nation", "region", "supplier", "documents", "embeddings"):
+        dst = f"{OUT}/{name}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{BASE_SF}/{name}.parquet", dst)
+
+
+def main() -> None:
+    from dumbo_spark.registry import QUERIES
+    from dumbo_spark.session import get_session
+
+    spark = get_session("scale_smoke", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+    t0 = time.perf_counter()
+    build(spark)
+    print(f"# build: {time.perf_counter()-t0:.1f}s  ({REPL}× {BASE_SF} → {OUT})")
+
+    names = [
+        "group_sum",
+        "group_multi_sum",
+        "pricing_summary",
+        "join_broadcast_dim",
+        "join_inner",
+        "top_revenue_nations",
+        "topk_per_group",
+        "count_distinct",
+        "events_by_day",
+        "events_sessionized",
+        "events_range_join",
+        "asof_last_click",
+        "two_phase_agg",
+    ]
+    print(f"| query | sf0.1 ×{REPL} sec | rows |")
+    print("|---|---|---|")
+    for name in names:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        n = q.fn(spark, OUT).count()
+        dt = time.perf_counter() - t0
+        print(f"| {name} | {dt:.2f} | {n} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
