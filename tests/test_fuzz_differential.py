@@ -43,3 +43,77 @@ def agg_spec(draw):
 def test_random_agg_specs_match_duckdb(spark, sf_dir, spec):
     res = run_spec_differential(spark, sf_dir, spec)
     assert res.ok, res.report()
+
+
+@st.composite
+def join_spec(draw):
+    return {
+        "how": draw(st.sampled_from(["inner", "left", "left_semi", "left_anti"])),
+        "c_filter": draw(st.one_of(st.none(), st.integers(0, 9000))),
+        "o_filter": draw(st.one_of(st.none(), st.integers(0, 400_000))),
+    }
+
+
+def _join_spark(spark, sf_dir, spec):
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.sources.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    if spec["c_filter"] is not None:
+        cust = cust.where(F.col("c_acctbal") >= float(spec["c_filter"]))
+    if spec["o_filter"] is not None:
+        orders = orders.where(F.col("o_totalprice") >= float(spec["o_filter"]))
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, spec["how"])
+    aggs = [F.count("*").alias("n")]
+    if spec["how"] in ("inner", "left"):
+        aggs.append(F.count("o_orderkey").alias("n_orders"))
+        aggs.append(dsum("c_acctbal", "sum_bal"))
+    return j.groupBy("c_mktsegment").agg(*aggs)
+
+
+def _join_sql(spec):
+    c_w = (
+        f"WHERE c_acctbal >= {float(spec['c_filter'])}" if spec["c_filter"] is not None else ""
+    )
+    o_w = (
+        f"WHERE o_totalprice >= {float(spec['o_filter'])}" if spec["o_filter"] is not None else ""
+    )
+    c = f"(SELECT * FROM customer {c_w})"
+    o = f"(SELECT * FROM orders {o_w})"
+    if spec["how"] in ("inner", "left"):
+        jt = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+        return f"""
+        SELECT c_mktsegment, COUNT(*) AS n, COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM {c} c {jt} {o} o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment
+        """
+    pred = "EXISTS" if spec["how"] == "left_semi" else "NOT EXISTS"
+    return f"""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM {c} c
+    WHERE {pred} (SELECT 1 FROM {o} o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_spec())
+def test_random_join_specs_match_duckdb(spark, sf_dir, spec):
+    from dumbo_spark.testing import compare_frames, duckdb_connect
+
+    spark_pdf = _join_spark(spark, sf_dir, spec).toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(_join_sql(spec)).fetch_df()
+    finally:
+        con.close()
+    res = compare_frames(f"join:{spec}", spark_pdf, duck_pdf)
+    assert res.ok, res.report()
