@@ -172,6 +172,37 @@ def token_doc_freq(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of an LLM training/retrieval
+    pipeline (north-star text analysis).
+
+    Pure higher-order functions: chunk starts are a ``sequence`` with
+    the stride, chunk text is a ``slice``+``concat_ws`` per start — no
+    explode-then-window shuffle, no Python. Output grain is one row
+    per (doc, chunk).
+    """
+    step = chunk_tokens - overlap
+    toks = F.col("toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    chunk = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / step).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.size(toks) - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        documents.select("doc_id", tokens("text").alias("toks"))
+        .where(F.size(F.col("toks")) > 0)
+        .select("doc_id", F.explode(chunk).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic content fingerprint per document: md5 over the
     normalized token stream. The exact-dedup key and the cheap

@@ -312,6 +312,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(st / 48 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text,
+           CAST(least(len(toks) - st, 64) AS INTEGER) AS n_tokens
+    FROM s
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id, md5(array_to_string({DUCK_TOKENS}, ' ')) AS fp
