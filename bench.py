@@ -44,6 +44,10 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # operators may persist() shared subplans (LSH bands, IVF cells);
+        # drop them so queries are timed in isolation and executor memory
+        # stays flat across the 60+ query sweep
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -100,6 +100,75 @@ def _join_sql(spec):
     """
 
 
+@st.composite
+def window_spec(draw):
+    return {
+        "part": draw(st.sampled_from(["o_orderstatus", "o_orderpriority"])),
+        "fn": draw(st.sampled_from(["row_number", "rank", "dense_rank"])),
+        "desc": draw(st.booleans()),
+        "k": draw(st.integers(1, 10)),
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_spec())
+def test_random_window_specs_match_duckdb(spark, sf_dir, spec):
+    from pyspark.sql import Window, functions as F
+
+    from dumbo_spark.sources.catalog import load_table
+    from dumbo_spark.testing import compare_frames, duckdb_connect
+
+    order = (
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+        if spec["desc"]
+        else [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
+    w = Window.partitionBy(spec["part"]).orderBy(*order)
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[
+        spec["fn"]
+    ]
+    spark_pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(spec["part"], "o_orderkey", "o_totalprice")
+        .withColumn("r", fn().over(w))
+        .where(F.col("r") <= spec["k"])
+        .toPandas()
+    )
+    direction = "DESC" if spec["desc"] else "ASC"
+    sql = f"""
+    SELECT * FROM (
+      SELECT {spec['part']}, o_orderkey, o_totalprice,
+             CAST({spec['fn']}() OVER (PARTITION BY {spec['part']}
+                  ORDER BY o_totalprice {direction}, o_orderkey ASC) AS INTEGER) AS r
+      FROM orders)
+    WHERE r <= {spec['k']}
+    """
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(sql).fetch_df()
+    finally:
+        con.close()
+    res = compare_frames(f"window:{spec}", spark_pdf, duck_pdf)
+    assert res.ok, res.report()
+
+
+def test_decimal_sum_invariant_under_partitioning(spark, sf_dir):
+    """The determinism contract itself: exact-decimal aggregation gives
+    BIT-identical results for any partitioning (raw double sums do
+    not — this is why functions/numeric.py exists)."""
+    from dumbo_spark.operators.agg import group_multi_sum
+    from dumbo_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = sorted(map(tuple, group_multi_sum(li.repartition(1)).collect()))
+    b = sorted(map(tuple, group_multi_sum(li.repartition(37, "l_partkey")).collect()))
+    assert a == b
+
+
 @settings(
     max_examples=20,
     deadline=None,
