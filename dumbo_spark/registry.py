@@ -32,6 +32,7 @@ from dumbo_spark.operators import (
     dedup,
     events,
     joins,
+    sampling,
     setops,
     shape,
     similarity,
@@ -948,6 +949,46 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.events_session_window(load_table(spark, sf_dir, "events"))
+
+
+# ═══ sampling / splitting (corpus assembly) ═════════════════════════════
+
+
+def _split_oracle() -> str:
+    bucket = sampling.sql_md5_bucket("doc_id")
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {bucket} < 10 THEN 'test' ELSE 'train' END AS split,
+           CAST({bucket} AS INTEGER) AS bucket
+    FROM documents
+    """
+
+
+@register("split_train_test", oracle=_split_oracle())
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.split_train_test(load_table(spark, sf_dir, "documents"))
+
+
+@register("stratified_sample", oracle=None)  # seeded randomness
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_clean",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS clean_text
+      FROM documents)
+    SELECT doc_id, lang, clean_text,
+           CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens
+    FROM c
+    WHERE len(string_split(clean_text, ' ')) BETWEEN 5 AND 100000
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.corpus_clean(load_table(spark, sf_dir, "documents"))
 
 
 # ═══ temporal operators: as-of / range join / cascade rollup ════════════

@@ -96,6 +96,39 @@ def test_knn_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_stratified_sample_fractions(spark, sf_dir):
+    from dumbo_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frac = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    got = {
+        r.lang: r.n
+        for r in stratified_sample(docs, fractions=frac)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    base = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lg in ("de", "es", "fr", "zh"):  # full-rate strata kept intact
+        assert got[lg] == base[lg]
+    en_rate = got["en"] / base["en"]
+    assert 0.1 < en_rate < 0.45, en_rate  # Bernoulli(0.25) on ~190 docs
+
+
+def test_split_is_deterministic_and_disjoint(spark, sf_dir):
+    from dumbo_spark.operators.sampling import split_train_test
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.split) for r in split_train_test(docs).collect()}
+    b = {(r.doc_id, r.split) for r in split_train_test(docs.repartition(13)).collect()}
+    assert a == b  # partitioning-independent assignment
+    n_test = sum(1 for _, s in a if s == "test")
+    assert 0.03 < n_test / len(a) < 0.2  # ~10% bucket
+
+
 def test_approx_count_distinct_error(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     approx = {r.event_type: r.approx_users for r in agg.approx_distinct(ev).collect()}

@@ -52,6 +52,25 @@ def test_parquet_roundtrip(spark):
     assert back.collect()[0].vec == [1.0, 2.0]
 
 
+def test_orc_roundtrip(spark):
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    out = os.path.join(d, "out.orc")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_parquet_zstd_roundtrip(spark):
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame([(i, float(i) * 1.5) for i in range(100)], "id long, v double")
+    out = os.path.join(d, "out.parquet")
+    textio.write_parquet(df, out, compression="zstd")
+    assert spark.read.parquet(out).count() == 100
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert any("zstd" in f for f in files)
+
+
 def _cli(*argv: str) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, "-m", "dumbo_spark.cli", *argv],
