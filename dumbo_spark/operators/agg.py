@@ -141,6 +141,41 @@ def group_percentiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def approx_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Sketch percentiles (approx_percentile / t-digest-style) — the
+    100 TB path where exact percentiles' full value shuffle is the
+    bottleneck. Fixed accuracy knob, bounded memory. Like HLL: engines'
+    sketches differ → rows-only check + unit-tested error bound."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10_000).alias("p50_price"),
+        F.approx_percentile("l_extendedprice", 0.9, 10_000).alias("p90_price"),
+    )
+
+
+def hourly_active_users(events: DataFrame) -> DataFrame:
+    """Distinct users per hour × event type — the canonical activity
+    metric (exact distinct per calendar bucket; the streaming twin
+    would use HLL state)."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def group_collect(lineitem: DataFrame) -> DataFrame:
+    """Deterministic collect-to-array: per key, the SORTED distinct
+    statuses (collect_set order is arbitrary; array_sort fixes the
+    contract — dumbo reducers that built Python lists had the same
+    arbitrary-order trap)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
 def pivot_status(lineitem: DataFrame) -> DataFrame:
     """Pivot (absent in dumbo; the manual version is multicount's
     tagged keys). Pivot values are declared, not discovered — at scale

@@ -775,6 +775,38 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.group_percentiles(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("approx_percentiles", oracle=None)  # sketch differs by engine
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.approx_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "hourly_active_users",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00')
+             AS hour,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.hourly_active_users(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "group_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.group_collect(load_table(spark, sf_dir, "lineitem"))
+
+
 @register(
     "pivot_status",
     oracle="""

@@ -34,6 +34,12 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v: object) -> object:
+    import numpy as np
+
+    if isinstance(v, np.ndarray):  # duckdb lists arrive as ndarrays
+        return tuple(_canon_cell(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "\x00NULL"
     if isinstance(v, float):

@@ -140,6 +140,14 @@ def test_approx_count_distinct_error(spark, sf_dir):
         assert abs(approx[et] - n) / n < 0.05
 
 
+def test_approx_percentile_error_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {r.l_returnflag: r.p50_price for r in agg.approx_percentiles(li).collect()}
+    exact = {r.l_returnflag: r.p50_price for r in agg.group_percentiles(li).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.01, k  # accuracy 10k => sub-1% here
+
+
 def test_salted_topk_matches_plain_window(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     plain = topk.topk_per_group(orders, k=3).select(
