@@ -101,6 +101,61 @@ def _join_sql(spec):
 
 
 @st.composite
+def setop_spec(draw):
+    return {
+        "op": draw(st.sampled_from(["union_all", "intersect", "except"])),
+        "col_a": draw(st.sampled_from(["c_nationkey", "c_custkey"])),
+        "filter_a": draw(st.one_of(st.none(), st.integers(0, 20))),
+        "filter_b": draw(st.one_of(st.none(), st.integers(0, 20))),
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_spec())
+def test_random_setop_specs_match_duckdb(spark, sf_dir, spec):
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.sources.catalog import load_table
+    from dumbo_spark.testing import compare_frames, duckdb_connect
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.select(F.col(spec["col_a"]).cast("long").alias("k"))
+    b = supp.select(F.col("s_nationkey").cast("long").alias("k"))
+    wa = f"WHERE {spec['col_a']} % 25 >= {spec['filter_a']}" if spec["filter_a"] is not None else ""
+    wb = f"WHERE s_nationkey % 25 >= {spec['filter_b']}" if spec["filter_b"] is not None else ""
+    if spec["filter_a"] is not None:
+        a = a.where(F.col("k") % 25 >= spec["filter_a"])
+    if spec["filter_b"] is not None:
+        b = b.where(F.col("k") % 25 >= spec["filter_b"])
+    if spec["op"] == "union_all":
+        got = a.unionByName(b)
+        op_sql = "UNION ALL"
+    elif spec["op"] == "intersect":
+        got = a.intersect(b)
+        op_sql = "INTERSECT"
+    else:
+        got = a.subtract(b)
+        op_sql = "EXCEPT"
+    sql = f"""
+    SELECT CAST({spec['col_a']} AS BIGINT) AS k FROM customer {wa}
+    {op_sql}
+    SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier {wb}
+    """
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(sql).fetch_df()
+    finally:
+        con.close()
+    res = compare_frames(f"setop:{spec}", got.toPandas(), duck_pdf)
+    assert res.ok, res.report()
+
+
+@st.composite
 def window_spec(draw):
     return {
         "part": draw(st.sampled_from(["o_orderstatus", "o_orderpriority"])),

@@ -71,6 +71,59 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir):
     assert final.select("event_id").distinct().count() == n_total
 
 
+def test_stream_dedup_drops_replayed_events(spark, sf_dir):
+    """A source delivering every event twice → output has each
+    event_id exactly once (bounded-state streaming dedup)."""
+    import os
+    import tempfile
+
+    from dumbo_spark.streaming.dedup import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    # simulate an at-least-once source: every event delivered twice
+    ev.unionByName(ev).write.mode("overwrite").parquet(os.path.join(src, "f1.parquet"))
+
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup_stream")
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_stream_static_enrichment(spark, sf_dir):
+    from dumbo_spark.streaming.dedup import enrich_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_stream(stream, load_table(spark, sf_dir, "customer"))
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_enriched")
+    ev = load_table(spark, sf_dir, "events")
+    assert got.count() == ev.count()
+    # users that exist in the dim got names; user_id 0 has no c_custkey 0 match
+    matched = got.where(F.col("c_name").isNotNull()).count()
+    assert matched > 0
+
+
 def test_sessionized_stream_matches_batch(spark, sf_dir):
     stream = sessionized_stream(read_events_stream(spark, sf_dir))
     got = run_to_memory(spark, stream, "t_sessions")
