@@ -109,6 +109,19 @@ def cube_counts(orders: DataFrame) -> DataFrame:
     )
 
 
+def grouping_sets_counts(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of rollup/cube
+    (absent in dumbo; the E5 tagged-key idiom is its manual cousin).
+    One pass computes (status, priority), (priority) and the grand
+    total; the (status)-only set is deliberately omitted to show the
+    sets are arbitrary, not a rollup prefix chain."""
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+
+
 def tagged_multicount(documents: DataFrame) -> DataFrame:
     """examples/multicount.py: one pass emitting several keyed metrics.
 

@@ -84,6 +84,77 @@ def segment_top_customers(
     )
 
 
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → aggregate → global top-k.
+
+    Both date filters and the segment filter push into the parquet
+    scans; the top-k over the aggregate plans TakeOrderedAndProject.
+    Revenue is an exact decimal sum (cast to double at the end) so the
+    ordering — and therefore the limit cut — is engine-independent.
+    """
+    cutoff = F.lit("1995-06-30")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. Fact⋈fact on
+    orderkey, customer on custkey, nation broadcast; top-k on the
+    per-customer aggregate."""
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def orders_above_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-scalar-subquery shape (orders above their priority
+    group's average) as one window pass — no second scan, no join.
+
+    The comparison is pure decimal arithmetic (price·n > group sum),
+    never a float division, so the predicate is exact and
+    engine-independent.
+    """
+    w = Window.partitionBy("o_orderpriority")
+    with_stats = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum(dmoney("o_totalprice")).over(w).alias("_grp_sum"),
+        F.count("*").over(w).alias("_grp_n"),
+    )
+    return with_stats.where(
+        dmoney("o_totalprice") * F.col("_grp_n") > F.col("_grp_sum")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 shape: EXISTS (left-semi) then count by category."""
     shipped = lineitem.where(

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dumbo_spark.functions.numeric import dmoney
+from dumbo_spark.functions.numeric import dmoney, dsum
 
 
 def join_inner(orders: DataFrame, customer: DataFrame) -> DataFrame:
@@ -58,6 +58,27 @@ def join_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def join_full_outer(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Full-outer join (gap row — dumbo's JoinReducer cannot express it:
+    with no primary group the secondary side is unreachable, and vice
+    versa; users ran two jobs and unioned).
+
+    Shape: account-level 360 view — per-custkey order activity FULL
+    OUTER per-user event activity on the shared key domain. Customers
+    with no events and event users with no orders both survive with
+    nulls on the missing side. Both inputs pre-aggregate to |keys| rows
+    before the join, so the outer join itself is small even at 100 TB
+    of raw input.
+    """
+    by_orders = orders.groupBy(F.col("o_custkey").alias("account_id")).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "order_revenue")
+    )
+    by_events = events.groupBy(F.col("user_id").alias("account_id")).agg(
+        F.count("*").alias("n_events"), dsum("value", "event_value")
+    )
+    return by_orders.join(by_events, "account_id", "full_outer")
 
 
 def join_broadcast_dim(lineitem: DataFrame, part: DataFrame) -> DataFrame:

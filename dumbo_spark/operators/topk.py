@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dumbo_spark.functions.numeric import dmoney
+from dumbo_spark.functions.numeric import dmoney, dsum
 
 
 def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
@@ -73,6 +73,65 @@ def window_rank(customer: DataFrame) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.sum(dmoney("c_acctbal")).over(w).cast("double").alias("running_bal"),
+    )
+
+
+def lag_lead_delta(events: DataFrame) -> DataFrame:
+    """Analytic lag/lead over per-user event streams (gap row — in
+    MapReduce this needed a secondary-sort job; here it is one window).
+
+    Emits, per event, the microsecond gap since the user's previous
+    event and the type of the next one. Order is total (ts, event_id)
+    so ties are stable across engines and partitionings. Scales as a
+    single shuffle on user_id; no hot-key risk beyond one user's
+    history per task.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros("ts")
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+def moving_avg_daily(orders: DataFrame, days: int = 7) -> DataFrame:
+    """ROWS-framed moving average over a pre-aggregated daily series
+    (gap row — frames don't exist in MapReduce).
+
+    The window is global but runs over |distinct days| rows (the
+    aggregate), not the fact table — at 100 TB the daily rollup is
+    still tiny, so the single-task ordered frame is fine by design.
+    """
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("day").rowsBetween(-(days - 1), Window.currentRow)
+    return daily.select(
+        "day", "revenue", F.round(F.avg("revenue").over(w), 4).alias("avg_7d")
+    )
+
+
+def ntile_quartiles(customer: DataFrame) -> DataFrame:
+    """NTILE bucketing + per-bucket profile (gap row).
+
+    Note the scale caveat: a global NTILE totally orders the input
+    through one task. This shape is for dimension-sized inputs; the
+    100 TB path is approxQuantile cut-points + a broadcast bucket join
+    (same output contract, sketch-bounded error).
+    """
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    quartiled = customer.select(
+        "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return quartiled.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
     )
 
 

@@ -927,6 +927,158 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-06-30 00:00:00'
+      AND c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS grp_sum,
+             COUNT(*) OVER w AS grp_n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority))
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * grp_n > grp_sum
+    """,
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.orders_above_avg(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS account_id, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_revenue
+      FROM orders GROUP BY 1),
+    e AS (
+      SELECT user_id AS account_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS event_value
+      FROM events GROUP BY 1)
+    SELECT COALESCE(o.account_id, e.account_id) AS account_id,
+           n_orders, order_revenue, n_events, event_value
+    FROM o FULL OUTER JOIN e ON o.account_id = e.account_id
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.join_full_outer(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
+    )
+
+
+@register(
+    "grouping_sets_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.grouping_sets_counts(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "lag_lead_delta",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.lag_lead_delta(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY day)
+    SELECT day, revenue,
+           ROUND(AVG(revenue) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+    FROM daily
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.moving_avg_daily(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "ntile_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+      FROM customer)
+    SELECT CAST(quartile AS INTEGER) AS quartile, COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM q GROUP BY quartile
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.ntile_quartiles(load_table(spark, sf_dir, "customer"))
+
+
 # ═══ extra window variants ══════════════════════════════════════════════
 
 

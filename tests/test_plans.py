@@ -46,3 +46,53 @@ def test_wordcount_stays_jvm_side(spark, sf_dir):
     s = physical_summary(wordcount(load_table(spark, sf_dir, "documents")))
     assert s["python_evals"] == 0, "tokenization must stay in codegen"
     assert s["exchanges"] == 1
+
+
+def test_shipping_priority_pushes_filters_and_takes_ordered(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+
+    s = physical_summary(
+        analytics.shipping_priority(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+    assert s["pushed_filters"], "date/segment filters must reach the scans"
+    assert s["take_ordered"] >= 1, "top-k over aggregate must not total-sort"
+    assert s["python_evals"] == 0
+
+
+def test_returned_items_broadcasts_nation(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+
+    s = physical_summary(
+        analytics.returned_items(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "nation"),
+        )
+    )
+    assert s["broadcast_joins"] >= 1, "nation must broadcast, never shuffle facts"
+    assert s["take_ordered"] >= 1
+    assert s["python_evals"] == 0
+
+
+def test_orders_above_avg_single_window_pass(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+
+    s = physical_summary(analytics.orders_above_avg(load_table(spark, sf_dir, "orders")))
+    # one shuffle for the priority window; no self-join second scan
+    assert s["exchanges"] == 1, "correlated-avg must be one window pass"
+    assert s["sortmerge_joins"] == 0 and s["broadcast_joins"] == 0
+    assert s["python_evals"] == 0
+
+
+def test_full_outer_join_stays_jvm_side(spark, sf_dir):
+    s = physical_summary(
+        joins.join_full_outer(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
+        )
+    )
+    assert s["python_evals"] == 0
