@@ -211,3 +211,23 @@ def two_phase_agg(orders: DataFrame) -> DataFrame:
     """
     per_customer = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
     return per_customer.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+def price_histogram(orders: DataFrame, width: int = 25_000) -> DataFrame:
+    """Fixed-width histogram of order value (absent in dumbo; the
+    MapReduce idiom was mapper-side bucketing + sumreducer — this is
+    that idiom as one hash aggregate).
+
+    The bucket id is exact integer arithmetic on the decimal price
+    (floor division), so bucket edges are engine-independent; the
+    aggregate is a plain partial+final count/sum — the cheapest
+    possible shape at 100 TB.
+    """
+    bucket = F.floor(dmoney("o_totalprice") / width).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * width).cast("double"))
+    )

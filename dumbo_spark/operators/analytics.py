@@ -165,3 +165,104 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: six-way join where customer and supplier must sit
+    in the SAME nation, revenue per nation of one region.
+
+    Scale plan: the two fact tables shuffle-join on orderkey; every
+    dimension (supplier, customer, nation⋈region) broadcasts, so the
+    co-nationality predicate (c_nationkey = s_nationkey) resolves
+    map-side with no extra shuffle. At 100 TB the only big exchange is
+    the fact⋈fact join — exactly the minimum the query requires.
+    """
+    nations_in_region = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        lineitem.join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (share of revenue
+    from promo parts in one ship-month).
+
+    Both numerator and denominator are exact decimal sums (the CASE
+    arm contributes 0 exactly), so the only float op is the final
+    division — rounded to 6 places for engine-stable hashing. The part
+    dimension broadcasts; the fact side keeps its scan-pushed date
+    filter.
+    """
+    promo = F.when(F.col("p_type").startswith("PROMO"), _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(_revenue()).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_qty: int = 150, k: int = 50,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate, then join back to
+    the dimensions and top-k.
+
+    The quantity rollup happens FIRST (one shuffle on orderkey, heavy
+    side reduced to |orders| rows before any join); the surviving keys
+    are few, so both joins after the HAVING are effectively
+    broadcast-size at any scale factor. Decimal sum keeps the HAVING
+    cut exact.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dmoney("l_quantity")).alias("_sum_qty"))
+        .where(F.col("_sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.col("_sum_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )

@@ -159,3 +159,37 @@ def salted_topk_per_group(
         survivors.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
     )
+
+def cheapest_part_per_brand(part: DataFrame) -> DataFrame:
+    """Argmin join-back shape (correlated `= (SELECT MIN ...)`
+    subquery): every part whose retail price equals its brand's
+    minimum — ties all survive, making the result deterministic.
+
+    One window pass over the dimension instead of a self-join: the
+    min propagates per partition, then an exact decimal equality cut.
+    At scale this is a single shuffle on brand; no second scan.
+    """
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("_min_price", F.min(dmoney("p_retailprice")).over(w))
+        .where(dmoney("p_retailprice") == F.col("_min_price"))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def percent_rank_balance(customer: DataFrame) -> DataFrame:
+    """percent_rank + cume_dist over account balance (analytic ranks —
+    absent in dumbo, where any global rank was a 1-reducer sort job).
+
+    Both functions are count-ratio exact ((rank-1)/(n-1), rank/n) so
+    engines agree bit-for-bit after a stabilizing round. Global window
+    = one total sort; the realistic scaled use partitions by segment,
+    which `window_rank` already covers.
+    """
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )

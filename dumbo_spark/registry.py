@@ -1079,6 +1079,131 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.ntile_quartiles(load_table(spark, sf_dir, "customer"))
 
 
+# ═══ TPC-H composition shapes (round-1 batch 2) ═════════════════════════
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0
+           * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT)
+                * 25000 AS DOUBLE) AS bucket_lo
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.price_histogram(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "cheapest_part_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             MIN(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS min_price
+      FROM part)
+    WHERE CAST(p_retailprice AS DECIMAL(18,2)) = min_price
+    """,
+)
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.cheapest_part_per_brand(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "percent_rank_balance",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 8) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_percent_rank_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.percent_rank_balance(load_table(spark, sf_dir, "customer"))
+
+
 # ═══ extra window variants ══════════════════════════════════════════════
 
 

@@ -96,3 +96,58 @@ def test_full_outer_join_stays_jvm_side(spark, sf_dir):
         )
     )
     assert s["python_evals"] == 0
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+
+    s = physical_summary(
+        analytics.local_supplier_volume(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        )
+    )
+    # supplier, customer, nation⋈region all broadcast; only fact⋈fact shuffles
+    assert s["broadcast_joins"] >= 3, "all dimensions must broadcast"
+    assert s["pushed_filters"], "date filter must reach the orders scan"
+    assert s["python_evals"] == 0
+
+
+def test_large_orders_aggregates_before_joining(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+
+    df = analytics.large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = physical_summary(df)
+    # the HAVING-filtered aggregate must sit BELOW the joins in the plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert agg_pos > join_pos >= 0, "quantity rollup must happen before the join-back"
+    assert s["take_ordered"] >= 1
+    assert s["python_evals"] == 0
+
+
+def test_cheapest_part_single_scan(spark, sf_dir):
+    from dumbo_spark.operators import topk as topk_ops
+
+    s = physical_summary(topk_ops.cheapest_part_per_brand(load_table(spark, sf_dir, "part")))
+    # argmin via window = one shuffle, no self-join
+    assert s["exchanges"] == 1
+    assert s["sortmerge_joins"] == 0 and s["broadcast_joins"] == 0
+    assert s["python_evals"] == 0
+
+
+def test_price_histogram_is_one_hash_agg(spark, sf_dir):
+    from dumbo_spark.operators import agg as agg_ops
+
+    s = physical_summary(agg_ops.price_histogram(load_table(spark, sf_dir, "orders")))
+    assert s["exchanges"] == 1, "histogram is a single partial+final aggregate"
+    assert s["python_evals"] == 0
