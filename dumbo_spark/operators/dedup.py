@@ -24,7 +24,7 @@ recall against exact Jaccard on small fixtures (SURVEY §7.3#3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dumbo_spark.functions.text import ngrams, tokens
 
@@ -306,3 +306,67 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+def jaccard_ngram_pairs(
+    documents: DataFrame, n: int = 3, threshold_pct: int = 60
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering
+    (PPJoin-style) — the deterministic complement to the MinHash and
+    SimHash probabilistic paths: every pair with Jaccard ≥ t, no
+    false negatives, no cross join.
+
+    Candidate pruning: order each document's grams by ascending global
+    document frequency (rarest first); two docs can only reach
+    Jaccard ≥ t if they share a gram within each other's first
+    ``|d| - ceil(t·|d|) + 1`` grams, so the self-join runs on that
+    prefix only — at 100 TB the join fan-out is governed by rare-gram
+    collisions, not n². All threshold arithmetic is integer rational
+    (t = threshold_pct/100): the prefix bound and the final
+    ``den·c ≥ num·(|a|+|b|-c)`` cut are exact, so the result matches a
+    brute-force oracle bit-for-bit.
+    """
+    num, den = threshold_pct, 100
+    grams = documents.select(
+        "doc_id", F.explode(F.array_distinct(ngrams(tokens("text"), n))).alias("gram")
+    ).persist()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = (
+        grams.join(gram_df, "gram")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "gram")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # ceil(num·|d|/den) without floats: floor((num·|d| + den − 1)/den)
+    req = F.floor((F.lit(num) * F.col("n_grams") + F.lit(den - 1)) / den)
+    prefix = ranked.where(F.col("pos") <= F.col("n_grams") - req + 1)
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(grams.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "gram"), ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("_nb"))
+    union_sz = F.col("_na") + F.col("_nb") - F.col("_c")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.lit(den) * F.col("_c") >= F.lit(num) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_c").cast("double") / union_sz, 6).alias("jaccard"),
+        )
+    )

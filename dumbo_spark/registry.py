@@ -702,6 +702,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 100 * c >= 60 * (sa.n + sb.n - c)
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard join: the ONLY dedup query with a full
+    value oracle — prefix filtering is lossless, so the brute-force
+    DuckDB pair set must match bit-for-bit (unlike MinHash/SimHash,
+    which are recall-bounded in unit tests instead)."""
+    return dedup.jaccard_ngram_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # ═══ M5: similarity search (north star §2.5) ════════════════════════════
 
 #: dot-product fragment folding left-to-right in double — bit-identical

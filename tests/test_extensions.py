@@ -215,3 +215,18 @@ def test_single_group(spark):
     )
     res = df.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     assert res[0].n == 1
+
+
+def test_jaccard_prefix_join_exact_and_no_cartesian(spark):
+    """Prefix filtering must be lossless (every planted pair ≥ t found,
+    sub-threshold pairs dropped) and must plan equi-joins only — a
+    cartesian/nested-loop product would be the n² trap at scale."""
+    rows = [(0, BASE), (1, BASE.replace("garden", "forest"))]
+    rows += [(i, f"unrelated filler number {i} " + " ".join(f"w{i}x{j}" for j in range(15)))
+             for i in range(2, 12)]
+    df = dedup.jaccard_ngram_pairs(_docs(spark, rows), threshold_pct=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    assert all(a == 0 and b == 1 for a, b in pairs)
