@@ -147,10 +147,13 @@ def group_percentiles(lineitem: DataFrame) -> DataFrame:
     (t-digest, fixed memory) — same API shape, sketch semantics, so it
     gets a unit-test bound instead of an oracle (like HLL).
     """
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return lineitem.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+        F.round(F.get(pcts, 0), 4).alias("p50_price"),
+        F.round(F.get(pcts, 1), 4).alias("p90_price"),
+        F.round(F.get(pcts, 2), 4).alias("p99_price"),
     )
 
 

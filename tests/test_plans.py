@@ -151,3 +151,12 @@ def test_price_histogram_is_one_hash_agg(spark, sf_dir):
     s = physical_summary(agg_ops.price_histogram(load_table(spark, sf_dir, "orders")))
     assert s["exchanges"] == 1, "histogram is a single partial+final aggregate"
     assert s["python_evals"] == 0
+
+
+def test_group_percentiles_single_buffer(spark, sf_dir):
+    from dumbo_spark.operators import agg as agg_ops
+
+    df = agg_ops.group_percentiles(load_table(spark, sf_dir, "lineitem"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one shared percentile buffer (partial + final), not one per quantile
+    assert plan.count("percentile") == 2, "three quantiles must share one buffer"
