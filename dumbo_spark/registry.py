@@ -1377,6 +1377,32 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "click_attribution",
+    oracle="""
+    SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py::click_purchase_stream_join —
+    the SAME function body (watermarks are no-ops on static frames), so
+    this oracle transitively checks the stream-stream interval join the
+    streaming test proves equal to it."""
+    from dumbo_spark.streaming.windows import click_purchase_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_stream_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "events_cascade_rollup",
     oracle="""
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

@@ -81,15 +81,60 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming query to completion over the available data
-    (availableNow trigger) and return the result as a batch DataFrame."""
+    (availableNow trigger) and return the result as a batch DataFrame.
+    ``mode``: "complete" for aggregations, "append" for joins/selects."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame, purchases: DataFrame,
+    watermark: str = "2 hours", within_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to every
+    click by the same user in the preceding ``within_minutes``.
+
+    The dual watermarks plus the two-sided time bound are what make
+    the join's state FINITE: Spark evicts buffered click rows once the
+    purchase-side watermark passes ``click_ts + within``, so state is
+    bounded by (event rate × window), not by stream length — the
+    property that lets this run forever at 100 TB/day. Batch twin for
+    the correctness check: the identical join condition on the static
+    DataFrames (tests/test_streaming.py).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

@@ -130,3 +130,25 @@ def test_sessionized_stream_matches_batch(spark, sf_dir):
     want = batch_events.events_sessionized(load_table(spark, sf_dir, "events"))
     cols = ["user_id", "session_start_us", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Dual-watermark stream-stream join over the fixture replay must
+    equal the identical interval join on the static frames."""
+    from dumbo_spark.streaming.windows import click_purchase_stream_join
+
+    ev_stream = read_events_stream(spark, sf_dir)
+    clicks_s = ev_stream.where(F.col("event_type") == "click")
+    purch_s = ev_stream.where(F.col("event_type") == "purchase")
+    got = run_to_memory(
+        spark, click_purchase_stream_join(clicks_s, purch_s), "t_ssjoin", mode="append"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = click_purchase_stream_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    cols = ["user_id", "click_id", "purchase_id", "lag_us"]
+    assert len(got.collect()) > 0, "fixture must produce at least one attribution"
+    assert _rows(got, cols) == _rows(want, cols)
