@@ -266,3 +266,194 @@ def large_orders(
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(k)
     )
+
+
+def nation_trade_volume(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    supplier: DataFrame, nation: DataFrame,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year,
+    with the two-sided disjunctive nation predicate.
+
+    Scale plan: nation is filtered to TWO rows before joining, so both
+    nation joins broadcast and the disjunction
+    (A→B or B→A) is evaluated map-side after the joins; the only big
+    exchange remains lineitem⋈orders on orderkey. Filtering nations
+    early also lets the supplier/customer joins drop non-participating
+    rows before the fact join output grows.
+    """
+    two = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    supp_n = supplier.join(
+        F.broadcast(two), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(two), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def product_profit(
+    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+    part: DataFrame, nation: DataFrame, name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for
+    parts whose name contains a fragment. The fixture has no partsupp,
+    so supply cost is modeled as p_retailprice·l_quantity·10% — the
+    join/aggregate topology (LIKE-filtered part dim, two broadcast
+    dims, fact⋈fact shuffle, two-level groupBy) is Q9's.
+    """
+    # Narrow decimals keep the triple product inside precision 38 with
+    # NO rounding (9,2 × 9,2 × 3,1 → 23,5 exact) — a chain of (18,2)
+    # factors would overflow 38 and round differently per engine.
+    cost = (
+        F.col("p_retailprice").cast("decimal(9,2)")
+        * F.col("l_quantity").cast("decimal(9,2)")
+        * F.lit(0.1).cast("decimal(3,1)")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_name").contains(name_fragment))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_revenue() - cost).cast("double").alias("profit"))
+    )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed — left outer join so zero-order customers count, then a
+    second aggregate over the first's output.
+
+    The first groupBy reduces to |customers| rows; the histogram
+    aggregate is then trivially small. At 100 TB the left join shuffles
+    on custkey once; no other exchange matters.
+    """
+    per_customer = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def supplier_part_variety(
+    lineitem: DataFrame, part: DataFrame, excluded_brand: str = "Brand#5"
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type) bucket, excluding one brand. No partsupp in the
+    fixture, so supplier↔part pairs come from observed lineitem rows —
+    same NOT-predicate + COUNT(DISTINCT) topology.
+
+    distinct-count plans as two-phase partial aggregation (expand on
+    the distinct key first), so it scales without a global shuffle of
+    raw fact rows per group.
+    """
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") != excluded_brand)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    20% of the part's average quantity, summed per brand.
+
+    The correlated scalar subquery (per-part average) is one window
+    pass over lineitem partitioned by partkey — no self-join, no second
+    scan. The cut ``qty < 0.2·(sum/n)`` is evaluated as the exact
+    integer-decimal inequality ``5·qty·n < sum`` so the boundary is
+    engine-independent.
+    """
+    w = Window.partitionBy("l_partkey")
+    flagged = lineitem.select(
+        "l_partkey",
+        "l_extendedprice",
+        dmoney("l_quantity").alias("_qty"),
+        F.sum(dmoney("l_quantity")).over(w).alias("_sum_qty"),
+        F.count("*").over(w).alias("_n"),
+    ).where(F.lit(5) * F.col("_qty") * F.col("_n") < F.col("_sum_qty"))
+    return (
+        flagged.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum("l_extendedprice", "small_qty_revenue"))
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue matching any of three brand/size/
+    quantity conjunctions — the OR-of-ANDs predicate that tests
+    disjunction handling in the optimizer.
+
+    The common sub-predicates (join key equality, quantity range) stay
+    in one pass; Catalyst pushes the shared p_size ≥ 1 bound and the
+    join survives as a single broadcast hash join with the OR evaluated
+    post-join, not three unioned scans.
+    """
+    q = dmoney("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balances
+    and no orders since a cutoff, counted per nation.
+
+    The global average is a one-row aggregate broadcast into the
+    filter (scalar subquery); "no recent orders" is a left-anti join
+    against the date-filtered orders custkey set (the date filter
+    pushes into the orders scan). Neither step shuffles the customer
+    table more than once.
+    """
+    # bal > avg ⇔ bal·n > sum — exact decimal arithmetic, so the
+    # threshold cut is identical in every engine (no float-avg ulp).
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.sum(dmoney("c_acctbal")).alias("_bal_sum"),
+        F.count("*").alias("_bal_n"),
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(since))
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .where(dmoney("c_acctbal") * F.col("_bal_n") > F.col("_bal_sum"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )

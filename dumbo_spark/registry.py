@@ -1191,6 +1191,174 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name)
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (SURVEY §2 composed pipelines)."""
+    return analytics.nation_trade_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(9,2))
+                      * CAST(l_quantity AS DECIMAL(9,2))
+                      * CAST(0.1 AS DECIMAL(3,1)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost modeled from p_retailprice)."""
+    return analytics.product_profit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape."""
+    return analytics.order_count_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+    GROUP BY p_brand, p_type
+    """,
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier↔part pairs observed via lineitem)."""
+    return analytics.supplier_part_variety(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_partkey, l_extendedprice,
+             CAST(l_quantity AS DECIMAL(18,2)) AS _qty,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_partkey) AS _sum_qty,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS _n
+      FROM lineitem)
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue
+    FROM flagged JOIN part ON l_partkey = p_partkey
+    WHERE 5 * _qty * _n < _sum_qty
+    GROUP BY p_brand
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (exact integer-decimal threshold cut)."""
+    return analytics.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs predicate)."""
+    return analytics.disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH stats AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS _bal_sum,
+             COUNT(*) AS _bal_n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * _bal_n > _bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar subquery + left-anti join)."""
+    return analytics.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "price_histogram",
     oracle="""
     SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT) AS bucket,
