@@ -326,20 +326,31 @@ def jaccard_ngram_pairs(
     brute-force oracle bit-for-bit.
     """
     num, den = threshold_pct, 100
-    grams = documents.select(
-        "doc_id", F.explode(F.array_distinct(ngrams(tokens("text"), n))).alias("gram")
-    ).persist()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    ranked = (
-        grams.join(gram_df, "gram")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "gram")
-            ),
-        )
-        .join(sizes, "doc_id")
+    # Per-doc gram SET built narrowly (no shuffle): the HOF ngram path
+    # plus array_distinct stays inside codegen. Materialized once in
+    # its own projection (see spark4 HOF-CSE pitfall) and reused by
+    # both the explode side and the verification side.
+    doc_grams = (
+        # tokens materialized before the n-gram transform — no CSE
+        # through HOF lambdas (see textstats.ngram_count)
+        documents.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.array_distinct(ngrams(F.col("_toks"), n)).alias("_grams"))
+        .withColumn("_n", F.size("_grams"))
+        .persist()
+    )
+    grams = doc_grams.select("doc_id", F.explode("_grams").alias("gram"))
+    # Document frequency and per-doc rank/size as window passes: one
+    # shuffle by gram, one by doc_id — no groupBy+join-back round trips.
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "gram")
+    ranked = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("gram"))
+    ).select(
+        "doc_id",
+        "gram",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count("*")
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n_grams"),
     )
     # ceil(num·|d|/den) without floats: floor((num·|d| + den − 1)/den)
     req = F.floor((F.lit(num) * F.col("n_grams") + F.lit(den - 1)) / den)
@@ -351,22 +362,33 @@ def jaccard_ngram_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    inter = (
-        cand.join(grams.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
-        .join(grams.select(F.col("doc_id").alias("doc_b"), "gram"), ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("_c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("_nb"))
-    union_sz = F.col("_na") + F.col("_nb") - F.col("_c")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(F.lit(den) * F.col("_c") >= F.lit(num) * union_sz)
-        .select(
+    # Verification: ship each doc's gram SET once per candidate pair and
+    # intersect in-memory (array_intersect, JVM-side) — two shuffles of
+    # |candidates| rows instead of re-exploding every gram of every
+    # candidate doc through a join+groupBy. Array size is bounded by
+    # document length, so executor memory holds at any corpus scale.
+    joined = (
+        cand.join(
+            doc_grams.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_grams").alias("_ga"),
+                F.col("_n").alias("_na"),
+            ),
             "doc_a",
-            "doc_b",
-            F.round(F.col("_c").cast("double") / union_sz, 6).alias("jaccard"),
         )
+        .join(
+            doc_grams.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_grams").alias("_gb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
+    )
+    union_sz = F.col("_na") + F.col("_nb") - F.col("_c")
+    return joined.where(F.lit(den) * F.col("_c") >= F.lit(num) * union_sz).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("_c").cast("double") / union_sz, 6).alias("jaccard"),
     )
