@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dumbo_spark.functions.numeric import dsum
+from dumbo_spark.functions.numeric import dmoney, dsum
 
 SESSION_GAP_MIN = 30
 
@@ -121,4 +121,34 @@ def events_sessionized(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Dat
         F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.unix_micros(F.max("ts")).alias("session_end_us"),
         dsum("value", "sum_value"),
+    )
+
+
+def trailing_window_totals(events: DataFrame, hours: int = 1) -> DataFrame:
+    """Per-event trailing totals over a RANGE (time-interval) frame:
+    for each event, how many events and how much value the same user
+    produced in the preceding hour INCLUDING this event.
+
+    This is the window-frame class ROWS frames can't express — the
+    frame width varies per row with event density. Ordering by exact
+    epoch microseconds makes the frame bounds integer arithmetic, so
+    the row set per frame (and the decimal sum over it) is
+    engine-independent even when events share a timestamp.
+
+    Scale: one shuffle by user_id; within a partition Spark keeps a
+    sliding aggregate buffer over the sorted run — O(n) per user, no
+    per-row rescan, bounded memory at any history length.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("ts_us"))
+        .rangeBetween(-hours * 3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum(dmoney("value")).over(w).cast("double").alias("sum_trailing"),
     )

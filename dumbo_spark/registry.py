@@ -624,6 +624,25 @@ def q_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_window_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval frame (variable-width trailing hour) — the frame
+    class dumbo's sorted-reduce idiom could only approximate with
+    per-key buffering in user code."""
+    return events.trailing_window_totals(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_sessionized",
     oracle="""
     WITH flagged AS (
