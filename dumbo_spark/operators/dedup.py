@@ -338,19 +338,22 @@ def jaccard_ngram_pairs(
         .withColumn("_n", F.size("_grams"))
         .persist()
     )
-    grams = doc_grams.select("doc_id", F.explode("_grams").alias("gram"))
-    # Document frequency and per-doc rank/size as window passes: one
-    # shuffle by gram, one by doc_id — no groupBy+join-back round trips.
+    grams = doc_grams.select(
+        "doc_id", F.col("_n").alias("n_grams"), F.explode("_grams").alias("gram")
+    )
+    # Document frequency via partial-aggregated groupBy + equi-join-back,
+    # NOT a Window.partitionBy("gram") count: a stop-gram appearing in a
+    # large fraction of documents would force one giant single-task
+    # window partition, while the groupBy combines map-side and the
+    # join-back is an equi-join AQE can skew-split. Per-doc size rides
+    # along from doc_grams (no second window pass).
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "gram")
-    ranked = grams.withColumn(
-        "df", F.count("*").over(Window.partitionBy("gram"))
-    ).select(
+    ranked = grams.join(gram_df, "gram").select(
         "doc_id",
         "gram",
+        "n_grams",
         F.row_number().over(wdoc).alias("pos"),
-        F.count("*")
-        .over(wdoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n_grams"),
     )
     # ceil(num·|d|/den) without floats: floor((num·|d| + den − 1)/den)
     req = F.floor((F.lit(num) * F.col("n_grams") + F.lit(den - 1)) / den)

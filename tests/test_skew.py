@@ -4,9 +4,11 @@ where one key carries ~99% of rows."""
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import functions as F
 
-from dumbo_spark.operators import topk
+from dumbo_spark.operators import dedup, topk
 
 
 def _skewed(spark, hot_rows=50_000, cold_keys=20):
@@ -31,6 +33,39 @@ def test_salted_topk_correct_under_skew(spark):
     )
     assert hot_top == [996.0, 996.0, 996.0]  # max v repeats every 997
     assert got.where(F.col("grp") == "c5").count() == 1  # single-row groups survive
+
+
+def test_jaccard_stop_gram_no_single_task_window(spark):
+    """A stop-gram present in >10% of documents must not route document
+    frequency through a Window.partitionBy('gram') — that's one giant
+    single-task partition at scale. DF comes from groupBy+join-back;
+    the only window left partitions by doc_id. Output stays bit-exact
+    vs brute force."""
+    common = "the quick brown fox jumps"  # shared 3-grams in every doc
+    rows = [(i, f"{common} unique{i} tail{i} word{i} extra{i}") for i in range(40)]
+    rows += [(100, f"{common} unique7 tail7 word7 extra7")]  # near-dup of doc 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup.jaccard_ngram_pairs(df, n=3, threshold_pct=60)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "windowspecdefinition(gram" not in plan
+    assert "window" in plan  # the per-doc rank window remains
+
+    # brute-force oracle on the same tokenization
+    def grams(text):
+        toks = [t for t in __import__("re").split(r"\W+", text.lower()) if t]
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    gs = {i: grams(t) for i, t in rows}
+    expect = set()
+    for a, b in itertools.combinations(sorted(gs), 2):
+        inter = len(gs[a] & gs[b])
+        union = len(gs[a] | gs[b])
+        if 100 * inter >= 60 * union:
+            expect.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert got == expect
+    assert (7, 100) in got
 
 
 def test_skewed_join_correct(spark):
