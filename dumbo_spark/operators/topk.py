@@ -136,7 +136,12 @@ def ntile_quartiles(customer: DataFrame) -> DataFrame:
 
 
 def salted_topk_per_group(
-    df: DataFrame, group_col: str, order_col: str, k: int, salt: int = 16
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    salt: int = 16,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe two-phase per-group top-k (100 TB path).
 
@@ -146,18 +151,140 @@ def salted_topk_per_group(
     per group. Same answer, bounded per-task work; the spiritual
     successor of dumbo's nlargestcombiner, which existed for exactly
     this reason.
+
+    Determinism: the salt is a content hash (xxhash64 of the tiebreak
+    columns, falling back to every column) — NOT
+    monotonically_increasing_id, whose values change across task
+    retries and repartitionings, silently reassigning rows to salt
+    buckets mid-job. With ``tiebreak_cols`` forming a per-group unique
+    key, output is identical to :func:`topk_per_group` under any
+    partitioning.
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
-    w1 = Window.partitionBy(group_col, "_salt").orderBy(F.col(order_col).desc())
+    tb = tiebreak_cols or []
+    hash_cols = [F.col(c) for c in (tb if tb else df.columns)]
+    order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tb]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*hash_cols), F.lit(salt))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
     survivors = (
         salted.withColumn("_rn", F.row_number().over(w1))
         .where(F.col("_rn") <= k)
         .drop("_salt", "_rn")
     )
-    w2 = Window.partitionBy(group_col).orderBy(F.col(order_col).desc())
+    w2 = Window.partitionBy(group_col).orderBy(*order)
     return (
         survivors.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
+    )
+
+
+def global_ntile(
+    df: DataFrame, sort_exprs: list, k: int, num_partitions: int | None = None
+) -> DataFrame:
+    """EXACT global NTILE without a single-task total sort — the
+    100 TB replacement for ``Window.orderBy(...)`` ranks.
+
+    Terasort-style: range-repartition on the sort key (each partition
+    holds a contiguous key range, partitions ordered by partition id),
+    rank within each partition, then add each partition's global row
+    offset — a tiny per-partition-count table joined back by broadcast.
+    Ranks are exact regardless of where the sampled range boundaries
+    fall, PROVIDED ``sort_exprs`` defines a total order (include a
+    unique tie-break column). Cost: two full-data exchanges (range +
+    window hash), both parallel; no stage sees more than one
+    partition's rows in one task.
+
+    Appends an ``ntile`` int column (SQL NTILE semantics: first
+    ``n % k`` buckets get ``n/k + 1`` rows).
+    """
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    r = df.repartitionByRange(parts, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("_pid").orderBy(*sort_exprs)
+    r = r.withColumn("_rn", F.row_number().over(wp))
+    woff = Window.orderBy("_pid")
+    offsets = (
+        r.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(woff.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_cnt")
+            .over(
+                woff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            .alias("_n"),
+        )
+    )
+    ranked = r.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rank", F.col("_off") + F.col("_rn")
+    )
+    q = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    big = rem * (q + 1)  # rows covered by the size-(q+1) buckets
+    bucket = F.when(
+        F.col("_rank") <= big, F.floor((F.col("_rank") - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((F.col("_rank") - big - 1) / F.greatest(q, F.lit(1))) + 1)
+    return ranked.withColumn("ntile", bucket.cast("int")).drop(
+        "_pid", "_rn", "_off", "_n", "_rank"
+    )
+
+
+def bucketed_quartiles(customer: DataFrame) -> DataFrame:
+    """`ntile_quartiles`'s output contract computed the scale-safe way:
+    :func:`global_ntile` instead of a global window. Bit-exact vs the
+    NTILE oracle (total order via the c_custkey tie-break), but no
+    total sort through one task — this is the form a 100 TB run should
+    register."""
+    quartiled = global_ntile(
+        customer.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        k=4,
+    ).withColumnRenamed("ntile", "quartile")
+    return quartiled.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+def ntile_quartiles_by_segment(customer: DataFrame) -> DataFrame:
+    """Partitioned NTILE profile — the realistic scaled sibling of
+    :func:`ntile_quartiles`: quartiles within each market segment, so
+    the ordered window never exceeds one segment's rows per task."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    quartiled = customer.select(
+        "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return quartiled.groupBy("c_mktsegment", "quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+def percent_rank_by_segment(customer: DataFrame) -> DataFrame:
+    """Partitioned percent_rank/cume_dist — the scale-safe primary form
+    of :func:`percent_rank_balance` (global version kept as the
+    documented small-input shape)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
     )
 
 def cheapest_part_per_brand(part: DataFrame) -> DataFrame:

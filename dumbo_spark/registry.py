@@ -1129,6 +1129,84 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.ntile_quartiles(load_table(spark, sf_dir, "customer"))
 
 
+@register(
+    "bucketed_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+      FROM customer)
+    SELECT CAST(quartile AS INTEGER) AS quartile, COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM q GROUP BY quartile
+    """,
+)
+def q_bucketed_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract/oracle as ntile_quartiles, computed via
+    topk.global_ntile (range-repartition + offset join) — the
+    registered scale path; no single-task total sort."""
+    return topk.bucketed_quartiles(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "ntile_quartiles_by_segment",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+      FROM customer)
+    SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM q GROUP BY c_mktsegment, quartile
+    """,
+)
+def q_ntile_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.ntile_quartiles_by_segment(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "percent_rank_by_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 8) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_percent_rank_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.percent_rank_by_segment(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "salted_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_salted_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical contract/oracle to topk_per_group, computed via the
+    skew-safe two-phase salted path — proves the 100 TB variant is
+    exact, not approximately right."""
+    return topk.salted_topk_per_group(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        "o_orderpriority",
+        "o_totalprice",
+        k=3,
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
 # ═══ TPC-H composition shapes (round-1 batch 2) ═════════════════════════
 
 

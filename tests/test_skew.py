@@ -35,6 +35,56 @@ def test_salted_topk_correct_under_skew(spark):
     assert got.where(F.col("grp") == "c5").count() == 1  # single-row groups survive
 
 
+def test_salted_topk_deterministic_under_repartitioning(spark):
+    """The salt is a content hash, so the full output (including rn) is
+    identical whatever the physical partitioning — and identical to the
+    plain window top-k."""
+    df = _skewed(spark, hot_rows=20_000)
+    kwargs = dict(group_col="grp", order_col="v", k=3, tiebreak_cols=["k"])
+    runs = [
+        topk.salted_topk_per_group(df, **kwargs),
+        topk.salted_topk_per_group(df.repartition(3), **kwargs),
+        topk.salted_topk_per_group(df.repartition(64, "k"), **kwargs),
+    ]
+    results = [sorted(map(tuple, r.collect())) for r in runs]
+    assert results[0] == results[1] == results[2]
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("k").asc())
+    plain = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .collect(),
+        )
+    )
+    assert results[0] == plain
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+
+    from dumbo_spark.operators.topk import global_ntile
+
+    df = spark.range(10_007).select(
+        F.col("id").alias("k"), (F.col("id") % 331).cast("double").alias("v")
+    )
+    sort = [F.col("v").desc(), F.col("k").asc()]
+    got = {
+        (r.k, r.ntile)
+        for r in global_ntile(df, sort, k=4, num_partitions=13).collect()
+    }
+    want = {
+        (r.k, r.ntile)
+        for r in df.select(
+            "k", F.ntile(4).over(Window.orderBy(*sort)).alias("ntile")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_jaccard_stop_gram_no_single_task_window(spark):
     """A stop-gram present in >10% of documents must not route document
     frequency through a Window.partitionBy('gram') — that's one giant
