@@ -169,7 +169,9 @@ def dedup_fuzzy_verified(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, durable_dir: str | None = None
+) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     The iterative-algorithm pattern dumbo expressed as repeated
@@ -179,39 +181,57 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     when no label changes. Iteration count is bounded by component
     diameter (near-dup clusters are shallow).
 
-    Scale notes: the join shuffles on node id each round;
-    ``localCheckpoint`` truncates the growing lineage so plan size
-    stays constant. This is the standard large-graph CC shape
-    (GraphFrames does the same with large-star/small-star refinements).
+    Scale notes: the join shuffles on node id each round, and per-round
+    lineage truncation keeps plan size constant. This is the standard
+    large-graph CC shape (GraphFrames does the same with
+    large-star/small-star refinements).
+
+    Durability contract: with ``durable_dir=None`` truncation uses
+    ``localCheckpoint()`` — executor-memory blocks, fast, but an
+    executor loss mid-run kills the job (acceptable in local mode /
+    tests). On a real cluster pass ``durable_dir`` (HDFS/S3 path): each
+    round's labels are round-tripped through parquet (alternating
+    subpaths, exactly dumbo's Job.additer temp-path discipline), so the
+    run survives executor loss and restarts from the last round's
+    files. The label table is one row per edge-touched node — tiny next
+    to the corpus — so the per-round write is cheap.
 
     edges: (doc_a, doc_b) undirected. Returns (doc_id, cluster_id)
     where cluster_id = min doc_id of the component.
     """
+
+    def truncate(df: DataFrame, rnd: int) -> DataFrame:
+        if durable_dir is None:
+            return df.localCheckpoint()
+        path = f"{durable_dir.rstrip('/')}/labels_{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     both = both.persist()
-    labels = (
+    labels = truncate(
         both.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        rnd=1,
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = truncate(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            rnd=it,
         )
         changed = (
             new_labels.alias("n")

@@ -177,6 +177,28 @@ def test_connected_components_chain_and_island(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """durable_dir round-trips labels through parquet each round (the
+    cluster-durability path); result identical to the localCheckpoint
+    default, and the alternating temp paths exist."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    durable = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(
+            edges, durable_dir=str(tmp_path)
+        ).collect()
+    }
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert durable == local
+    assert durable == {(i, 1) for i in range(1, 6)} | {(10, 10), (11, 10)}
+    assert (tmp_path / "labels_0").exists() and (tmp_path / "labels_1").exists()
+
+
 def test_dedup_clusters_planted(spark):
     """Three mutually-similar docs form one cluster with keeper=min."""
     rows = [(0, BASE), (1, BASE.replace("garden", "forest")), (2, BASE.replace("lazy", "sleepy"))]
