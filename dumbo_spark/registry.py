@@ -1668,6 +1668,40 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming run (file source → dropDuplicatesWithinWatermark
+    → availableNow → memory sink) over an every-event-twice replay; the
+    oracle is simply the distinct event set, which dedup must
+    reconstruct exactly (streaming/runners.py)."""
+    from dumbo_spark.streaming.runners import streaming_dedup_keys
+
+    return streaming_dedup_keys(spark, sf_dir)
+
+
+@register(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS total_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming run of the applyInPandasWithState running-totals
+    operator across three micro-batches; final settled per-user rows
+    must equal the batch aggregate (integer-cents state keeps the sum
+    exact across any batch split — streaming/runners.py)."""
+    from dumbo_spark.streaming.runners import streaming_running_totals
+
+    return streaming_running_totals(spark, sf_dir)
+
+
+@register(
     "events_cascade_rollup",
     oracle="""
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

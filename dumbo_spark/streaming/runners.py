@@ -1,0 +1,100 @@
+"""availableNow batch runners — the registry surface for streaming ops.
+
+Each runner executes a genuinely-streaming query (file source →
+stateful operator → memory sink, ``trigger(availableNow=True)``) over
+the parquet fixtures and returns the settled result as a batch
+DataFrame, so the driver's DuckDB oracle can hash-check the streaming
+operator the same way it checks batch queries. ``click_attribution``
+pioneered the pattern for the interval join; these cover the stateful
+running-totals operator (applyInPandasWithState) and watermark-bounded
+dedup.
+
+Replay construction keeps the checks deterministic:
+
+- dedup: the source directory holds the SAME event set twice
+  (``maxFilesPerTrigger=1`` → the copies land in different
+  micro-batches). Whichever copy a batch sees first, the surviving
+  rows are identical, and a second-copy event older than the advanced
+  watermark is late-DROPPED — also correct, it's a duplicate. Output
+  is exactly the distinct event set.
+- running totals: events split across multiple files/micro-batches;
+  per-user state accumulates in integer cents, so the final row per
+  user is independent of file/batch assignment. The last emission per
+  user (update mode emits one row per changed user per batch) is the
+  one with the largest total_events — strictly increasing per user.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dumbo_spark.sources.catalog import load_table
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup over an at-least-once replay:
+    every event delivered twice across micro-batches; each event_id
+    survives exactly once."""
+    from dumbo_spark.streaming.dedup import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_replay_"), "src")
+    os.makedirs(src)
+    for copy in ("copy1.parquet", "copy2.parquet"):
+        ev.write.mode("overwrite").parquet(os.path.join(src, copy))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = _run_to_memory(
+        dedup_stream(stream), "q_streaming_dedup_sink", mode="append"
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState, fed in three
+    micro-batches; returns each user's final settled row."""
+    from dumbo_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_totals_"), "src")
+    os.makedirs(src)
+    # three disjoint slices → three files → three micro-batches; state
+    # must carry totals across batches for the final rows to be right
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).write.mode("overwrite").parquet(
+            os.path.join(src, f"slice{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    updates = _run_to_memory(
+        running_user_totals(stream), "q_streaming_totals_sink", mode="update"
+    )
+    # final row per user = largest total_events (strictly increasing
+    # across that user's emissions)
+    w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "total_events", "total_value")
+    )

@@ -23,22 +23,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
-STATE_SCHEMA = "total_events long, total_value double"
+STATE_SCHEMA = "total_events long, total_cents long"
 
 
 def _update_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    total_events, total_value = state.get if state.exists else (0, 0.0)
+    # money accumulates in integer cents (the pandas mirror of the
+    # DECIMAL(18,2) discipline in functions/numeric.py): totals are
+    # exact and batch-order-independent, so the final emitted row
+    # hash-matches a DECIMAL sum oracle bit-for-bit
+    total_events, total_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         total_events += len(pdf)
-        total_value += float(pdf["value"].sum())
-    state.update((total_events, total_value))
+        total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((total_events, total_cents))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "total_events": [total_events],
-            "total_value": [round(total_value, 2)],
+            "total_value": [total_cents / 100.0],
         }
     )
 
