@@ -12,6 +12,9 @@ Reference subcommands and their re-expression:
 | put / get (:~200)        | local + hdfs:// + s3:// URIs)                |
 | encodepipe (:~230)       | ``convert --to parquet`` (text → native)     |
 | decodepipe               | ``convert --to jsonl`` (native → text)       |
+| typedbytes files         | ``cat``/``convert`` read ``.tb`` directly    |
+|   (backends/streaming.py |   (sources/typedbytes.py codec; migration    |
+|    :~120)                |   path: .tb → parquet, then stay columnar)   |
 | doctest (:~245)          | dropped — pytest owns testing (SURVEY §5)    |
 
 Usage: ``python -m dumbo_spark.cli <subcommand> ...``
@@ -56,7 +59,11 @@ def cmd_cat(args: argparse.Namespace) -> int:
 
     spark = get_session("dumbo_spark_cat")
     p = args.path
-    if p.endswith(".json") or p.endswith(".jsonl"):
+    if p.endswith(".tb"):
+        from dumbo_spark.sources.typedbytes import read_typedbytes
+
+        df = read_typedbytes(spark, p)
+    elif p.endswith(".json") or p.endswith(".jsonl"):
         df = spark.read.json(p)
     elif p.endswith(".csv") or p.endswith(".tsv"):
         df = spark.read.option("sep", "\t" if p.endswith(".tsv") else ",").csv(p)
@@ -125,7 +132,11 @@ def cmd_convert(args: argparse.Namespace) -> int:
 
     spark = get_session("dumbo_spark_convert")
     src = args.src
-    if src.endswith((".json", ".jsonl")):
+    if src.endswith(".tb"):
+        from dumbo_spark.sources.typedbytes import read_typedbytes
+
+        df = read_typedbytes(spark, src, schema=args.tb_schema)
+    elif src.endswith((".json", ".jsonl")):
         df = textio.read_jsonl(spark, src)
     elif src.endswith(".txt"):
         df = textio.read_text(spark, src)
@@ -183,6 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("src")
     cv.add_argument("dst")
     cv.add_argument("--to", required=True, choices=["parquet", "jsonl", "tsv"])
+    cv.add_argument(
+        "--tb-schema",
+        default="key string, value string",
+        help="target types for .tb sources (two fields: key, value)",
+    )
     cv.set_defaults(fn=cmd_convert)
     return p
 
