@@ -415,3 +415,25 @@ def jaccard_ngram_pairs(
         "doc_b",
         F.round(F.col("_c").cast("double") / union_sz, 6).alias("jaccard"),
     )
+
+
+def dedup_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source duplication profile: documents, distinct contents,
+    and the duplicate ratio for every source — the triage view that
+    decides which feeds need dedup attention first. One partial-agg
+    shuffle on (source); content identity is the same md5 key as
+    :func:`dedup_exact`, so the numbers reconcile."""
+    h = F.md5(F.col("text").cast("binary"))
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(h).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_ratio"),
+        )
+    )

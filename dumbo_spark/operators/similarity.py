@@ -290,3 +290,22 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid in long form: (label, pos, centroid
+    component) — class prototypes for embedding-space analytics (the
+    same computation IVF uses for its coarse index, here as a
+    queryable operator).
+
+    posexplode keeps everything JVM-side; the aggregate is a single
+    partial-agg shuffle on (label, pos) with dim × |labels| output
+    rows. Long form deliberately: it is joinable, and avoids
+    array-equality comparisons downstream.
+    """
+    return (
+        embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        # + 0.0 folds IEEE -0.0 into +0.0 so engines agree after round
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"))
+    )

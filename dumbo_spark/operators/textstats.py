@@ -211,3 +211,67 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
     )
+
+
+def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality signal): the
+    fraction of word n-gram occurrences that are repeats of an n-gram
+    already seen in the same document. Boilerplate, keyword stuffing
+    and template spam score high; natural prose scores near zero.
+
+    Pure column expressions (n-gram HOF + array_distinct) — no shuffle
+    at all: the score is computed inside the scan projection, so at
+    100 TB this is a single embarrassingly-parallel pass.
+    """
+    grams = F.col("_grams")
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return (
+        # tokens materialized before the n-gram transform (HOF-CSE)
+        documents.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", ngrams(F.col("_toks"), n).alias("_grams"))
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+            F.when(n_grams > 0, F.round(1.0 - n_distinct / n_grams, 4))
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
+    )
+
+
+def benchmark_contamination(
+    documents: DataFrame, n: int = 3, eval_mod: int = 20
+) -> DataFrame:
+    """Eval-set contamination check: for every corpus document, the
+    fraction of its distinct word n-grams that also occur in a
+    held-out evaluation set (here: ``doc_id % eval_mod == 0`` plays
+    the benchmark; in production it's the actual eval corpora).
+
+    The plan is the one that survives 100 TB: the eval gram universe
+    is benchmark-sized (small), so the membership test is a BROADCAST
+    left join against the exploded corpus grams — the corpus never
+    shuffles; per-doc aggregation partial-aggregates map-side on
+    doc_id.
+    """
+    g = documents.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id", F.array_distinct(ngrams(F.col("_toks"), n)).alias("_grams")
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_grams = (
+        g.where(is_eval)
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = g.where(~is_eval).select("doc_id", F.explode("_grams").alias("gram"))
+    joined = corpus.join(F.broadcast(eval_grams), "gram", "left")
+    n_grams = F.count("*").alias("n_grams")
+    n_cont = F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated")
+    return joined.groupBy("doc_id").agg(n_grams, n_cont).select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination"),
+    )

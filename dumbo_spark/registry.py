@@ -1757,6 +1757,94 @@ def q_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS grams
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                 / len(grams), 4)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_score(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END) AS grams
+      FROM toks),
+    eval_g AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS contamination
+    FROM corpus c LEFT JOIN eval_g e USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.benchmark_contamination(
+        load_table(spark, sf_dir, "documents"), n=3, eval_mod=20
+    )
+
+
+@register(
+    "dedup_by_source",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)
+             AS dup_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           ROUND(AVG(v), 4) + 0.0 AS centroid_v
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "multimodal_features",
     oracle="""
     WITH m AS (
@@ -1795,6 +1883,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "percent_rank_by_segment",
     "bucketed_quartiles",
     "salted_topk_per_group",
+    "repetition_score",
+    "benchmark_contamination",
+    "dedup_by_source",
+    "embedding_centroids",
     # registered in round 1 but outside the driver's 50-query sample
     "approx_percentiles",
     "hourly_active_users",
@@ -1812,7 +1904,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_counts",
     "lag_lead_delta",
     "moving_avg",
-    "ntile_quartiles",
+    # ntile_quartiles (global form) intentionally after the priority
+    # block: its scale-safe twin bucketed_quartiles shares the oracle
+    # and takes the driver slot; the local differential suite still
+    # checks the global form every run
     "local_supplier_volume",
     "promo_revenue",
     "large_orders",
