@@ -259,13 +259,24 @@ def benchmark_contamination(
         "doc_id", F.array_distinct(ngrams(F.col("_toks"), n)).alias("_grams")
     )
     is_eval = F.col("doc_id") % eval_mod == 0
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(_grams)>0 filter and push it below the projections,
+    # substituting the whole tokenize+ngram expression into the filter —
+    # inside HOF lambdas that substitution re-runs split() per element
+    # access (measured 29× slower at 10× sf0.1). The outer form infers
+    # nothing; the null rows (gram-less docs) drop right after.
     eval_grams = (
         g.where(is_eval)
-        .select(F.explode("_grams").alias("gram"))
+        .select(F.explode_outer("_grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    corpus = g.where(~is_eval).select("doc_id", F.explode("_grams").alias("gram"))
+    corpus = (
+        g.where(~is_eval)
+        .select("doc_id", F.explode_outer("_grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
     joined = corpus.join(F.broadcast(eval_grams), "gram", "left")
     n_grams = F.count("*").alias("n_grams")
     n_cont = F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated")
@@ -274,4 +285,32 @@ def benchmark_contamination(
         "n_grams",
         "n_contaminated",
         F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination"),
+    )
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs Java
+#: regex and RE2 (the DuckDB engine) implement identically — no
+#: lookahead, unicode classes only. Order matters: contractions first,
+#: then space-prefixed letter/digit/symbol runs, then bare whitespace.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(documents: DataFrame) -> DataFrame:
+    """Tokenizer-aware size accounting: per document, the whitespace
+    token count next to a BPE-ish pre-token count (GPT-2 split regex) —
+    the number every training-data budget is denominated in.
+
+    ``regexp_extract_all`` keeps the whole computation JVM-side inside
+    the scan projection; no shuffle, no Python. The pattern is
+    deliberately limited to the Java∩RE2 common subset so the DuckDB
+    oracle runs the byte-identical split.
+    """
+    pre = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    # whitespace-run matches are segment boundaries, not tokens
+    pre_tokens = F.filter(pre, lambda t: t.rlike(r"^\s+$") == F.lit(False))
+    return documents.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(pre_tokens).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
     )

@@ -1814,6 +1814,26 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({DUCK_TOKENS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(list_filter(
+                 regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'),
+                 t -> NOT regexp_matches(t, '^\\s+$'))) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Java and RE2 run the byte-identical GPT-2-style split pattern
+    (common-subset regex, no lookahead), so the oracle is a full
+    value hash, not an approximation."""
+    return textstats.bpe_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_by_source",
     oracle="""
     SELECT source, COUNT(*) AS n_docs,

@@ -31,6 +31,9 @@ def build(spark) -> None:
         "orders": ("o_orderkey", 10_000_000),
         "events": ("event_id", 10_000_000),
         "customer": ("c_custkey", 1_000_000),
+        # replicated docs are exact dups of their source rows — the
+        # worst case for the dedup family (max candidate fan-out)
+        "documents": ("doc_id", 10_000_000),
     }
     for name, (key, stride) in plans.items():
         dst = f"{OUT}/{name}.parquet"
@@ -43,7 +46,7 @@ def build(spark) -> None:
     # copy small dims unchanged
     import shutil
 
-    for name in ("part", "nation", "region", "supplier", "documents", "embeddings"):
+    for name in ("part", "nation", "region", "supplier", "embeddings"):
         dst = f"{OUT}/{name}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{BASE_SF}/{name}.parquet", dst)
@@ -72,6 +75,14 @@ def main() -> None:
         "events_range_join",
         "asof_last_click",
         "two_phase_agg",
+        # round-2 scale-path operators
+        "bucketed_quartiles",
+        "salted_topk_per_group",
+        "repetition_score",
+        "benchmark_contamination",
+        "dedup_exact",
+        "dedup_by_source",
+        "dedup_jaccard",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
