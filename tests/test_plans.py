@@ -160,3 +160,32 @@ def test_group_percentiles_single_buffer(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one shared percentile buffer (partial + final), not one per quantile
     assert plan.count("percentile") == 2, "three quantiles must share one buffer"
+
+
+def test_no_tokenizer_reeval_inside_lambdas(spark, sf_dir):
+    """Regression for the InferFiltersFromGenerate blowup: pushing an
+    inferred size()>0 filter below the token projection substitutes the
+    whole split() expression into HOF lambdas, re-tokenizing per
+    element access (measured 22× at 10× sf0.1 before the explode_outer
+    fix in benchmark_contamination). The lethal plan signature is an
+    inline split() immediately indexed by a lambda variable."""
+    from dumbo_spark.operators import dedup, textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    for name, df in [
+        ("contamination", textstats.benchmark_contamination(docs)),
+        ("ngram_count", textstats.ngram_count(docs)),
+        ("wordcount", textstats.wordcount(docs)),
+        ("minhash", dedup.minhash_signatures(docs)),
+        ("doc_chunks", textstats.chunk_documents(docs)),
+        ("repetition", textstats.repetition_score(docs)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for i in range(len(plan)):
+            if plan.startswith("split(lower", i):
+                window = plan[i : i + 400]
+                assert ")[lambda" not in window.split("))")[0] + "))", (
+                    f"{name}: split() re-evaluated per element access"
+                )
+        # once-per-row re-evaluation from pushed filters is bounded
+        assert plan.count("split(lower") <= 6, name
