@@ -73,6 +73,13 @@ HEADLINE = [
     "doc_fingerprint",
     "split_train_test",
     "multimodal_features",
+    # round-2 additions
+    "bucketed_quartiles",
+    "repetition_score",
+    "benchmark_contamination",
+    "bpe_token_count",
+    "dedup_by_source",
+    "embedding_centroids",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
