@@ -1907,6 +1907,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benchmark_contamination",
     "dedup_by_source",
     "embedding_centroids",
+    "bpe_token_count",
     # registered in round 1 but outside the driver's 50-query sample
     "approx_percentiles",
     "hourly_active_users",
@@ -1940,7 +1941,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "idle_rich_customers",
     "price_histogram",
     "cheapest_part_per_brand",
-    "percent_rank_balance",
+    # percent_rank_balance (global form) cedes its driver slot to its
+    # scale-safe twin percent_rank_by_segment, like ntile_quartiles
     "events_sliding_1h_30m",
     "events_session_window",
     "split_train_test",
