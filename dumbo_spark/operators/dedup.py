@@ -378,10 +378,23 @@ def jaccard_ngram_pairs(
     # ceil(num·|d|/den) without floats: floor((num·|d| + den − 1)/den)
     req = F.floor((F.lit(num) * F.col("n_grams") + F.lit(den - 1)) / den)
     prefix = ranked.where(F.col("pos") <= F.col("n_grams") - req + 1)
+    # PPJoin length filter rides the equi-join: J(a,b) ≥ t forces
+    # den·|a| ≥ num·|b| and vice versa (J ≤ min/max), so size-skewed
+    # pairs drop before the distinct/verify stages. Output-invariant —
+    # pruned pairs could never pass the exact cut below.
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "gram")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col("doc_id").alias("doc_a"), "gram", F.col("n_grams").alias("_la"))
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "gram", F.col("n_grams").alias("_lb")
+            ),
+            "gram",
+        )
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(den) * F.col("_la") >= F.lit(num) * F.col("_lb"))
+            & (F.lit(den) * F.col("_lb") >= F.lit(num) * F.col("_la"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
