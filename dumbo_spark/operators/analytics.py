@@ -457,3 +457,105 @@ def idle_rich_customers(
             dsum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    supp_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier market share inside a
+    region, per order year — the conditional-ratio aggregate.
+
+    Scale plan: region filters nation to a handful of rows before the
+    customer-nation join, so BOTH nation joins and the region join
+    broadcast; the conditional numerator is a map-side CASE inside one
+    hash aggregate — one fact⋈fact shuffle chain (lineitem⋈orders),
+    everything else broadcast.
+    """
+    rev = _revenue()
+    cust_in_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("c_nationkey_k"))
+            ),
+            F.col("c_nationkey") == F.col("c_nationkey_k"),
+        )
+    ).select("c_custkey")
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            rev.alias("_vol"),
+            F.col("supp_nation"),
+        )
+    )
+    total = F.sum("_vol")
+    national = F.sum(F.when(F.col("supp_nation") == supp_nation, F.col("_vol")).otherwise(F.lit(0).cast("decimal(18,2)")))
+    return (
+        vol.groupBy("order_year")
+        .agg(
+            national.cast("double").alias("nation_volume"),
+            total.cast("double").alias("total_volume"),
+            # ratio in double on both engine sides: decimal division
+            # scale/rounding rules differ between engines, double
+            # division of identical sums does not
+            F.round(national.cast("double") / total.cast("double"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def waiting_suppliers(
+    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns): suppliers
+    who were the SOLE returning supplier on a finished multi-supplier
+    order, counted per supplier — the exists/not-exists double
+    correlation, expressed as one aggregate + self-semi/anti joins.
+
+    Scale plan: the per-order supplier profile (distinct suppliers,
+    returning suppliers) is ONE groupBy over lineitem; the exists and
+    not-exists conditions become plain predicates on that aggregate —
+    no correlated per-row subquery execution, no second scan of
+    lineitem. Orders (status filter) and supplier (name lookup)
+    broadcast-join the survivors.
+    """
+    finished = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_order = (
+        lineitem.join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supps"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("sole_ret_supp"),
+        )
+    )
+    sole = per_order.where(
+        (F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1)
+    ).select(F.col("sole_ret_supp").alias("s_suppkey"))
+    return (
+        sole.groupBy("s_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+    )

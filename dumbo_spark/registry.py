@@ -1668,6 +1668,75 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS v,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS nation_volume,
+           CAST(SUM(v) AS DOUBLE) AS total_volume,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY order_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (analytics.market_share)."""
+    return analytics.market_share(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_ret_supps,
+             MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS sole_ret_supp
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderstatus = 'F')
+      GROUP BY l_orderkey)
+    SELECT x.s_suppkey, s.s_name, x.numwait FROM (
+      SELECT sole_ret_supp AS s_suppkey, COUNT(*) AS numwait
+      FROM per_order
+      WHERE n_supps >= 2 AND n_ret_supps = 1
+      GROUP BY sole_ret_supp) x
+    JOIN supplier s ON x.s_suppkey = s.s_suppkey
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (analytics.waiting_suppliers)."""
+    return analytics.waiting_suppliers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
     "streaming_dedup_keys",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events
