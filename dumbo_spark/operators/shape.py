@@ -20,7 +20,7 @@ could never have (its mappers always read whole records).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from dumbo_spark.functions.text import tokens
@@ -76,3 +76,59 @@ def input_file_tag(orders: DataFrame) -> DataFrame:
     path-invariant (basename only)."""
     src = F.regexp_extract(F.input_file_name(), r"([^/]+)\.parquet", 1)
     return orders.select(src.alias("src")).groupBy("src").agg(F.count("*").alias("n_rows"))
+
+
+def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile: one row per requested column with row
+    count, null count, exact distinct count, and min/max rendered as
+    strings (so heterogeneous column types share one schema).
+
+    One aggregate pass per column UNIONed — each is a partial-agg
+    shuffle of a handful of rows, and the scan prunes to exactly the
+    profiled columns. The ingest-gate check every large pipeline runs
+    before accepting a day's data.
+    """
+    profiles = []
+    for c in columns:
+        col = F.col(c)
+        profiles.append(
+            df.select(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_value"),
+                F.max(col).cast("string").alias("max_value"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def upsert_latest(
+    snapshot: DataFrame, updates: DataFrame, key: str, version: str
+) -> DataFrame:
+    """Keep-latest merge (the batch core of an SCD/CDC ingest): union
+    snapshot and updates, keep the row with the highest ``version``
+    per ``key`` (ties go to the update side, matching MERGE semantics).
+
+    One window pass over the union — a single shuffle on the key; no
+    join-back, no driver involvement. At 100 TB the snapshot side
+    usually arrives hash-bucketed by key, which removes even that
+    shuffle for the steady-state daily merge.
+    """
+    tagged = snapshot.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(version).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

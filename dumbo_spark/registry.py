@@ -1668,6 +1668,75 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_profile",
+    oracle="""
+    SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT l_quantity),
+           CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT l_returnflag),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate data-quality profile (shape.column_profile)."""
+    return shape.column_profile(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+
+
+@register(
+    "upsert_latest",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             0 AS version FROM orders),
+    upd AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice,
+             1 AS version
+      FROM orders WHERE o_orderkey % 7 = 0),
+    u AS (SELECT * FROM snap UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY version DESC) AS rn FROM u)
+    SELECT o_orderkey, o_totalprice, CAST(version AS INTEGER) AS version
+    FROM r WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest CDC merge (shape.upsert_latest): a deterministic
+    update batch (every 7th order repriced, version 1) merged over the
+    version-0 snapshot."""
+    from dumbo_spark.functions.numeric import dmoney
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lit(0).alias("version"),
+    )
+    upd = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (dmoney("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    return shape.upsert_latest(snap, upd, key="o_orderkey", version="version")
+
+
+@register(
     "market_share",
     oracle="""
     WITH vol AS (
