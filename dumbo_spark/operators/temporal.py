@@ -107,3 +107,87 @@ def cascade_rollup(events: DataFrame) -> DataFrame:
         F.sum("val").cast("double").alias("sum_value"),
     )
     return day
+
+def asof_next_event(
+    events: DataFrame, target_type: str = "click", source_type: str = "purchase"
+) -> DataFrame:
+    """Forward as-of: for each `target_type` event, the NEXT
+    `source_type` event by the same user — completing the as-of pair
+    with :func:`asof_last_event`. Same linear shape: a carried
+    first-value over the following-rows frame, one shuffle, no join."""
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_src = F.col("event_type") == source_type
+    carried = events.select("user_id", "event_id", "ts", "event_type").withColumns(
+        {
+            "next_src_id": F.first(F.when(is_src, F.col("event_id")), ignorenulls=True).over(w),
+            "next_src_us": F.first(F.when(is_src, us), ignorenulls=True).over(w),
+        }
+    )
+    return (
+        carried.where(
+            (F.col("event_type") == target_type) & F.col("next_src_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("target_id"),
+            F.col("next_src_id").alias("source_id"),
+            (F.col("next_src_us") - us).alias("gap_us"),
+        )
+    )
+
+
+def conversion_funnel(events: DataFrame) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: each stage's
+    timestamp must follow the previous stage's FIRST occurrence; the
+    result is one row per funnel stage with the user count that
+    reached it.
+
+    Shape: one conditional-min aggregate per user (single shuffle,
+    partial-aggregated) followed by a tiny stage-count union — no
+    self-joins, no per-stage scans. The canonical product-analytics
+    query over an event stream of any size.
+    """
+    us = F.unix_micros("ts")
+    # one pass: per user, first view + the sorted click/purchase
+    # timestamp arrays (bounded by one user's history); stage 2/3 are
+    # "first element strictly after the previous stage" array lookups
+    per_user = (
+        events.select("user_id", F.col("event_type").alias("et"), us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("et") == "view", F.col("us"))).alias("t_view"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("et") == "click", F.col("us")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))
+            ).alias("purchases"),
+        )
+    )
+
+    def first_after(arr, thr):
+        return F.array_min(F.filter(arr, lambda x: x > thr))
+
+    staged = per_user.withColumn(
+        "t_click", first_after(F.col("clicks"), F.col("t_view"))
+    ).withColumn("t_purchase", first_after(F.col("purchases"), F.col("t_click")))
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("reached_view").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("reached_click").alias("n_users")),
+                F.struct(F.lit("3_purchase").alias("stage"), F.col("reached_purchase").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")

@@ -1668,6 +1668,70 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_purchase",
+    oracle="""
+    WITH carried AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS) OVER w AS next_src_id,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                         IGNORE NULLS) OVER w AS next_src_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           event_id AS target_id,
+           next_src_id AS source_id,
+           next_src_us - us AS gap_us
+    FROM carried
+    WHERE event_type = 'click' AND next_src_id IS NOT NULL
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (temporal.asof_next_event): each click's next
+    purchase by the same user."""
+    return temporal.asof_next_event(
+        load_table(spark, sf_dir, "events"),
+        target_type="click",
+        source_type="purchase",
+    )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'click')) AS clicks,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'purchase')) AS purchases
+      FROM events GROUP BY user_id),
+    st AS (
+      SELECT user_id, t_view, clicks, purchases,
+             list_min(list_filter(clicks, x -> x > t_view)) AS t_click
+      FROM pu),
+    st2 AS (
+      SELECT user_id, t_view, t_click,
+             list_min(list_filter(purchases, x -> x > t_click)) AS t_purchase
+      FROM st),
+    c AS (SELECT COUNT(t_view) AS v, COUNT(t_click) AS k,
+                 COUNT(t_purchase) AS p FROM st2)
+    SELECT '1_view' AS stage, v AS n_users FROM c
+    UNION ALL SELECT '2_click', k FROM c
+    UNION ALL SELECT '3_purchase', p FROM c
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (temporal.conversion_funnel)."""
+    return temporal.conversion_funnel(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "column_profile",
     oracle="""
     SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
