@@ -80,6 +80,12 @@ HEADLINE = [
     "bpe_token_count",
     "dedup_by_source",
     "embedding_centroids",
+    "market_share",
+    "waiting_suppliers",
+    "upsert_latest",
+    "column_profile",
+    "asof_next_purchase",
+    "conversion_funnel",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
