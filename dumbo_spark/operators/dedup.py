@@ -450,3 +450,64 @@ def dedup_by_source(documents: DataFrame) -> DataFrame:
             F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 4).alias("dup_ratio"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    max_iter: int = 10,
+    damping: float = 0.85,
+    durable_dir: str | None = None,
+) -> DataFrame:
+    """PageRank over an undirected edge list — the numeric-iterative
+    complement of :func:`connected_components` (dumbo's repeated
+    Job.additer pattern, P6/E7, applied to a fixpoint computation
+    rather than label propagation).
+
+    Per iteration: each node sends rank/degree along its edges, ranks
+    re-form as (1-d)/N + d·Σ incoming — one join + one partial-agg
+    shuffle, lineage truncated per round (same durability contract as
+    connected_components: ``durable_dir`` for cluster runs).
+    Undirected edges mean no dangling mass. Returns (doc_id, rank)
+    with Σ rank = 1 up to float error.
+
+    edges: (doc_a, doc_b) pairs.
+    """
+
+    def truncate(df: DataFrame, rnd: int) -> DataFrame:
+        if durable_dir is None:
+            return df.localCheckpoint()
+        path = f"{durable_dir.rstrip('/')}/ranks_{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    deg = both.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = truncate(
+        deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")),
+        rnd=1,
+    )
+    for it in range(max_iter):
+        contribs = (
+            both.join(deg, "src")
+            .join(ranks, both.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = truncate(
+            ranks.join(contribs, ranks.node == contribs.dst, "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            ),
+            rnd=it,
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "rank")

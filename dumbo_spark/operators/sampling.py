@@ -76,3 +76,26 @@ def corpus_clean(
     return out.where(
         (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
     )
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int = 5
+) -> DataFrame:
+    """Deterministic k-per-group sample: rows ordered by the md5 of
+    their key within each group, first k kept. The hash order is a
+    fixed pseudo-random permutation, so the sample is uniform-ish,
+    reproducible across engines/partitionings/reruns (no seed state),
+    and — unlike ``sampleBy`` — exactly k rows per group when the group
+    has them. One window shuffle on the group key; for a skewed group
+    the salted-top-k pattern (operators/topk.py) applies identically.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.select(group_col, key_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -1667,6 +1667,37 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_pagerank")  # rows-only: iterative float fixpoint, not SQL-expressible
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup graph (dedup.pagerank) —
+    centrality within duplicate clusters; numeric fixpoint pinned by
+    tests/test_extensions.py::test_pagerank_star_and_pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.dedup_fuzzy_verified(docs).select("doc_a", "doc_b")
+    return dedup.pagerank(edges, max_iter=10)
+
+
+@register(
+    "sample_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                  AS INTEGER) AS sample_rank
+      FROM orders)
+    WHERE sample_rank <= 5
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-order k-per-group sample
+    (sampling.sample_per_group) — reproducible across engines, hence
+    the exact oracle."""
+    return sampling.sample_per_group(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderkey", k=5
+    )
+
+
 @register(
     "asof_next_purchase",
     oracle="""
