@@ -752,6 +752,49 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_ngram_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "jaccard_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE 100 * c >= 60 * (sa.n + sb.n - c)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src)
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT Jaccard pair set — the
+    iterative min-label operator with a full value oracle (DuckDB
+    recursive-CTE transitive closure over the same deterministic
+    edges). This is the end-to-end check dedup_clusters can't have
+    (its MinHash edges are probabilistic)."""
+    edges = dedup.jaccard_ngram_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(edges)
+
+
 # ═══ M5: similarity search (north star §2.5) ════════════════════════════
 
 #: dot-product fragment folding left-to-right in double — bit-identical
