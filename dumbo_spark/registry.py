@@ -1977,6 +1977,26 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_running_totals(spark, sf_dir)
 
 
+@register("streaming_tumbling_1h", oracle=QUERIES["events_tumbling_1h"].oracle)
+def q_streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming execution of the tumbling aggregate — same
+    Catalyst window expression, same oracle as the batch twin
+    (streaming/runners.py)."""
+    from dumbo_spark.streaming.runners import streaming_tumbling_1h
+
+    return streaming_tumbling_1h(spark, sf_dir)
+
+
+@register("streaming_sessionized", oracle=QUERIES["events_session_window"].oracle)
+def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session_window execution — same oracle as the
+    batch session_window stand-in, whose >= gap semantics and output
+    columns match F.session_window exactly (streaming/runners.py)."""
+    from dumbo_spark.streaming.runners import streaming_sessionized
+
+    return streaming_sessionized(spark, sf_dir)
+
+
 @register(
     "events_cascade_rollup",
     oracle="""

@@ -98,3 +98,24 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "total_events", "total_value")
     )
+
+
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as a real stream
+    (readStream → withWatermark → window → complete-mode memory sink);
+    settled output equals the batch twin, so it shares
+    events_tumbling_1h's oracle."""
+    from dumbo_spark.streaming.windows import read_events_stream, tumbling_stream
+
+    stream = tumbling_stream(read_events_stream(spark, sf_dir))
+    return _run_to_memory(stream, "q_streaming_tumbling_sink", mode="complete")
+
+
+def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization via session_window executed as a real stream;
+    shares events_sessionized's oracle (merge semantics proven equal to
+    the batch islands computation in tests/test_streaming.py)."""
+    from dumbo_spark.streaming.windows import read_events_stream, sessionized_stream
+
+    stream = sessionized_stream(read_events_stream(spark, sf_dir))
+    return _run_to_memory(stream, "q_streaming_sessionized_sink", mode="complete")
