@@ -152,3 +152,32 @@ def trailing_window_totals(events: DataFrame, hours: int = 1) -> DataFrame:
         F.count("*").over(w).alias("n_trailing"),
         F.sum(dmoney("value")).over(w).cast("double").alias("sum_trailing"),
     )
+
+
+def event_gap_stats(events: DataFrame) -> DataFrame:
+    """Inter-event gap distribution per event type: count, mean, and
+    exact p50/p95 of the microsecond gap between a user's consecutive
+    events of that type — the latency/cadence profile queries a
+    monitoring pipeline runs on its event stream.
+
+    One window pass (partitioned by user+type, never global) computes
+    the lag; one partial-agg shuffle profiles the gaps. Exact
+    percentiles here keep the oracle bit-exact; the documented scale
+    path for heavy groups is ``approx_percentile`` (see
+    agg.approx_percentiles for the pairing rationale).
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 4).alias("p50_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.95)), 4).alias("p95_gap_us"),
+    )

@@ -624,6 +624,28 @@ def q_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id))
+    SELECT event_type, COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_us), 4) AS avg_gap_us,
+           ROUND(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+           ROUND(quantile_cont(gap_us, 0.95), 4) AS p95_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence profile (events.event_gap_stats)."""
+    return events.event_gap_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "trailing_window_totals",
     oracle="""
     SELECT user_id, event_id,

@@ -241,3 +241,61 @@ def test_random_join_specs_match_duckdb(spark, sf_dir, spec):
         con.close()
     res = compare_frames(f"join:{spec}", spark_pdf, duck_pdf)
     assert res.ok, res.report()
+
+
+@st.composite
+def upsert_case(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    keys = draw(
+        st.lists(st.integers(min_value=0, max_value=15), min_size=n, max_size=n)
+    )
+    versions = draw(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=n, max_size=n)
+    )
+    values = draw(
+        st.lists(st.integers(min_value=-100, max_value=100), min_size=n, max_size=n)
+    )
+    split = draw(st.integers(min_value=0, max_value=n))
+    return list(zip(keys, versions, values)), split
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(upsert_case())
+def test_upsert_latest_matches_model(spark, case):
+    """Property: upsert_latest == 'max version wins, update side wins
+    ties' computed by a python reference model, for arbitrary
+    key/version multisets split arbitrarily into snapshot/updates."""
+    from dumbo_spark.operators.shape import upsert_latest
+
+    rows, split = case
+    snap_rows = [(k, v, x) for k, v, x in rows[:split]]
+    upd_rows = [(k, v, x) for k, v, x in rows[split:]]
+    schema = "k long, version long, x long"
+    # model: per key, max (version, is_update, arrival) wins — but the
+    # operator's tie-break inside one side is the window's row order,
+    # which is only deterministic for unique (key, version) per side;
+    # restrict to cases where the winning row is unambiguous
+    best = {}
+    for src, side in ((0, snap_rows), (1, upd_rows)):
+        for k, v, x in side:
+            cur = best.get(k)
+            if cur is None or (v, src) > (cur[0], cur[1]):
+                best[k] = (v, src, {x})
+            elif (v, src) == (cur[0], cur[1]):
+                cur[2].add(x)
+    snap = spark.createDataFrame(snap_rows or [(999, -1, 0)], schema)
+    upd = spark.createDataFrame(upd_rows or [(999, -1, 0)], schema)
+    if not snap_rows or not upd_rows:
+        return  # degenerate split: empty side handled by unionByName anyway
+    got = {
+        r.k: (r.version, r.x)
+        for r in upsert_latest(snap, upd, key="k", version="version").collect()
+    }
+    assert set(got) == set(best)
+    for k, (v, _src, xs) in best.items():
+        assert got[k][0] == v
+        assert got[k][1] in xs  # any member of the tied winning set
