@@ -33,6 +33,28 @@ MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
 
+
+def _claim_run_dir(durable_dir: str) -> str:
+    """Reserve a fresh ``run-N`` subdirectory under ``durable_dir``.
+
+    Atomic via ``os.makedirs(exist_ok=False)`` for local/posix paths;
+    two invocations sharing a durable_dir get disjoint scratch trees,
+    so one run can never overwrite files backing another run's lazily
+    evaluated result. (On object stores, pass distinct durable_dirs
+    per run — directory-create is not a lock there.)
+    """
+    import os
+
+    base = durable_dir.rstrip("/")
+    n = 0
+    while True:
+        candidate = f"{base}/run-{n}"
+        try:
+            os.makedirs(candidate, exist_ok=False)
+            return candidate
+        except FileExistsError:
+            n += 1
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup: one row per distinct content, keeper = min(doc_id).
 
@@ -196,14 +218,22 @@ def connected_components(
     files. The label table is one row per edge-touched node — tiny next
     to the corpus — so the per-round write is cheap.
 
+    Each invocation claims its own ``run-N`` subdirectory under
+    ``durable_dir``, and the final labels are materialized to a
+    ``labels_final`` path before returning — so two runs sharing a
+    durable_dir never collide, and the returned DataFrame is backed by
+    files no later round (or later run) overwrites.
+
     edges: (doc_a, doc_b) undirected. Returns (doc_id, cluster_id)
     where cluster_id = min doc_id of the component.
     """
+    if durable_dir is not None:
+        run_dir = _claim_run_dir(durable_dir)
 
     def truncate(df: DataFrame, rnd: int) -> DataFrame:
         if durable_dir is None:
             return df.localCheckpoint()
-        path = f"{durable_dir.rstrip('/')}/labels_{rnd % 2}"
+        path = f"{run_dir}/labels_{rnd % 2}"
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
@@ -243,7 +273,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    if durable_dir is not None:
+        # stable final materialization: the alternating labels_{0,1}
+        # paths are scratch; the returned (lazy) DataFrame must not be
+        # backed by a path a subsequent round/run would overwrite.
+        final = f"{run_dir}/labels_final"
+        out.write.mode("overwrite").parquet(final)
+        out = labels.sparkSession.read.parquet(final)
+    return out
 
 
 def dedup_clusters(documents: DataFrame) -> DataFrame:

@@ -198,9 +198,15 @@ def global_ntile(
     Appends an ``ntile`` int column (SQL NTILE semantics: first
     ``n % k`` buckets get ``n/k + 1`` rows).
     """
-    parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    if num_partitions is None:
+        # spark.sql.shuffle.partitions may be the non-numeric "auto"
+        # (AQE-managed); fall back to the input's partition count.
+        raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            num_partitions = int(raw)
+        except ValueError:
+            num_partitions = max(df.rdd.getNumPartitions(), 1)
+    parts = num_partitions
     r = df.repartitionByRange(parts, *sort_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )

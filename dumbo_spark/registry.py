@@ -913,13 +913,20 @@ def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.group_collect(load_table(spark, sf_dir, "lineitem"))
+    # The operator returns a real array<string>; the registered query
+    # serializes it to a comma-joined string because the driver's
+    # pandas-based canonicalizer cannot sort list-typed cells
+    # (CORRECTNESS_r02: "unhashable type: 'list'"). Same information,
+    # hashable representation.
+    return agg.group_collect(load_table(spark, sf_dir, "lineitem")).withColumn(
+        "statuses", F.array_join("statuses", ",")
+    )
 
 
 @register(

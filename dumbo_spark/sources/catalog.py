@@ -54,13 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in _table_cache:
         return _table_cache[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # nanos-long -> microsecond TimestampType. DIV is integer
-        # division on longs; values are positive so DIV == floor, the
-        # same truncation DuckDB applies casting TIMESTAMP_NS -> µs.
-        # Conditional on the raw type: re-written datasets (e.g. scale
-        # replicas) already carry a proper timestamp column.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-long -> microsecond TimestampType. DIV is integer
+            # division on longs; values are positive so DIV == floor,
+            # the same truncation DuckDB applies casting
+            # TIMESTAMP_NS -> µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Datasets written with a TIMESTAMP_NTZ physical column
+            # (driver fixtures from round 3 on): canonicalize to
+            # session-tz TimestampType. The session tz is pinned to
+            # UTC (session.py), so the cast is value-preserving and
+            # downstream instant functions (unix_micros, window,
+            # watermarks) all resolve.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     _table_cache[key] = df
     return df
 

@@ -94,11 +94,27 @@ def _read_exact(inp: BinaryIO, n: int) -> bytes:
     return b
 
 
+#: Sanity cap on length/count prefixes. The format's i32 prefixes are
+#: attacker-controlled in foreign files; a negative length would make
+#: ``read(n)`` a no-op (confusing EOFError downstream) and a huge
+#: VECTOR/MAP count would attempt an enormous allocation before any
+#: data is read. 1 GiB per value / 256M elements is far beyond any
+#: legitimate dumbo record.
+MAX_LEN = 1 << 30
+MAX_COUNT = 1 << 28
+
+
+def _checked_len(n: int, cap: int = MAX_LEN) -> int:
+    if n < 0 or n > cap:
+        raise ValueError(f"corrupt typedbytes length {n}")
+    return n
+
+
 def read_value(inp: BinaryIO) -> Any:
     code = _read_exact(inp, 1)[0]
     if code == BYTES:
         (n,) = struct.unpack(">i", _read_exact(inp, 4))
-        return _read_exact(inp, n)
+        return _read_exact(inp, _checked_len(n))
     if code == BYTE:
         return struct.unpack(">b", _read_exact(inp, 1))[0]
     if code == BOOL:
@@ -113,9 +129,10 @@ def read_value(inp: BinaryIO) -> Any:
         return struct.unpack(">d", _read_exact(inp, 8))[0]
     if code == STRING:
         (n,) = struct.unpack(">i", _read_exact(inp, 4))
-        return _read_exact(inp, n).decode("utf-8")
+        return _read_exact(inp, _checked_len(n)).decode("utf-8")
     if code == VECTOR:
         (n,) = struct.unpack(">i", _read_exact(inp, 4))
+        n = _checked_len(n, MAX_COUNT)
         return tuple(read_value(inp) for _ in range(n))
     if code == LIST:
         items = []
@@ -127,6 +144,7 @@ def read_value(inp: BinaryIO) -> Any:
             items.append(read_value(inp))
     if code == MAP:
         (n,) = struct.unpack(">i", _read_exact(inp, 4))
+        n = _checked_len(n, MAX_COUNT)
         return {read_value(inp): read_value(inp) for _ in range(n)}
     raise ValueError(
         f"unsupported typedbytes code {code} "
@@ -186,15 +204,20 @@ def read_typedbytes(spark, path: str, schema: str = "key string, value string"):
                     vs.append(_coerce(v, _json))
                 yield pd.DataFrame({"key": ks, "value": vs})
 
+    from pyspark.sql import types as T
+
     raw = spark.read.format("binaryFile").load(path).select("content")
     decoded = raw.mapInPandas(decode, schema="key string, value string")
-    fields = [f.strip() for f in schema.split(",")]
-    if len(fields) != 2:
+    # Real DDL parse, not split(","): comma-bearing types like
+    # "value decimal(18,2)" or "value array<int>" are valid two-field
+    # schemas and must not be rejected.
+    parsed = T.StructType.fromDDL(schema)
+    if len(parsed.fields) != 2:
         raise ValueError("schema must declare exactly two fields: key, value")
-    casts = []
-    for colname, field in zip(("key", "value"), fields):
-        name, _, typ = field.partition(" ")
-        casts.append(F.col(colname).cast(typ.strip() or "string").alias(name))
+    casts = [
+        F.col(colname).cast(field.dataType).alias(field.name)
+        for colname, field in zip(("key", "value"), parsed.fields)
+    ]
     return decoded.select(*casts)
 
 

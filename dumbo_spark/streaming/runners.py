@@ -55,8 +55,12 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_replay_"), "src")
     os.makedirs(src)
+    # coalesce(1) pins each replay copy to exactly ONE part file: with
+    # maxFilesPerTrigger=1, a multi-file copy would interleave across
+    # micro-batches and an old event arriving after newer files could
+    # have BOTH copies late-dropped by the watermark, losing rows.
     for copy in ("copy1.parquet", "copy2.parquet"):
-        ev.write.mode("overwrite").parquet(os.path.join(src, copy))
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, copy))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -77,11 +81,12 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_totals_"), "src")
     os.makedirs(src)
     # three disjoint slices → three files → three micro-batches; state
-    # must carry totals across batches for the final rows to be right
+    # must carry totals across batches for the final rows to be right.
+    # coalesce(1) guarantees each slice IS one file (one micro-batch).
     for i in range(3):
-        ev.where(F.col("event_id") % 3 == i).write.mode("overwrite").parquet(
-            os.path.join(src, f"slice{i}.parquet")
-        )
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"slice{i}.parquet"))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

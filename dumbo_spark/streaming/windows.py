@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from dumbo_spark.functions.numeric import dsum
 from dumbo_spark.session import ensure_runtime_confs
@@ -40,7 +40,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, os.path.join(d, "events.parquet"))
         path = d
     stream = spark.readStream.schema(raw_schema).parquet(path)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Same canonicalization rule as sources/catalog.py::load_table —
+    # nanos-long fixtures get the DIV-1000 rewrite; TIMESTAMP_NTZ
+    # fixtures are cast to session-tz (UTC) TimestampType so watermarks
+    # and instant functions resolve identically to the batch side.
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
 
 
 def tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

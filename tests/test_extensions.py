@@ -196,7 +196,25 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
     }
     assert durable == local
     assert durable == {(i, 1) for i in range(1, 6)} | {(10, 10), (11, 10)}
-    assert (tmp_path / "labels_0").exists() and (tmp_path / "labels_1").exists()
+    # each invocation claims its own run-N dir; final labels live on a
+    # stable path scratch rounds never overwrite
+    assert (tmp_path / "run-0" / "labels_final").exists()
+
+
+def test_connected_components_shared_durable_dir_no_collision(spark, tmp_path):
+    """Two runs sharing a durable_dir get disjoint run-N subtrees, so
+    the first run's lazily-backed result is NOT mutated by the second
+    run (ADVICE r2: fixed alternating paths collided)."""
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    e2 = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    r1 = dedup.connected_components(e1, durable_dir=str(tmp_path))
+    r2 = dedup.connected_components(e2, durable_dir=str(tmp_path))
+    # collect r1 AFTER running r2: with colliding paths this would
+    # read r2's files and lose r1's rows
+    assert {(r.doc_id, r.cluster_id) for r in r2.collect()} == {(7, 7), (8, 7)}
+    assert {(r.doc_id, r.cluster_id) for r in r1.collect()} == {
+        (1, 1), (2, 1), (3, 1)}
+    assert (tmp_path / "run-0").exists() and (tmp_path / "run-1").exists()
 
 
 def test_dedup_clusters_planted(spark):
