@@ -25,6 +25,13 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic calendar math, matches DuckDB's naive timestamps
     "spark.sql.session.timeZone": "UTC",
+    # parquet TIMESTAMP with isAdjustedToUTC=false (the round-3+
+    # fixtures) reads natively as session-tz TimestampType instead of
+    # TIMESTAMP_NTZ. With the session tz pinned to UTC above this is
+    # value-identical to a post-read cast, but it keeps ts a plain scan
+    # column — so time-range predicates still push down to the parquet
+    # reader (row-group pruning), which a projected cast would forfeit.
+    "spark.sql.parquet.inferTimestampNTZAsTimestampLTZ": "true",
 }
 
 
