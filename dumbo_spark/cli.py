@@ -155,6 +155,21 @@ def cmd_convert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file compaction (sources/textio.py::compact_parquet)."""
+    from dumbo_spark.session import get_session
+    from dumbo_spark.sources import textio
+
+    spark = get_session("dumbo_spark_compact")
+    sort_by = args.sort_by.split(",") if args.sort_by else None
+    n = textio.compact_parquet(
+        spark, args.src, args.dst, target_file_mb=args.target_mb,
+        sort_within_by=sort_by,
+    )
+    print(f"compacted {args.src} -> {args.dst} ({n} files)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dumbo-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -200,6 +215,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="target types for .tb sources (two fields: key, value)",
     )
     cv.set_defaults(fn=cmd_convert)
+
+    cp = sub.add_parser("compact", help="rewrite a parquet dataset into ~target-MB files")
+    cp.add_argument("src")
+    cp.add_argument("dst")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--sort-by", default=None,
+                    help="comma-separated columns to sortWithinPartitions "
+                         "(tightens parquet min/max stats)")
+    cp.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -490,6 +490,41 @@ def dedup_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def cross_source_overlap(documents: DataFrame, prefix_tokens: int = 8) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of sources,
+    how many distinct document fingerprints appear in BOTH — the check
+    that catches a scraped feed re-serving another feed's pages (or a
+    benchmark split leaking into a training feed) before the corpora
+    are merged.
+
+    The fingerprint is the md5 of the first ``prefix_tokens``
+    normalized tokens — prefix identity catches near-duplicates that
+    share their opening (titles, boilerplate, benchmark prompts) where
+    whole-text md5 only catches byte-exact copies.
+
+    Shape: documents collapse to (fingerprint, source) pairs first
+    (partial-agg distinct — the shuffle carries 16-byte hashes, never
+    text), then a hash-keyed self-equi-join counts co-occurrences.
+    Fan-out per fingerprint is (#sources carrying it choose 2) ≤ 190
+    at 20 sources — bounded by the source count, not the corpus, so
+    the plan is the same at 100 TB.
+    """
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(tokens("text"), 1, prefix_tokens)).cast("binary")
+    )
+    h = documents.select(fp.alias("h"), "source").distinct()
+    return (
+        h.alias("a")
+        .join(h.alias("b"), "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     max_iter: int = 10,

@@ -78,6 +78,29 @@ def corpus_clean(
     )
 
 
+def sample_exact_n(df: DataFrame, key_col: str, n: int = 300) -> DataFrame:
+    """Deterministic EXACT-n global sample — the distributed stand-in
+    for reservoir sampling: order all rows by the md5 of their key
+    (a fixed pseudo-random permutation) and keep the first n.
+
+    Unlike ``df.sample(fraction)`` the output size is exact, and unlike
+    a seeded reservoir the selection is a pure function of the row keys
+    — stable across runs, partitionings and engines, which is what
+    makes it oracle-checkable and what a reproducible corpus subset
+    needs.
+
+    Scale: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+    each task keeps a local top-n heap and the driver merges n·P rows;
+    there is NO global sort and no single-task total-order stage. At
+    100 TB the cost is one scan plus an n-row heap per task.
+    """
+    return (
+        df.orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+        .limit(n)
+        .select(key_col, F.md5(F.col(key_col).cast("string")).alias("sample_key"))
+    )
+
+
 def sample_per_group(
     df: DataFrame, group_col: str, key_col: str, k: int = 5
 ) -> DataFrame:

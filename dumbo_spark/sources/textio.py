@@ -105,6 +105,45 @@ def write_bucketed(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each. Returns the output file count.
+
+    The operational half of a 100 TB ingest no query operator covers:
+    streaming sinks and fine-grained partitioned writes accumulate
+    thousands of KB-sized files, and every subsequent scan then pays
+    per-file open/footer/metadata cost that dwarfs the read itself.
+    Compaction is the standard fix (Delta/Iceberg OPTIMIZE, Hive
+    concatenate) — here as a plain-parquet rewrite.
+
+    The partition count comes from the dataset's actual on-disk bytes
+    (Hadoop FS ContentSummary — works for any filesystem Spark can
+    reach, no driver-side listing of file contents), so output file
+    size tracks the target regardless of input fragmentation.
+    ``sort_within_by`` optionally sorts within output files to tighten
+    parquet min/max column statistics (better row-group pruning for
+    readers filtering on those columns); it's sortWithinPartitions, so
+    no global shuffle is added.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst)
+    return len([f for f in spark.read.parquet(dst).inputFiles()])
+
+
 def read_csv(spark: SparkSession, path: str, schema: str | None = None, sep: str = ",") -> DataFrame:
     reader = spark.read.option("sep", sep).option("header", "true")
     if schema is not None:

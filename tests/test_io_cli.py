@@ -81,6 +81,22 @@ def _cli(*argv: str) -> subprocess.CompletedProcess:
     )
 
 
+def test_compact_parquet(spark):
+    """Many tiny files in → few target-sized files out, content
+    identical; sort_within_by tightens per-file column ranges."""
+    d = tempfile.mkdtemp()
+    src, dst = os.path.join(d, "frag"), os.path.join(d, "compacted")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    n = textio.compact_parquet(spark, src, dst, target_file_mb=128,
+                               sort_within_by=["k"])
+    assert n < 64  # ~40KB of data -> far fewer than 64 files
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).collect()[0][0] == 49_995_000
+
+
 def test_cli_fs_surface():
     d = tempfile.mkdtemp()
     src = os.path.join(d, "f.txt")

@@ -189,3 +189,43 @@ def test_no_tokenizer_reeval_inside_lambdas(spark, sf_dir):
                 )
         # once-per-row re-evaluation from pushed filters is bounded
         assert plan.count("split(lower") <= 6, name
+
+
+def test_sample_exact_n_avoids_total_sort(spark, sf_dir):
+    """The exact-n hash sample must compile to TakeOrderedAndProject
+    (per-task heap), never a global Sort — the property that makes it
+    a reservoir-sampling stand-in at 100 TB."""
+    from dumbo_spark.operators import sampling
+
+    s = physical_summary(
+        sampling.sample_exact_n(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
+    assert s["take_ordered"] >= 1, "exact-n sample must plan TakeOrderedAndProject"
+    assert s["python_evals"] == 0
+
+
+def test_cross_source_overlap_joins_on_hash(spark, sf_dir):
+    """The contamination matrix self-join must be an equi-join on the
+    fingerprint (shuffling 16-byte hashes), with zero Python evals and
+    no cartesian product."""
+    from dumbo_spark.operators import dedup
+
+    s = physical_summary(
+        dedup.cross_source_overlap(load_table(spark, sf_dir, "documents"))
+    )
+    assert s["python_evals"] == 0
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+
+
+def test_events_ts_filter_pushdown(spark, sf_dir):
+    """Time-range predicates on events.ts must reach the parquet scan
+    (row-group pruning at 100 TB) — this is why the catalog reads the
+    NTZ fixture natively as TimestampType instead of projecting a
+    cast (session.py inferTimestampNTZAsTimestampLTZ)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("ts") >= "2024-06-01").select("event_id", "ts")
+    s = physical_summary(q)
+    assert s["pushed_filters"], "ts range filter must push down to the scan"
