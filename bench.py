@@ -86,6 +86,9 @@ HEADLINE = [
     "column_profile",
     "asof_next_purchase",
     "conversion_funnel",
+    # round-3 additions
+    "sample_exact_n",
+    "cross_source_overlap",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
@@ -120,6 +123,12 @@ def emit_line(timings: dict[str, float], sf: str) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # a 50+ query × 3-run sweep in one 32-thread JVM accumulates
+    # broadcast/codegen/shuffle state; on the 8g default heap the GC
+    # pressure shows up as erratic 3-5× inflation of individual query
+    # medians late in the sweep (observed round 3). 16g keeps the sweep
+    # flat; the env var still overrides for constrained machines.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     # median-of-3 by default: the first execution of a plan pays 1-3s of
     # whole-stage-codegen compilation that steady-state runs never see
     runs = int(os.environ.get("BENCH_RUNS", "3"))

@@ -223,14 +223,11 @@ def knn_cosine_ivf(
     probe is a partition-pruned scan.
     """
     assigned, centers = _ivf_index(embeddings, n_cells)
-    centroids = None
-    for cell_id, center in enumerate(centers):
-        arr = F.array(*[F.lit(v) for v in center])
-        row = (
-            assigned.sparkSession.range(1)
-            .select(F.lit(cell_id).alias("cell"), arr.alias("centroid"))
-        )
-        centroids = row if centroids is None else centroids.unionByName(row)
+    # one 16-row local relation, not a 16-way union of range(1) plans
+    centroids = assigned.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>",
+    )
 
     queries = assigned.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

@@ -241,6 +241,33 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the unigram token
+    distribution — the classic vocabulary-diversity quality signal:
+    keyword-stuffed or template text scores low, natural prose high.
+
+    Algebra: H = log2(N) − (Σ c·log2 c)/N over per-token counts c, so
+    the whole thing is TWO partial-aggregated groupBys (doc_id,token →
+    doc_id) — map-side combined, no window, no Python. At 100 TB both
+    shuffles carry (hash, count) pairs, never text.
+    """
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log2("n_tokens") - F.col("_clogc") / F.col("n_tokens"), 4)
+            .alias("entropy_bits"),
+        )
+    )
+
+
 def benchmark_contamination(
     documents: DataFrame, n: int = 3, eval_mod: int = 20
 ) -> DataFrame:

@@ -2147,6 +2147,26 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_entropy",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY doc_id, tok)
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per doc (textstats.token_entropy) —
+    vocabulary-diversity quality signal; two partial-agg shuffles,
+    H = log2(N) − Σc·log2(c)/N computed identically in both engines."""
+    return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "benchmark_contamination",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
@@ -2265,6 +2285,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 3 (no driver row yet)
     "sample_exact_n",
     "cross_source_overlap",
+    "token_entropy",
     # registered earlier but never in a driver sample
     "event_gap_stats",
     "jaccard_clusters",

@@ -83,6 +83,9 @@ def main() -> None:
         "dedup_exact",
         "dedup_by_source",
         "dedup_jaccard",
+        # round-3 additions
+        "sample_exact_n",
+        "cross_source_overlap",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
