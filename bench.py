@@ -89,6 +89,7 @@ HEADLINE = [
     # round-3 additions
     "sample_exact_n",
     "cross_source_overlap",
+    "token_entropy",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1,6 +1,7 @@
 """End-to-end training-corpus pipeline on the documents fixture:
-exact dedup → quality + repetition filters → eval-set contamination
-screen → token budget accounting.
+exact dedup → quality (repetition + entropy) filters → eval-set
+contamination screen → token budget accounting; plus a deterministic
+exact-n eval-subset carve.
 
 Run with the engine CLI (writes parquet):
 
@@ -30,9 +31,11 @@ def main(spark: SparkSession) -> DataFrame:
     keepers = dedup.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
     docs = docs.join(keepers, "doc_id", "left_semi")
 
-    # 2. quality screens: repetition + heuristic quality score
+    # 2. quality screens: repetition + vocabulary-diversity entropy
     rep = textstats.repetition_score(docs).where(F.col("rep_ratio") <= 0.8)
     docs = docs.join(rep.select("doc_id"), "doc_id", "left_semi")
+    ent = textstats.token_entropy(docs).where(F.col("entropy_bits") >= 1.0)
+    docs = docs.join(ent.select("doc_id"), "doc_id", "left_semi")
 
     # 3. contamination screen vs the held-out eval slice
     cont = textstats.benchmark_contamination(docs).where(
@@ -43,3 +46,12 @@ def main(spark: SparkSession) -> DataFrame:
     # 4. token budget: per-doc BPE-ish counts for the survivors
     counts = textstats.bpe_token_count(docs)
     return docs.select("doc_id", "lang", "source").join(counts, "doc_id")
+
+
+def eval_subset(spark: SparkSession, n: int = 300) -> DataFrame:
+    """Companion job: carve a deterministic exact-n eval subset from
+    the cleaned corpus (sampling.sample_exact_n — reproducible across
+    runs/engines, no global sort)."""
+    from dumbo_spark.operators import sampling
+
+    return sampling.sample_exact_n(main(spark), "doc_id", n=n)
