@@ -90,6 +90,7 @@ HEADLINE = [
     "sample_exact_n",
     "cross_source_overlap",
     "token_entropy",
+    "embedding_quantize",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -2046,6 +2046,58 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_running_totals(spark, sf_dir)
 
 
+@register(
+    "streaming_enriched_segments",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregate executed as a real
+    stream over three micro-batches (streaming/runners.py): the static
+    customer dim is broadcast per batch, no join state kept; settled
+    complete-mode output equals the batch join+aggregate oracle."""
+    from dumbo_spark.streaming.runners import streaming_enriched_segments
+
+    return streaming_enriched_segments(spark, sf_dir)
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, len(embedding) AS n_dims,
+             127.0 / list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE))))
+               AS scale,
+             embedding
+      FROM embeddings
+      WHERE list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))) > 0),
+    q AS (
+      SELECT vec_id, n_dims, scale,
+             unnest(range(1, n_dims + 1)) AS pos,
+             FLOOR(CAST(unnest(embedding) AS DOUBLE) * scale + 0.5) AS qi
+      FROM s)
+    SELECT vec_id,
+           CAST(MAX(n_dims) AS INTEGER) AS n_dims,
+           ROUND(MAX(scale), 4) AS scale,
+           CAST(SUM(qi * pos) AS BIGINT) AS q_checksum,
+           CAST(SUM(ABS(qi)) AS BIGINT) AS q_l1
+    FROM q GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization digests
+    (similarity.embedding_quantize): zero-shuffle scan projection;
+    oracle pins every quantized element via the position-weighted
+    checksum."""
+    return similarity.embedding_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("streaming_tumbling_1h", oracle=QUERIES["events_tumbling_1h"].oracle)
 def q_streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming execution of the tumbling aggregate — same
@@ -2286,6 +2338,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_exact_n",
     "cross_source_overlap",
     "token_entropy",
+    "streaming_enriched_segments",
+    "embedding_quantize",
     # registered earlier but never in a driver sample
     "event_gap_stats",
     "jaccard_clusters",

@@ -105,6 +105,46 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregate: the event stream
+    joins the STATIC customer dimension (re-read per micro-batch,
+    broadcast by Catalyst — the canonical pattern for enriching a
+    stream with reference data without any stateful join machinery),
+    then aggregates per (market segment, event type).
+
+    At 100 TB/day the static side is a slowly-changing dim snapshot;
+    stream-static joins keep NO state (unlike stream-stream), so this
+    scales with the dim's broadcast size only. Three micro-batches
+    prove the aggregate accumulates across batches; complete mode
+    emits the settled table.
+    """
+    from dumbo_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_enrich_"), "src")
+    os.makedirs(src)
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"slice{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id").groupBy(
+        "c_mktsegment", "event_type"
+    ).agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    return _run_to_memory(
+        enriched, "q_streaming_enriched_sink", mode="complete"
+    )
+
+
 def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window aggregate executed as a real stream
     (readStream → withWatermark → window → complete-mode memory sink);
