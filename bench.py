@@ -91,6 +91,7 @@ HEADLINE = [
     "cross_source_overlap",
     "token_entropy",
     "embedding_quantize",
+    "fuzzy_join_sources",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

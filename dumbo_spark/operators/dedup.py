@@ -468,6 +468,95 @@ def jaccard_ngram_pairs(
     )
 
 
+def fuzzy_join_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    n: int = 3,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """EXACT two-table n-gram Jaccard similarity JOIN — the
+    entity-resolution / blocklist-matching form of
+    :func:`jaccard_ngram_pairs`: every (left, right) pair with
+    Jaccard ≥ t, no false negatives, no cross join.
+
+    The cross-table PPJoin: gram document frequency is computed over
+    the UNION of both sides so both prefixes rank grams in the SAME
+    global order (the prefix-filter guarantee requires one consistent
+    ordering), then the candidate join runs left-prefix ⋈ right-prefix
+    on the gram — an equi-join whose fan-out is governed by rare-gram
+    collisions, exactly like the self-join form. Verification ships
+    each side's gram set once per candidate and intersects JVM-side.
+
+    Both inputs need (doc_id, text); at 100 TB the typical shape is a
+    small-but-not-broadcastable reference set against a corpus, and
+    the prefix equi-join handles any size ratio without a plan change.
+    """
+    num, den = threshold_pct, 100
+
+    def gram_side(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select(F.col("doc_id").alias(id_alias), tokens("text").alias("_toks"))
+            .select(
+                id_alias, F.array_distinct(ngrams(F.col("_toks"), n)).alias("_grams")
+            )
+            .withColumn("_n", F.size("_grams"))
+            .persist()
+        )
+
+    lg, rg = gram_side(left, "left_id"), gram_side(right, "right_id")
+    gram_df = (
+        lg.select(F.explode("_grams").alias("gram"))
+        .unionAll(rg.select(F.explode("_grams").alias("gram")))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+    )
+
+    def prefix_side(g: DataFrame, id_col: str) -> DataFrame:
+        grams = g.select(id_col, "_n", F.explode("_grams").alias("gram"))
+        w = Window.partitionBy(id_col).orderBy("df", "gram")
+        ranked = grams.join(gram_df, "gram").select(
+            id_col, "gram", "_n", F.row_number().over(w).alias("pos")
+        )
+        req = F.floor((F.lit(num) * F.col("_n") + F.lit(den - 1)) / den)
+        return ranked.where(F.col("pos") <= F.col("_n") - req + 1)
+
+    cand = (
+        prefix_side(lg, "left_id")
+        .select("left_id", "gram", F.col("_n").alias("_la"))
+        .join(
+            prefix_side(rg, "right_id").select(
+                "right_id", "gram", F.col("_n").alias("_lb")
+            ),
+            "gram",
+        )
+        .where(
+            (F.lit(den) * F.col("_la") >= F.lit(num) * F.col("_lb"))
+            & (F.lit(den) * F.col("_lb") >= F.lit(num) * F.col("_la"))
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    joined = (
+        cand.join(
+            lg.select("left_id", F.col("_grams").alias("_ga"), F.col("_n").alias("_na")),
+            "left_id",
+        )
+        .join(
+            rg.select(
+                "right_id", F.col("_grams").alias("_gb"), F.col("_n").alias("_nb")
+            ),
+            "right_id",
+        )
+        .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
+    )
+    union_sz = F.col("_na") + F.col("_nb") - F.col("_c")
+    return joined.where(F.lit(den) * F.col("_c") >= F.lit(num) * union_sz).select(
+        "left_id",
+        "right_id",
+        F.round(F.col("_c").cast("double") / union_sz, 6).alias("jaccard"),
+    )
+
+
 def dedup_by_source(documents: DataFrame) -> DataFrame:
     """Per-source duplication profile: documents, distinct contents,
     and the duplicate ratio for every source — the triage view that

@@ -775,6 +775,43 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_join_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram
+      WHERE a.source = 'src0' AND b.source <> 'src0'
+      GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON left_id = sa.doc_id
+    JOIN sizes sb ON right_id = sb.doc_id
+    WHERE 100 * c >= 60 * (sa.n + sb.n - c)
+    """,
+)
+def q_fuzzy_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table exact Jaccard JOIN (dedup.fuzzy_join_jaccard):
+    source 'src0' matched against every other source — the
+    entity-resolution form; brute-force DuckDB oracle must match
+    bit-for-bit (prefix filter is lossless across tables too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_join_jaccard(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+
+
+@register(
     "jaccard_clusters",
     oracle="""
     WITH RECURSIVE toks AS (
@@ -2340,6 +2377,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_entropy",
     "streaming_enriched_segments",
     "embedding_quantize",
+    "fuzzy_join_sources",
     # registered earlier but never in a driver sample
     "event_gap_stats",
     "jaccard_clusters",

@@ -272,6 +272,27 @@ def test_jaccard_prefix_join_exact_and_no_cartesian(spark):
     assert all(a == 0 and b == 1 for a, b in pairs)
 
 
+def test_fuzzy_join_cross_table_exact(spark):
+    """Two-table PPJoin: planted near-dup pairs across the tables are
+    all found (lossless prefix filter under the shared global gram
+    order), within-table similarity is ignored, and the plan stays on
+    equi-joins."""
+    left_rows = [(0, BASE), (1, "completely different text about ships and harbors and tides " + " ".join(f"l{j}" for j in range(12)))]
+    right_rows = [(100, BASE.replace("garden", "forest")),
+                  (101, BASE)]  # exact copy → jaccard 1.0
+    right_rows += [(i, f"noise right {i} " + " ".join(f"r{i}x{j}" for j in range(15)))
+                   for i in range(102, 110)]
+    df = dedup.fuzzy_join_jaccard(
+        _docs(spark, left_rows), _docs(spark, right_rows), threshold_pct=50
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r.left_id, r.right_id): r.jaccard for r in df.collect()}
+    assert pairs[(0, 101)] == 1.0
+    assert (0, 100) in pairs and pairs[(0, 100)] >= 0.5
+    assert set(pairs) == {(0, 100), (0, 101)}
+
+
 def test_pagerank_star_and_pair(spark):
     """Star graph (hub 1 ↔ leaves 2,3,4) + isolated pair (10,11):
     ranks match the hand-derived fixpoint and sum to 1."""
