@@ -8,14 +8,21 @@ predicate-pushdown- and column-pruning-friendly — the properties that
 matter at 100 TB. Semantics of the old formats are preserved elsewhere
 (sources.textio) rather than byte-compatibly re-implemented.
 
-Canonicalization applied at read time:
+Canonicalization applied at read time — ``events.ts`` has shipped in
+two physical forms across driver fixture generations, both normalized
+to session-tz (UTC) ``TimestampType``:
 
-- ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
-  parquet reader rejects. We read it as raw nanos
-  (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds
-  with integer arithmetic (``ts DIV 1000`` — no double round-trip,
-  which would lose precision on 1.7e18-scale values). DuckDB oracles
-  match by CASTing TIMESTAMP_NS to µs TIMESTAMP, which also truncates.
+- INT64 TIMESTAMP(NANOS) (rounds 1-2): Spark's parquet reader rejects
+  it; read as raw nanos (spark.sql.legacy.parquet.nanosAsLong) and
+  truncate to microseconds with integer arithmetic (``ts DIV 1000`` —
+  no double round-trip, which would lose precision on 1.7e18-scale
+  values). DuckDB oracles match by CASTing to µs TIMESTAMP.
+- TIMESTAMP with isAdjustedToUTC=false (round 3+): read natively as
+  TimestampType via spark.sql.parquet.inferTimestampNTZAsTimestampLTZ
+  (session.py) so ts stays a plain scan column and time predicates
+  push down; a cast fallback below covers sessions where the conf was
+  unset at first read. DuckDB reads the same column as naive
+  TIMESTAMP — oracles' ``CAST(ts AS TIMESTAMP)`` is a no-op.
 """
 
 from __future__ import annotations
