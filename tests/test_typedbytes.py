@@ -68,3 +68,33 @@ def test_spark_read_typedbytes_typed_value(spark, tmp_path):
     df = tb.read_typedbytes(spark, str(tmp_path / "data.tb"), schema="k string, v long")
     assert {(r.k, r.v) for r in df.collect()} == {("a", 10), ("b", 20)}
     assert dict(df.dtypes)["v"] == "bigint"
+
+
+def test_corrupt_length_prefix_rejected():
+    """Attacker-controlled i32 prefixes must fail loudly, not as a
+    confusing EOFError (negative) or a giant allocation (huge count)."""
+    # BYTES with negative length
+    with pytest.raises(ValueError, match="corrupt typedbytes length"):
+        tb.loads(struct.pack(">Bi", 0, -5))
+    # STRING with absurd length (1 GiB cap)
+    with pytest.raises(ValueError, match="corrupt typedbytes length"):
+        tb.loads(struct.pack(">Bi", 7, (1 << 30) + 1))
+    # VECTOR with absurd element count
+    with pytest.raises(ValueError, match="corrupt typedbytes length"):
+        tb.loads(struct.pack(">Bi", 8, (1 << 28) + 1))
+
+
+def test_schema_with_comma_bearing_type(spark, tmp_path):
+    """decimal(18,2) / array<...> types contain commas — the schema
+    parse must be a real DDL parse, not split(',') (ADVICE r2)."""
+    with open(tmp_path / "data.tb", "wb") as f:
+        tb.write_pairs(f, [("a", "10.50"), ("b", "20.25")])
+    df = tb.read_typedbytes(
+        spark, str(tmp_path / "data.tb"), schema="k string, v decimal(18,2)"
+    )
+    assert dict(df.dtypes)["v"] == "decimal(18,2)"
+    got = {(r.k, str(r.v)) for r in df.collect()}
+    assert got == {("a", "10.50"), ("b", "20.25")}
+    with pytest.raises(ValueError, match="exactly two fields"):
+        tb.read_typedbytes(spark, str(tmp_path / "data.tb"),
+                           schema="a string, b string, c string")
