@@ -92,6 +92,7 @@ HEADLINE = [
     "token_entropy",
     "embedding_quantize",
     "fuzzy_join_sources",
+    "value_anomalies",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

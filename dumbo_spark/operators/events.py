@@ -181,3 +181,34 @@ def event_gap_stats(events: DataFrame) -> DataFrame:
         F.round(F.percentile("gap_us", F.lit(0.5)), 4).alias("p50_gap_us"),
         F.round(F.percentile("gap_us", F.lit(0.95)), 4).alias("p95_gap_us"),
     )
+
+
+def value_anomalies(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """Z-score outlier detection per (user, event type): events whose
+    value sits more than ``z_threshold`` sample standard deviations
+    from that group's mean — the standard first-line monitoring screen
+    for a metrics/event stream.
+
+    Two shuffles on the same (user_id, event_type) key: a partial-agg
+    groupBy for the moments, then an equi-join back. Deliberately NOT
+    a window: the stats are one row per group so the join-back side is
+    tiny, and a heavily-skewed user never forces a giant single-task
+    window partition. Groups need n ≥ 2 (sample stddev defined) and
+    stddev > 0.
+    """
+    stats = (
+        events.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            F.avg("value").alias("_mean"),
+            F.stddev_samp("value").alias("_sd"),
+        )
+        .where((F.col("_n") >= 2) & (F.col("_sd") > 0))
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_sd")
+    return (
+        events.join(stats, ["user_id", "event_type"])
+        .withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) > z_threshold)
+        .select("event_id", "user_id", "event_type", "value", "z")
+    )

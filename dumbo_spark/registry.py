@@ -646,6 +646,28 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_type,
+             COUNT(*) AS n, AVG(value) AS mean, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY user_id, event_type
+      HAVING COUNT(*) >= 2 AND STDDEV_SAMP(value) > 0)
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           ROUND((e.value - s.mean) / s.sd, 4) AS z
+    FROM events e
+    JOIN stats s ON e.user_id = s.user_id AND e.event_type = s.event_type
+    WHERE ABS(ROUND((e.value - s.mean) / s.sd, 4)) > 3.0
+    """,
+)
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers per (user, event type) — events.value_anomalies:
+    partial-agg moments + equi-join back (no per-group window), so a
+    skewed user never creates a single-task partition."""
+    return events.value_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "trailing_window_totals",
     oracle="""
     SELECT user_id, event_id,
@@ -2378,6 +2400,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_enriched_segments",
     "embedding_quantize",
     "fuzzy_join_sources",
+    "value_anomalies",
     # registered earlier but never in a driver sample
     "event_gap_stats",
     "jaccard_clusters",
