@@ -93,6 +93,7 @@ HEADLINE = [
     "embedding_quantize",
     "fuzzy_join_sources",
     "value_anomalies",
+    "user_retention",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -212,3 +212,31 @@ def value_anomalies(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
         .where(F.abs(F.col("z")) > z_threshold)
         .select("event_id", "user_id", "event_type", "value", "z")
     )
+
+
+def user_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day
+    (cohort), counted by how many distinct users of that cohort were
+    active N days later — THE product-analytics rollup for an event
+    stream.
+
+    Shape: first-seen via one partial-agg groupBy(user); activity days
+    via a distinct on (user, day); one equi-join on user_id joins the
+    cohort onto activity (AQE-broadcastable: one row per user); final
+    partial-agg count-distinct per (cohort, offset). No window, no
+    skew hazard — every stage keys on user_id or the small
+    (cohort, offset) pair.
+    """
+    day = F.date_format("ts", "yyyy-MM-dd")
+    first = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = events.select("user_id", day.alias("active_day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

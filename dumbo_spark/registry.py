@@ -668,6 +668,33 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
+               AS cohort_day
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS active_day
+      FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', CAST(f.cohort_day AS DATE),
+                          CAST(a.active_day AS DATE)) AS INTEGER)
+             AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (events.user_retention): first-seen
+    partial agg + distinct activity days + user-keyed equi-join +
+    final partial agg — no window, skew-safe at any fan-in."""
+    return events.user_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "trailing_window_totals",
     oracle="""
     SELECT user_id, event_id,
@@ -2401,6 +2428,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_quantize",
     "fuzzy_join_sources",
     "value_anomalies",
+    "user_retention",
     # registered earlier but never in a driver sample
     "event_gap_stats",
     "jaccard_clusters",
