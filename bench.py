@@ -94,6 +94,7 @@ HEADLINE = [
     "fuzzy_join_sources",
     "value_anomalies",
     "user_retention",
+    "tfidf_top_terms",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -172,6 +172,37 @@ def token_doc_freq(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-k tokens by tf·idf — the
+    composed form of :func:`token_doc_freq` (idf side) with per-doc
+    term frequencies, the standard sparse-feature / keyword op.
+
+    Ranking happens on the ROUNDED score (6dp) with a token tie-break,
+    so the top-k cut is bit-stable across engines. The window
+    partitions by doc_id — millions of tiny groups, no skew hazard;
+    the idf side is token-keyed partial agg + equi-join.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = token_doc_freq(documents).select("token", "idf")
+    scored = tf.join(idf, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
 def chunk_documents(
     documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:

@@ -1046,6 +1046,37 @@ def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_doc_freq(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents),
+    tfc AS (
+      SELECT doc_id, unnest(ts) AS token FROM toks),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tfc GROUP BY 1, 2),
+    per_doc AS (SELECT unnest(list_distinct(ts)) AS token FROM toks),
+    dfc AS (SELECT token, COUNT(*) AS doc_freq FROM per_doc GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT token,
+             ROUND(ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)), 6) AS idf
+      FROM dfc CROSS JOIN n),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, ROUND(t.tf * i.idf, 6) AS tfidf
+      FROM tf t JOIN idf i ON t.token = i.token)
+    SELECT doc_id, token, tf, tfidf, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tf-idf keyword extraction (textstats.tfidf_top_terms):
+    rank on the 6dp-rounded score with token tie-break so the top-k
+    cut is engine-stable; doc-partitioned window, token-keyed idf
+    join."""
+    return textstats.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
 # ═══ composed analytical pipelines (TPC-H shapes) ═══════════════════════
 
 
@@ -2429,6 +2460,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_join_sources",
     "value_anomalies",
     "user_retention",
+    "tfidf_top_terms",
     # registered earlier but never in a driver sample
     "event_gap_stats",
     "jaccard_clusters",
