@@ -40,11 +40,22 @@ def _claim_run_dir(durable_dir: str) -> str:
     Atomic via ``os.makedirs(exist_ok=False)`` for local/posix paths;
     two invocations sharing a durable_dir get disjoint scratch trees,
     so one run can never overwrite files backing another run's lazily
-    evaluated result. (On object stores, pass distinct durable_dirs
-    per run — directory-create is not a lock there.)
+    evaluated result.
+
+    Local filesystems only: for URI paths (hdfs://, s3a://, ...) a
+    driver-local makedirs would create a stray ``./hdfs:/...`` dir and
+    provide zero mutual exclusion on the real filesystem, so those are
+    rejected — callers on shared storage must pass distinct
+    durable_dirs per run (directory-create is not a lock on object
+    stores, and multi-driver HDFS setups need a real coordinator).
     """
     import os
 
+    if "://" in durable_dir:
+        raise ValueError(
+            f"_claim_run_dir requires a local path, got {durable_dir!r}; "
+            "on shared filesystems pass a distinct durable_dir per run"
+        )
     base = durable_dir.rstrip("/")
     n = 0
     while True:
@@ -550,11 +561,22 @@ def fuzzy_join_jaccard(
         .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
     )
     union_sz = F.col("_na") + F.col("_nb") - F.col("_c")
-    return joined.where(F.lit(den) * F.col("_c") >= F.lit(num) * union_sz).select(
+    result = joined.where(F.lit(den) * F.col("_c") >= F.lit(num) * union_sz).select(
         "left_id",
         "right_id",
         F.round(F.col("_c").cast("double") / union_sz, 6).alias("jaccard"),
     )
+    # The gram-side caches (lg/rg) exist only to avoid re-tokenizing
+    # each input three times (df-count, prefix, verify). Materialize the
+    # (small: matched pairs only) result eagerly so they can be released
+    # here instead of leaking two corpus-sized cached tables per call in
+    # a long-lived session; the persisted result makes the caller's
+    # action a cache read, not a recompute.
+    result = result.persist()
+    result.count()
+    lg.unpersist()
+    rg.unpersist()
+    return result
 
 
 def dedup_by_source(documents: DataFrame) -> DataFrame:

@@ -27,11 +27,12 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # parquet TIMESTAMP with isAdjustedToUTC=false (the round-3+
     # fixtures) reads natively as session-tz TimestampType instead of
-    # TIMESTAMP_NTZ. With the session tz pinned to UTC above this is
-    # value-identical to a post-read cast, but it keeps ts a plain scan
-    # column — so time-range predicates still push down to the parquet
-    # reader (row-group pruning), which a projected cast would forfeit.
-    "spark.sql.parquet.inferTimestampNTZAsTimestampLTZ": "true",
+    # TIMESTAMP_NTZ when NTZ inference is disabled. With the session tz
+    # pinned to UTC above this is value-identical to a post-read cast,
+    # but it keeps ts a plain scan column with native predicate pushdown
+    # (row-group pruning). catalog.py keeps a cast fallback for sessions
+    # where this conf wasn't applied before first read.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

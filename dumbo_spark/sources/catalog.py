@@ -18,7 +18,7 @@ to session-tz (UTC) ``TimestampType``:
   no double round-trip, which would lose precision on 1.7e18-scale
   values). DuckDB oracles match by CASTing to µs TIMESTAMP.
 - TIMESTAMP with isAdjustedToUTC=false (round 3+): read natively as
-  TimestampType via spark.sql.parquet.inferTimestampNTZAsTimestampLTZ
+  TimestampType via spark.sql.parquet.inferTimestampNTZ.enabled=false
   (session.py) so ts stays a plain scan column and time predicates
   push down; a cast fallback below covers sessions where the conf was
   unset at first read. DuckDB reads the same column as naive

@@ -131,6 +131,25 @@ def compact_parquet(
     readers filtering on those columns); it's sortWithinPartitions, so
     no global shuffle is added.
     """
+    # Guard: write.mode("overwrite") deletes dst before the lazily
+    # planned read of src runs, so dst == src (or dst inside src) would
+    # destroy the input dataset. Compare normalized absolute forms.
+    def _norm(p: str) -> str:
+        import os.path
+        import posixpath
+
+        if "://" in p:
+            scheme, _, rest = p.partition("://")
+            return f"{scheme}://{posixpath.normpath(rest)}"
+        return os.path.abspath(p)
+
+    nsrc, ndst = _norm(src), _norm(dst)
+    if ndst == nsrc or ndst.startswith(nsrc + "/") or nsrc.startswith(ndst + "/"):
+        raise ValueError(
+            f"compact_parquet: dst ({dst!r}) must not equal or nest with "
+            f"src ({src!r}) — overwrite would delete the input before it "
+            "is read; stage through a separate directory and rename"
+        )
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(src)

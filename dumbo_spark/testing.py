@@ -43,11 +43,17 @@ def _canon_cell(v: object) -> object:
     if v is None:
         return "\x00NULL"
     if isinstance(v, float):
+        # Tag floats so an integral float (500.0) NEVER compares equal to
+        # an int (500): Python's 500.0 == 500 masked a DuckDB
+        # HUGEINT→float64 vs Spark int64 divergence locally while the
+        # driver's type-sensitive value-hash flagged it (round-3
+        # token_entropy failure). A dtype mismatch must fail here too so
+        # local green predicts driver green.
         if math.isnan(v):
             return "\x00NAN"
-        if v == int(v) and abs(v) < 2**53:
-            return float(v)  # normalize -0.0 / integral floats
-        return v
+        if v == 0.0:
+            return ("\x00F", 0.0)  # normalize -0.0
+        return ("\x00F", v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -124,3 +124,34 @@ def test_cli_run_and_cat():
     assert r.returncode == 0, r.stderr[-2000:]
     c = _cli("cat", out)
     assert c.returncode == 0 and "1\tx" in c.stdout
+
+
+def test_compact_parquet_refuses_self_overwrite(spark):
+    """dst == src (or nested either way) would delete the input before
+    the lazy read runs — must refuse, not destroy data."""
+    import pytest
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "data")
+    spark.range(10).write.parquet(src)
+    for bad in (src, src + "/", os.path.join(src, "sub"), d):
+        with pytest.raises(ValueError, match="must not equal or nest"):
+            textio.compact_parquet(spark, src, bad)
+    # the input survives untouched
+    assert spark.read.parquet(src).count() == 10
+
+
+def test_claim_run_dir_rejects_uri_schemes(tmp_path):
+    """Driver-local makedirs cannot claim hdfs://-style paths; reject
+    rather than create stray local dirs with no real mutual exclusion."""
+    import pytest
+
+    from dumbo_spark.operators.dedup import _claim_run_dir
+
+    for uri in ("hdfs://nn/tmp/runs", "s3a://bucket/runs"):
+        with pytest.raises(ValueError, match="local path"):
+            _claim_run_dir(uri)
+    # local paths still claim disjoint run-N dirs
+    a = _claim_run_dir(str(tmp_path))
+    b = _claim_run_dir(str(tmp_path))
+    assert a != b and os.path.isdir(a) and os.path.isdir(b)

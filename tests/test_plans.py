@@ -220,12 +220,15 @@ def test_cross_source_overlap_joins_on_hash(spark, sf_dir):
 
 def test_events_ts_filter_pushdown(spark, sf_dir):
     """Time-range predicates on events.ts must reach the parquet scan
-    (row-group pruning at 100 TB) — this is why the catalog reads the
-    NTZ fixture natively as TimestampType instead of projecting a
-    cast (session.py inferTimestampNTZAsTimestampLTZ)."""
+    (row-group pruning at 100 TB) — this is why the session disables
+    NTZ inference (spark.sql.parquet.inferTimestampNTZ.enabled=false,
+    session.py) so ts reads natively as TimestampType; catalog.py keeps
+    a cast fallback whose UTC NTZ→LTZ cast Catalyst unwraps, so
+    pushdown holds on either path."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
     q = ev.where(F.col("ts") >= "2024-06-01").select("event_id", "ts")
     s = physical_summary(q)
     assert s["pushed_filters"], "ts range filter must push down to the scan"
+    assert "ts" in s["pushed_filters"], s["pushed_filters"]
