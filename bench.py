@@ -95,6 +95,18 @@ HEADLINE = [
     "value_anomalies",
     "user_retention",
     "tfidf_top_terms",
+    # round-4 additions
+    "user_streaks",
+    "event_transitions",
+    "time_weighted_avg",
+    "asof_last_click_bounded",
+    "weighted_sample",
+    "source_mix_rebalance",
+    "key_skew_profile",
+    "unpivot_long",
+    "copurchase_triangles",
+    "posting_lists",
+    "near_match_names",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

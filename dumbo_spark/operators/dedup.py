@@ -695,3 +695,47 @@ def pagerank(
             rnd=it,
         )
     return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
+def near_match_values(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 3,
+    block_chars: int = 4,
+    block: str = "suffix",
+) -> DataFrame:
+    """Edit-distance near-match over an attribute's VALUE DOMAIN:
+    distinct values of ``col``, blocked by a prefix or suffix key,
+    pairwise Levenshtein within each block, pairs within ``max_dist``
+    kept — the catalog-harmonization primitive ("small bolt" vs "red
+    bolt") that complements the document-scale PPJoin family.
+
+    Scale: the distinct collapses a 100 TB fact column to its value
+    domain (attribute domains are bounded — thousands, not billions),
+    and blocking keeps the quadratic verify inside blocks. Like
+    SimHash banding, recall is scoped by design: only same-block pairs
+    are candidates; pick the block end where values AGREE (for
+    adjective-noun domains that is the suffix — edits concentrate in
+    the head word), and widen by unioning both block keys if needed.
+    ``levenshtein`` is a JVM intrinsic — no Python boundary.
+    """
+    vals = df.select(F.col(col).alias("val")).distinct()
+    blk = (
+        F.expr(f"right(val, {block_chars})")
+        if block == "suffix"
+        else F.substring("val", 1, block_chars)
+    )
+    blocked = vals.withColumn("_blk", blk)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a.val") < F.col("b.val")),
+        )
+        .select(
+            F.col("a.val").alias("val_a"),
+            F.col("b.val").alias("val_b"),
+            F.levenshtein("a.val", "b.val").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

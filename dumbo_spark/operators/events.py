@@ -214,6 +214,100 @@ def value_anomalies(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     )
 
 
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the *islands*
+    half of gaps-and-islands (:func:`events_sessionized` is the gaps
+    half): distinct active days, then ``day − row_number`` is constant
+    within a run of consecutive days, so grouping on that anchor labels
+    each island without any self-join.
+
+    Scale: distinct on (user, day) is a partial-agg shuffle; the
+    row_number window partitions by user over *days* (≤ a few thousand
+    rows per user regardless of event volume, since days are already
+    distinct — the window input is bounded by calendar time, not event
+    count); two more partial aggs roll islands up. No global window.
+    """
+    day = F.to_date("ts")
+    active = events.select("user_id", day.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = active.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (event_type → next event_type by the same user) pair, the
+    count and the conditional probability — the sequence-model view of
+    user behavior (what follows a click?).
+
+    One window shuffle on user_id computes ``lead``; the pair counts
+    are a partial agg; the probability normalizer is a window over the
+    aggregated matrix, which has |types|² rows — trivially small at any
+    corpus scale, so the non-partial window is safe by construction.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / total, 6).alias("p"),
+    )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each event's value
+    holds until the user's next event, and the mean weights by holding
+    duration (TimescaleDB ``time_weight``'s LOCF flavor) — the correct
+    average for irregularly-sampled gauges, where the arithmetic mean
+    over-counts bursts.
+
+    Determinism: weights are exact integer microseconds and values are
+    exact DECIMAL(18,2), so the weighted sum is exact decimal
+    arithmetic regardless of aggregation order; only the final single
+    division runs in binary floating point, identically in both
+    engines. One window shuffle on user_id + one partial agg.
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        events.select("user_id", "ts", "event_id", dmoney("value").alias("v"))
+        .withColumn("dt_us", F.lead(us).over(w) - us)
+        .where(F.col("dt_us").isNotNull())
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dt_us").alias("total_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+    )
+
+
 def user_retention(events: DataFrame) -> DataFrame:
     """Cohort retention matrix: users grouped by first-active day
     (cohort), counted by how many distinct users of that cohort were

@@ -101,6 +101,82 @@ def sample_exact_n(df: DataFrame, key_col: str, n: int = 300) -> DataFrame:
     )
 
 
+def _md5_u32(col: F.Column) -> F.Column:
+    """First 32 bits of md5(col) as a long in [0, 2³²) — the
+    deterministic uniform variate behind the weighted samplers."""
+    return F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def sql_md5_u32(expr: str) -> str:
+    """DuckDB fragment computing the same 32-bit variate (strpos hex
+    parse, same trick as :func:`sql_md5_bucket`)."""
+    digit = (
+        lambda i: f"(strpos('{_HEX}', substr(md5(CAST({expr} AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    acc = digit(1)
+    for i in range(2, 9):
+        acc = f"({acc} * 16 + {digit(i)})"
+    return acc
+
+
+def weighted_sample(
+    documents: DataFrame, weight_col: str = "n_chars", n: int = 200
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement, exact size n, deterministic:
+    Efraimidis–Spirakis A-Res (Inf. Proc. Letters 97(5), 2006) with the
+    uniform variate derived from md5(doc_id) instead of an RNG — row i
+    gets key u_i^(1/w_i) and the top n keys win, which draws each subset
+    with the exact weighted-sampling probability. Hash-derived u makes
+    the draw a pure function of the row keys: stable across runs,
+    partitionings, and engines, hence oracle-checkable.
+
+    Ranking uses ln(u)/w (monotone in u^(1/w), no overflow for tiny u);
+    both engines evaluate ln over identical doubles. Scale: Catalyst
+    compiles orderBy+limit to TakeOrderedAndProject — per-task n-row
+    heaps, no global sort, same shape as :func:`sample_exact_n`.
+    """
+    u = (_md5_u32(F.col("doc_id")) + 1).cast("double") / F.lit(4294967296.0)
+    w = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    score = F.log(u) / w
+    return (
+        documents.select("doc_id", F.col(weight_col).alias("weight"), score.alias("_s"))
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(n)
+        .select("doc_id", "weight", F.round("_s", 6).alias("es_key"))
+    )
+
+
+def source_mix_rebalance(documents: DataFrame) -> DataFrame:
+    """Rebalance a corpus to a uniform per-source mix — the domain-
+    mixing step of training-data assembly (cap every source at an equal
+    share) — by deterministic weighted downsampling: source s keeps each
+    document with probability min(1, total/(k·count_s)), decided by an
+    integer compare of a per-doc md5 bucket against an integer
+    threshold, so the kept set is exact and engine-stable (no floats
+    anywhere).
+
+    Scale: one partial-agg groupBy(source) for the counts (k rows), a
+    1-row global rollup cross-joined onto it (broadcast, no driver
+    action — the whole thing stays one lazy plan), then a broadcast
+    join back; the keep decision is a scan predicate. The selection
+    hash is over doc_id, so re-runs and engines agree row by row.
+    """
+    counts = documents.groupBy("source").agg(F.count("*").alias("_cnt"))
+    tot = counts.agg(F.sum("_cnt").alias("_total"), F.count("*").alias("_k"))
+    meta = counts.crossJoin(F.broadcast(tot))
+    # threshold in millionths: floor(1e6 · total / (k · count_s)) — all
+    # integer arithmetic, so both engines compute the identical cut
+    thresh = F.expr("(1000000 * _total) DIV (_k * _cnt)")
+    bucket = _md5_u32(F.col("doc_id")) % 1_000_000
+    return (
+        documents.join(F.broadcast(meta), "source")
+        .where(bucket < thresh)
+        .select("doc_id", "source")
+    )
+
+
 def sample_per_group(
     df: DataFrame, group_col: str, key_col: str, k: int = 5
 ) -> DataFrame:

@@ -132,3 +132,49 @@ def upsert_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnosis: one row summarizing the per-key count
+    distribution of ``key_col`` — the measurement you take BEFORE
+    choosing a join strategy at 100 TB (broadcast? salt? AQE skew
+    split?). max_cnt vs p50_cnt is the skew ratio; top1_share is the
+    fraction of all rows behind the single heaviest key.
+
+    Two partial-agg shuffles (per-key counts, then a 1-row rollup of
+    the counts); exact percentiles over the count distribution are fine
+    here because the rollup input is one row per KEY, not per row.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 4).alias("p50_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+    )
+
+
+def unpivot_long(lineitem: DataFrame) -> DataFrame:
+    """Wide→long reshape (melt / UNPIVOT): per-returnflag aggregate
+    metrics emitted as (flag, metric, value) rows — the inverse of
+    :func:`~dumbo_spark.operators.agg`'s pivot, completing the reshape
+    family. ``stack`` is a narrow generator over the tiny aggregated
+    frame: the only shuffle is the partial agg that built the wide
+    table; the melt itself moves no data.
+    """
+    from dumbo_spark.functions.numeric import dsum
+
+    wide = lineitem.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,"
+            " 'n_items', n_items) AS (metric, value)"
+        ),
+    )

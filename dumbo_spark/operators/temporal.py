@@ -29,10 +29,21 @@ from dumbo_spark.functions.numeric import dmoney
 
 
 def asof_last_event(
-    events: DataFrame, target_type: str = "purchase", source_type: str = "click"
+    events: DataFrame,
+    target_type: str = "purchase",
+    source_type: str = "click",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """For each `target_type` event: the most recent strictly-prior
-    `source_type` event by the same user (as-of join, backward)."""
+    `source_type` event by the same user (as-of join, backward).
+
+    ``tolerance_sec`` bounds staleness (pandas ``merge_asof``'s
+    ``tolerance`` / kdb's windowed aj): a prior source event older than
+    the bound is no match, and the target row is dropped like any other
+    unmatched target. Event-enrichment pipelines almost always want
+    this — attributing a purchase to a click from three weeks ago is
+    noise, not signal. Plan shape is unchanged (the bound is a post-
+    window predicate, still one shuffle, no join)."""
     us = F.unix_micros("ts")
     w = (
         Window.partitionBy("user_id")
@@ -46,14 +57,18 @@ def asof_last_event(
             "last_src_us": F.last(F.when(is_src, us), ignorenulls=True).over(w),
         }
     )
-    return (
-        carried.where((F.col("event_type") == target_type) & F.col("last_src_id").isNotNull())
-        .select(
-            "user_id",
-            F.col("event_id").alias("target_id"),
-            F.col("last_src_id").alias("source_id"),
-            (us - F.col("last_src_us")).alias("gap_us"),
+    matched = carried.where(
+        (F.col("event_type") == target_type) & F.col("last_src_id").isNotNull()
+    )
+    if tolerance_sec is not None:
+        matched = matched.where(
+            us - F.col("last_src_us") <= F.lit(tolerance_sec * 1_000_000)
         )
+    return matched.select(
+        "user_id",
+        F.col("event_id").alias("target_id"),
+        F.col("last_src_id").alias("source_id"),
+        (us - F.col("last_src_us")).alias("gap_us"),
     )
 
 

@@ -372,3 +372,42 @@ def bpe_token_count(documents: DataFrame) -> DataFrame:
         F.size(pre_tokens).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
+
+
+def posting_lists(
+    documents: DataFrame, n: int = 3, min_df: int = 2, max_df: int = 50
+) -> DataFrame:
+    """Inverted-index construction over word n-grams: for each gram
+    within a document-frequency band, the sorted posting list of
+    documents containing it — THE classic second MapReduce program
+    after wordcount (dumbo-era search indexing), as one declarative
+    plan. Grams rather than unigrams because a phrase index is what
+    contamination lookup and quotation tracing actually probe (and on
+    a small vocabulary every unigram is a stop word — df explodes).
+
+    Scale shape: document frequency is computed FIRST (partial-agg
+    groupBy) and the band filter applied BEFORE any posting list is
+    assembled, so stop-phrase grams never materialize a list at all —
+    the collect only ever runs over grams whose list length is ≤
+    max_df by construction. Postings serialize to a comma-joined
+    string (driver canonicalizers cannot hash raw arrays; round-2
+    lesson).
+    """
+    pd_ = documents.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(F.col("_toks"), n))).alias("token"),
+    )
+    dfreq = (
+        pd_.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq").between(min_df, max_df))
+    )
+    return (
+        pd_.join(dfreq, "token")
+        .groupBy("token", "doc_freq")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
+    )

@@ -31,6 +31,7 @@ from dumbo_spark.operators import (
     analytics,
     dedup,
     events,
+    graph,
     joins,
     sampling,
     setops,
@@ -692,6 +693,89 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg + distinct activity days + user-keyed equi-join +
     final partial agg — no window, skew-safe at any fan-in."""
     return events.user_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_streaks",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM active),
+    st AS (
+      SELECT user_id, anchor, COUNT(*) AS streak_len
+      FROM isl GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           MAX(streak_len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM st GROUP BY user_id
+    """,
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands, islands half (events.user_streaks): longest
+    consecutive-day streak per user via the day − row_number anchor.
+    Window input is distinct days (calendar-bounded per user), then
+    partial aggs — no event-volume window."""
+    return events.user_streaks(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+      FROM events),
+    m AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                 6) AS p
+    FROM m
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (events.event_transitions):
+    lead window on user_id + partial-agg counts; the probability
+    normalizer windows over the |types|² aggregate, small by
+    construction."""
+    return events.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(nxt - us) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(v * (nxt - us)) AS DOUBLE)
+                 / CAST(SUM(nxt - us) AS DOUBLE), 6) AS twa_value
+    FROM seq WHERE nxt IS NOT NULL GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted mean of value per user
+    (events.time_weighted_avg): exact integer-µs weights × exact
+    decimal values, one window shuffle + one partial agg; only the
+    final division is floating-point, identical in both engines."""
+    return events.time_weighted_avg(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -1815,6 +1899,38 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_click_bounded",
+    oracle="""
+    WITH carried AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS last_src_id,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS) OVER w AS last_src_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id,
+           event_id AS target_id,
+           last_src_id AS source_id,
+           us - last_src_us AS gap_us
+    FROM carried
+    WHERE event_type = 'purchase' AND last_src_id IS NOT NULL
+      AND us - last_src_us <= 600000000
+    """,
+)
+def q_asof_last_click_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 10-minute max-staleness bound
+    (temporal.asof_last_event tolerance_sec) — the windowed-aj form
+    event enrichment needs; same one-shuffle carried-forward plan."""
+    return temporal.asof_last_event(
+        load_table(spark, sf_dir, "events"), tolerance_sec=600
+    )
+
+
+@register(
     "events_range_join",
     oracle="""
     SELECT a.user_id, COUNT(*) AS n_pairs
@@ -1903,6 +2019,51 @@ def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_exact_n(
         load_table(spark, sf_dir, "documents"), "doc_id", n=300
     )
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars AS weight,
+             ln(({sampling.sql_md5_u32('doc_id')} + 1) / 4294967296.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS s
+      FROM documents)
+    SELECT doc_id, weight, ROUND(s, 6) AS es_key
+    FROM scored ORDER BY s DESC, doc_id LIMIT 200
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement, exact
+    n, n_chars-weighted (sampling.weighted_sample): hash-derived
+    uniform variate makes the draw engine-stable; orderBy+limit is
+    TakeOrderedAndProject, no global sort."""
+    return sampling.weighted_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", n=200
+    )
+
+
+@register(
+    "source_mix_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS k FROM counts)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN counts c ON d.source = c.source
+    CROSS JOIN tot
+    WHERE ({sampling.sql_md5_u32('d.doc_id')} % 1000000)
+          < ((1000000 * tot.total) // (tot.k * c.cnt))
+    """,
+)
+def q_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform domain-mix rebalance (sampling.source_mix_rebalance):
+    per-source keep-probability min(1, total/(k·count)), decided by an
+    integer hash-bucket compare — exact, no floats; counts partial-agg
+    + broadcast join, keep decision is a scan predicate."""
+    return sampling.source_mix_rebalance(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2020,6 +2181,132 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         ["l_orderkey", "l_quantity", "l_returnflag"],
     )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MAX(cnt) AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS top1_share
+    FROM c
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (shape.key_skew_profile): per-key count
+    distribution summary — the pre-join measurement that picks
+    broadcast vs salt vs AQE skew split at 100 TB."""
+    return shape.key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_items', n_items FROM wide
+    """,
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via stack (shape.unpivot_long) — the inverse of
+    pivot_status, completing the reshape family; the melt itself is a
+    narrow generator over the aggregated frame."""
+    return shape.unpivot_long(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
+           HAVING COUNT(*) <= 20),
+    p2 AS (SELECT po.l_orderkey, po.l_partkey
+           FROM po JOIN ok USING (l_orderkey)),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM p2 a JOIN p2 b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+    n AS (SELECT COUNT(DISTINCT x) AS n_nodes
+          FROM (SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e),
+    t AS (SELECT COUNT(*) AS n_triangles
+          FROM e e1
+          JOIN e e2 ON e1.dst = e2.src
+          JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst)
+    SELECT n.n_nodes, ne.n_edges, t.n_triangles
+    FROM n CROSS JOIN ne CROSS JOIN t
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph
+    (graph.copurchase_triangles): basket-bounded pairing, support-
+    thresholded edges, a<b<c enumeration — three equi-joins, no
+    iteration, no cross join."""
+    return graph.copurchase_triangles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "posting_lists",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END) AS token
+      FROM toks),
+    df AS (
+      SELECT token, COUNT(*) AS doc_freq FROM g GROUP BY token
+      HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT g.token, df.doc_freq,
+           string_agg(CAST(g.doc_id AS VARCHAR), ',' ORDER BY g.doc_id)
+             AS postings
+    FROM g JOIN df USING (token)
+    GROUP BY g.token, df.doc_freq
+    """,
+)
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists over 3-gram phrases
+    (textstats.posting_lists): df-band filter BEFORE list assembly so
+    stop-phrase grams never materialize a list; postings serialized
+    for canonicalizer hashing."""
+    return textstats.posting_lists(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "near_match_names",
+    oracle="""
+    WITH v AS (SELECT DISTINCT p_name AS val FROM part),
+    b AS (SELECT val, right(val, 4) AS blk FROM v)
+    SELECT a.val AS val_a, c.val AS val_b,
+           CAST(levenshtein(a.val, c.val) AS INTEGER) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.val < c.val
+    WHERE levenshtein(a.val, c.val) <= 3
+    """,
+)
+def q_near_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match over the p_name value domain
+    (dedup.near_match_values): distinct → suffix block (adjective-noun
+    domain: edits concentrate in the head word) → in-block Levenshtein
+    verify; the attribute-domain complement of the document-scale
+    PPJoin family."""
+    return dedup.near_match_values(load_table(spark, sf_dir, "part"), "p_name")
 
 
 @register(
@@ -2455,6 +2742,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4 (no driver row yet)
+    "asof_last_click_bounded",
+    "user_streaks",
+    "event_transitions",
+    "time_weighted_avg",
+    "weighted_sample",
+    "source_mix_rebalance",
+    "key_skew_profile",
+    "unpivot_long",
+    "copurchase_triangles",
+    "posting_lists",
+    "near_match_names",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

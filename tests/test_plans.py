@@ -231,4 +231,44 @@ def test_events_ts_filter_pushdown(spark, sf_dir):
     q = ev.where(F.col("ts") >= "2024-06-01").select("event_id", "ts")
     s = physical_summary(q)
     assert s["pushed_filters"], "ts range filter must push down to the scan"
-    assert "ts" in s["pushed_filters"], s["pushed_filters"]
+    assert "GreaterThanOrEqual(ts" in s["plan"], "the pushed filter must be the ts range itself"
+
+
+def test_weighted_sample_takes_ordered(spark, sf_dir):
+    """E-S weighted sampling must plan TakeOrderedAndProject (per-task
+    heaps), never a global sort."""
+    from dumbo_spark.operators.sampling import weighted_sample
+
+    s = physical_summary(weighted_sample(load_table(spark, sf_dir, "documents")))
+    assert s["take_ordered"] >= 1
+    assert s["python_evals"] == 0
+
+
+def test_source_mix_rebalance_broadcasts_meta(spark, sf_dir):
+    """The per-source threshold table is k rows — it must broadcast,
+    and the keep decision must not shuffle the corpus."""
+    from dumbo_spark.operators.sampling import source_mix_rebalance
+
+    s = physical_summary(source_mix_rebalance(load_table(spark, sf_dir, "documents")))
+    assert s["broadcast_joins"] >= 1
+    assert s["sortmerge_joins"] == 0
+    assert s["python_evals"] == 0
+
+
+def test_posting_lists_no_cartesian(spark, sf_dir):
+    from dumbo_spark.operators.textstats import posting_lists
+
+    s = physical_summary(posting_lists(load_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert s["python_evals"] == 0
+
+
+def test_transitions_and_streaks_stay_jvm_side(spark, sf_dir):
+    from dumbo_spark.operators.events import event_transitions, user_streaks
+
+    ev = load_table(spark, sf_dir, "events")
+    for q in (event_transitions(ev), user_streaks(ev)):
+        s = physical_summary(q)
+        assert s["python_evals"] == 0
+        assert "CartesianProduct" not in s["plan"]

@@ -1,0 +1,194 @@
+"""Semantics pins for the round-4 operators on handcrafted inputs —
+the differential suite proves oracle equivalence on the fixtures; these
+prove the operators mean what their docstrings say (dumbo's
+mapredtest.py golden-pair style, SURVEY §5.1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_user_streaks_islands(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            # user 1: days 1,2,3 then 10,11 -> streaks 3 and 2
+            (1, d(2024, 1, 1, 5), 1, "a", 0.0),
+            (2, d(2024, 1, 1, 9), 1, "a", 0.0),  # same day twice
+            (3, d(2024, 1, 2, 5), 1, "a", 0.0),
+            (4, d(2024, 1, 3, 5), 1, "a", 0.0),
+            (5, d(2024, 1, 10, 5), 1, "a", 0.0),
+            (6, d(2024, 1, 11, 5), 1, "a", 0.0),
+            # user 2: one day
+            (7, d(2024, 2, 1, 0), 2, "a", 0.0),
+        ],
+    )
+    from dumbo_spark.operators.events import user_streaks
+
+    got = {r["user_id"]: r for r in user_streaks(ev).collect()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["longest_streak"] == 3
+    assert got[1]["n_streaks"] == 2
+    assert got[2]["longest_streak"] == 1
+
+
+def test_event_transitions_probabilities(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 1), 1, "view", 0.0),
+            (2, d(2024, 1, 1, 2), 1, "click", 0.0),
+            (3, d(2024, 1, 1, 3), 1, "view", 0.0),
+            (4, d(2024, 1, 1, 4), 1, "buy", 0.0),
+            (5, d(2024, 1, 1, 1), 2, "view", 0.0),
+            (6, d(2024, 1, 1, 2), 2, "click", 0.0),
+        ],
+    )
+    from dumbo_spark.operators.events import event_transitions
+
+    got = {(r["event_type"], r["next_type"]): r for r in event_transitions(ev).collect()}
+    # view -> click twice, view -> buy once
+    assert got[("view", "click")]["n"] == 2
+    assert got[("view", "buy")]["n"] == 1
+    assert abs(got[("view", "click")]["p"] - 2 / 3) < 1e-6
+    # click -> view is the only click transition
+    assert got[("click", "view")]["p"] == 1.0
+
+
+def test_time_weighted_avg_locf(spark):
+    d = datetime
+    # value 10 held 1s, then value 30 held 3s -> twa = (10*1 + 30*3)/4 = 25
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 0, 0, 0), 1, "m", 10.0),
+            (2, d(2024, 1, 1, 0, 0, 1), 1, "m", 30.0),
+            (3, d(2024, 1, 1, 0, 0, 4), 1, "m", 99.0),  # no lead -> dropped
+        ],
+    )
+    from dumbo_spark.operators.events import time_weighted_avg
+
+    row = time_weighted_avg(ev).collect()[0]
+    assert row["n_segments"] == 2
+    assert row["total_us"] == 4_000_000
+    assert row["twa_value"] == 25.0
+
+
+def test_weighted_sample_is_deterministic_and_exact(spark, sf_dir):
+    from dumbo_spark.operators.sampling import weighted_sample
+    from dumbo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = weighted_sample(docs, "n_chars", n=50).collect()
+    b = weighted_sample(docs.repartition(13), "n_chars", n=50).collect()
+    assert len(a) == 50
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+
+
+def test_source_mix_rebalance_caps_shares(spark, sf_dir):
+    from dumbo_spark.operators.sampling import source_mix_rebalance
+    from dumbo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_mix_rebalance(docs).groupBy("source").count().collect()
+    tot = docs.count()
+    k = docs.select("source").distinct().count()
+    cap = tot / k
+    for r in kept:
+        # Bernoulli keep-rate targets the uniform share; allow sampling
+        # slack but no source may blow past its cap by half again
+        assert r["count"] <= cap * 1.5, (r["source"], r["count"], cap)
+    # determinism under repartitioning
+    again = source_mix_rebalance(docs.repartition(7)).count()
+    assert again == sum(r["count"] for r in kept)
+
+
+def test_copurchase_triangles_hand_graph(spark):
+    # orders: {1,2,3} twice (triangle, support 2), {1,4} twice (edge)
+    rows = []
+    oid = 0
+    for _ in range(2):
+        oid += 1
+        rows += [(oid, p) for p in (1, 2, 3)]
+    for _ in range(2):
+        oid += 1
+        rows += [(oid, p) for p in (1, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from dumbo_spark.operators.graph import copurchase_triangles
+
+    row = copurchase_triangles(li, min_cooccur=2, max_basket=20).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 4  # (1,2),(1,3),(2,3),(1,4)
+    assert row["n_triangles"] == 1
+
+
+def test_copurchase_triangles_basket_guard(spark):
+    # one 30-line order exceeds max_basket -> contributes nothing
+    li = spark.createDataFrame(
+        [(1, p) for p in range(30)], "l_orderkey long, l_partkey long"
+    )
+    from dumbo_spark.operators.graph import copurchase_triangles
+
+    row = copurchase_triangles(li, min_cooccur=1, max_basket=20).collect()[0]
+    assert row["n_edges"] == 0 and row["n_triangles"] == 0
+
+
+def test_near_match_values_blocking_modes(spark):
+    df = spark.createDataFrame(
+        [("red bolt",), ("old bolt",), ("red ring",), ("blue gear",)], "name string"
+    )
+    from dumbo_spark.operators.dedup import near_match_values
+
+    suf = near_match_values(df, "name", max_dist=3, block_chars=4, block="suffix")
+    pairs = {(r["val_a"], r["val_b"]) for r in suf.collect()}
+    assert ("old bolt", "red bolt") in pairs  # same suffix block, dist 3
+    pre = near_match_values(df, "name", max_dist=4, block_chars=4, block="prefix")
+    pairs_pre = {(r["val_a"], r["val_b"]) for r in pre.collect()}
+    assert ("red bolt", "red ring") in pairs_pre  # same prefix block, dist 4
+    assert ("old bolt", "red bolt") not in pairs_pre  # different prefix
+
+
+def test_posting_lists_band_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    from dumbo_spark.operators.textstats import posting_lists
+
+    got = {r["token"]: r for r in posting_lists(docs, n=3, min_df=2, max_df=50).collect()}
+    assert got["alpha beta gamma"]["postings"] == "1,2"
+    assert got["alpha beta gamma"]["doc_freq"] == 2
+    # df=1 grams are banded out
+    assert "zeta eta theta" not in got
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 0, 0, 0), 1, "click", 0.0),
+            (2, d(2024, 1, 1, 0, 5, 0), 1, "purchase", 0.0),   # 5 min after click
+            (3, d(2024, 1, 1, 3, 0, 0), 1, "purchase", 0.0),   # 2h55m stale
+        ],
+    )
+    from dumbo_spark.operators.temporal import asof_last_event
+
+    unbounded = asof_last_event(ev)
+    assert {r["target_id"] for r in unbounded.collect()} == {2, 3}
+    bounded = asof_last_event(ev, tolerance_sec=600)
+    assert {r["target_id"] for r in bounded.collect()} == {2}
