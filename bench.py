@@ -107,6 +107,9 @@ HEADLINE = [
     "copurchase_triangles",
     "posting_lists",
     "near_match_names",
+    "copresence_sessions",
+    "cumulative_new_users",
+    "hll_partitioned_counts",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

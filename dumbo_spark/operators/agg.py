@@ -234,3 +234,29 @@ def price_histogram(orders: DataFrame, width: int = 25_000) -> DataFrame:
         )
         .withColumn("bucket_lo", (F.col("bucket") * width).cast("double"))
     )
+
+
+def hll_partitioned_counts(events: DataFrame) -> DataFrame:
+    """Distinct users per event type via MERGEABLE HLL sketches: build
+    a Datasketches HLL per (day, type) partition, then union the daily
+    sketches per type and estimate — the pre-aggregation pattern that
+    makes 100 TB distinct-counting incremental (yesterday's sketches
+    are a few KB each and never recomputed; today's partition is the
+    only new work; any rollup level merges for free, which a raw
+    ``approx_count_distinct`` over the union cannot do).
+
+    Deterministic given the input set (register-max merge is
+    commutative, the hash is fixed-seed), so the estimate column is
+    run-stable — but engine-specific, hence rows-only externally; the
+    error bound vs exact is pinned in tests/test_round4_ops.py.
+    """
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )

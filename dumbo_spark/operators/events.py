@@ -334,3 +334,23 @@ def user_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def cumulative_new_users(events: DataFrame) -> DataFrame:
+    """Daily acquisition curve: new users per day (first-ever activity)
+    and the cumulative running total — the growth chart behind
+    :func:`user_retention`'s cohort matrix.
+
+    Per-user first-seen is a partial-agg groupBy; the running sum
+    windows over the per-DAY aggregate, whose size is bounded by
+    calendar time, so the unpartitioned window is safe by construction
+    (same argument as :func:`event_transitions`' normalizer).
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

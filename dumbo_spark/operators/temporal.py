@@ -206,3 +206,60 @@ def conversion_funnel(events: DataFrame) -> DataFrame:
             )
         ).alias("s")
     ).select("s.stage", "s.n_users")
+
+
+def copresence_sessions(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Interval-OVERLAP join over derived session spans: for every pair
+    of users, how many of their session pairs overlapped in time — the
+    co-presence / contact-graph rollup (who is active when who is
+    active), and the interval-join class :func:`range_self_join`'s
+    point-to-point bucketing can't express.
+
+    Candidates come from bucketing each session onto the hour grid it
+    covers (``sequence`` of hour indices, exploded): two overlapping
+    closed intervals must share a covered hour, so the candidate join
+    is an EQUI-join on (hour bucket) — never an inequality cross join —
+    and the exact overlap predicate (s_a ≤ e_b ∧ s_b ≤ e_a) prunes the
+    rest. Shared-multi-hour pairs are deduped on session identity
+    before counting. Fan-out is sessions-per-hour², the co-presence
+    density itself — the output's own size, not an artifact.
+    """
+    from dumbo_spark.operators.events import events_sessionized
+
+    HOUR_US = 3_600_000_000
+    s = events_sessionized(events, gap_min=gap_min).select(
+        "user_id",
+        "session_id",
+        F.col("session_start_us").alias("s"),
+        F.col("session_end_us").alias("e"),
+    )
+    bucketed = s.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr(f"s DIV {HOUR_US}"), F.expr(f"e DIV {HOUR_US}"))
+        ).alias("hb"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .where(
+            (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("sess_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("sess_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_overlaps")
+    )

@@ -827,6 +827,73 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.events_sessionized(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "copresence_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged),
+    spans AS (
+      SELECT user_id, session_id,
+             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS s,
+             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS e
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_overlaps
+    FROM spans a JOIN spans b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id, b.user_id
+    """,
+)
+def q_copresence_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join over session spans
+    (temporal.copresence_sessions): hour-grid bucketing turns the
+    overlap predicate into an equi-join; the oracle states the naive
+    inequality join the operator must equal."""
+    return temporal.copresence_sessions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "cumulative_new_users",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS day
+      FROM events GROUP BY user_id),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM first GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition curve (events.cumulative_new_users):
+    first-seen partial agg + running sum over the calendar-bounded
+    daily aggregate."""
+    return events.cumulative_new_users(load_table(spark, sf_dir, "events"))
+
+
+@register("hll_partitioned_counts")  # rows-only: sketch estimate is engine-specific
+def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (agg.hll_partitioned_counts):
+    per-(day, type) Datasketches HLL, unioned per type — the
+    incremental pre-aggregation pattern for 100 TB distinct counts;
+    error vs exact pinned in tests/test_round4_ops.py."""
+    return agg.hll_partitioned_counts(load_table(spark, sf_dir, "events"))
+
+
 # ═══ M5: dedup (north star §2.5) ════════════════════════════════════════
 
 
@@ -2753,6 +2820,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "copurchase_triangles",
     "posting_lists",
     "near_match_names",
+    "copresence_sessions",
+    "cumulative_new_users",
+    "hll_partitioned_counts",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

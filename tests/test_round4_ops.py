@@ -192,3 +192,44 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert {r["target_id"] for r in unbounded.collect()} == {2, 3}
     bounded = asof_last_event(ev, tolerance_sec=600)
     assert {r["target_id"] for r in bounded.collect()} == {2}
+
+
+def test_copresence_hand_case(spark):
+    d = datetime
+    # u1 session 00:00-01:00 overlaps u2 session 00:30-00:40;
+    # u3 at 05:00 overlaps nobody
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 0, 0), 1, "a", 0.0),
+            (2, d(2024, 1, 1, 0, 20), 1, "a", 0.0),
+            (3, d(2024, 1, 1, 0, 40), 1, "a", 0.0),
+            (4, d(2024, 1, 1, 1, 0), 1, "a", 0.0),
+            (5, d(2024, 1, 1, 0, 30), 2, "a", 0.0),
+            (6, d(2024, 1, 1, 0, 40), 2, "a", 0.0),
+            (7, d(2024, 1, 1, 5, 0), 3, "a", 0.0),
+        ],
+    )
+    from dumbo_spark.operators.temporal import copresence_sessions
+
+    got = copresence_sessions(ev).collect()
+    assert len(got) == 1
+    assert (got[0]["user_a"], got[0]["user_b"], got[0]["n_overlaps"]) == (1, 2, 1)
+
+
+def test_hll_rollup_within_error_bound(spark, sf_dir):
+    from dumbo_spark.operators.agg import hll_partitioned_counts
+    from dumbo_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r["event_type"]: r["approx_users"] for r in hll_partitioned_counts(ev).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, est in approx.items():
+        assert abs(est - exact[t]) <= max(2, 0.05 * exact[t]), (t, est, exact[t])
+    # determinism: sketch merge is commutative, repartitioning is a no-op
+    again = {r["event_type"]: r["approx_users"] for r in hll_partitioned_counts(ev.repartition(17)).collect()}
+    assert again == approx
