@@ -2537,6 +2537,38 @@ def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+      FROM events),
+    m AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                 6) AS p
+    FROM m
+    """,
+)
+def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE stateful streaming (streaming/runners.py +
+    stateful.transition_counts_stream): per-user last-event state
+    across three time-ordered micro-batches; summed emissions must
+    equal the batch ``event_transitions`` oracle bit-for-bit — the
+    stateful class where arrival order matters, which the commutative
+    running-totals operator cannot exercise."""
+    from dumbo_spark.streaming.runners import streaming_transitions
+
+    return streaming_transitions(spark, sf_dir)
+
+
+@register(
     "embedding_quantize",
     oracle="""
     WITH s AS (
@@ -2823,6 +2855,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "copresence_sessions",
     "cumulative_new_users",
     "hll_partitioned_counts",
+    "streaming_transitions",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

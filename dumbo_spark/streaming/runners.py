@@ -164,3 +164,53 @@ def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sessionized_stream(read_events_stream(spark, sf_dir))
     return _run_to_memory(stream, "q_streaming_sessionized_sink", mode="complete")
+
+
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix computed by a STATEFUL
+    stream (stateful.transition_counts_stream), fed in three
+    time-ordered micro-batches; the settled sum of per-batch pair
+    counts must equal the batch operator bit-for-bit (same oracle as
+    ``event_transitions``).
+
+    Order contract: transitions are order-sensitive, so the replay
+    slices the event set into three CONTIGUOUS (ts, event_id) ranges —
+    each user's batch-k events all precede their batch-k+1 events,
+    mirroring a per-key-ordered log (Kafka) in production. Files are
+    written in slice order so the file source (oldest-first) replays
+    them as ordered micro-batches.
+    """
+    from dumbo_spark.streaming.stateful import transition_counts_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.orderBy("us", "event_id")
+    ranked = ev.withColumn("_rk", F.row_number().over(w))
+    n = ranked.count()
+    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_trans_"), "src")
+    os.makedirs(src)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        (
+            ranked.where(
+                (F.col("_rk") > cuts[i]) & (F.col("_rk") <= cuts[i + 1])
+            )
+            .drop("_rk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"slice{i}.parquet"))
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    emitted = _run_to_memory(
+        transition_counts_stream(stream), "q_streaming_trans_sink", mode="append"
+    )
+    m = emitted.groupBy("event_type", "next_type").agg(F.sum("n").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return m.select(
+        "event_type", "next_type", "n", F.round(F.col("n") / total, 6).alias("p")
+    )

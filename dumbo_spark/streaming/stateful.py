@@ -59,3 +59,54 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANS_OUTPUT_SCHEMA = "event_type string, next_type string, n long"
+TRANS_STATE_SCHEMA = "last_us long, last_eid long, last_type string"
+
+
+def _update_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # ORDER-SENSITIVE state (unlike the commutative totals): the pair
+    # (A → B) exists only because B directly follows A, so the operator
+    # keeps each user's LAST event and requires micro-batches in
+    # event-time order per user (the runner feeds time-sliced files;
+    # a production source is a per-key-ordered log like Kafka).
+    pdf = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+    if len(pdf) == 0:
+        return
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        types = [state.get[2]] + types
+    counts: dict[tuple[str, str], int] = {}
+    for a, b in zip(types, types[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    last = pdf.iloc[-1]
+    state.update((int(last["us"]), int(last["event_id"]), str(last["event_type"])))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "event_type": [k[0] for k in counts],
+                "next_type": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """Per-user consecutive-event-type pair counts, emitted per
+    micro-batch (append mode); summing emissions gives the exact
+    batch transition matrix. State is one (ts, id, type) triple per
+    user — O(users), independent of stream length."""
+    return (
+        events.select("user_id", "event_id", "us", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANS_OUTPUT_SCHEMA,
+            stateStructType=TRANS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
