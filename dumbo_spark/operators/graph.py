@@ -59,11 +59,76 @@ def copurchase_triangles(
         .select("src", "dst")
         .persist()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    triangles = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
-        e3,
-        (F.col("e1.src") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
+    # Degree-ordered enumeration (Chiba–Nishizeki / the MapReduce
+    # triangle-counting standard): re-orient every edge from its
+    # lower-(degree, id) endpoint to its higher one. Orientation by the
+    # total order (deg, id) is acyclic and gives max out-degree
+    # O(√m), so the wedge self-join below fans out by out-degree² per
+    # node instead of degree² — on a co-purchase graph whose hub
+    # products have huge degrees, this is the difference between the
+    # plan surviving a dense graph and quadratic blowup at the hubs.
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
     )
+    oriented = (
+        edges.join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "dd"), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(
+                    F.col("src").alias("lo"),
+                    F.col("dst").alias("hi"),
+                    F.col("ds").alias("dlo"),
+                    F.col("dd").alias("dhi"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("dst").alias("lo"),
+                    F.col("src").alias("hi"),
+                    F.col("dd").alias("dlo"),
+                    F.col("ds").alias("dhi"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.lo", "e.hi", "e.dlo", "e.dhi")
+        .persist()
+    )
+    # wedges at the lowest-ordered node: two out-edges of the same lo
+    # (hash equi-join on lo; the strict (deg, id) tie-broken inequality
+    # keeps each unordered wedge once). An array-collect + HOF
+    # combination generator was measured SLOWER here (slice() inside
+    # transform() copies O(d²) arrays per node — 91s vs 48s at 10×), so
+    # the join form stands. The closing edge is oriented between the
+    # two his by the same (deg, id) order, so it probes the oriented
+    # set directly.
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.lo") == F.col("w2.lo"))
+        & (
+            (F.col("w1.dhi") < F.col("w2.dhi"))
+            | ((F.col("w1.dhi") == F.col("w2.dhi")) & (F.col("w1.hi") < F.col("w2.hi")))
+        ),
+    ).select(F.col("w1.hi").alias("b"), F.col("w2.hi").alias("c"))
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    # The wedge stream is the big side (Σ d_out² rows — intrinsic to the
+    # graph) and the closing-edge set is just the edge list: broadcast
+    # the edges when they fit so the closing check is a map-side hash
+    # probe pipelined into wedge generation, with NO shuffle of the
+    # wedge stream. Edge sets too big to broadcast fall back to the
+    # shuffled equi-join — the same knob (support threshold) that keeps
+    # the edge list sparse also keeps it broadcastable in practice.
+    n_edge_rows = oriented.count()  # cached — a metadata-cheap action
+    if n_edge_rows <= 5_000_000:
+        closing = F.broadcast(closing)
+    triangles = wedges.join(closing, ["b", "c"])
     nodes = edges.select(F.col("src").alias("n")).unionAll(
         edges.select(F.col("dst").alias("n"))
     )
@@ -72,9 +137,11 @@ def copurchase_triangles(
         .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
         .crossJoin(F.broadcast(triangles.agg(F.count("*").alias("n_triangles"))))
     )
-    # single-row result: materialize eagerly so the edge cache (used by
-    # three join legs + two counts) can be released before returning
+    # single-row result: materialize eagerly so the edge/orientation
+    # caches (used by the wedge legs + counts) can be released before
+    # returning
     result = result.persist()
     result.count()
     edges.unpersist()
+    oriented.unpersist()
     return result

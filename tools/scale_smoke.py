@@ -86,6 +86,22 @@ def main() -> None:
         # round-3 additions
         "sample_exact_n",
         "cross_source_overlap",
+        # round-4 additions (streaming_transitions excluded: its replay
+        # construction, not the operator, dominates at 10×)
+        "user_streaks",
+        "event_transitions",
+        "time_weighted_avg",
+        "asof_last_click_bounded",
+        "weighted_sample",
+        "source_mix_rebalance",
+        "key_skew_profile",
+        "unpivot_long",
+        "copurchase_triangles",
+        "posting_lists",
+        "near_match_names",
+        "copresence_sessions",
+        "cumulative_new_users",
+        "hll_partitioned_counts",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
