@@ -170,6 +170,37 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plan(args: argparse.Namespace) -> int:
+    """Physical-plan audit for a registered query (plans/explain.py) —
+    the operator-facing view of what tests/test_plans.py asserts:
+    shuffle count, join strategies, pushdown, Python boundaries."""
+    from dumbo_spark.plans.explain import physical_summary
+    from dumbo_spark.registry import QUERIES
+    from dumbo_spark.session import get_session
+
+    if args.query not in QUERIES:
+        raise SystemExit(
+            f"unknown query {args.query!r}; choose from: {', '.join(sorted(QUERIES))}"
+        )
+    spark = get_session("dumbo_spark_plan")
+    df = QUERIES[args.query].fn(spark, args.sf_dir)
+    s = physical_summary(df)
+    for k in (
+        "exchanges",
+        "broadcast_joins",
+        "sortmerge_joins",
+        "codegen_spans",
+        "python_evals",
+        "pushed_filters",
+        "take_ordered",
+    ):
+        if k in s:
+            print(f"{k}: {s[k]}")
+    if args.verbose:
+        print(s["plan"])
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dumbo-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -224,6 +255,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated columns to sortWithinPartitions "
                          "(tightens parquet min/max stats)")
     cp.set_defaults(fn=cmd_compact)
+
+    pl = sub.add_parser("plan", help="physical-plan audit for a registered query")
+    pl.add_argument("query")
+    pl.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pl.add_argument("--verbose", action="store_true",
+                    help="also print the full formatted physical plan")
+    pl.set_defaults(fn=cmd_plan)
     return p
 
 

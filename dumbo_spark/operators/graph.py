@@ -57,7 +57,16 @@ def copurchase_triangles(
         .agg(F.count("*").alias("_w"))
         .where(F.col("_w") >= min_cooccur)
         .select("src", "dst")
-        .persist()
+        # localCheckpoint truncates lineage, not just caches it: the
+        # edge subtree feeds FIVE downstream branches (degree, both
+        # wedge legs, closing set, node/edge counts), and with plain
+        # persist Catalyst re-embeds and re-optimizes the whole
+        # edge-construction subplan per branch — the plan string grows
+        # combinatorially (~800 phantom exchanges in the audit) even
+        # though the cache dedupes execution. Checkpointing makes each
+        # branch read a flat cached scan (same pattern as the iterative
+        # CC in operators/dedup.py).
+        .localCheckpoint()
     )
     # Degree-ordered enumeration (Chiba–Nishizeki / the MapReduce
     # triangle-counting standard): re-orient every edge from its
@@ -98,7 +107,7 @@ def copurchase_triangles(
             .alias("e")
         )
         .select("e.lo", "e.hi", "e.dlo", "e.dhi")
-        .persist()
+        .localCheckpoint()
     )
     # wedges at the lowest-ordered node: two out-edges of the same lo
     # (hash equi-join on lo; the strict (deg, id) tie-broken inequality
@@ -125,23 +134,15 @@ def copurchase_triangles(
     # wedge stream. Edge sets too big to broadcast fall back to the
     # shuffled equi-join — the same knob (support threshold) that keeps
     # the edge list sparse also keeps it broadcastable in practice.
-    n_edge_rows = oriented.count()  # cached — a metadata-cheap action
+    n_edge_rows = oriented.count()  # checkpointed — a cache-scan count
     if n_edge_rows <= 5_000_000:
         closing = F.broadcast(closing)
     triangles = wedges.join(closing, ["b", "c"])
     nodes = edges.select(F.col("src").alias("n")).unionAll(
         edges.select(F.col("dst").alias("n"))
     )
-    result = (
+    return (
         nodes.agg(F.countDistinct("n").alias("n_nodes"))
         .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
         .crossJoin(F.broadcast(triangles.agg(F.count("*").alias("n_triangles"))))
     )
-    # single-row result: materialize eagerly so the edge/orientation
-    # caches (used by the wedge legs + counts) can be released before
-    # returning
-    result = result.persist()
-    result.count()
-    edges.unpersist()
-    oriented.unpersist()
-    return result

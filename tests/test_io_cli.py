@@ -155,3 +155,11 @@ def test_claim_run_dir_rejects_uri_schemes(tmp_path):
     a = _claim_run_dir(str(tmp_path))
     b = _claim_run_dir(str(tmp_path))
     assert a != b and os.path.isdir(a) and os.path.isdir(b)
+
+
+def test_cli_plan_subcommand():
+    r = _cli("plan", "group_sum")
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "exchanges:" in r.stdout and "python_evals: 0" in r.stdout
+    bad = _cli("plan", "no_such_query")
+    assert bad.returncode != 0
