@@ -162,9 +162,15 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
     spark = get_session("dumbo_spark_compact")
     sort_by = args.sort_by.split(",") if args.sort_by else None
+    zorder = None
+    if args.zorder:
+        cols = args.zorder.split(",")
+        if len(cols) != 2:
+            raise SystemExit("--zorder takes exactly two comma-separated columns")
+        zorder = (cols[0], cols[1])
     n = textio.compact_parquet(
         spark, args.src, args.dst, target_file_mb=args.target_mb,
-        sort_within_by=sort_by,
+        sort_within_by=sort_by, zorder_by=zorder,
     )
     print(f"compacted {args.src} -> {args.dst} ({n} files)")
     return 0
@@ -254,6 +260,10 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--sort-by", default=None,
                     help="comma-separated columns to sortWithinPartitions "
                          "(tightens parquet min/max stats)")
+    cp.add_argument("--zorder", default=None,
+                    help="TWO comma-separated columns: cluster files along "
+                         "their Morton curve so predicates on either column "
+                         "prune files (OPTIMIZE ZORDER)")
     cp.set_defaults(fn=cmd_compact)
 
     pl = sub.add_parser("plan", help="physical-plan audit for a registered query")

@@ -111,6 +111,7 @@ def compact_parquet(
     dst: str,
     target_file_mb: int = 128,
     sort_within_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into files of
     ~``target_file_mb`` each. Returns the output file count.
@@ -130,6 +131,14 @@ def compact_parquet(
     parquet min/max column statistics (better row-group pruning for
     readers filtering on those columns); it's sortWithinPartitions, so
     no global shuffle is added.
+
+    ``zorder_by=(c1, c2)`` instead clusters files along the Morton
+    curve of TWO columns (functions/zorder.py — the OPTIMIZE ZORDER
+    idea): rows are range-partitioned AND sorted by the interleaved
+    z-value, so every output file carries a tight min/max range on
+    BOTH columns and predicates on either one prune files. This adds
+    one range shuffle — the price of re-clustering, paid once at
+    write time.
     """
     # Guard: write.mode("overwrite") deletes dst before the lazily
     # planned read of src runs, so dst == src (or dst inside src) would
@@ -156,9 +165,23 @@ def compact_parquet(
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(src).repartition(n_files)
-    if sort_within_by:
-        df = df.sortWithinPartitions(*sort_within_by)
+    df = spark.read.parquet(src)
+    if zorder_by is not None:
+        from pyspark.sql import functions as F
+
+        from dumbo_spark.functions.zorder import with_zvalue
+
+        c1, c2 = zorder_by
+        df = (
+            with_zvalue(df, c1, c2)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.repartition(n_files)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
     df.write.mode("overwrite").parquet(dst)
     return len([f for f in spark.read.parquet(dst).inputFiles()])
 

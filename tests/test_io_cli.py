@@ -163,3 +163,59 @@ def test_cli_plan_subcommand():
     assert "exchanges:" in r.stdout and "python_evals: 0" in r.stdout
     bad = _cli("plan", "no_such_query")
     assert bad.returncode != 0
+
+
+def test_zorder_interleave_bits(spark):
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.functions.zorder import _interleave
+
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    z = df.select(_interleave(F.col("x"), F.col("y")).alias("z")).collect()[0]["z"]
+    # x=0b101 at even bits, y=0b011 at odd bits -> 0b011011 = 27
+    assert z == 27
+
+
+def test_compact_zorder_clusters_both_columns(spark):
+    """After z-order compaction every output file must carry a TIGHT
+    min/max range on BOTH columns (the pruning property single-column
+    sort can't give); content must be unchanged."""
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+    n = 500_000
+    df = (
+        spark.range(n)
+        .selectExpr("id", "id % 200 AS a", "CAST(hash(id) % 200 + 200 AS LONG) AS b")
+    )
+    df.repartition(16).write.parquet(src)  # a and b scattered across all files
+    out_files = textio.compact_parquet(
+        spark, src, dst, target_file_mb=1, zorder_by=("a", "b")
+    )
+    assert out_files >= 4, "need multiple files for the clustering claim"
+    got = spark.read.parquet(dst)
+    assert got.count() == n
+    assert got.agg({"id": "sum"}).collect()[0][0] == n * (n - 1) // 2
+    assert "_z" not in got.columns
+    spans = {"a": [], "b": []}
+    for f in sorted(os.listdir(dst)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(dst, f)).metadata
+        lo = {"a": None, "b": None}
+        hi = {"a": None, "b": None}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in spans and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        for c in ("a", "b"):
+            spans[c].append(hi[c] - lo[c])
+    # both dimensions' average per-file span well under the global span
+    for c, global_span in (("a", 199), ("b", 399)):
+        avg = sum(spans[c]) / len(spans[c])
+        assert avg < 0.8 * global_span, (c, spans[c])
