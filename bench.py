@@ -110,6 +110,8 @@ HEADLINE = [
     "copresence_sessions",
     "cumulative_new_users",
     "hll_partitioned_counts",
+    "customer_rfm",
+    "conversion_lag_histogram",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -559,3 +559,52 @@ def waiting_suppliers(
         .join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+def customer_rfm(orders: DataFrame) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-value rollup: per-customer aggregates, median split on
+    each axis, eight cells collapsed to six named segments.
+
+    Scale shape: one partial-agg groupBy(custkey); the as-of date and
+    the three median boundaries are 1-row broadcast aggregates
+    cross-joined back (no driver action, no global window) — median
+    splits are computed over per-CUSTOMER rows, already 3 orders of
+    magnitude smaller than the fact table. Deliberately thresholds,
+    not NTILE: a quantile boundary compare is a scan predicate and
+    scales; a global rank does not.
+    """
+    per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    asof = per.agg(F.max("_last").alias("_asof"))
+    withr = (
+        per.crossJoin(F.broadcast(asof))
+        .withColumn("recency_days", F.datediff(F.col("_asof"), F.col("_last")))
+        .drop("_last", "_asof")
+    )
+    bounds = withr.agg(
+        F.percentile("recency_days", F.lit(0.5)).alias("_r50"),
+        F.percentile("frequency", F.lit(0.5)).alias("_f50"),
+        F.percentile("monetary", F.lit(0.5)).alias("_m50"),
+    )
+    scored = withr.crossJoin(F.broadcast(bounds)).withColumns(
+        {
+            "_r": F.col("recency_days") <= F.col("_r50"),
+            "_f": F.col("frequency") >= F.col("_f50"),
+            "_m": F.col("monetary") >= F.col("_m50"),
+        }
+    )
+    segment = (
+        F.when(F.col("_r") & F.col("_f") & F.col("_m"), "champion")
+        .when(F.col("_r") & F.col("_f"), "loyal")
+        .when(F.col("_r") & F.col("_m"), "big_spender")
+        .when(F.col("_r"), "promising")
+        .when(F.col("_f") | F.col("_m"), "at_risk")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "c_custkey", "recency_days", "frequency", "monetary", segment.alias("segment")
+    )

@@ -354,3 +354,26 @@ def cumulative_new_users(events: DataFrame) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+def conversion_lag_histogram(events: DataFrame) -> DataFrame:
+    """View→purchase conversion-lag distribution: per user, days
+    between first view and first subsequent purchase, bucketed by day
+    — the time-to-convert histogram behind :func:`conversion_funnel`'s
+    stage counts.
+
+    One conditional-min partial agg per user, then a tiny per-bucket
+    count; integer-µs day arithmetic keeps bucket edges exact.
+    """
+    us = F.unix_micros("ts")
+    per = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("_v"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("_p"),
+    )
+    converted = per.where(
+        F.col("_v").isNotNull() & F.col("_p").isNotNull() & (F.col("_p") >= F.col("_v"))
+    )
+    lag_days = F.floor((F.col("_p") - F.col("_v")) / F.lit(86_400_000_000))
+    return converted.groupBy(lag_days.alias("lag_days")).agg(
+        F.count("*").alias("n_users")
+    )

@@ -885,6 +885,64 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cumulative_new_users(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "customer_rfm",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    anchor AS (SELECT MAX(last_order) AS a FROM per),
+    withr AS (
+      SELECT c_custkey,
+             CAST(date_diff('day', last_order, a) AS INTEGER) AS recency_days,
+             frequency, monetary
+      FROM per CROSS JOIN anchor),
+    b AS (SELECT quantile_cont(recency_days, 0.5) AS r50,
+                 quantile_cont(frequency, 0.5) AS f50,
+                 quantile_cont(monetary, 0.5) AS m50 FROM withr)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= r50 AND frequency >= f50 AND monetary >= m50
+                  THEN 'champion'
+                WHEN recency_days <= r50 AND frequency >= f50 THEN 'loyal'
+                WHEN recency_days <= r50 AND monetary >= m50 THEN 'big_spender'
+                WHEN recency_days <= r50 THEN 'promising'
+                WHEN frequency >= f50 OR monetary >= m50 THEN 'at_risk'
+                ELSE 'hibernating' END AS segment
+    FROM withr CROSS JOIN b
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (analytics.customer_rfm): per-customer partial
+    agg + broadcast as-of/median boundaries — threshold compares, not
+    global ranks, so the plan is scan-shaped at any customer count."""
+    return analytics.customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "conversion_lag_histogram",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+      FROM events GROUP BY user_id)
+    SELECT CAST(floor((p - v) / 86400000000.0) AS BIGINT) AS lag_days,
+           COUNT(*) AS n_users
+    FROM per WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+    GROUP BY lag_days
+    """,
+)
+def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (events.conversion_lag_histogram):
+    conditional-min partial agg per user + per-bucket count."""
+    return events.conversion_lag_histogram(load_table(spark, sf_dir, "events"))
+
+
 @register("hll_partitioned_counts")  # rows-only: sketch estimate is engine-specific
 def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch rollup (agg.hll_partitioned_counts):
@@ -2856,6 +2914,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cumulative_new_users",
     "hll_partitioned_counts",
     "streaming_transitions",
+    "customer_rfm",
+    "conversion_lag_histogram",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

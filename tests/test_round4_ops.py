@@ -233,3 +233,26 @@ def test_hll_rollup_within_error_bound(spark, sf_dir):
     # determinism: sketch merge is commutative, repartitioning is a no-op
     again = {r["event_type"]: r["approx_users"] for r in hll_partitioned_counts(ev.repartition(17)).collect()}
     assert again == approx
+
+
+def test_customer_rfm_segments(spark):
+    from datetime import datetime as d
+
+    orders = spark.createDataFrame(
+        # champion: recent + frequent + big; hibernating: old + once + small
+        [
+            (1, 100, d(2024, 6, 1), 500.0), (2, 100, d(2024, 6, 10), 500.0),
+            (3, 100, d(2024, 6, 20), 500.0),
+            (4, 200, d(2023, 1, 1), 10.0),
+            (5, 300, d(2024, 6, 15), 20.0), (6, 300, d(2024, 6, 18), 20.0),
+            (7, 400, d(2023, 2, 1), 900.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    from dumbo_spark.operators.analytics import customer_rfm
+
+    got = {r["c_custkey"]: r["segment"] for r in customer_rfm(orders).collect()}
+    assert got[100] == "champion"
+    assert got[200] == "hibernating"
+    assert got[300] in ("loyal", "champion")   # recent + frequent, low spend
+    assert got[400] == "at_risk"               # old but high monetary
