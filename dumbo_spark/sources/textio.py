@@ -75,6 +75,21 @@ def write_parquet(df: DataFrame, path: str, compression: str = "snappy") -> None
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet across SCHEMA-EVOLVED snapshots: columns added over
+    time union into one schema, old files surface the new columns as
+    NULL (``mergeSchema`` — off by default in Spark because footer
+    merging costs a pass over file metadata, which is exactly the
+    price a 100 TB ingest with drifting producers has to pay once at
+    read-planning time rather than re-writing history).
+
+    Only ADDITIVE evolution is supported (Spark raises on incompatible
+    type changes for the same column name) — the contract a
+    append-only data lake keeps anyway.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_by: list[str], compression: str = "snappy"
 ) -> None:

@@ -219,3 +219,18 @@ def test_compact_zorder_clusters_both_columns(spark):
     for c, global_span in (("a", 199), ("b", 399)):
         avg = sum(spans[c]) / len(spans[c])
         assert avg < 0.8 * global_span, (c, spans[c])
+
+
+def test_read_parquet_evolving_merges_added_columns(spark):
+    """Additive schema drift across snapshots reads as one unioned
+    schema with NULLs for pre-drift files."""
+    d = tempfile.mkdtemp()
+    v1, v2 = os.path.join(d, "v1"), os.path.join(d, "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    ).write.parquet(v2)
+    got = textio.read_parquet_evolving(spark, v1, v2)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 3.5
