@@ -112,6 +112,8 @@ HEADLINE = [
     "hll_partitioned_counts",
     "customer_rfm",
     "conversion_lag_histogram",
+    "degree_histogram",
+    "copurchase_kcore",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

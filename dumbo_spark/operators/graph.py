@@ -36,38 +36,15 @@ def copurchase_triangles(
     triangle counts — the clustering-structure summary of a
     co-occurrence graph.
     """
-    po = lineitem.select("l_orderkey", "l_partkey").distinct()
-    ok_orders = (
-        po.groupBy("l_orderkey")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") <= max_basket)
-        .select("l_orderkey")
-    )
-    po = po.join(ok_orders, "l_orderkey")
-    a, b = po.alias("a"), po.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= min_cooccur)
-        .select("src", "dst")
-        # localCheckpoint truncates lineage, not just caches it: the
-        # edge subtree feeds FIVE downstream branches (degree, both
-        # wedge legs, closing set, node/edge counts), and with plain
-        # persist Catalyst re-embeds and re-optimizes the whole
-        # edge-construction subplan per branch — the plan string grows
-        # combinatorially (~800 phantom exchanges in the audit) even
-        # though the cache dedupes execution. Checkpointing makes each
-        # branch read a flat cached scan (same pattern as the iterative
-        # CC in operators/dedup.py).
-        .localCheckpoint()
-    )
+    # localCheckpoint truncates lineage, not just caches it: the edge
+    # subtree feeds FIVE downstream branches (degree, both wedge legs,
+    # closing set, node/edge counts), and with plain persist Catalyst
+    # re-embeds and re-optimizes the whole edge-construction subplan
+    # per branch — the plan string grows combinatorially (~800 phantom
+    # exchanges in the audit) even though the cache dedupes execution.
+    # Checkpointing makes each branch read a flat cached scan (same
+    # pattern as the iterative CC in operators/dedup.py).
+    edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
     # Degree-ordered enumeration (Chiba–Nishizeki / the MapReduce
     # triangle-counting standard): re-orient every edge from its
     # lower-(degree, id) endpoint to its higher one. Orientation by the
@@ -145,4 +122,94 @@ def copurchase_triangles(
         nodes.agg(F.countDistinct("n").alias("n_nodes"))
         .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
         .crossJoin(F.broadcast(triangles.agg(F.count("*").alias("n_triangles"))))
+    )
+
+
+def _copurchase_edges(
+    lineitem: DataFrame, min_cooccur: int = 2, max_basket: int = 20
+) -> DataFrame:
+    """Support-thresholded co-purchase edge list (src < dst), the
+    shared front half of the graph operators here."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ok_orders = (
+        po.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_basket)
+        .select("l_orderkey")
+    )
+    po = po.join(ok_orders, "l_orderkey")
+    a, b = po.alias("a"), po.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= min_cooccur)
+        .select("src", "dst")
+    )
+
+
+def degree_histogram(lineitem: DataFrame) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many nodes
+    have each degree — the first diagnostic you run before choosing a
+    graph algorithm's partitioning (uniform vs power-law decides
+    whether degree-ordering/salting matters). Two partial aggs over
+    the edge list."""
+    e = _copurchase_edges(lineitem)
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def kcore_nodes(
+    lineitem: DataFrame,
+    k: int = 3,
+    max_iter: int = 30,
+    min_cooccur: int = 2,
+    max_basket: int = 20,
+) -> DataFrame:
+    """k-core decomposition (membership): iteratively peel nodes of
+    degree < k until a fixpoint; return the surviving nodes with their
+    in-core degree — the standard cohesive-subgraph extraction
+    (Seidman 1983), complementing connected components and PageRank in
+    the iterative family.
+
+    Scale shape per round: one degree partial-agg + two broadcastable
+    anti-joins against the (shrinking) weak-node set; lineage is
+    truncated each round via localCheckpoint exactly like the iterative
+    CC (operators/dedup.py) so the plan never grows with iteration
+    count. Convergence is monotone (node set only shrinks), ≤ max_iter
+    rounds.
+    """
+    edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
+    for _ in range(max_iter):
+        deg = (
+            edges.select(F.col("src").alias("v"))
+            .unionAll(edges.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("degree"))
+        )
+        weak = deg.where(F.col("degree") < k).select("v")
+        if weak.isEmpty():
+            break
+        edges = (
+            edges.join(weak.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(weak.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("src").alias("l_partkey"))
+        .unionAll(edges.select(F.col("dst").alias("l_partkey")))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("core_degree"))
     )

@@ -2386,6 +2386,41 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "degree_histogram",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
+           HAVING COUNT(*) <= 20),
+    p2 AS (SELECT po.l_orderkey, po.l_partkey
+           FROM po JOIN ok USING (l_orderkey)),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM p2 a JOIN p2 b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+    deg AS (SELECT v, COUNT(*) AS degree
+            FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY v)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase degree distribution (graph.degree_histogram): the
+    uniform-vs-power-law diagnostic that picks graph partitioning
+    strategy; two partial aggs over the edge list."""
+    return graph.degree_histogram(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("copurchase_kcore")  # rows-only: iterative peeling fixpoint
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (graph.kcore_nodes, k=3): iterative
+    degree-peel to a fixpoint with per-round lineage truncation —
+    the third iterative-graph operator alongside connected components
+    and PageRank; fixpoint pinned on hand graphs in
+    tests/test_round4_ops.py."""
+    return graph.kcore_nodes(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "posting_lists",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
@@ -2916,6 +2951,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_transitions",
     "customer_rfm",
     "conversion_lag_histogram",
+    "degree_histogram",
+    "copurchase_kcore",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

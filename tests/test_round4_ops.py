@@ -256,3 +256,28 @@ def test_customer_rfm_segments(spark):
     assert got[200] == "hibernating"
     assert got[300] in ("loyal", "champion")   # recent + frequent, low spend
     assert got[400] == "at_risk"               # old but high monetary
+
+
+def test_kcore_hand_graph(spark):
+    """K4 plus a pendant chain: the 3-core is exactly the K4; pendant
+    and bridge nodes peel."""
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    chain = [(4, 5), (5, 6)]
+    # encode each edge as a 2-line "order" so the co-purchase front end
+    # reconstructs exactly this graph (support 1, so min_cooccur=1)
+    rows = []
+    for i, (a, b) in enumerate(k4 + chain):
+        rows += [(i, a), (i, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from dumbo_spark.operators import graph as g
+
+    edges = g._copurchase_edges(li, min_cooccur=1, max_basket=20)
+    assert edges.count() == len(k4 + chain)
+    out = {
+        r["l_partkey"]: r["core_degree"]
+        for r in g.kcore_nodes(li, k=3, min_cooccur=1).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert all(v == 3 for v in out.values())
+    # the whole graph is its own 1-core
+    assert g.kcore_nodes(li, k=1, min_cooccur=1).count() == 6
