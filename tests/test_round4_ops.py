@@ -281,3 +281,27 @@ def test_kcore_hand_graph(spark):
     assert all(v == 3 for v in out.values())
     # the whole graph is its own 1-core
     assert g.kcore_nodes(li, k=1, min_cooccur=1).count() == 6
+
+
+# canonical 1x1 transparent PNG (public-domain byte constant)
+_PNG_1X1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c4"
+    "890000000d4944415478da63fac80000030001"
+    "24ab7bdb0000000049454e44ae426082"
+)
+
+
+def test_decode_image_soft_dependency():
+    import importlib.util
+
+    from dumbo_spark.operators.multimodal import decode_image
+
+    # non-image payloads always take the deterministic fallback
+    w, h = decode_image(b"definitely not an image")
+    assert 64 <= w < 256 and 64 <= h < 256
+    assert decode_image(b"definitely not an image") == (w, h)
+    if importlib.util.find_spec("PIL"):
+        assert decode_image(_PNG_1X1) == (1, 1)
+    else:
+        # codec-less container: even a real PNG falls back, deterministically
+        assert decode_image(_PNG_1X1) == decode_image(_PNG_1X1)
