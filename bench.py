@@ -114,6 +114,7 @@ HEADLINE = [
     "conversion_lag_histogram",
     "degree_histogram",
     "copurchase_kcore",
+    "containment_join",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -739,3 +739,79 @@ def near_match_values(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def containment_join(
+    documents: DataFrame, n: int = 3, threshold_pct: int = 60
+) -> DataFrame:
+    """ASYMMETRIC containment self-join: pairs (a, b) where at least
+    ``threshold_pct`` % of a's n-gram set appears in b — excerpt /
+    quotation / inclusion detection, the dedup-family member symmetric
+    Jaccard cannot express (a 100-word quote inside a 10k-word doc has
+    tiny Jaccard but full containment).
+
+    Lossless prefix filter, containment form: if |G_a ∩ G_b| ≥ t·|G_a|
+    then a can miss at most ⌊(1−t)·|G_a|⌋ of its own grams, so its
+    first ⌊(1−t)·|G_a|⌋+1 grams in a fixed global order must hit G_b.
+    Candidates therefore join a's PREFIX against b's FULL gram postings
+    (the right side cannot be prefix-pruned in the asymmetric case).
+    The global order is ascending document frequency (rarest first), so
+    prefix grams are precisely the rare ones and the candidate volume
+    Σ_{g∈prefix} df(g) stays small — the same inverted-index shape as
+    :func:`~dumbo_spark.operators.textstats.posting_lists`. Exact
+    verification intersects the full gram sets JVM-side.
+    """
+    num, den = threshold_pct, 100
+    g = (
+        documents.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.array_distinct(ngrams(F.col("_toks"), n)).alias("_grams"))
+        .withColumn("_n", F.size("_grams"))
+        .where(F.col("_n") > 0)
+        .persist()
+    )
+    gram_df = (
+        g.select(F.explode("_grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+    )
+    exploded = g.select("doc_id", "_n", F.explode("_grams").alias("gram"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix_len = F.floor((F.lit(den - num) * F.col("_n")) / den) + 1
+    left_prefix = (
+        exploded.join(gram_df, "gram")
+        .withColumn("_pos", F.row_number().over(w))
+        .where(F.col("_pos") <= prefix_len)
+        .select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"), "gram")
+    )
+    right_all = exploded.select(F.col("doc_id").alias("doc_b"), "gram")
+    cand = (
+        left_prefix.join(right_all, "gram")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            g.select(F.col("doc_id").alias("doc_a"), F.col("_grams").alias("_ga"),
+                     F.col("_n").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            g.select(F.col("doc_id").alias("doc_b"), F.col("_grams").alias("_gb")),
+            "doc_b",
+        )
+        .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
+        .where(F.lit(den) * F.col("_c") >= F.lit(num) * F.col("_na"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_c").cast("double") / F.col("_na"), 6).alias("containment"),
+        )
+    )
+    # same cache-release pattern as fuzzy_join_jaccard: the gram table
+    # feeds four branches; materialize the (matched pairs only) result
+    # eagerly and drop the corpus-sized cache
+    result = verified.persist()
+    result.count()
+    g.unpersist()
+    return result

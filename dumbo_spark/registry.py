@@ -2386,6 +2386,34 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_join",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END) AS grams
+      FROM toks),
+    gg AS (SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / a.n, 6)
+             AS containment
+    FROM gg a JOIN gg b ON a.doc_id <> b.doc_id
+    WHERE 100 * len(list_intersect(a.grams, b.grams)) >= 60 * a.n
+    """,
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment self-join (dedup.containment_join):
+    excerpt/quotation detection — lossless containment-form prefix
+    filter (rarest-first global gram order) joined against the full
+    gram postings, exact intersect verify; the brute-force oracle
+    states the semantics."""
+    return dedup.containment_join(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "degree_histogram",
     oracle="""
     WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2953,6 +2981,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "conversion_lag_histogram",
     "degree_histogram",
     "copurchase_kcore",
+    "containment_join",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

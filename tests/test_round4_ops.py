@@ -305,3 +305,20 @@ def test_decode_image_soft_dependency():
     else:
         # codec-less container: even a real PNG falls back, deterministically
         assert decode_image(_PNG_1X1) == decode_image(_PNG_1X1)
+
+
+def test_containment_detects_excerpt(spark):
+    """A short quote inside a long doc: full containment one way,
+    tiny Jaccard — the asymmetric case the symmetric join misses."""
+    body = " ".join(f"w{i}" for i in range(120))
+    quote = " ".join(f"w{i}" for i in range(40, 52))  # 12-token excerpt
+    docs = spark.createDataFrame(
+        [(1, quote), (2, body), (3, "completely different text entirely here")],
+        "doc_id long, text string",
+    )
+    from dumbo_spark.operators.dedup import containment_join
+
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in containment_join(docs).collect()}
+    assert got[(1, 2)] == 1.0          # quote fully contained in body
+    assert (2, 1) not in got           # body NOT contained in quote
+    assert all(a != 3 and b != 3 for a, b in got)
