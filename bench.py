@@ -115,6 +115,7 @@ HEADLINE = [
     "degree_histogram",
     "copurchase_kcore",
     "containment_join",
+    "value_anomalies_mad",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

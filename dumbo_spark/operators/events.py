@@ -377,3 +377,42 @@ def conversion_lag_histogram(events: DataFrame) -> DataFrame:
     return converted.groupBy(lag_days.alias("lag_days")).agg(
         F.count("*").alias("n_users")
     )
+
+
+def value_anomalies_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
+    """ROBUST outlier screen per (user, event type): flag events whose
+    value deviates from the group median by more than ``k`` scaled
+    median-absolute-deviations (0.6745·|x−med|/MAD > k in the classic
+    formulation; we use the equivalent 1.4826·MAD normalizer). The
+    robust twin of :func:`value_anomalies`: mean/stddev are themselves
+    dragged by the outliers they are supposed to find, median/MAD are
+    not — this is the screen that still works when 5% of a feed is
+    garbage.
+
+    Same skew-safe shape as the z-score form, one extra round: two
+    partial-agg + join-back passes on (user_id, event_type) — medians
+    are per-group scalars, so the join-back sides stay tiny and no
+    window ever serializes a whole user's history into one task.
+    """
+    keys = ["user_id", "event_type"]
+    med = events.groupBy(*keys).agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    with_dev = events.join(med, keys).withColumn(
+        "_dev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = with_dev.groupBy(*keys).agg(
+        F.percentile("_dev", F.lit(0.5)).alias("_mad")
+    )
+    robust_z = F.col("_dev") / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        with_dev.join(mad, keys)
+        .where((F.col("_mad") > 0) & (robust_z > k))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.round(robust_z, 4).alias("robust_z"),
+        )
+    )

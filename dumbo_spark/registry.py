@@ -696,6 +696,32 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_anomalies_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY user_id, event_type),
+    dev AS (
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+             abs(e.value - med.m) AS d
+      FROM events e JOIN med USING (user_id, event_type)),
+    mad AS (
+      SELECT user_id, event_type, quantile_cont(d, 0.5) AS md
+      FROM dev GROUP BY user_id, event_type)
+    SELECT dev.event_id, dev.user_id, dev.event_type, dev.value,
+           ROUND(dev.d / (1.4826 * mad.md), 4) AS robust_z
+    FROM dev JOIN mad USING (user_id, event_type)
+    WHERE mad.md > 0 AND dev.d / (1.4826 * mad.md) > 3.5
+    """,
+)
+def q_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen (events.value_anomalies_mad) —
+    the heavy-contamination twin of value_anomalies; same join-back
+    shape, no windows, skew-safe."""
+    return events.value_anomalies_mad(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "user_streaks",
     oracle="""
     WITH active AS (
@@ -2982,6 +3008,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "degree_histogram",
     "copurchase_kcore",
     "containment_join",
+    "value_anomalies_mad",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

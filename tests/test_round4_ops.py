@@ -322,3 +322,18 @@ def test_containment_detects_excerpt(spark):
     assert got[(1, 2)] == 1.0          # quote fully contained in body
     assert (2, 1) not in got           # body NOT contained in quote
     assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_mad_anomalies_robust_to_contamination(spark):
+    """A group whose tail is heavily contaminated: the z-score screen's
+    own stddev is dragged by the outliers, the MAD screen's median is
+    not — 1000.0 must be flagged with a large robust z."""
+    d = datetime
+    rows = [(i, d(2024, 1, 1, i % 23), 1, "m", 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows.append((99, d(2024, 1, 2), 1, "m", 1000.0))
+    ev = _events(spark, rows)
+    from dumbo_spark.operators.events import value_anomalies_mad
+
+    got = value_anomalies_mad(ev).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["robust_z"] > 100
