@@ -346,3 +346,34 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
             l1.alias("q_l1"),
         )
     )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): embeddings whose cosine similarity
+    exceeds ``threshold`` are duplicates even when their surface text
+    shares nothing (paraphrases, translations, re-renderings), so the
+    near-dup PAIRS (:func:`embedding_near_dup`: LSH buckets + exact
+    verify, never all-pairs) are closed into clusters by the same
+    iterative connected components the text dedup uses, and each
+    cluster keeps its min-id member.
+
+    Returns one row per vector that belongs to a duplicate cluster:
+    (vec_id, cluster_id, is_keeper, cluster_size). Vectors absent from
+    the output touched no near-dup pair and are trivially kept — at
+    100 TB that is almost everything, which is why the output is the
+    exception list, not a full-corpus verdict column.
+    """
+    from dumbo_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        "cluster_size",
+    )

@@ -969,6 +969,18 @@ def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.conversion_lag_histogram(load_table(spark, sf_dir, "events"))
 
 
+@register("semantic_dedup")  # rows-only: LSH bucketing + float cosine
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    embedding near-dup pairs closed into clusters by iterative CC,
+    min-id keeper per cluster. The synthetic embeddings fixture
+    contains NO semantic duplicates (measured: max pairwise cosine
+    0.513 at sf0.01 — effectively random vectors), so the correct
+    output here is empty; the clustering semantics are pinned on
+    planted duplicates in tests/test_round4_ops.py."""
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("hll_partitioned_counts")  # rows-only: sketch estimate is engine-specific
 def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch rollup (agg.hll_partitioned_counts):
@@ -3009,6 +3021,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "copurchase_kcore",
     "containment_join",
     "value_anomalies_mad",
+    "semantic_dedup",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

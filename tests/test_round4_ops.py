@@ -337,3 +337,30 @@ def test_mad_anomalies_robust_to_contamination(spark):
     got = value_anomalies_mad(ev).collect()
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["robust_z"] > 100
+
+
+def test_semantic_dedup_clusters_planted_dups(spark):
+    """Three copies of one vector (one slightly perturbed), a pair of
+    another, and a loner: two clusters, min-id keepers, loner absent."""
+    import math
+
+    dim = 64  # the LSH plane family is built for the fixture dim
+    base1 = [math.sin(i * 0.7) for i in range(dim)]
+    base2 = [math.cos(i * 1.3) for i in range(dim)]
+    loner = [math.sin(i * 2.9 + 1.0) * (-1) ** i for i in range(dim)]
+    rows = [
+        (1, base1, 0),
+        (2, base1, 0),
+        (3, [v * 1.001 for v in base1], 0),  # same direction -> cos ~1
+        (10, base2, 1),
+        (11, base2, 1),
+        (99, loner, 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from dumbo_spark.operators.similarity import semantic_dedup
+
+    got = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}
+    assert got[1]["is_keeper"] and got[1]["cluster_size"] == 3
+    assert not got[2]["is_keeper"] and got[2]["cluster_id"] == 1
+    assert got[10]["is_keeper"] and got[10]["cluster_size"] == 2
