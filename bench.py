@@ -116,6 +116,7 @@ HEADLINE = [
     "copurchase_kcore",
     "containment_join",
     "value_anomalies_mad",
+    "value_drift_screen",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

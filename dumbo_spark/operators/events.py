@@ -416,3 +416,56 @@ def value_anomalies_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
             F.round(robust_z, 4).alias("robust_z"),
         )
     )
+
+
+def value_drift_screen(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Distribution-drift monitor: per event type, a bucketed
+    two-sample Kolmogorov–Smirnov statistic comparing the value
+    distribution BEFORE vs AFTER ``split_ts`` — the screen a feature
+    pipeline runs to catch upstream drift before a model does.
+
+    Exact KS needs a global order over values; the bucketed form
+    compares the two empirical CDFs at fixed bucket edges instead, so
+    the only window runs over the per-type HISTOGRAM (≤ a few hundred
+    rows per type regardless of event volume — the same
+    bounded-window-input argument as :func:`event_transitions`). All
+    counts are exact integers; the CDF division is the single
+    floating-point step, identical in both engines.
+    """
+    bucket = F.floor(dmoney("value") / F.lit(bucket_width).cast("decimal(18,2)")).cast(
+        "long"
+    )
+    tagged = events.select(
+        "event_type",
+        bucket.alias("bucket"),
+        F.when(F.col("ts") < F.lit(split_ts).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("_old"),
+    )
+    hist = tagged.groupBy("event_type", "bucket").agg(
+        F.sum("_old").alias("n_old"),
+        F.sum(1 - F.col("_old")).alias("n_new"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    cdf_gap = F.abs(
+        F.sum("n_old").over(w).cast("double") / F.sum("n_old").over(tot)
+        - F.sum("n_new").over(w).cast("double") / F.sum("n_new").over(tot)
+    )
+    gaps = hist.select(
+        "event_type",
+        F.sum("n_old").over(tot).alias("n_old_total"),
+        F.sum("n_new").over(tot).alias("n_new_total"),
+        cdf_gap.alias("_gap"),
+    )
+    return gaps.groupBy("event_type", "n_old_total", "n_new_total").agg(
+        F.round(F.max("_gap"), 6).alias("ks_stat")
+    )

@@ -696,6 +696,39 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_drift_screen",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DECIMAL(18,2)) / CAST(10.0 AS DECIMAL(18,2)))
+                  AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_new
+      FROM events GROUP BY event_type, bucket),
+    gaps AS (
+      SELECT event_type,
+             CAST(SUM(n_old) OVER t AS BIGINT) AS n_old_total,
+             CAST(SUM(n_new) OVER t AS BIGINT) AS n_new_total,
+             abs(CAST(SUM(n_old) OVER w AS DOUBLE) / SUM(n_old) OVER t
+                 - CAST(SUM(n_new) OVER w AS DOUBLE) / SUM(n_new) OVER t) AS g
+      FROM hist
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY event_type))
+    SELECT event_type, n_old_total, n_new_total,
+           ROUND(MAX(g), 6) AS ks_stat
+    FROM gaps GROUP BY event_type, n_old_total, n_new_total
+    """,
+)
+def q_value_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed two-sample KS drift monitor (events.value_drift_screen):
+    windows run over the per-type histogram, never the event stream."""
+    return events.value_drift_screen(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "value_anomalies_mad",
     oracle="""
     WITH med AS (
@@ -3022,6 +3055,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "containment_join",
     "value_anomalies_mad",
     "semantic_dedup",
+    "value_drift_screen",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",

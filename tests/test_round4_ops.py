@@ -364,3 +364,20 @@ def test_semantic_dedup_clusters_planted_dups(spark):
     assert got[1]["is_keeper"] and got[1]["cluster_size"] == 3
     assert not got[2]["is_keeper"] and got[2]["cluster_id"] == 1
     assert got[10]["is_keeper"] and got[10]["cluster_size"] == 2
+
+
+def test_drift_screen_detects_planted_shift(spark):
+    """Uniform values before the split, values shifted +100 after:
+    CDFs separate completely, KS -> 1; an undrifted type stays small."""
+    d = datetime
+    rows = []
+    for i in range(200):
+        rows.append((i, d(2024, 1, 10), 1, "drifted", float(i % 50)))
+        rows.append((1000 + i, d(2024, 1, 20), 1, "drifted", 100.0 + (i % 50)))
+        rows.append((2000 + i, d(2024, 1, 10 + (i % 2) * 10), 1, "stable", float(i % 50)))
+    ev = _events(spark, rows)
+    from dumbo_spark.operators.events import value_drift_screen
+
+    got = {r["event_type"]: r["ks_stat"] for r in value_drift_screen(ev).collect()}
+    assert got["drifted"] == 1.0
+    assert got["stable"] < 0.1
