@@ -411,3 +411,47 @@ def posting_lists(
             )
         )
     )
+
+
+def doc_perplexity(documents: DataFrame) -> DataFrame:
+    """Per-document cross-entropy (and perplexity) under an add-one-
+    smoothed corpus BIGRAM language model — the classic statistical
+    quality signal: documents whose word sequences are improbable
+    under the corpus's own statistics (boilerplate, shuffled text,
+    wrong language) score high and get filtered. A self-contained,
+    training-free stand-in for the model-based perplexity filters used
+    on LLM corpora.
+
+    H(doc) = −(1/N) Σ log₂ P(wᵢ | wᵢ₋₁),
+    P(w|v) = (c(v,w) + 1) / (c(v) + |V|)   (Laplace smoothing)
+
+    Shape: bigram/unigram corpus counts are partial-agg shuffles keyed
+    by gram; the per-doc stream joins the count tables on the gram key
+    (AQE broadcasts them when small — on a natural corpus the bigram
+    table is Zipf-bounded); the |V| normalizer is a broadcast 1-row
+    aggregate. All probabilities are ratios of exact integers, so both
+    engines evaluate log₂ over identical doubles; the per-doc sum is
+    rounded (4dp) like :func:`token_entropy`.
+    """
+    bi = documents.select(
+        "doc_id", tokens("text").alias("_t")
+    ).select("doc_id", F.explode(ngrams(F.col("_t"), 2)).alias("bigram"))
+    uni = documents.select(F.explode(tokens("text")).alias("tok"))
+    c2 = bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = uni.select(F.countDistinct("tok").alias("v"))
+    scored = (
+        bi.join(c2, "bigram")
+        .withColumn("_prev", F.split_part("bigram", F.lit(" "), F.lit(1)))
+        .join(c1.withColumnRenamed("tok", "_prev"), "_prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("v"))).alias("_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("_lp"), 4).alias("xent_bits"),
+        F.round(F.pow(F.lit(2.0), -F.avg("_lp")), 4).alias("ppl"),
+    )

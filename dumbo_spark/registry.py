@@ -2457,6 +2457,41 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END) AS bigram
+      FROM toks),
+    uni AS (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY bigram),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
+    s AS (
+      SELECT bi.doc_id,
+             log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
+      FROM bi
+      JOIN c2 USING (bigram)
+      JOIN c1 ON c1.tok = string_split(bi.bigram, ' ')[1]
+      CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(lp), 4) AS xent_bits,
+           ROUND(pow(2.0, -AVG(lp)), 4) AS ppl
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own add-one bigram LM
+    (textstats.doc_perplexity) — the training-free perplexity quality
+    filter; gram-keyed partial aggs + joins, broadcast |V|."""
+    return textstats.doc_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "containment_join",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
@@ -3056,6 +3091,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_anomalies_mad",
     "semantic_dedup",
     "value_drift_screen",
+    "doc_perplexity",
     # never driver-passed — both root-caused and fixed; need a green row
     "token_entropy",
     "group_collect",
