@@ -117,6 +117,8 @@ HEADLINE = [
     "containment_join",
     "value_anomalies_mad",
     "value_drift_screen",
+    "doc_perplexity",
+    "semantic_dedup",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
