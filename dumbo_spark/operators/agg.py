@@ -260,3 +260,41 @@ def hll_partitioned_counts(events: DataFrame) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
     )
+
+
+def winsorized_stats(lineitem: DataFrame) -> DataFrame:
+    """Winsorized (percentile-clipped) robust mean per group: clip
+    ``l_extendedprice`` to its group's [p05, p95] and average — the
+    outlier-resistant aggregate feature pipelines use where a plain
+    mean is hostage to a few extreme rows (absent in dumbo: exact
+    percentiles needed a dedicated secondary-sort job, lib/__init__.py
+    statsreducer only tracked min/max).
+
+    Determinism: the clip bounds are exact percentiles rounded to 2dp
+    and cast to DECIMAL(18,2), so clipping and the clipped sum are
+    exact decimal arithmetic — order-independent; only the final mean
+    division is floating point. Plan shape: one percentile pass per
+    group (tiny result, broadcast back) + one scan-aggregate pass —
+    two scans, no window, no skew hazard at 100 TB.
+    """
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.get(pcts, 0), 2).cast("decimal(18,2)").alias("_lo"),
+        F.round(F.get(pcts, 1), 2).cast("decimal(18,2)").alias("_hi"),
+    )
+    v = dmoney("l_extendedprice")
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        lineitem.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_lo").cast("double").alias("clip_lo"),
+            F.min("_hi").cast("double").alias("clip_hi"),
+            F.sum((v < F.col("_lo")).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > F.col("_hi")).cast("long")).alias("n_clipped_hi"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count("*").cast("double"), 4
+            ).alias("winsor_mean"),
+        )
+    )

@@ -815,3 +815,67 @@ def containment_join(
     result.count()
     g.unpersist()
     return result
+
+
+def canonical_per_cluster(documents: DataFrame) -> DataFrame:
+    """Canonical-document selection over exact-Jaccard duplicate
+    clusters: for every multi-member cluster, keep the longest document
+    (``n_chars`` DESC, ``doc_id`` ASC tie-break) and report what was
+    dropped — the pipeline step AFTER clustering that actually decides
+    which bytes survive into a training corpus.
+
+    Composition: :func:`jaccard_ngram_pairs` (exact pair set) →
+    :func:`connected_components` (cluster labels) → one small window
+    over clusters for the arg-max. The window partitions by cluster_id,
+    whose groups are near-dup cliques (tiny by construction), so the
+    rank never sees a skewed partition; everything upstream inherits
+    the PPJoin/CC scale arguments.
+    """
+    pairs = jaccard_ngram_pairs(documents).select("doc_a", "doc_b")
+    clusters = connected_components(pairs)  # (doc_id, cluster_id)
+    members = clusters.join(
+        documents.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = members.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("_rk") == 1, F.col("doc_id"))).alias("canonical_doc"),
+            F.min(F.when(F.col("_rk") == 1, F.col("n_chars"))).alias("canonical_chars"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Incremental ingest dedup: admit only the documents of a NEW
+    batch whose normalized content is (a) not already in the existing
+    corpus and (b) not a duplicate within the batch itself (first
+    doc_id wins) — the daily-ingest pattern where 100 TB of history is
+    NEVER rescanned; only its (hash → keep) fingerprint table, a few
+    bytes per document, joins against the new partition.
+
+    Plan: batch-side hash + min(doc_id) partial agg, then a left-anti
+    equi-join on 16-byte md5 keys against the corpus fingerprints.
+    Both sides shuffle on the hash only; at scale the fingerprint table
+    is the materialized output of yesterday's run (append-only), so
+    the marginal cost is O(|batch|), not O(|corpus|).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\W+", " "))
+    fingerprint = lambda df: df.select(
+        F.md5(norm.cast("binary")).alias("norm_hash"), "doc_id"
+    )
+    batch_first = (
+        fingerprint(batch)
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("admit_id"), F.count("*").alias("n_in_batch"))
+    )
+    corpus_hashes = fingerprint(corpus).select("norm_hash").distinct()
+    return batch_first.join(corpus_hashes, "norm_hash", "left_anti")

@@ -469,3 +469,105 @@ def value_drift_screen(
     return gaps.groupBy("event_type", "n_old_total", "n_new_total").agg(
         F.round(F.max("_gap"), 6).alias("ks_stat")
     )
+
+
+def timeseries_gapfill(events: DataFrame) -> DataFrame:
+    """Resample each user's ``value`` gauge to a regular DAILY grid with
+    LOCF forward-fill — the classic time-series regularization step
+    (pandas ``resample().ffill()``, TimescaleDB ``time_bucket_gapfill``)
+    that dumbo had no window/sequence machinery to express.
+
+    Per user: the daily observation is the LAST event of the day
+    (ordered by ts, event_id — deterministic under ties); the grid spans
+    the user's own first..last active day via ``sequence()`` + explode;
+    missing days inherit the previous observed value through
+    ``last(ignorenulls=True)`` over a user-partitioned window.
+
+    Scale notes: every stage keys on user_id — the groupBy for the
+    span, the join of grid onto observations, and the fill window all
+    co-partition, so one shuffle's partitioning serves all three (no
+    global order anywhere). Grid fan-out is bounded by span-days per
+    user, independent of event volume. Values are passed through
+    untouched (no float arithmetic), so results are hash-exact.
+    """
+    day = F.to_date("ts")
+    w_last = Window.partitionBy("user_id", "_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        events.select("user_id", "ts", "event_id", "value", day.alias("_day"))
+        .withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "_day", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("_day").alias("_d0"), F.max("_day").alias("_d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias("_day"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "_day"], "left")
+        .select(
+            "user_id",
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def group_regression(events: DataFrame) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend of ``value`` against
+    time (x = day number): slope, intercept, and r² — the drift line a
+    monitoring pipeline fits per metric.
+
+    Determinism (the reason this is NOT ``regr_slope``): slope/r² are
+    ratios of co-moment sums, and summing doubles is shuffle-order
+    dependent. Here every sum is exact — x is an integer day number
+    (Sx, Sxx are BIGINTs), y goes through DECIMAL(18,2) (Sy, Sxy, Syy
+    are exact decimals) — so both engines reduce identical exact sums
+    and only the final closed-form division runs in floating point,
+    identically. One partial-agg shuffle on a 5-value key; scales as a
+    pure scan-aggregate.
+    """
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    v = dmoney("value")
+    pre = events.select(
+        "event_type",
+        x.alias("_x"),
+        v.alias("_v"),
+        (v * v).alias("_v2"),
+        (v * x.cast("decimal(18,0)")).alias("_xv"),
+    )
+    sums = pre.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x").cast("long") * F.col("_x")).alias("_sxx"),
+        F.sum("_v").alias("_sy"),
+        F.sum("_xv").alias("_sxy"),
+        F.sum("_v2").alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² × covariance
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        "event_type",
+        F.col("_n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )

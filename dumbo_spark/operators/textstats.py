@@ -24,7 +24,7 @@ pipelined with the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from dumbo_spark.functions.text import ngrams, tokens
 
@@ -454,4 +454,37 @@ def doc_perplexity(documents: DataFrame) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(-F.avg("_lp"), 4).alias("xent_bits"),
         F.round(F.pow(F.lit(2.0), -F.avg("_lp")), 4).alias("ppl"),
+    )
+
+
+def vocab_growth(documents: DataFrame, bucket_size: int = 1) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: new distinct tokens and
+    cumulative vocabulary size per bucket of ``bucket_size`` documents
+    (in doc_id order) — the corpus-scaling diagnostic (how fast does
+    vocabulary grow as the corpus grows?) that sizes tokenizers and
+    detects boilerplate-heavy crawls (a too-flat curve).
+
+    Plan shape: token first-occurrence is a partial-agg
+    ``groupBy(token).min(doc_id)`` — the heavy stage, keyed on token,
+    map-side combined. The cumulative sum then windows over BUCKETS
+    with at least one first occurrence — bounded by VOCABULARY size,
+    not corpus size (Heaps' law: ~millions of rows at 100 TB; raise
+    ``bucket_size`` to taste to bound it further) — the same
+    bounded-window argument as event_transitions. Exact integers
+    throughout. The fixture default of 1 doc/bucket maximizes curve
+    resolution on the tiny synthetic vocabulary.
+    """
+    first_seen = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("_first_doc"))
+    )
+    per_bucket = first_seen.groupBy(
+        F.floor(F.col("_first_doc") / bucket_size).alias("bucket")
+    ).agg(F.count("*").alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("cum_vocab"),
     )

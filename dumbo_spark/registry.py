@@ -341,6 +341,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS tok
+      FROM documents),
+    first_seen AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    per_bucket AS (
+      SELECT CAST(floor(first_doc / 1) AS BIGINT) AS bucket,
+             COUNT(*) AS new_tokens
+      FROM first_seen GROUP BY 1)
+    SELECT bucket, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM per_bucket
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per doc-bucket
+    (textstats.vocab_growth): first-occurrence partial agg keyed on
+    token; the cumulative window runs over buckets only."""
+    return textstats.vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
 # ═══ M2: shape ops (mapper idioms P1/P5/P14/P9) ═════════════════════════
 
 
@@ -1023,6 +1049,121 @@ def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hll_partitioned_counts(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             CAST(ROUND(quantile_cont(l_extendedprice, 0.05), 2)
+                  AS DECIMAL(18,2)) AS lo,
+             CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 2)
+                  AS DECIMAL(18,2)) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(MIN(b.lo) AS DOUBLE) AS clip_lo,
+           CAST(MIN(b.hi) AS DOUBLE) AS clip_hi,
+           CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(18,2)) < b.lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(18,2)) > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           ROUND(CAST(SUM(LEAST(GREATEST(
+                   CAST(l.l_extendedprice AS DECIMAL(18,2)), b.lo), b.hi))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS winsor_mean
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-clipped robust mean per group (agg.winsorized_stats):
+    2dp-decimal clip bounds make the clipped sum exact; percentile pass
+    broadcasts back onto a scan-aggregate."""
+    return agg.winsorized_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               value,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span)
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           last_value(d.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           d.value IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily LOCF resample per user (events.timeseries_gapfill) —
+    values pass through with no arithmetic, so the fill is hash-exact;
+    grid + fill co-partition on user_id."""
+    return events.timeseries_gapfill(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "group_regression",
+    oracle="""
+    WITH pre AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS x,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(x AS BIGINT) * x) AS sxx,
+             SUM(v) AS sy,
+             SUM(v * CAST(x AS DECIMAL(18,0))) AS sxy,
+             SUM(v * v) AS syy
+      FROM pre GROUP BY event_type)
+    SELECT event_type,
+           n AS n_points,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM sums
+    """,
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS value-vs-day trend (events.group_regression):
+    exact integer/decimal co-moment sums, closed-form double finish —
+    deterministic regr_slope/intercept/r2."""
+    return events.group_regression(load_table(spark, sf_dir, "events"))
+
+
 # ═══ M5: dedup (north star §2.5) ════════════════════════════════════════
 
 
@@ -1181,6 +1322,86 @@ def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).select("doc_a", "doc_b")
     return dedup.connected_components(edges)
+
+
+@register(
+    "dedup_canonical",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE 100 * c >= 60 * (sa.n + sb.n - c)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
+    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+           MIN(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per exact-Jaccard cluster
+    (dedup.canonical_per_cluster): clusters via PPJoin + iterative CC,
+    arg-max by (n_chars, doc_id) inside each near-dup clique."""
+    return dedup.canonical_per_cluster(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))
+               AS norm_hash
+      FROM documents),
+    batch AS (
+      SELECT norm_hash,
+             MIN(doc_id) AS admit_id,
+             COUNT(*) AS n_in_batch
+      FROM fp WHERE source = 'src0' GROUP BY norm_hash)
+    SELECT b.norm_hash, b.admit_id, b.n_in_batch
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM fp c
+                      WHERE c.source <> 'src0' AND c.norm_hash = b.norm_hash)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (dedup.incremental_dedup): the src0
+    batch is admitted only where its normalized md5 is novel vs the
+    rest-of-corpus fingerprint table — O(|batch|) marginal cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        corpus=docs.where(F.col("source") != "src0"),
+        batch=docs.where(F.col("source") == "src0"),
+    )
 
 
 # ═══ M5: similarity search (north star §2.5) ════════════════════════════
@@ -3068,6 +3289,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4 (no driver row yet)
+    "timeseries_gapfill",
+    "group_regression",
+    "winsorized_stats",
+    "dedup_canonical",
+    "dedup_incremental",
+    "vocab_growth",
     "asof_last_click_bounded",
     "user_streaks",
     "event_transitions",
