@@ -3017,6 +3017,29 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_attribution",
+    oracle="""
+    SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join (streaming/runners.py::
+    streaming_attribution): clicks and purchases as two watermarked
+    file streams in chronological micro-batches through Spark's
+    symmetric hash join; time-split replay makes eviction provably
+    lossless, so it shares ``click_attribution``'s batch oracle."""
+    from dumbo_spark.streaming.runners import streaming_attribution
+
+    return streaming_attribution(spark, sf_dir)
+
+
+@register(
     "embedding_quantize",
     oracle="""
     WITH s AS (
@@ -3295,6 +3318,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_canonical",
     "dedup_incremental",
     "vocab_growth",
+    "streaming_attribution",
     "asof_last_click_bounded",
     "user_streaks",
     "event_transitions",

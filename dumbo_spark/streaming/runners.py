@@ -214,3 +214,49 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "next_type", "n", F.round(F.col("n") / total, 6).alias("p")
     )
+
+
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join (windows.py::
+    click_purchase_stream_join) — clicks and purchases arrive as two
+    separate file streams in time-ordered micro-batches, and Spark's
+    watermarked symmetric hash join buffers/evicts both sides.
+
+    Losslessness under eviction, by construction: each side is split
+    at the SAME time boundary into chronological halves replayed
+    oldest-first, so after batch k the click-side watermark is
+    max(ts_k) − 2h, and a click is evicted only once the watermark
+    passes click_ts + 30min — i.e. clicks older than max(ts_k) − 2.5h.
+    Every batch-k+1 purchase is newer than max(ts_k) and can only match
+    clicks newer than purchase_ts − 30min > max(ts_k) − 30min, all
+    still buffered. Hence the streamed result equals the batch join
+    bit-for-bit (same oracle as ``click_attribution``), while state
+    stays bounded by rate × 2.5h — the forever-run property.
+    """
+    from dumbo_spark.streaming.windows import click_purchase_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+    base = tempfile.mkdtemp(prefix="dumbo_spark_attr_")
+    sides = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = os.path.join(base, side)
+        os.makedirs(d)
+        part = ev.where(F.col("event_type") == etype)
+        for i, half in enumerate(
+            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
+        ):
+            half.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"half{i}.parquet")
+            )
+        sides[side] = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+    joined = click_purchase_stream_join(sides["clicks"], sides["purchases"])
+    return _run_to_memory(joined, "q_streaming_attr_sink", mode="append")
