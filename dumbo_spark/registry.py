@@ -559,6 +559,52 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed storage
+    (sources/bucketed.py): orders and lineitem are written once,
+    bucketed 8 ways on orderkey, then joined WITHOUT any exchange on
+    either side (plan asserted in tests/test_bucketed.py) — the
+    pay-the-shuffle-once-at-write pattern that converts a nightly
+    100 TB fact join into a co-located bucket merge."""
+    import tempfile
+
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.sources.bucketed import colocated_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="dumbo_spark_buckets_")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "dsb_orders", "o_orderkey", 8, f"{base}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        "dsb_lineitem", "o_orderkey", 8, f"{base}/lineitem",
+    )
+    return (
+        colocated_join(spark, "dsb_orders", "dsb_lineitem", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
 # ═══ M3: order / rank (L5-L7 + gap row) ═════════════════════════════════
 
 
@@ -3319,6 +3365,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "vocab_growth",
     "streaming_attribution",
+    "bucketed_colocated_join",
     "asof_last_click_bounded",
     "user_streaks",
     "event_transitions",

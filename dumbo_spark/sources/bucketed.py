@@ -1,0 +1,62 @@
+"""Bucketed tables — co-located joins without a per-query shuffle.
+
+Dumbo had no storage-level partitioning contract at all: every
+reduce-side join re-shuffled both inputs through Hadoop streaming's
+sort phase on every run (dumbo/lib/__init__.py JoinReducer; SURVEY
+§2.4 "custom partitioner" P12 was the closest primitive, and it only
+controlled a single job's shuffle, not the layout on disk).
+
+Spark bucketing IS that contract made durable: ``bucketBy(n, key)``
+hash-partitions the table into a fixed number of buckets at WRITE
+time and records the layout in the catalog; any later equi-join or
+aggregation on the bucket key reads co-located buckets and skips the
+Exchange entirely. At 100 TB this converts the nightly fact⋈fact join
+from "shuffle 100 TB twice, every night" into "pay one bucketed write
+once, then every subsequent join is shuffle-free" — the single
+largest recurring-cost lever in a warehouse, and the batch analogue
+of Kafka's partition-by-key contract.
+
+Local caveat encoded in the tests: both sides must agree on bucket
+count (or be coalescible multiples) and the join key must equal the
+bucket key; ``spark.sql.sources.bucketing.enabled`` is on by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table.
+
+    ``sortBy(key)`` additionally sorts within each bucket file, so
+    bucket-key joins plan as a sort-merge with BOTH the exchange and
+    (given one bucket file per bucket) the per-task sort already
+    satisfied by the layout.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Equi-join two equally-bucketed tables on their bucket key.
+
+    With matching bucket specs the physical plan contains NO shuffle
+    exchange on either side (asserted in tests/test_bucketed.py) —
+    each task merges bucket i of the left with bucket i of the right.
+    """
+    return spark.table(left_table).join(spark.table(right_table), key)
