@@ -176,6 +176,21 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sort(args: argparse.Namespace) -> int:
+    """Total-order export (sources/bucketed.py::write_range_sorted)."""
+    from dumbo_spark.session import get_session
+    from dumbo_spark.sources.bucketed import write_range_sorted
+
+    spark = get_session("dumbo_spark_sort")
+    if args.src == args.dst:
+        raise SystemExit("sort: dst must differ from src")
+    write_range_sorted(
+        spark.read.parquet(args.src), args.key, args.partitions, args.dst
+    )
+    print(f"range-sorted {args.src} -> {args.dst} on {args.key}")
+    return 0
+
+
 def cmd_plan(args: argparse.Namespace) -> int:
     """Physical-plan audit for a registered query (plans/explain.py) —
     the operator-facing view of what tests/test_plans.py asserts:
@@ -265,6 +280,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "their Morton curve so predicates on either column "
                          "prune files (OPTIMIZE ZORDER)")
     cp.set_defaults(fn=cmd_compact)
+
+    so = sub.add_parser(
+        "sort", help="rewrite a parquet dataset globally range-sorted on a key"
+    )
+    so.add_argument("src")
+    so.add_argument("dst")
+    so.add_argument("key")
+    so.add_argument("--partitions", type=int, default=32)
+    so.set_defaults(fn=cmd_sort)
 
     pl = sub.add_parser("plan", help="physical-plan audit for a registered query")
     pl.add_argument("query")

@@ -571,3 +571,44 @@ def group_regression(events: DataFrame) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
+
+
+def scd2_state_intervals(events: DataFrame) -> DataFrame:
+    """SCD Type-2 interval table from an event log: treat each user's
+    ``event_type`` as their current state, collapse CONSECUTIVE
+    same-state events into one validity interval, and emit
+    ``[valid_from, valid_to)`` rows with an open (NULL) ``valid_to`` on
+    the current state — the slowly-changing-dimension build step every
+    warehouse derives from a change stream, and a second gaps-and-
+    islands application (:func:`user_streaks` does it over days; this
+    runs over ordered state changes).
+
+    Island labeling without self-joins: within each user's (ts,
+    event_id) order, ``row_number() − row_number() per (user, state)``
+    is constant inside a run of equal states, so grouping on that
+    anchor collapses runs in one pass. Windows partition by user (and
+    user+state) — bounded per-key input, no global order; interval
+    bounds are exact integer microseconds.
+    """
+    us = F.unix_micros("ts")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = events.select(
+        "user_id", "event_type", "ts", "event_id", us.alias("_us")
+    ).withColumn(
+        "_anchor", F.row_number().over(w_all) - F.row_number().over(w_state)
+    )
+    intervals = runs.groupBy("user_id", "event_type", "_anchor").agg(
+        F.min("_us").alias("valid_from_us"),
+        F.max("_us").alias("_last_us"),
+        F.count("*").alias("n_events"),
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return intervals.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_iv).alias("valid_to_us"),
+        "n_events",
+        F.lead("valid_from_us").over(w_iv).isNull().alias("is_current"),
+    )

@@ -1096,6 +1096,43 @@ def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_state_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS anchor
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, anchor,
+             MIN(us) AS valid_from_us,
+             COUNT(*) AS n_events
+      FROM seq GROUP BY user_id, event_type, anchor)
+    SELECT user_id,
+           event_type AS state,
+           valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) IS NULL
+             AS is_current
+    FROM runs
+    """,
+)
+def q_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from the event log
+    (events.scd2_state_intervals): consecutive same-state runs collapse
+    via the double-row_number islands anchor; open-ended current rows
+    carry NULL valid_to."""
+    return events.scd2_state_intervals(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "winsorized_stats",
     oracle="""
     WITH bounds AS (
@@ -3366,6 +3403,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_growth",
     "streaming_attribution",
     "bucketed_colocated_join",
+    "scd2_state_intervals",
     "asof_last_click_bounded",
     "user_streaks",
     "event_transitions",

@@ -60,3 +60,29 @@ def colocated_join(
     each task merges bucket i of the left with bucket i of the right.
     """
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_range_sorted(
+    df: DataFrame, key: str, partitions: int, path: str
+) -> None:
+    """Terasort-style TOTAL-ORDER export: range-partition on ``key``
+    (sampled range boundaries, one shuffle) and sort within each
+    partition, so the output files are globally ordered — file i's
+    maximum key ≤ file i+1's minimum (asserted in
+    tests/test_bucketed.py).
+
+    This is the layout that makes downstream merge-reads, binary-search
+    point lookups, and min/max-pruned range scans work: each parquet
+    footer's column stats cover a disjoint key range, so a predicate
+    ``key BETWEEN a AND b`` prunes to the few files whose range
+    intersects — at 100 TB the difference between touching 2 files and
+    touching 20 000. Complements ``write_bucketed`` (hash co-location
+    for equi-joins) with range co-location for ordered access; dumbo's
+    only total-order tool was a single-reducer job (SURVEY §2.4).
+    """
+    (
+        df.repartitionByRange(partitions, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

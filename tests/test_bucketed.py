@@ -73,3 +73,31 @@ def test_bucketed_single_table_agg_skips_shuffle(spark, sf_dir, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_range_sorted_export_is_globally_ordered(spark, sf_dir, tmp_path):
+    """write_range_sorted: per-file key ranges must be disjoint and
+    ordered (file i max <= file i+1 min), rows preserved."""
+    import glob
+
+    from dumbo_spark.sources.bucketed import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "sorted")
+    write_range_sorted(orders, "o_totalprice", 8, dst)
+
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+
+    ranges = []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        stats = (
+            spark.read.parquet(f)
+            .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+            .collect()[0]
+        )
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    assert len(ranges) > 1  # actually split
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a <= hi_a <= lo_b  # sorted within, disjoint across

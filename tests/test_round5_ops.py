@@ -158,3 +158,27 @@ def test_vocab_growth_cumulative(spark):
     assert rows[1]["new_tokens"] == 1 and rows[1]["cum_vocab"] == 4
     assert 2 not in rows  # empty buckets don't emit
     assert rows[3]["new_tokens"] == 1 and rows[3]["cum_vocab"] == 5
+
+
+def test_scd2_collapses_consecutive_states(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 0), 1, "view", 0.0),
+            (2, d(2024, 1, 1, 1), 1, "view", 0.0),   # same state, collapses
+            (3, d(2024, 1, 1, 2), 1, "click", 0.0),
+            (4, d(2024, 1, 1, 3), 1, "view", 0.0),   # state returns: NEW interval
+        ],
+    )
+    from dumbo_spark.operators.events import scd2_state_intervals
+
+    rows = sorted(
+        scd2_state_intervals(ev).collect(), key=lambda r: r["valid_from_us"]
+    )
+    assert [r["state"] for r in rows] == ["view", "click", "view"]
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["valid_to_us"] == rows[1]["valid_from_us"]  # contiguous
+    assert rows[1]["valid_to_us"] == rows[2]["valid_from_us"]
+    assert rows[2]["valid_to_us"] is None and rows[2]["is_current"] is True
+    assert rows[0]["is_current"] is False
