@@ -119,6 +119,16 @@ HEADLINE = [
     "value_drift_screen",
     "doc_perplexity",
     "semantic_dedup",
+    # round-4 batch-2 additions (streaming_attribution and
+    # bucketed_colocated_join are excluded: they time replay/table
+    # WRITES, not operator throughput)
+    "timeseries_gapfill",
+    "group_regression",
+    "winsorized_stats",
+    "dedup_canonical",
+    "dedup_incremental",
+    "vocab_growth",
+    "scd2_state_intervals",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -276,6 +276,11 @@ def winsorized_stats(lineitem: DataFrame) -> DataFrame:
     division is floating point. Plan shape: one percentile pass per
     group (tiny result, broadcast back) + one scan-aggregate pass —
     two scans, no window, no skew hazard at 100 TB.
+
+    The exact percentile buffers each group's values (same caveat as
+    :func:`group_percentiles`); at 100 TB swap the bounds pass to
+    ``approx_percentile`` — clipping tolerates sketch error by
+    construction, the bounds only need to be *near* the tails.
     """
     pcts = F.percentile("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95)))
     bounds = lineitem.groupBy("l_returnflag").agg(

@@ -102,6 +102,14 @@ def main() -> None:
         "copresence_sessions",
         "cumulative_new_users",
         "hll_partitioned_counts",
+        # round-4 batch-2 additions
+        "timeseries_gapfill",
+        "group_regression",
+        "winsorized_stats",
+        "dedup_incremental",
+        "vocab_growth",
+        "scd2_state_intervals",
+        "bucketed_colocated_join",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
