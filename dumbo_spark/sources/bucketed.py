@@ -29,25 +29,24 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     buckets: int,
-    path: str,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed, bucket-sorted parquet table.
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table —
+    managed when ``path`` is None, external otherwise.
 
     ``sortBy(key)`` additionally sorts within each bucket file, so
     bucket-key joins plan as a sort-merge with BOTH the exchange and
     (given one bucket file per bucket) the per-task sort already
-    satisfied by the layout.
+    satisfied by the layout. (textio.write_bucketed delegates here —
+    single implementation of the layout contract.)
     """
-    (
-        df.write.mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys).sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path).format("parquet")
+    w.saveAsTable(table)
 
 
 def colocated_join(

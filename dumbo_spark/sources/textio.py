@@ -111,13 +111,12 @@ def write_bucketed(
     """Bucketed managed table: pre-shuffled on the bucket columns so
     subsequent joins/aggregations on them are exchange-free — the
     declarative successor of dumbo's -partitioner
-    KeyFieldBasedPartitioner (dumbo/backends/streaming.py:~145)."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, *bucket_by)
-        .sortBy(*bucket_by)
-        .saveAsTable(table)
-    )
+    KeyFieldBasedPartitioner (dumbo/backends/streaming.py:~145).
+    Thin alias of sources/bucketed.py::write_bucketed (the canonical
+    layout module, which adds external paths + colocated_join)."""
+    from dumbo_spark.sources import bucketed
+
+    bucketed.write_bucketed(df, table, bucket_by, n_buckets)
 
 
 def compact_parquet(
