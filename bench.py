@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_incremental",
     "vocab_growth",
     "scd2_state_intervals",
+    "dau_wau_stickiness",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -612,3 +612,43 @@ def scd2_state_intervals(events: DataFrame) -> DataFrame:
         "n_events",
         F.lead("valid_from_us").over(w_iv).isNull().alias("is_current"),
     )
+
+
+def dau_wau_stickiness(events: DataFrame) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ratio per day — the
+    product-engagement headline metric. COUNT(DISTINCT) over a sliding
+    window has no direct window-function form (in Spark or standard
+    SQL); the scalable identity used here: each (user, active-day)
+    contributes to the 7 metric days ``[day, day+6]``, so exploding a
+    7-element ``sequence`` and re-distincting turns the sliding
+    distinct into a plain partial-agg groupBy.
+
+    Scale: the explode is a fixed ×7 fan-out of the (user, day)
+    DISTINCT set (calendar-bounded per user, not event-bounded), and
+    both distincts are map-side-combinable shuffles on small keys — no
+    window at all, no per-day rescan of history. Counts are exact
+    integers; the ratio is one rounded division.
+    """
+    day = F.to_date("ts")
+    active = events.select("user_id", day.alias("d")).distinct()
+    dau = active.groupBy(F.col("d").alias("metric_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6), F.expr("interval 1 day"))
+        ).alias("metric_day"),
+    ).distinct()
+    wau = contrib.groupBy("metric_day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "metric_day")  # inner: only days with activity
+        .select(
+            F.date_format("metric_day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

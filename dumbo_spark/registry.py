@@ -1096,6 +1096,37 @@ def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events),
+    dau AS (SELECT d AS metric_day, COUNT(DISTINCT user_id) AS dau
+            FROM active GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT user_id,
+             CAST(UNNEST(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+               AS metric_day
+      FROM active),
+    wau AS (SELECT metric_day, COUNT(DISTINCT user_id) AS wau
+            FROM contrib GROUP BY metric_day)
+    SELECT strftime(dau.metric_day, '%Y-%m-%d') AS day,
+           dau.dau AS dau,
+           wau.wau AS wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON dau.metric_day = wau.metric_day
+    """,
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement ratio (events.dau_wau_stickiness): sliding
+    COUNT(DISTINCT) via bounded ×7 contribution explode — partial-agg
+    groupBys only, no window."""
+    return events.dau_wau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "scd2_state_intervals",
     oracle="""
     WITH seq AS (
@@ -3404,6 +3435,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_attribution",
     "bucketed_colocated_join",
     "scd2_state_intervals",
+    "dau_wau_stickiness",
     "asof_last_click_bounded",
     "user_streaks",
     "event_transitions",

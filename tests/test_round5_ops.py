@@ -182,3 +182,25 @@ def test_scd2_collapses_consecutive_states(spark):
     assert rows[1]["valid_to_us"] == rows[2]["valid_from_us"]
     assert rows[2]["valid_to_us"] is None and rows[2]["is_current"] is True
     assert rows[0]["is_current"] is False
+
+
+def test_dau_wau_stickiness_semantics(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1), 1, "a", 0.0),
+            (2, d(2024, 1, 1), 2, "a", 0.0),
+            (3, d(2024, 1, 5), 1, "a", 0.0),   # user 1 returns within 7d
+            (4, d(2024, 1, 20), 3, "a", 0.0),  # isolated day
+        ],
+    )
+    from dumbo_spark.operators.events import dau_wau_stickiness
+
+    rows = {r["day"]: r for r in dau_wau_stickiness(ev).collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-05", "2024-01-20"}
+    assert rows["2024-01-01"]["dau"] == 2 and rows["2024-01-01"]["wau"] == 2
+    # Jan 5 window [Dec 30, Jan 5] holds users 1 and 2 (both active Jan 1)
+    assert rows["2024-01-05"]["dau"] == 1 and rows["2024-01-05"]["wau"] == 2
+    assert rows["2024-01-05"]["stickiness"] == 0.5
+    assert rows["2024-01-20"]["dau"] == 1 and rows["2024-01-20"]["wau"] == 1

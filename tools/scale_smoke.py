@@ -110,6 +110,7 @@ def main() -> None:
         "vocab_growth",
         "scd2_state_intervals",
         "bucketed_colocated_join",
+        "dau_wau_stickiness",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
