@@ -130,6 +130,9 @@ HEADLINE = [
     "vocab_growth",
     "scd2_state_intervals",
     "dau_wau_stickiness",
+    "snapshot_diff",
+    "pareto_concentration",
+    "bounce_rate",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -608,3 +608,51 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     return scored.select(
         "c_custkey", "recency_days", "frequency", "monetary", segment.alias("segment")
     )
+
+
+def pareto_concentration(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Revenue-concentration (80/20) profile per nation: how many of a
+    nation's customers — and what fraction — cover 80% of its order
+    revenue. The inequality diagnostic behind account-tiering and the
+    skew early-warning for key-partitioned pipelines (a nation whose
+    top 1% carries 80% of revenue will also skew any customer-keyed
+    shuffle).
+
+    Determinism: per-customer revenue and the running total are exact
+    decimal sums; the 80% cut compares ``5·cum ≥ 4·total`` in integer-
+    scaled decimal — no floating-point threshold. The cumulative window
+    partitions per nation over CUSTOMERS (already aggregated — input
+    bounded by customer count, not order count); ordering is
+    (revenue DESC, custkey) so ties break stably.
+    """
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(dmoney("o_totalprice")).alias("_rev"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "_rev")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("_rev").desc(), F.col("o_custkey").asc()
+    )
+    tot = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("_rev").over(tot).alias("_tot"),
+        F.count("*").over(tot).alias("_n"),
+    )
+    hit = ranked.where(F.lit(5) * F.col("_cum") >= F.lit(4) * F.col("_tot"))
+    return hit.groupBy("n_name").agg(
+        F.min("_n").alias("n_customers"),
+        F.min("_rk").alias("n_top80"),
+        F.round(F.min("_rk").cast("double") / F.min("_n").cast("double"), 4).alias(
+            "top80_share"
+        ),
+    )

@@ -652,3 +652,29 @@ def dau_wau_stickiness(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def bounce_rate(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event, bucketed by session-start day — the engagement-quality
+    metric layered directly on :func:`events_sessionized` (same
+    islands sessionization, same gap), so one operator's output feeds
+    the next exactly as a dashboard pipeline composes them.
+
+    The session rollup inherits events_sessionized's one-shuffle
+    shape; the day rollup is a partial agg over sessions. Counts are
+    exact; the rate is one rounded division.
+    """
+    sessions = events_sessionized(events, gap_min)
+    day = F.date_format(F.timestamp_micros("session_start_us"), "yyyy-MM-dd")
+    return (
+        sessions.groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.round(F.col("n_bounces").cast("double") / F.col("n_sessions"), 6),
+        )
+    )

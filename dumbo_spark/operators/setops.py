@@ -59,3 +59,51 @@ def except_keys(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     c = customer.select(F.col("c_nationkey").alias("nationkey"))
     s = supplier.select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, measure: str
+) -> DataFrame:
+    """CDC-style snapshot comparison: classify each key as added /
+    changed / unchanged between two aggregate snapshots and roll up the
+    census — the reconciliation step a warehouse runs after every load
+    (the job dumbo users chained two sumreducer passes plus a manual
+    diff script for).
+
+    Both snapshots are aggregated per key first, then full-outer-joined
+    ON that key: the two partial aggs and the join all hash-partition
+    on the same key, so the whole comparison rides one shuffle
+    partitioning end-to-end. Output is the 3-row census plus exact
+    integer row/measure deltas.
+    """
+    from dumbo_spark.functions.numeric import dmoney
+
+    # exact decimal measure sums: a raw double sum is shuffle-order
+    # dependent in the last ulp, which would make the changed/unchanged
+    # split itself nondeterministic
+    o = old.groupBy(key).agg(
+        F.count("*").alias("_n_old"), F.sum(dmoney(measure)).alias("_m_old")
+    )
+    n = new.groupBy(key).agg(
+        F.count("*").alias("_n_new"), F.sum(dmoney(measure)).alias("_m_new")
+    )
+    status = (
+        F.when(F.col("_n_old").isNull(), "added")
+        .when(F.col("_n_new").isNull(), "removed")
+        .when(
+            (F.col("_n_old") != F.col("_n_new"))
+            | (F.col("_m_old") != F.col("_m_new")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, key, "full_outer")
+        .select(status.alias("status"), "_n_old", "_n_new")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.coalesce(F.col("_n_new"), F.lit(0))
+                  - F.coalesce(F.col("_n_old"), F.lit(0))).alias("row_delta"),
+        )
+    )

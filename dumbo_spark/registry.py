@@ -1096,6 +1096,122 @@ def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_old,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m_old
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY l_orderkey),
+    n AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_new,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m_new
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT CASE WHEN o.n_old IS NULL THEN 'added'
+                  WHEN n.n_new IS NULL THEN 'removed'
+                  WHEN o.n_old <> n.n_new OR o.m_old <> n.m_new THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(n.n_new, 0) - COALESCE(o.n_old, 0) AS d
+      FROM o FULL OUTER JOIN n ON o.l_orderkey = n.l_orderkey)
+    SELECT status,
+           COUNT(*) AS n_keys,
+           CAST(SUM(d) AS BIGINT) AS row_delta
+    FROM j GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot census (setops.snapshot_diff): per-order lineitem
+    aggregates as-of 1999-01-01 vs today, full-outer compared on the
+    shared key partitioning; exact decimal measures make the
+    changed/unchanged split deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return setops.snapshot_diff(
+        old=li.where(F.col("l_shipdate") < F.lit("1999-01-01")),
+        new=li,
+        key="l_orderkey",
+        measure="l_quantity",
+    )
+
+
+@register(
+    "pareto_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey),
+    ranked AS (
+      SELECT n.n_name, rev.o_custkey, rev.r,
+             row_number() OVER w AS rk,
+             SUM(rev.r) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             SUM(rev.r) OVER (PARTITION BY n.n_name) AS tot,
+             COUNT(*) OVER (PARTITION BY n.n_name) AS n
+      FROM rev JOIN nation n ON rev.c_nationkey = n.n_nationkey
+      WINDOW w AS (PARTITION BY n.n_name ORDER BY rev.r DESC, rev.o_custkey))
+    SELECT n_name,
+           CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(MIN(rk) AS BIGINT) AS n_top80,
+           ROUND(CAST(MIN(rk) AS DOUBLE) / CAST(MIN(n) AS DOUBLE), 4)
+             AS top80_share
+    FROM ranked WHERE 5 * cum >= 4 * tot
+    GROUP BY n_name
+    """,
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 revenue concentration per nation
+    (analytics.pareto_concentration): exact-decimal running shares, an
+    integer-scaled 80% cut, windows over the per-customer AGGREGATE."""
+    return analytics.pareto_concentration(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+             ts
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             MIN(CAST(ts AS TIMESTAMP)) AS start_ts
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily single-event-session share (events.bounce_rate), layered
+    on the events_sessionized islands rollup."""
+    return events.bounce_rate(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "dau_wau_stickiness",
     oracle="""
     WITH active AS (
@@ -3436,6 +3552,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_colocated_join",
     "scd2_state_intervals",
     "dau_wau_stickiness",
+    "snapshot_diff",
+    "pareto_concentration",
+    "bounce_rate",
     "asof_last_click_bounded",
     "user_streaks",
     "event_transitions",

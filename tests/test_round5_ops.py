@@ -204,3 +204,58 @@ def test_dau_wau_stickiness_semantics(spark):
     assert rows["2024-01-05"]["dau"] == 1 and rows["2024-01-05"]["wau"] == 2
     assert rows["2024-01-05"]["stickiness"] == 0.5
     assert rows["2024-01-20"]["dau"] == 1 and rows["2024-01-20"]["wau"] == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (2, 7.0), (3, 1.0)], "k long, v double"
+    )
+    from dumbo_spark.operators.setops import snapshot_diff
+
+    got = {r["status"]: r for r in snapshot_diff(old, new, "k", "v").collect()}
+    assert got["unchanged"]["n_keys"] == 1          # key 1
+    assert got["changed"]["n_keys"] == 1            # key 2 gained a row
+    assert got["added"]["n_keys"] == 1              # key 3
+    assert got["added"]["row_delta"] == 1
+    assert got["changed"]["row_delta"] == 1
+    assert "removed" not in got
+
+
+def test_pareto_concentration_topheavy(spark):
+    # nation 0: one whale (80 of 100 revenue) -> top80 needs 1 of 3
+    cust = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "c_custkey long, c_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1, 80.0), (2, 10.0), (3, 10.0)], "o_custkey long, o_totalprice double"
+    )
+    nation = spark.createDataFrame([(0, "A")], "n_nationkey long, n_name string")
+    from dumbo_spark.operators.analytics import pareto_concentration
+
+    row = pareto_concentration(cust, orders, nation).collect()[0]
+    assert row["n_customers"] == 3
+    assert row["n_top80"] == 1
+    assert abs(row["top80_share"] - 0.3333) < 1e-9
+
+
+def test_bounce_rate_counts_single_event_sessions(spark):
+    d = datetime
+    ev = _events(
+        spark,
+        [
+            (1, d(2024, 1, 1, 0, 0), 1, "a", 0.0),   # session A: 2 events
+            (2, d(2024, 1, 1, 0, 10), 1, "a", 0.0),
+            (3, d(2024, 1, 1, 9, 0), 1, "a", 0.0),   # session B: bounce
+            (4, d(2024, 1, 2, 0, 0), 2, "a", 0.0),   # session C: bounce
+        ],
+    )
+    from dumbo_spark.operators.events import bounce_rate
+
+    rows = {r["day"]: r for r in bounce_rate(ev).collect()}
+    assert rows["2024-01-01"]["n_sessions"] == 2
+    assert rows["2024-01-01"]["n_bounces"] == 1
+    assert rows["2024-01-01"]["bounce_rate"] == 0.5
+    assert rows["2024-01-02"]["bounce_rate"] == 1.0

@@ -111,6 +111,9 @@ def main() -> None:
         "scd2_state_intervals",
         "bucketed_colocated_join",
         "dau_wau_stickiness",
+        "snapshot_diff",
+        "pareto_concentration",
+        "bounce_rate",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
