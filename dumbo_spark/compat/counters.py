@@ -32,3 +32,30 @@ class Counters:
 
     def as_dict(self) -> dict[str, int]:
         return {k: a.value for k, a in self._accs.items()}
+
+
+def observed(df, name: str, *exprs):
+    """Spark-native counters: attach aggregate metrics to a DataFrame
+    with ``df.observe`` — computed DURING the next action on the same
+    pass over the data (zero extra scans, no Python boundary, works
+    under Structured Streaming), where accumulator counters need task
+    code and dumbo's needed stderr parsing.
+
+    Returns ``(df, observation)``; read ``observation.get`` (dict of
+    alias → value) after any action on the returned frame.
+
+        df, obs = observed(df, "quality",
+                           F.count("*").alias("rows"),
+                           F.sum(F.col("price").isNull().cast("long"))
+                            .alias("null_prices"))
+        df.write.parquet(...)   # metrics ride this action
+        obs.get                 # {'rows': ..., 'null_prices': ...}
+
+    This is the engine-recommended form of dumbo's per-job counters
+    for data-quality totals: exact, once per action, and visible in
+    the Spark UI / QueryExecutionListener stream for ops tooling.
+    """
+    from pyspark.sql import Observation
+
+    observation = Observation(name)
+    return df.observe(observation, *exprs), observation

@@ -118,3 +118,24 @@ def test_counters_accumulate(spark):
     got = MapDriver(spark, mapper).with_input([("0", "ok 123 fine 456")]).run()
     assert sorted(w for w, _ in got) == ["fine", "ok"]
     assert counters.value("bad_records") == 2
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    """compat.counters.observed: metrics computed on the SAME pass as
+    the action — the Spark-native upgrade of dumbo's counters."""
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.compat.counters import observed
+    from dumbo_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df, obs = observed(
+        li,
+        "quality",
+        F.count("*").alias("rows"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("high_discount"),
+    )
+    n = df.count()  # the action the metrics ride
+    got = obs.get
+    assert got["rows"] == n
+    assert 0 < got["high_discount"] < n
