@@ -133,6 +133,12 @@ HEADLINE = [
     "snapshot_diff",
     "pareto_concentration",
     "bounce_rate",
+    # round-4 batch-3 additions
+    "sequence_packing",
+    "token_budget_sample",
+    "heavy_hitter_tokens",
+    "revenue_share_parts",
+    "top_supplier_revenue",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

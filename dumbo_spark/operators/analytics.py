@@ -656,3 +656,65 @@ def pareto_concentration(
             "top80_share"
         ),
     )
+
+
+def revenue_share_parts(lineitem: DataFrame, threshold_bp: int = 7) -> DataFrame:
+    """TPC-H Q11 shape ("important stock"): parts whose discounted
+    revenue exceeds ``threshold_bp`` basis points of TOTAL revenue —
+    a per-group aggregate compared against a global scalar.
+
+    Plan: one partial-agg groupBy(partkey) over the fact table (the
+    only corpus-sized stage), then the global total joins in as a
+    broadcast single-row re-aggregate of the SAME per-part frame (no
+    second fact scan). Both sides of the comparison are exact decimal
+    sums cast to double — IEEE division of identical doubles is
+    identical in both engines, so the membership cut is hash-stable.
+
+    At 100 TB: |parts| rows after the first agg; everything downstream
+    is dimension-sized.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(_revenue()).alias("_rev")
+    )
+    total = per_part.agg(F.sum("_rev").alias("_tot"))
+    share = F.col("_rev").cast("double") / F.col("_tot").cast("double")
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(share > F.lit(threshold_bp) / F.lit(10000.0))
+        .select(
+            "l_partkey",
+            F.col("_rev").cast("double").alias("part_revenue"),
+            F.round(share * 10000.0, 4).alias("share_bp"),
+        )
+    )
+
+
+def top_supplier_revenue(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue per supplier over one
+    quarter, returning the supplier(s) that achieve the maximum —
+    the classic "aggregate, then compare to the aggregate's max"
+    two-level query that dumbo users wrote as two chained jobs with a
+    hand-carried max (examples/itertwice.py shape).
+
+    Plan: shipdate-filtered partial agg on l_suppkey (pushdown-pruned
+    scan), then the max is a window over the AGGREGATED frame —
+    |suppliers| rows, so the unpartitioned window is bytes, not data;
+    the supplier dimension broadcasts in for the name. Exact decimal
+    revenue → the max-equality test is exact.
+    """
+    q = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    per_supp = q.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_rev"))
+    w = Window.partitionBy()
+    return (
+        per_supp.withColumn("_mx", F.max("_rev").over(w))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Training-sequence assembly operators — packing and token budgets.
+
+The last mile of an LLM data pipeline: after dedup/filter/mix, the
+corpus is concatenated into fixed-size context windows ("sequence
+packing") or cut to an exact token budget. Dumbo-era pipelines did
+this with a final single-reducer pass over the whole corpus
+(dumbo/lib sumreducer over a global key — the one-reducer bottleneck);
+here both ops are expressed so NO task ever sees more than one hash
+bucket of one source.
+
+Determinism contract (same as operators/sampling.py): document order
+is the fixed pseudo-random permutation (md5 bucket, md5 key, doc_id) —
+a pure function of the keys, so results are stable across runs,
+partitionings, and engines, and therefore oracle-checkable.
+
+Scale shape: a naive global cumulative sum is a single total-order
+window task — the exact thing that dies at 100 TB. Both operators
+instead use the two-phase terasort-style prefix sum:
+
+1. partial aggregate per (source, bucket) — tiny frame, |sources|·B
+   rows regardless of corpus size;
+2. running offsets across buckets on that tiny frame (window over
+   k·B rows — trivially one task, bytes not terabytes);
+3. broadcast-join the offsets back and window WITHIN each
+   (source, bucket) — thousands of independent, bounded tasks.
+
+The same shape as operators/topk.py::bucketed_quartiles (exact global
+order statistics without a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dumbo_spark.functions.text import tokens
+from dumbo_spark.operators.sampling import _md5_bucket, sql_md5_bucket
+
+#: whitespace-token counting shared by both ops (= len(text.tokens))
+def _n_tokens() -> F.Column:
+    return F.size(tokens("text"))
+
+
+def _doc_perm(documents: DataFrame, buckets: int) -> DataFrame:
+    """Documents annotated with the deterministic permutation keys:
+    (source, bucket, md5 key) plus the per-doc token count. The scan
+    prunes to (doc_id, source, text)."""
+    return documents.select(
+        "doc_id",
+        "source",
+        _n_tokens().alias("n_tokens"),
+        _md5_bucket(F.col("doc_id"), buckets).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("_k"),
+    )
+
+
+def sequence_packing(
+    documents: DataFrame, budget: int = 256, buckets: int = 8
+) -> DataFrame:
+    """GPT-style sequence packing census: concatenate the corpus in
+    deterministic order and split at ``budget``-token boundaries; a
+    document belongs to the pack where its FIRST token lands. Returns
+    per-pack document counts and token totals.
+
+    Packing is per (source, bucket): each hash bucket of each source is
+    an independent stream, so every window task is bounded by one
+    bucket (corpus_size / (sources·buckets)) — raise ``buckets`` with
+    the corpus; no global order anywhere. This is how a 100 TB corpus
+    is packed on 1000 executors: the bucket IS the shard a packing
+    worker would own.
+
+    Determinism: cumulative sums of BIGINT token counts in md5-key
+    order — integer arithmetic, engine-exact.
+    """
+    w = Window.partitionBy("source", "bucket").orderBy("_k", "doc_id")
+    cum = F.sum("n_tokens").over(w)
+    packed = _doc_perm(documents, buckets).withColumn(
+        "pack_id", F.floor((cum - F.col("n_tokens")) / F.lit(float(budget)))
+    )
+    return packed.groupBy("source", "bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 8) -> DataFrame:
+    """Exact per-source token budget: walk each source's documents in
+    the deterministic permutation and keep every document that STARTS
+    before the source's cumulative token count reaches ``budget`` (so
+    the budget is crossed at most once, by the final kept doc) — the
+    "cut the mixture to N tokens per domain" step of corpus assembly.
+
+    Two-phase exact global prefix sum (module docstring): bucket token
+    totals (partial agg, |sources|·buckets rows) → running offsets on
+    the tiny frame → broadcast back → per-bucket window adds the
+    offset. No task ever orders more than one bucket; the offsets
+    frame is bytes. A naive ``Window.partitionBy(source)`` would put
+    every source's full doc list in one task — correct at sf0.01,
+    dead at 100 TB.
+
+    The corpus is scanned twice (bucket totals, then the kept-set
+    pass) and tokenization runs in both — at 100 TB, persist the
+    ~40-byte/doc ``_doc_perm`` frame between the stages if the
+    tokenizer dominates; the plan is otherwise identical.
+    """
+    docs = _doc_perm(documents, buckets)
+
+    bucket_tot = docs.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).select("source", "bucket", "_off")
+
+    w_in = Window.partitionBy("source", "bucket").orderBy("_k", "doc_id")
+    cum_in_bucket = F.sum("n_tokens").over(w_in)
+    return (
+        docs.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("cum_tokens", F.col("_off") + cum_in_bucket)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

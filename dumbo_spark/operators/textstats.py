@@ -488,3 +488,38 @@ def vocab_growth(documents: DataFrame, bucket_size: int = 1) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).alias("cum_vocab"),
     )
+
+
+def heavy_hitter_tokens(documents: DataFrame, k: int = 500) -> DataFrame:
+    """Exact frequency heavy hitters: every token whose count is at
+    least 1/k of the total token count — the vocabulary-pruning /
+    stopword-discovery pass of corpus analysis (and the batch analogue
+    of a streaming Misra-Gries sketch).
+
+    Why not a sketch: Misra-Gries/SpaceSaving earn their keep when the
+    key space cannot be aggregated exactly; Spark's hash aggregate
+    with map-side combine already reduces each partition to its
+    distinct tokens before the shuffle, so the exact two-phase plan
+    (wordcount → broadcast 1-row total → integer filter) moves only
+    vocabulary-sized data — cheaper than a sketch AND exact. The
+    membership test is pure integer arithmetic (``cnt·k ≥ total``), so
+    the cut is bit-stable across engines — no float threshold.
+
+    Scale: the groupBy(word) partial agg is the only corpus-sized
+    stage; the total rides along as a broadcast scalar. At 100 TB the
+    vocabulary (Heaps' law) is millions of rows — the filter and join
+    are noise.
+    """
+    wc = wordcount(documents)
+    total = wc.agg(F.sum("cnt").alias("total_tokens"))
+    return (
+        wc.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(k) >= F.col("total_tokens"))
+        .select(
+            "word",
+            "cnt",
+            F.round(F.lit(1_000_000.0) * F.col("cnt") / F.col("total_tokens"), 2).alias(
+                "ppm"
+            ),
+        )
+    )

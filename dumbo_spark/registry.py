@@ -33,6 +33,7 @@ from dumbo_spark.operators import (
     events,
     graph,
     joins,
+    packing,
     sampling,
     setops,
     shape,
@@ -3529,6 +3530,149 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_features(load_table(spark, sf_dir, "documents"))
 
 
+# ═══ round-4 batch 3: packing, heavy hitters, Q11/Q15 shapes ═══════════
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len({DUCK_TOKENS}) AS n_tokens,
+             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    c AS (
+      SELECT source, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, bucket
+                                 ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+    SELECT source, bucket,
+           CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY source, bucket, pack_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing census (packing.sequence_packing):
+    per-(source, md5-bucket) deterministic concatenation split at
+    256-token boundaries — every window task bounded by one bucket."""
+    return packing.sequence_packing(
+        load_table(spark, sf_dir, "documents"), budget=256, buckets=8
+    )
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY bucket, k, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM d)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 600
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token budget (packing.token_budget_sample):
+    two-phase terasort-style prefix sum — bucket totals, running
+    offsets on the tiny aggregate, broadcast back, per-bucket window.
+    The oracle's single global window is the semantic spec; the Spark
+    plan computes the identical prefix order without ever giving one
+    task a whole source."""
+    return packing.token_budget_sample(
+        load_table(spark, sf_dir, "documents"), budget=600, buckets=8
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM wc)
+    SELECT word, cnt,
+           ROUND(CAST(1000000 AS DOUBLE) * cnt / total_tokens, 2) AS ppm
+    FROM wc, t
+    WHERE cnt * 500 >= total_tokens
+    """,
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency heavy hitters ≥ 1/500 of all tokens
+    (textstats.heavy_hitter_tokens): wordcount partial agg + broadcast
+    scalar total + integer-arithmetic membership cut."""
+    return textstats.heavy_hitter_tokens(
+        load_table(spark, sf_dir, "documents"), k=500
+    )
+
+
+@register(
+    "revenue_share_parts",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(rev) AS tot FROM per)
+    SELECT l_partkey,
+           CAST(rev AS DOUBLE) AS part_revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
+                 * CAST(10000 AS DOUBLE), 4) AS share_bp
+    FROM per, t
+    WHERE CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
+          > CAST(7 AS DOUBLE) / CAST(10000 AS DOUBLE)
+    """,
+)
+def q_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (analytics.revenue_share_parts): parts above 7
+    basis points of total revenue — per-part partial agg, global total
+    as broadcast 1-row re-aggregate, no second fact scan."""
+    return analytics.revenue_share_parts(
+        load_table(spark, sf_dir, "lineitem"), threshold_bp=7
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM per JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM per)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (analytics.top_supplier_revenue): quarterly
+    revenue per supplier, max taken by a window over the aggregated
+    (|suppliers|-row) frame; supplier dim broadcasts in."""
+    return analytics.top_supplier_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -3542,6 +3686,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4 (no driver row yet)
+    "sequence_packing",
+    "token_budget_sample",
+    "heavy_hitter_tokens",
+    "revenue_share_parts",
+    "top_supplier_revenue",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

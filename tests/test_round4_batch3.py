@@ -1,0 +1,119 @@
+"""Semantics pins for the round-4 batch-3 operators on handcrafted
+inputs (packing, heavy hitters, Q11/Q15 shapes) — the differential
+suite proves oracle equivalence on the fixtures; these prove the
+operators mean what their docstrings say."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dumbo_spark.operators import analytics, packing, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_sequence_packing_equal_docs(spark):
+    # 6 docs of exactly 4 tokens each, one source, one bucket, budget 8:
+    # the concatenated stream is 24 tokens -> packs of exactly 2 docs,
+    # regardless of the (hash-determined) permutation order.
+    d = _docs(spark, [(i, "s", "w x y z") for i in range(6)])
+    out = packing.sequence_packing(d, budget=8, buckets=1).collect()
+    assert len(out) == 3
+    assert {r["pack_id"] for r in out} == {0, 1, 2}
+    assert all(r["n_docs"] == 2 and r["pack_tokens"] == 8 for r in out)
+
+
+def test_token_budget_sample_crosses_budget_once(spark):
+    # equal 4-token docs, budget 10: keep docs starting at offsets
+    # 0, 4, 8 (the third CROSSES the budget) and stop -> exactly 3 per
+    # source whatever the permutation order.
+    rows = [(i, "s1", "a b c d") for i in range(6)] + [
+        (100 + i, "s2", "a b c d") for i in range(6)
+    ]
+    d = _docs(spark, rows)
+    for buckets in (1, 3):
+        out = packing.token_budget_sample(d, budget=10, buckets=buckets).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert {s: len(v) for s, v in by_src.items()} == {"s1": 3, "s2": 3}
+        assert max(r["cum_tokens"] for r in out) == 12
+
+
+def test_token_budget_sample_two_phase_matches_naive_window(spark, sf_dir):
+    # the two-phase prefix sum must equal the naive single global
+    # window over (bucket, md5, doc_id) — the oracle's spec — on real
+    # fixture data.
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in packing.token_budget_sample(docs, budget=600, buckets=8).collect()
+    }
+    perm = packing._doc_perm(docs, 8)
+    w = Window.partitionBy("source").orderBy("bucket", "_k", "doc_id")
+    naive = (
+        perm.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < 600)
+        .select("doc_id", "cum_tokens")
+    )
+    assert got == {(r["doc_id"], r["cum_tokens"]) for r in naive.collect()}
+
+
+def test_heavy_hitters_integer_cut(spark):
+    d = _docs(spark, [(1, "s", "a a a a b b c")])
+    out = textstats.heavy_hitter_tokens(d, k=2).collect()  # cnt*2 >= 7
+    assert [(r["word"], r["cnt"]) for r in out] == [("a", 4)]
+    assert out[0]["ppm"] == round(1_000_000.0 * 4 / 7, 2)
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+
+
+def test_revenue_share_parts_threshold(spark):
+    li = _lineitem(
+        spark,
+        [
+            (1, 1, 100.0, 0.0, datetime(1996, 2, 1)),
+            (2, 1, 10.0, 0.0, datetime(1996, 2, 1)),
+            (3, 1, 1.0, 0.0, datetime(1996, 2, 1)),
+        ],
+    )
+    # threshold 5% of 111: parts 1 (90%) and 2 (9%) pass, 3 (0.9%) not
+    out = analytics.revenue_share_parts(li, threshold_bp=500).collect()
+    assert {r["l_partkey"] for r in out} == {1, 2}
+    shares = {r["l_partkey"]: r["share_bp"] for r in out}
+    assert shares[1] == round(100.0 / 111.0 * 10000.0, 4)
+
+
+def test_top_supplier_revenue_window_and_ties(spark):
+    sup = spark.createDataFrame(
+        [(1, "alpha", 0, 0.0), (2, "beta", 0, 0.0), (3, "gamma", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    li = _lineitem(
+        spark,
+        [
+            # in-window: suppliers 1 and 2 tie at 50.0; supplier 3 below
+            (1, 1, 50.0, 0.0, datetime(1996, 2, 1)),
+            (2, 2, 50.0, 0.0, datetime(1996, 3, 1)),
+            (3, 3, 10.0, 0.0, datetime(1996, 2, 1)),
+            # out-of-window revenue must not count
+            (4, 3, 999.0, 0.0, datetime(1995, 1, 1)),
+        ],
+    )
+    out = analytics.top_supplier_revenue(li, sup).collect()
+    assert {(r["s_suppkey"], r["total_revenue"]) for r in out} == {
+        (1, 50.0),
+        (2, 50.0),
+    }
