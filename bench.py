@@ -139,6 +139,8 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "revenue_share_parts",
     "top_supplier_revenue",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

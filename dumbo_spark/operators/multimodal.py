@@ -104,3 +104,95 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
 def multimodal_features(documents: DataFrame) -> DataFrame:
     """attach → extract, payload column pruned after extraction."""
     return extract_features(attach_binary(documents))
+
+
+#: output contract of resize_images
+RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, width int, height int, n_bytes long"
+)
+
+
+def resize_images(with_payload: DataFrame, max_dim: int = 128) -> DataFrame:
+    """Arrow-batched aspect-preserving image resize plan: payloads whose
+    longer side exceeds ``max_dim`` scale down to fit (integer
+    arithmetic — ``new = side·max_dim // longer`` — so the output dims
+    are bit-stable across engines); smaller images pass through.
+
+    The pixel resample itself is stubbed like :func:`decode_image`
+    (no codec in this container): dimensions are computed exactly and
+    the payload passes through untouched, so every Spark-side concern —
+    Arrow batch iteration, schema contract, payload-column pruning
+    after the pass — is real and tested. With PIL present,
+    ``decode_image`` supplies real source dims and the same integer
+    scaling applies.
+
+    Scale: a narrow mapInPandas pass, no shuffle; payload bytes never
+    move between executors.
+    """
+    from dumbo_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(with_payload.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [decode_image(p) for p in payloads]
+            out_w, out_h = [], []
+            for w, h in dims:
+                longer = max(w, h)
+                if longer <= max_dim:
+                    out_w.append(w)
+                    out_h.append(h)
+                else:
+                    out_w.append(w * max_dim // longer)
+                    out_h.append(h * max_dim // longer)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_width": [d[0] for d in dims],
+                    "orig_height": [d[1] for d in dims],
+                    "width": out_w,
+                    "height": out_h,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return with_payload.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def frame_sample(documents: DataFrame, k: int = 4) -> DataFrame:
+    """Video frame-sampling plan: from each payload's metadata duration,
+    emit ``k`` evenly spaced frame offsets — the standard
+    one-row-per-frame explosion that precedes per-frame decode.
+
+    The offset computation is pure JVM column arithmetic
+    (sequence + posexplode, integer ``duration·i // k``) — no Python
+    anywhere in this operator; the per-frame DECODE would be the
+    downstream :func:`extract_features`-shaped mapInPandas pass
+    (stubbed here for the same no-codec reason). Duration is a
+    deterministic stand-in derived from the content hash, exactly like
+    :func:`decode_image`'s fallback dims, so the contract is
+    oracle-checkable.
+
+    Scale: fan-out is a bounded k per payload and happens AFTER the
+    payload column is pruned — the exploded frame table carries only
+    (doc_id, idx, offset), never bytes.
+    """
+    h = F.md5(F.col("text").cast("binary"))
+    dur = (
+        F.lit(1000)
+        + F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % F.lit(59000)
+    ).alias("duration_ms")
+    with_dur = documents.select("doc_id", dur)
+    idx = F.posexplode(F.sequence(F.lit(0), F.lit(k - 1)))
+    return (
+        with_dur.select("doc_id", "duration_ms", idx.alias("pos", "frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.floor(F.col("duration_ms") * F.col("frame_idx") / F.lit(k)).alias(
+                "offset_ms"
+            ),
+            "duration_ms",
+        )
+    )

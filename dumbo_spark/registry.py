@@ -3673,6 +3673,75 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS h
+      FROM documents),
+    d AS (
+      SELECT doc_id, n_bytes,
+             CAST(64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 192
+                  AS INTEGER) AS orig_width,
+             CAST(64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 192
+                  AS INTEGER) AS orig_height
+      FROM m)
+    SELECT doc_id, orig_width, orig_height,
+           CAST(CASE WHEN greatest(orig_width, orig_height) <= 128
+                     THEN orig_width
+                     ELSE orig_width * 128 // greatest(orig_width, orig_height)
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN greatest(orig_width, orig_height) <= 128
+                     THEN orig_height
+                     ELSE orig_height * 128 // greatest(orig_width, orig_height)
+                END AS INTEGER) AS height,
+           n_bytes
+    FROM d
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (multimodal.resize_images):
+    Arrow-batched narrow pass, integer-arithmetic output dims, payload
+    bytes never shuffle. Pixel resample stubbed (no codec in
+    container); dims math is the tested contract."""
+    from dumbo_spark.operators import multimodal
+
+    return multimodal.resize_images(
+        multimodal.attach_binary(load_table(spark, sf_dir, "documents")), max_dim=128
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             1000 + ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 59000
+               AS duration_ms
+      FROM (SELECT doc_id, md5(text) AS h FROM documents))
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(FLOOR(duration_ms * i / 4) AS BIGINT) AS offset_ms,
+           CAST(duration_ms AS BIGINT) AS duration_ms
+    FROM m, (SELECT unnest([0, 1, 2, 3]) AS i)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame offsets per video payload
+    (multimodal.frame_sample): pure JVM sequence+posexplode fan-out
+    AFTER payload pruning — the frame table never carries bytes."""
+    from dumbo_spark.operators import multimodal
+
+    return multimodal.frame_sample(load_table(spark, sf_dir, "documents"), k=4)
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -3691,6 +3760,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_tokens",
     "revenue_share_parts",
     "top_supplier_revenue",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

@@ -117,3 +117,34 @@ def test_top_supplier_revenue_window_and_ties(spark):
         (1, 50.0),
         (2, 50.0),
     }
+
+
+def test_resize_integer_scaling(spark):
+    from dumbo_spark.operators import multimodal
+
+    d = _docs(spark, [(1, "s", "hello world")])
+    out = multimodal.resize_images(multimodal.attach_binary(d), max_dim=128).collect()
+    (r,) = out
+    longer = max(r["orig_width"], r["orig_height"])
+    if longer <= 128:
+        assert (r["width"], r["height"]) == (r["orig_width"], r["orig_height"])
+    else:
+        assert r["width"] == r["orig_width"] * 128 // longer
+        assert r["height"] == r["orig_height"] * 128 // longer
+        assert max(r["width"], r["height"]) == 128
+
+
+def test_frame_sample_offsets_even_and_bounded(spark):
+    from dumbo_spark.operators import multimodal
+
+    d = _docs(spark, [(1, "s", "a"), (2, "s", "b c d")])
+    out = multimodal.frame_sample(d, k=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+        dur = rows[0]["duration_ms"]
+        assert 1000 <= dur < 60000
+        assert [r["offset_ms"] for r in rows] == [dur * i // 4 for i in range(4)]
