@@ -141,6 +141,10 @@ HEADLINE = [
     "top_supplier_revenue",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "position_attribution",
+    "dq_expectations",
+    "discount_band_revenue",
+    "centroid_affinity",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

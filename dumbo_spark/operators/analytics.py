@@ -718,3 +718,26 @@ def top_supplier_revenue(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
             F.col("_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+def discount_band_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one fully
+    pushdown-friendly scan — shipdate year, discount band, small
+    quantity — aggregated to a single exact-decimal revenue figure.
+    The canonical "did every predicate reach the parquet reader"
+    benchmark query: the plan must show all four PushedFilters and a
+    two-column ReadSchema beyond the filter columns.
+    """
+    f = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= F.lit(0.02).cast("double"))
+        & (F.col("l_discount") <= F.lit(0.04).cast("double"))
+        & (F.col("l_quantity") < F.lit(24))
+    )
+    return lineitem.where(f).agg(
+        F.sum(dmoney("l_extendedprice") * dmoney("l_discount"))
+        .cast("double")
+        .alias("potential_revenue"),
+        F.count("*").alias("n_items"),
+    )

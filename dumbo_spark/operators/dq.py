@@ -1,0 +1,95 @@
+"""Declarative data-quality expectations — the pipeline admission gate.
+
+A 100 TB ingest needs machine-checkable contracts BEFORE expensive
+downstream work: null rates, value ranges, key uniqueness, referential
+integrity. Dumbo users approximated this with counter-emitting mappers
+read off the job tracker (dumbo/core.py counters; see
+compat/counters.py); here it is one DataFrame whose rows ARE the
+report — composable, storable, diffable across runs.
+
+Plan shape: all row-level rules for one table fold into a SINGLE
+conditional-aggregate scan (one pass, partial agg, no shuffle of data
+rows — only 1-row partials), exploded into per-rule rows afterward.
+Referential rules are anti-joins: the dimension side broadcasts when
+small; fact→fact integrity (lineitem→orders) is a genuine
+key-partitioned shuffle — that cost is intrinsic to the check, not
+the plan (validating FK integrity over 100 TB IS a distributed
+semi-join; run it on the bucketed layout, sources/bucketed.py, to
+make it exchange-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _explode_rules(one_row: DataFrame, names: list[str]) -> DataFrame:
+    """1-row frame of per-rule violation counts → (rule, n_violations)
+    rows, via an array-of-structs explode (no shuffle, no union of
+    separate scans)."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(n).alias("rule"), F.col(n).alias("n_violations"))
+            for n in names
+        ]
+    )
+    return one_row.select(F.explode(rows).alias("r")).select(
+        "r.rule", "r.n_violations"
+    )
+
+
+def dq_expectations(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Expectation report over the order pipeline: one row per rule,
+    ``n_violations = 0`` means the expectation holds. All-zero on the
+    clean fixtures by design — the tests plant violations to prove
+    each rule fires (tests/test_round4_batch3.py).
+    """
+    o_rules = _explode_rules(
+        orders.agg(
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+                "o_totalprice_nonpositive"
+            ),
+            F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias(
+                "o_orderdate_null"
+            ),
+            (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias(
+                "o_orderkey_duplicate"
+            ),
+        ),
+        ["o_totalprice_nonpositive", "o_orderdate_null", "o_orderkey_duplicate"],
+    )
+    l_rules = _explode_rules(
+        lineitem.agg(
+            F.count(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            ).alias("l_quantity_out_of_range"),
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+            ).alias("l_discount_out_of_range"),
+        ),
+        ["l_quantity_out_of_range", "l_discount_out_of_range"],
+    )
+    orphan_orders = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orders_orphan_custkey").alias("rule"), "n_violations")
+    )
+    orphan_lines = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("rule"), "n_violations")
+    )
+    return o_rules.unionByName(l_rules).unionByName(orphan_orders).unionByName(
+        orphan_lines
+    )

@@ -377,3 +377,34 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
         "cluster_size",
     )
+
+
+def centroid_affinity(embeddings: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    class/source affinity matrix used to spot confusable labels or
+    near-duplicate domains before mixing.
+
+    Centroid components are rounded to 4dp FIRST (the same
+    engine-stable convention :func:`embedding_centroids` proved), then
+    assembled into position-ordered arrays, so the cosine is a
+    deterministic sequential fold (:func:`_dot`) over identical
+    numbers in identical order on both engines.
+
+    Scale: the only corpus-sized stage is the posexplode partial agg
+    (|labels|·dim rows out); the |labels|² pairing is a broadcast
+    self-join over a frame of bytes.
+    """
+    exploded = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = exploded.groupBy("label", "pos").agg(F.round(F.avg("v"), 4).alias("cv"))
+    vecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x["cv"]).alias("cvec"))
+    )
+    a = vecs.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
+    b = vecs.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(cos, 6).alias("cos_sim"))
+    )

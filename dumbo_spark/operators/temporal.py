@@ -263,3 +263,56 @@ def copresence_sessions(events: DataFrame, gap_min: int = 30) -> DataFrame:
     return pairs.groupBy("user_a", "user_b").agg(
         F.count("*").alias("n_overlaps")
     )
+
+
+def position_attribution(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    every click within ``window_minutes`` before a purchase earns
+    credit — first and last touch 0.4 each, interior touches split the
+    remaining 0.2 evenly (single touch 1.0, two touches 0.5/0.5). The
+    multi-touch generalization of the last-touch ``asof_last_click``.
+
+    Plan: candidate (click, purchase) pairs come from the same
+    user-keyed equi-join + time-band filter as ``click_attribution``
+    (equi-join on user_id; the range is a post-join filter, never a
+    cross product). Ranks then window per PURCHASE — group size is
+    bounded by clicks-in-30-minutes, millions of tiny groups, no skew
+    hazard. Credit arithmetic is IEEE-identical across engines; the
+    6dp rounding follows the house convention.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    )
+    w_rank = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    w_all = Window.partitionBy("purchase_id")
+    rn = F.row_number().over(w_rank)
+    n = F.count("*").over(w_all)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((rn == 1) | (rn == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+    )
+    return pairs.select(
+        "purchase_id",
+        "click_id",
+        rn.alias("position"),
+        n.alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+    )

@@ -30,6 +30,7 @@ from dumbo_spark.operators import (
     agg,
     analytics,
     dedup,
+    dq,
     events,
     graph,
     joins,
@@ -3742,6 +3743,133 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(load_table(spark, sf_dir, "documents"), k=4)
 
 
+@register(
+    "position_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT p.purchase_id, c.click_id, c.click_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+    r AS (
+      SELECT purchase_id, click_id,
+             CAST(ROW_NUMBER() OVER w AS INTEGER) AS position,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+      FROM pairs
+      WINDOW w AS (PARTITION BY purchase_id ORDER BY click_ts, click_id))
+    SELECT purchase_id, click_id, position, n_touches,
+           ROUND(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                      WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                      WHEN position = 1 OR position = n_touches
+                           THEN CAST(0.4 AS DOUBLE)
+                      ELSE CAST(0.2 AS DOUBLE)
+                           / CAST(n_touches - 2 AS DOUBLE)
+                 END, 6) AS credit
+    FROM r
+    """,
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based 40/20/40 multi-touch attribution
+    (temporal.position_attribution): user-keyed equi-join candidates,
+    per-purchase rank windows (bounded groups)."""
+    return temporal.position_attribution(
+        load_table(spark, sf_dir, "events"), window_minutes=30
+    )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'o_totalprice_nonpositive' AS rule,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_null', COUNT(*) FILTER (WHERE o_orderdate IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_duplicate', COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'l_quantity_out_of_range',
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount_out_of_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orphan_custkey', COUNT(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', COUNT(*)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation report (dq.dq_expectations): one
+    conditional-aggregate scan per table + anti-join referential
+    checks; all-zero on the clean fixtures proves the PASS state."""
+    return dq.dq_expectations(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "discount_band_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS potential_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+    """,
+)
+def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (analytics.discount_band_revenue): every
+    predicate pushes to the parquet reader; single exact-decimal
+    aggregate out."""
+    return analytics.discount_band_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "centroid_affinity",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS cv
+      FROM (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings)
+      GROUP BY label, pos),
+    vecs AS (
+      SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND({_duck_dot('a.cvec', 'b.cvec')}
+                 / (sqrt({_duck_dot('a.cvec', 'a.cvec')})
+                    * sqrt({_duck_dot('b.cvec', 'b.cvec')})), 6) AS cos_sim
+    FROM vecs a JOIN vecs b ON a.label < b.label
+    """,
+)
+def q_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix (similarity.centroid_affinity):
+    4dp-rounded centroids then deterministic sequential-fold cosine;
+    |labels|² pairing is a broadcast self-join over bytes."""
+    return similarity.centroid_affinity(load_table(spark, sf_dir, "embeddings"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -3762,6 +3890,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_supplier_revenue",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "position_attribution",
+    "dq_expectations",
+    "discount_band_revenue",
+    "centroid_affinity",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

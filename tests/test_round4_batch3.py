@@ -148,3 +148,106 @@ def test_frame_sample_offsets_even_and_bounded(spark):
         dur = rows[0]["duration_ms"]
         assert 1000 <= dur < 60000
         assert [r["offset_ms"] for r in rows] == [dur * i // 4 for i in range(4)]
+
+
+def test_position_attribution_credit_shapes(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1: three clicks then purchase -> 0.4 / 0.2 / 0.4
+            (1, datetime(2024, 1, 1, 10, 0), 1, "click", 0.0, None),
+            (2, datetime(2024, 1, 1, 10, 5), 1, "click", 0.0, None),
+            (3, datetime(2024, 1, 1, 10, 10), 1, "click", 0.0, None),
+            (4, datetime(2024, 1, 1, 10, 20), 1, "purchase", 9.0, None),
+            # user 2: single click -> 1.0
+            (5, datetime(2024, 1, 1, 11, 0), 2, "click", 0.0, None),
+            (6, datetime(2024, 1, 1, 11, 10), 2, "purchase", 9.0, None),
+            # user 3: two clicks -> 0.5 each; one click outside 30min window
+            (7, datetime(2024, 1, 1, 8, 0), 3, "click", 0.0, None),
+            (8, datetime(2024, 1, 1, 12, 0), 3, "click", 0.0, None),
+            (9, datetime(2024, 1, 1, 12, 10), 3, "click", 0.0, None),
+            (10, datetime(2024, 1, 1, 12, 20), 3, "purchase", 9.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.temporal import position_attribution
+
+    out = position_attribution(ev, window_minutes=30).collect()
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r["purchase_id"], {})[r["click_id"]] = r["credit"]
+    assert by_p[4] == {1: 0.4, 2: 0.2, 3: 0.4}
+    assert by_p[6] == {5: 1.0}
+    assert by_p[10] == {8: 0.5, 9: 0.5}  # click 7 is outside the window
+
+
+def test_dq_expectations_planted_violations(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, datetime(2024, 1, 1), "1-URGENT"),
+            (1, 10, "O", 50.0, datetime(2024, 1, 2), "1-URGENT"),  # dup key
+            (2, 999, "O", -5.0, None, "1-URGENT"),  # orphan, negative, null date
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 99.0, 0.9), (7, 10.0, 0.1)],  # orderkey 7 orphan; qty 99; disc 0.9
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    from dumbo_spark.operators.dq import dq_expectations
+
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in dq_expectations(orders, customer, lineitem).collect()
+    }
+    assert got == {
+        "o_totalprice_nonpositive": 1,
+        "o_orderdate_null": 1,
+        "o_orderkey_duplicate": 1,
+        "l_quantity_out_of_range": 1,
+        "l_discount_out_of_range": 1,
+        "orders_orphan_custkey": 1,
+        "lineitem_orphan_orderkey": 1,
+    }
+
+
+def test_discount_band_revenue_predicates(spark):
+    rows = [
+        # in band: counted
+        (1, 1, 100.0, 0.03, datetime(1996, 6, 1)),
+        # each predicate violated once
+        (2, 1, 100.0, 0.03, datetime(1995, 6, 1)),   # year
+        (3, 1, 100.0, 0.05, datetime(1996, 6, 1)),   # discount high
+        (4, 1, 100.0, 0.01, datetime(1996, 6, 1)),   # discount low
+    ]
+    li = spark.createDataFrame(
+        [(k, s, p, d, t, 10.0) for (k, s, p, d, t) in rows],
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp, l_quantity double",
+    )
+    out = analytics.discount_band_revenue(li).collect()[0]
+    assert out["n_items"] == 1
+    assert out["potential_revenue"] == 3.0  # 100 * 0.03
+
+
+def test_centroid_affinity_orthogonal_and_identical(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from dumbo_spark.operators.similarity import centroid_affinity
+
+    got = {
+        (r["label_a"], r["label_b"]): r["cos_sim"]
+        for r in centroid_affinity(emb).collect()
+    }
+    assert got[(0, 1)] == 0.0
+    assert got[(0, 2)] == 1.0
+    assert got[(1, 2)] == 0.0
