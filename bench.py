@@ -145,6 +145,9 @@ HEADLINE = [
     "dq_expectations",
     "discount_band_revenue",
     "centroid_affinity",
+    "session_path_topk",
+    "error_bursts",
+    "topk_movers",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

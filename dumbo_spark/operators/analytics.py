@@ -741,3 +741,30 @@ def discount_band_revenue(lineitem: DataFrame) -> DataFrame:
         .alias("potential_revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+def topk_movers(lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """Period-over-period trending detection: the parts whose lineitem
+    count grew most from 1996 to 1997 — the "what's suddenly popular"
+    screen behind ranking dashboards and hot-key forecasts.
+
+    One conditional-aggregate pass builds both periods' counts per
+    part (no self-join of two filtered scans); the mover cut is an
+    exact integer delta ordered with a key tie-break, compiled to
+    TakeOrderedAndProject — per-task heaps, no global sort. At 100 TB
+    the only full-data stage is the single partial-agg groupBy.
+    """
+    y = F.year("l_shipdate")
+    per = (
+        lineitem.where((y == 1996) | (y == 1997))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.when(y == 1996, 1)).alias("n_prev"),
+            F.count(F.when(y == 1997, 1)).alias("n_curr"),
+        )
+    )
+    return (
+        per.withColumn("delta", F.col("n_curr") - F.col("n_prev"))
+        .orderBy(F.col("delta").desc(), F.col("l_partkey").asc())
+        .limit(k)
+    )

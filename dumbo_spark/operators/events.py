@@ -678,3 +678,100 @@ def bounce_rate(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
             F.round(F.col("n_bounces").cast("double") / F.col("n_sessions"), 6),
         )
     )
+
+
+def session_path_topk(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN, steps: int = 3, k: int = 10
+) -> DataFrame:
+    """Top-k session entry paths: the first ``steps`` event types of
+    each gap-session, joined with '>' — clickstream path mining, the
+    "how do sessions start" product question.
+
+    Composition of the islands sessionizer (:func:`events_sessionized`)
+    with an order-exact per-session path assembly: collect_list of
+    (µs, event_id, type) structs sorted lexicographically, so the path
+    string is a pure function of the event order — engine-stable even
+    under timestamp ties. Per-session groups are bounded by one user's
+    session; the path-frequency agg is |distinct paths| ≤ |types|^steps
+    rows; the final cut is TakeOrderedAndProject (per-task heap).
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    flagged = events.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    1,
+                    steps,
+                ),
+                lambda x: x["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def error_bursts(
+    events: DataFrame, gap_min: int = 30, min_events: int = 2
+) -> DataFrame:
+    """Error-burst detection: runs of ≥ ``min_events`` error events per
+    user with no ``gap_min``-minute quiet period inside — the
+    monitoring primitive behind "is this client stuck in a retry
+    loop". The islands sessionizer applied to the FILTERED error
+    stream with a tight gap, plus a HAVING cut.
+
+    Scale: the error filter pushes into the scan (most events are not
+    errors, so the windowed stage sees a fraction of the stream); one
+    shuffle on user_id; bursts never span users.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    errs = events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    flagged = errs.withColumn(
+        "new_burst",
+        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
+    )
+    bursts = flagged.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        bursts.groupBy("user_id", "burst_id")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.unix_micros(F.min("ts")).alias("burst_start_us"),
+            F.unix_micros(F.max("ts")).alias("burst_end_us"),
+        )
+        .where(F.col("n_errors") >= min_events)
+    )

@@ -3870,6 +3870,101 @@ def q_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_affinity(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "session_path_topk",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM sessions),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM numbered WHERE rn <= 3 GROUP BY user_id, session_id)
+    SELECT path, COUNT(*) AS cnt
+    FROM paths GROUP BY path
+    ORDER BY cnt DESC, path ASC LIMIT 10
+    """,
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session entry paths (events.session_path_topk): islands
+    sessionizer + order-exact struct-sort path assembly +
+    TakeOrderedAndProject cut."""
+    return events.session_path_topk(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "error_bursts",
+    oracle="""
+    WITH errs AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'error'),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM errs
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    bursts AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_burst) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS burst_id
+      FROM flagged)
+    SELECT user_id, burst_id,
+           COUNT(*) AS n_errors,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS burst_start_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS burst_end_us
+    FROM bursts GROUP BY user_id, burst_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection (events.error_bursts): islands over the
+    pushdown-filtered error stream, 30-minute gap, ≥2 cut."""
+    return events.error_bursts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "topk_movers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             COUNT(*) FILTER (WHERE year(l_shipdate) = 1996) AS n_prev,
+             COUNT(*) FILTER (WHERE year(l_shipdate) = 1997) AS n_curr
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY l_partkey)
+    SELECT l_partkey, n_prev, n_curr, n_curr - n_prev AS delta
+    FROM per ORDER BY delta DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period top movers (analytics.topk_movers): one
+    conditional-agg pass, exact integer delta, TakeOrderedAndProject
+    cut with key tie-break."""
+    return analytics.topk_movers(load_table(spark, sf_dir, "lineitem"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -3894,6 +3989,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_expectations",
     "discount_band_revenue",
     "centroid_affinity",
+    "session_path_topk",
+    "error_bursts",
+    "topk_movers",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

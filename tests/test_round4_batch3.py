@@ -251,3 +251,64 @@ def test_centroid_affinity_orthogonal_and_identical(spark):
     assert got[(0, 1)] == 0.0
     assert got[(0, 2)] == 1.0
     assert got[(1, 2)] == 0.0
+
+
+def test_session_path_order_exact(spark):
+    ev = spark.createDataFrame(
+        [
+            # one session, 4 events: path = first 3 by (ts, event_id)
+            (1, datetime(2024, 1, 1, 10, 0), 1, "view", 0.0, None),
+            (2, datetime(2024, 1, 1, 10, 1), 1, "click", 0.0, None),
+            (3, datetime(2024, 1, 1, 10, 2), 1, "purchase", 0.0, None),
+            (4, datetime(2024, 1, 1, 10, 3), 1, "view", 0.0, None),
+            # second session for the same user (gap > 30min)
+            (5, datetime(2024, 1, 1, 12, 0), 1, "view", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import session_path_topk
+
+    got = {(r["path"], r["cnt"]) for r in session_path_topk(ev).collect()}
+    assert got == {("view>click>purchase", 1), ("view", 1)}
+
+
+def test_error_bursts_gap_and_threshold(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: two errors 5min apart -> one burst of 2
+            (1, d(2024, 1, 1, 10, 0), 1, "error", 0.0, None),
+            (2, d(2024, 1, 1, 10, 5), 1, "error", 0.0, None),
+            # 40min quiet -> next error alone, no burst
+            (3, d(2024, 1, 1, 10, 45), 1, "error", 0.0, None),
+            # user 2: non-errors never count
+            (4, d(2024, 1, 1, 10, 0), 2, "click", 0.0, None),
+            (5, d(2024, 1, 1, 10, 1), 2, "click", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import error_bursts
+
+    out = error_bursts(ev, gap_min=30, min_events=2).collect()
+    assert len(out) == 1
+    (b,) = out
+    assert b["user_id"] == 1 and b["n_errors"] == 2
+
+
+def test_topk_movers_delta_ordering(spark):
+    rows = []
+    # part 1: 1 -> 5 (delta +4); part 2: 3 -> 3 (0); part 3: 4 -> 0 (-4)
+    for i, (p, y96, y97) in enumerate([(1, 1, 5), (2, 3, 3), (3, 4, 0)]):
+        for _ in range(y96):
+            rows.append((p, 1, 10.0, 0.0, datetime(1996, 6, 1), 1.0))
+        for _ in range(y97):
+            rows.append((p, 1, 10.0, 0.0, datetime(1997, 6, 1), 1.0))
+    li = spark.createDataFrame(
+        rows,
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp, l_quantity double",
+    )
+    out = analytics.topk_movers(li, k=2).collect()
+    assert [(r["l_partkey"], r["delta"]) for r in out] == [(1, 4), (2, 0)]

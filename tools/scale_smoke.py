@@ -114,6 +114,21 @@ def main() -> None:
         "snapshot_diff",
         "pareto_concentration",
         "bounce_rate",
+        # round-4 batch-3/4 additions
+        "sequence_packing",
+        "token_budget_sample",
+        "heavy_hitter_tokens",
+        "revenue_share_parts",
+        "top_supplier_revenue",
+        "multimodal_resize",
+        "multimodal_frame_sample",
+        "position_attribution",
+        "dq_expectations",
+        "discount_band_revenue",
+        "centroid_affinity",
+        "session_path_topk",
+        "error_bursts",
+        "topk_movers",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
