@@ -148,6 +148,9 @@ HEADLINE = [
     "session_path_topk",
     "error_bursts",
     "topk_movers",
+    "asof_nearest_click",
+    "share_of_parent",
+    "source_quality_matrix",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

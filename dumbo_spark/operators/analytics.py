@@ -768,3 +768,40 @@ def topk_movers(lineitem: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.col("delta").desc(), F.col("l_partkey").asc())
         .limit(k)
     )
+
+
+def share_of_parent(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Contribution analysis ("percent of parent"): each nation's share
+    of its REGION's revenue — the drill-down ratio every BI rollup
+    needs, computed without a second scan or a self-join.
+
+    Plan: the Q5-style star join (dims broadcast) aggregates once to
+    the (region, nation) grain — ~25 rows — and the parent total is a
+    window sum OVER that aggregate, so the share costs nothing extra.
+    Exact decimal revenue; the share divides two identical doubles on
+    both engines.
+    """
+    rev = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).alias("_rev"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.sum("_rev").over(w).cast("double") * 100.0,
+            4,
+        ).alias("pct_of_region"),
+    )

@@ -16,7 +16,7 @@ per-row cost and the bucket predicate pushes no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: hex-digit value lookup used by both engines (see multimodal.py for
 #: the same trick; DuckDB cannot cast hex strings numerically)
@@ -197,4 +197,58 @@ def sample_per_group(
         df.select(group_col, key_col)
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
+    )
+
+
+def source_quality_matrix(documents: DataFrame, q: int = 4) -> DataFrame:
+    """Source × global-quality-quartile distribution matrix: where does
+    each source's length distribution sit against the WHOLE corpus —
+    the calibration view behind per-source quality cutoffs (a source
+    whose docs crowd the bottom quartile gets down-weighted before
+    mixing).
+
+    Exact global quartiles WITHOUT a global sort: rank(doc) in the
+    total order (n_chars, doc_id) = (count of docs with smaller
+    n_chars) + (rank among equal n_chars). The first term is a running
+    offset over the tiny distinct-value frame (|values| rows); the
+    second partitions by n_chars value. Same two-phase prefix-sum
+    family as operators/packing.py; for a value domain so small that
+    one value's docs exceed a task, add a doc_id-range sub-bucket
+    level (operators/topk.py::bucketed_quartiles shows the
+    range-repartition variant).
+
+    Quartile is integer math — ``(rank-1)·q // N`` — so the cut is
+    engine-exact; shares divide exact integers, rounded 4dp.
+    """
+    counts = documents.groupBy("n_chars").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).select("n_chars", "_off")
+    total = documents.agg(F.count("*").alias("_n"))
+
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        documents.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(offsets), "n_chars")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
+    )
+    matrix = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "quartile",
+            F.floor((F.col("_rank") - 1) * F.lit(q) / F.col("_n")).cast("int"),
+        )
+        .groupBy("source", "quartile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w_src = Window.partitionBy("source")
+    return matrix.select(
+        "source",
+        "quartile",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_src).cast("double"),
+            4,
+        ).alias("share"),
     )

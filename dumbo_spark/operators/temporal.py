@@ -316,3 +316,52 @@ def position_attribution(events: DataFrame, window_minutes: int = 30) -> DataFra
         n.alias("n_touches"),
         F.round(credit, 6).alias("credit"),
     )
+
+
+def asof_nearest_event(
+    events: DataFrame,
+    target_type: str = "purchase",
+    source_type: str = "click",
+    tolerance_sec: int = 3600,
+) -> DataFrame:
+    """Nearest-in-time as-of join (pandas ``merge_asof
+    direction='nearest'``): each target event matches the closest
+    ``source_type`` event by the same user in EITHER direction within
+    ``tolerance_sec``; ties go to the earlier (backward) match —
+    completing the as-of family (backward :func:`asof_last_event`,
+    forward ``asof_next_event``, bounded variants).
+
+    Plan: one user-partitioned window pass carries BOTH the last prior
+    and first following source event (two frame variants of the same
+    sort), then the winner is a pure row-local comparison — still one
+    shuffle, no join, same shape as the directional forms.
+    """
+    us = F.unix_micros("ts")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, -1)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    is_src = F.col("event_type") == source_type
+    tol_us = tolerance_sec * 1_000_000
+
+    carried = events.select("user_id", "event_id", "ts", "event_type").withColumns(
+        {
+            "back_id": F.last(F.when(is_src, F.col("event_id")), ignorenulls=True).over(wb),
+            "back_us": F.last(F.when(is_src, us), ignorenulls=True).over(wb),
+            "fwd_id": F.first(F.when(is_src, F.col("event_id")), ignorenulls=True).over(wf),
+            "fwd_us": F.first(F.when(is_src, us), ignorenulls=True).over(wf),
+        }
+    )
+    back_gap = us - F.col("back_us")
+    fwd_gap = F.col("fwd_us") - us
+    back_ok = F.col("back_id").isNotNull() & (back_gap <= tol_us)
+    fwd_ok = F.col("fwd_id").isNotNull() & (fwd_gap <= tol_us)
+    use_back = back_ok & (~fwd_ok | (back_gap <= fwd_gap))
+    matched = carried.where(
+        (F.col("event_type") == target_type) & (back_ok | fwd_ok)
+    )
+    return matched.select(
+        "user_id",
+        F.col("event_id").alias("target_id"),
+        F.when(use_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias("source_id"),
+        F.when(use_back, back_gap).otherwise(-fwd_gap).alias("gap_us"),
+    )

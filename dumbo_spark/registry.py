@@ -3965,6 +3965,117 @@ def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.topk_movers(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "asof_nearest_click",
+    oracle="""
+    WITH carried AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER wb AS back_id,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS) OVER wb AS back_us,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS) OVER wf AS fwd_id,
+             first_value(CASE WHEN event_type = 'click'
+                              THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                         IGNORE NULLS) OVER wf AS fwd_us
+      FROM events
+      WINDOW wb AS (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    flagged AS (
+      SELECT user_id, event_id, event_type, us, back_id, fwd_id,
+             us - back_us AS back_gap, fwd_us - us AS fwd_gap,
+             (back_id IS NOT NULL AND us - back_us <= 3600000000) AS back_ok,
+             (fwd_id IS NOT NULL AND fwd_us - us <= 3600000000) AS fwd_ok
+      FROM carried)
+    SELECT user_id,
+           event_id AS target_id,
+           CASE WHEN back_ok AND (NOT fwd_ok OR back_gap <= fwd_gap)
+                THEN back_id ELSE fwd_id END AS source_id,
+           CASE WHEN back_ok AND (NOT fwd_ok OR back_gap <= fwd_gap)
+                THEN back_gap ELSE -fwd_gap END AS gap_us
+    FROM flagged
+    WHERE event_type = 'purchase' AND (back_ok OR fwd_ok)
+    """,
+)
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join within 1h tolerance
+    (temporal.asof_nearest_event): one window pass carries both
+    directions; ties go backward."""
+    return temporal.asof_nearest_event(
+        load_table(spark, sf_dir, "events"), tolerance_sec=3600
+    )
+
+
+@register(
+    "share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rv
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT region, nation,
+           CAST(rv AS DOUBLE) AS revenue,
+           ROUND(CAST(rv AS DOUBLE)
+                 / CAST(SUM(rv) OVER (PARTITION BY region) AS DOUBLE)
+                 * CAST(100 AS DOUBLE), 4) AS pct_of_region
+    FROM rev
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution (analytics.share_of_parent):
+    Q5-style star join to the (region, nation) grain, parent total as
+    a window over the ~25-row aggregate."""
+    return analytics.share_of_parent(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "source_quality_matrix",
+    oracle="""
+    WITH r AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    m AS (
+      SELECT source,
+             CAST(FLOOR((rnk - 1) * 4 / n) AS INTEGER) AS quartile,
+             COUNT(*) AS n_docs
+      FROM r GROUP BY source, quartile)
+    SELECT source, quartile, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE),
+                 4) AS share
+    FROM m
+    """,
+)
+def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × global-length-quartile matrix
+    (sampling.source_quality_matrix): exact global rank via the
+    distinct-value offset trick — the oracle's single global
+    ROW_NUMBER is the spec; the Spark plan never globally sorts."""
+    return sampling.source_quality_matrix(load_table(spark, sf_dir, "documents"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -3992,6 +4103,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "session_path_topk",
     "error_bursts",
     "topk_movers",
+    "asof_nearest_click",
+    "share_of_parent",
+    "source_quality_matrix",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

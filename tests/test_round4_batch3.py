@@ -312,3 +312,74 @@ def test_topk_movers_delta_ordering(spark):
     )
     out = analytics.topk_movers(li, k=2).collect()
     assert [(r["l_partkey"], r["delta"]) for r in out] == [(1, 4), (2, 0)]
+
+
+def test_asof_nearest_direction_and_tie(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # purchase at 10:00; clicks at 9:50 (back 10m) and 10:05 (fwd 5m)
+            # -> forward wins (5m < 10m)
+            (1, d(2024, 1, 1, 9, 50), 1, "click", 0.0, None),
+            (2, d(2024, 1, 1, 10, 0), 1, "purchase", 0.0, None),
+            (3, d(2024, 1, 1, 10, 5), 1, "click", 0.0, None),
+            # user 2: equidistant clicks (+-10m) -> tie goes BACKWARD
+            (4, d(2024, 1, 1, 9, 50), 2, "click", 0.0, None),
+            (5, d(2024, 1, 1, 10, 0), 2, "purchase", 0.0, None),
+            (6, d(2024, 1, 1, 10, 10), 2, "click", 0.0, None),
+            # user 3: only a click 2h away -> outside tolerance, dropped
+            (7, d(2024, 1, 1, 8, 0), 3, "click", 0.0, None),
+            (8, d(2024, 1, 1, 10, 0), 3, "purchase", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.temporal import asof_nearest_event
+
+    got = {
+        r["user_id"]: (r["source_id"], r["gap_us"])
+        for r in asof_nearest_event(ev, tolerance_sec=3600).collect()
+    }
+    assert got == {
+        1: (3, -5 * 60 * 1_000_000),   # forward match, negative gap
+        2: (4, 10 * 60 * 1_000_000),   # tie -> backward, positive gap
+    }
+
+
+def test_share_of_parent_sums_to_100(spark, sf_dir):
+    from dumbo_spark.sources.catalog import load_table
+
+    out = analytics.share_of_parent(
+        *[load_table(spark, sf_dir, t)
+          for t in ("lineitem", "orders", "customer", "nation", "region")]
+    ).collect()
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r["region"], []).append(r["pct_of_region"])
+    for pcts in by_region.values():
+        assert abs(sum(pcts) - 100.0) < 0.01
+
+
+def test_source_quality_matrix_matches_naive_rank(spark, sf_dir):
+    from pyspark.sql import Window
+    from dumbo_spark.operators.sampling import source_quality_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["source"], r["quartile"]): (r["n_docs"], r["share"])
+        for r in source_quality_matrix(docs).collect()
+    }
+    n = docs.count()
+    naive = (
+        docs.select(
+            "source",
+            F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rnk"),
+        )
+        .withColumn("quartile", F.floor((F.col("rnk") - 1) * 4 / F.lit(n)).cast("int"))
+        .groupBy("source", "quartile")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
+    )
+    assert {(r["source"], r["quartile"]): r["n_docs"] for r in naive} == {
+        k: v[0] for k, v in got.items()
+    }

@@ -129,6 +129,9 @@ def main() -> None:
         "session_path_topk",
         "error_bursts",
         "topk_movers",
+        "asof_nearest_click",
+        "share_of_parent",
+        "source_quality_matrix",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
