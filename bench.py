@@ -151,6 +151,9 @@ HEADLINE = [
     "asof_nearest_click",
     "share_of_parent",
     "source_quality_matrix",
+    "token_source_mi",
+    "benford_screen",
+    "dow_hour_heatmap",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -93,3 +93,39 @@ def dq_expectations(
     return o_rules.unionByName(l_rules).unionByName(orphan_orders).unionByName(
         orphan_lines
     )
+
+
+def benford_screen(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    fabricated-numbers detector (synthetic or tampered financial data
+    rarely follows the log-uniform leading-digit distribution).
+
+    The leading digit is extracted through EXACT integer cents
+    (DECIMAL·100 → BIGINT → string head), never via log10 of a double
+    — values at power-of-ten boundaries would otherwise misclassify.
+    Observed shares divide exact longs; the Benford expectation
+    log10(1 + 1/d) is a fixed 9-value table both engines compute
+    identically to 6dp.
+
+    Scale: one partial-agg scan to 9 rows; everything else is
+    constant-sized.
+    """
+    from dumbo_spark.functions.numeric import dmoney
+
+    cents = (dmoney("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.where(cents > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    share = F.col("n").cast("double") / F.col("n_total").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("observed"),
+        F.round(expected, 6).alias("benford"),
+        F.round(share - expected, 6).alias("deviation"),
+    )

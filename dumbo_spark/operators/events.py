@@ -775,3 +775,26 @@ def error_bursts(
         )
         .where(F.col("n_errors") >= min_events)
     )
+
+
+def dow_hour_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour activity heatmap (ISO weekday 1=Mon..7=Sun)
+    with each cell's share of all traffic — the seasonality profile
+    behind capacity planning and anomaly baselines.
+
+    One partial-agg scan to ≤ 168 cells; the total joins back as a
+    broadcast scalar; shares divide exact longs.
+    """
+    cells = events.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hr",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("n_total").cast("double"), 6).alias(
+            "share"
+        ),
+    )

@@ -523,3 +523,53 @@ def heavy_hitter_tokens(documents: DataFrame, k: int = 500) -> DataFrame:
             ),
         )
     )
+
+
+def token_source_mi(
+    documents: DataFrame, k: int = 5, min_count: int = 10
+) -> DataFrame:
+    """Domain-indicative vocabulary: for each source, the top-k tokens
+    by pointwise KL contribution p(t|s)·ln(p(t|s)/p(t)) — which words
+    make this source look like itself. The feature-selection /
+    domain-shift view of the corpus (a crawl whose indicative tokens
+    are boilerplate is a bad crawl).
+
+    All probabilities derive from exact integer counts, so both
+    engines divide identical longs into identical doubles; the rank
+    cut uses the 6dp-rounded score with a token tie-break (the
+    tfidf_top_terms convention).
+
+    Scale: two token-keyed partial aggs (corpus-sized, map-side
+    combined); source totals and N broadcast; the rank window
+    partitions by source over ≤ |vocabulary| rows.
+    """
+    tok = documents.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    n_ts = tok.groupBy("token", "source").agg(F.count("*").alias("n_ts"))
+    n_t = n_ts.groupBy("token").agg(F.sum("n_ts").alias("n_t"))
+    n_s = n_ts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    total = n_t.agg(F.sum("n_t").alias("n_total"))
+
+    p_ts = F.col("n_ts") / F.col("n_s")
+    p_t = F.col("n_t") / F.col("n_total")
+    scored = (
+        n_ts.where(F.col("n_ts") >= min_count)
+        .join(n_t, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "token",
+            "n_ts",
+            F.round(p_ts * F.log(p_ts / p_t), 6).alias("mi_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("mi_score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "token", "n_ts", "mi_score", "rank")
+    )

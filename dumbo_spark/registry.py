@@ -4076,6 +4076,93 @@ def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_quality_matrix(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "token_source_mi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({DUCK_TOKENS}) AS token FROM documents),
+    n_ts AS (
+      SELECT token, source, COUNT(*) AS n_ts FROM tok GROUP BY token, source),
+    n_t AS (
+      SELECT token, CAST(SUM(n_ts) AS BIGINT) AS n_t FROM n_ts GROUP BY token),
+    n_s AS (
+      SELECT source, CAST(SUM(n_ts) AS BIGINT) AS n_s FROM n_ts GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM n_t),
+    scored AS (
+      SELECT s.source, s.token, s.n_ts,
+             ROUND((CAST(s.n_ts AS DOUBLE) / CAST(n_s.n_s AS DOUBLE))
+                   * ln((CAST(s.n_ts AS DOUBLE) / CAST(n_s.n_s AS DOUBLE))
+                        / (CAST(n_t.n_t AS DOUBLE) / CAST(tot.n_total AS DOUBLE))),
+                   6) AS mi_score
+      FROM n_ts s
+      JOIN n_t USING (token)
+      JOIN n_s USING (source), tot
+      WHERE s.n_ts >= 10)
+    SELECT source, token, n_ts, mi_score, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY mi_score DESC, token ASC) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_token_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-indicative tokens per source (textstats.token_source_mi):
+    pointwise-KL scores from exact integer counts, 6dp-rounded rank
+    cut with token tie-break."""
+    return textstats.token_source_mi(
+        load_table(spark, sf_dir, "documents"), k=5, min_count=10
+    )
+
+
+@register(
+    "benford_screen",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    counts AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS n
+      FROM c WHERE cents > 0 GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS observed,
+           ROUND(log10(CAST(1 AS DOUBLE)
+                       + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS benford,
+           ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 - log10(CAST(1 AS DOUBLE)
+                         + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)
+             AS deviation
+    FROM counts, tot
+    """,
+)
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (dq.benford_screen): leading digit
+    via exact integer cents, never log10 of a double."""
+    return dq.benford_screen(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+             COUNT(*) AS n_events
+      FROM events GROUP BY dow, hr),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
+    SELECT dow, hr, n_events,
+           ROUND(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+    FROM cells, tot
+    """,
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO weekday × hour seasonality heatmap (events.dow_hour_heatmap):
+    one partial-agg scan to ≤168 cells + broadcast total."""
+    return events.dow_hour_heatmap(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4106,6 +4193,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_nearest_click",
     "share_of_parent",
     "source_quality_matrix",
+    "token_source_mi",
+    "benford_screen",
+    "dow_hour_heatmap",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

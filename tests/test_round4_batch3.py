@@ -383,3 +383,44 @@ def test_source_quality_matrix_matches_naive_rank(spark, sf_dir):
     assert {(r["source"], r["quartile"]): r["n_docs"] for r in naive} == {
         k: v[0] for k, v in got.items()
     }
+
+
+def test_token_source_mi_indicative_token(spark):
+    # source A says "alpha" a lot; source B says "beta"; both share "x"
+    rows = [(i, "A", "alpha x") for i in range(10)] + [
+        (100 + i, "B", "beta x") for i in range(10)
+    ]
+    d = _docs(spark, rows)
+    from dumbo_spark.operators.textstats import token_source_mi
+
+    out = token_source_mi(d, k=1, min_count=5).collect()
+    top = {r["source"]: r["token"] for r in out}
+    assert top == {"A": "alpha", "B": "beta"}
+    assert all(r["mi_score"] > 0 for r in out)
+
+
+def test_benford_screen_exact_digit_extraction(spark):
+    orders = spark.createDataFrame(
+        [(1, 1000.00), (2, 999.99), (3, 10.00), (4, 0.00), (5, 250.50)],
+        "o_orderkey long, o_totalprice double",
+    )
+    from dumbo_spark.operators.dq import benford_screen
+
+    got = {r["digit"]: r["n"] for r in benford_screen(orders).collect()}
+    # 1000.00 -> 1, 999.99 -> 9, 10.00 -> 1, 0.00 excluded, 250.50 -> 2
+    assert got == {1: 2, 9: 1, 2: 1}
+
+
+def test_dow_hour_heatmap_iso_weekday(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 0), 1, "a", 0.0, None),   # Monday
+            (2, datetime(2024, 1, 7, 23, 0), 1, "a", 0.0, None),  # Sunday
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import dow_hour_heatmap
+
+    got = {(r["dow"], r["hr"]): r["share"] for r in dow_hour_heatmap(ev).collect()}
+    assert got == {(1, 9): 0.5, (7, 23): 0.5}

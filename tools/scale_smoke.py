@@ -132,6 +132,9 @@ def main() -> None:
         "asof_nearest_click",
         "share_of_parent",
         "source_quality_matrix",
+        "token_source_mi",
+        "benford_screen",
+        "dow_hour_heatmap",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
