@@ -154,6 +154,9 @@ HEADLINE = [
     "token_source_mi",
     "benford_screen",
     "dow_hour_heatmap",
+    "basket_rules",
+    "lang_source_contingency",
+    "cohort_ltv",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -798,3 +798,50 @@ def dow_hour_heatmap(events: DataFrame) -> DataFrame:
             "share"
         ),
     )
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by FIRST-PURCHASE
+    week (acquisition = first paying week), purchase revenue
+    accumulated per week offset — the money-weighted companion of
+    :func:`user_retention` (which counts users; this sums what they
+    spend).
+
+    Week arithmetic is exact integers (epoch-days // 7), revenue is
+    exact decimal, and the cumulative sum windows over the cohort ×
+    offset AGGREGATE (bounded by weeks², not events) — the same
+    bounded-window argument as the retention matrix.
+    """
+    wnum = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", wnum.alias("w"))
+        .agg(F.sum(dmoney("value")).alias("rev"))
+    )
+    first = purchases.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    per_cell = (
+        purchases.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_w"),
+            (F.col("w") - F.col("cohort_w")).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum("rev").alias("_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_w")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_cell.select(
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), (F.col("cohort_w") * 7).cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("cohort_week"),
+        "week_offset",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(w).cast("double").alias("cum_revenue"),
+    )

@@ -213,3 +213,67 @@ def kcore_nodes(
         .groupBy("l_partkey")
         .agg(F.count("*").alias("core_degree"))
     )
+
+
+def basket_rules(
+    lineitem: DataFrame, min_cooccur: int = 3, max_basket: int = 20
+) -> DataFrame:
+    """Association rules over the co-purchase graph: support,
+    directional confidence, and lift for every part pair appearing in
+    ≥ ``min_cooccur`` distinct orders — the market-basket metrics
+    layer on top of the edge census (the co-occurrence COUNT becomes
+    a probability estimate).
+
+    Same basket-bounded pair generation as :func:`_copurchase_edges`
+    (oversized baskets excluded BEFORE pairing, so fan-out per order
+    is ≤ max_basket²); item frequencies and the order total join in
+    as token-keyed partial aggs / a broadcast scalar. Every metric is
+    a ratio of exact longs rounded 6dp — engine-stable.
+    """
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ok_orders = (
+        po.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_basket)
+        .select("l_orderkey")
+    )
+    po = po.join(ok_orders, "l_orderkey")
+    n_orders = po.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item_freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_cooccur)
+    )
+    fa = item_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    fb = item_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    d = lambda c: F.col(c).cast("double")
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(d("n_ab") / d("n_orders"), 6).alias("support"),
+            F.round(d("n_ab") / d("n_a"), 6).alias("conf_a_b"),
+            F.round(d("n_ab") / d("n_b"), 6).alias("conf_b_a"),
+            F.round(d("n_ab") * d("n_orders") / (d("n_a") * d("n_b")), 6).alias("lift"),
+        )
+    )

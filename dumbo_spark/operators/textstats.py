@@ -573,3 +573,42 @@ def token_source_mi(
         .where(F.col("rank") <= k)
         .select("source", "token", "n_ts", "mi_score", "rank")
     )
+
+
+def lang_source_contingency(documents: DataFrame) -> DataFrame:
+    """Language × source contingency table with independence-model
+    expectations and Pearson residuals — does a source's language mix
+    deviate from the corpus (a crawl suddenly heavy in one language is
+    a pipeline bug or a scope change).
+
+    Observed cells only (absent combinations are structurally zero and
+    omitted). Expected counts and residuals derive from exact integer
+    marginals — ``E = n_lang·n_source / N`` — rounded 4dp; no
+    order-dependent float accumulation anywhere.
+
+    Scale: one partial-agg scan to |langs|·|sources| cells; marginals
+    re-aggregate the cell frame (tiny) and broadcast back.
+    """
+    cells = documents.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    row = cells.groupBy("lang").agg(F.sum("observed").alias("n_lang"))
+    col = cells.groupBy("source").agg(F.sum("observed").alias("n_source"))
+    total = cells.agg(F.sum("observed").alias("n_total"))
+    expected = (
+        F.col("n_lang").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(row), "lang")
+        .join(F.broadcast(col), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                (F.col("observed").cast("double") - expected) / F.sqrt(expected), 4
+            ).alias("residual"),
+        )
+    )

@@ -4163,6 +4163,102 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.dow_hour_heatmap(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "basket_rules",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey HAVING COUNT(*) <= 20),
+    pq AS (SELECT po.l_orderkey, po.l_partkey FROM po JOIN ok USING (l_orderkey)),
+    t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM pq),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM pq GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM pq a JOIN pq b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b HAVING COUNT(*) >= 3)
+    SELECT part_a, part_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE), 6) AS conf_a_b,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(fb.n_item AS DOUBLE), 6) AS conf_b_a,
+           ROUND(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)), 6)
+             AS lift
+    FROM pairs
+    JOIN freq fa ON pairs.part_a = fa.l_partkey
+    JOIN freq fb ON pairs.part_b = fb.l_partkey, t
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (graph.basket_rules):
+    basket-bounded pair generation, metrics as ratios of exact longs."""
+    return graph.basket_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "lang_source_contingency",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS observed
+      FROM documents GROUP BY lang, source),
+    row_m AS (
+      SELECT lang, CAST(SUM(observed) AS BIGINT) AS n_lang
+      FROM cells GROUP BY lang),
+    col_m AS (
+      SELECT source, CAST(SUM(observed) AS BIGINT) AS n_source
+      FROM cells GROUP BY source),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cells)
+    SELECT lang, source, observed,
+           ROUND(CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                 / CAST(n_total AS DOUBLE), 4) AS expected,
+           ROUND((CAST(observed AS DOUBLE)
+                  - CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                    / CAST(n_total AS DOUBLE))
+                 / sqrt(CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                        / CAST(n_total AS DOUBLE)), 4) AS residual
+    FROM cells
+    JOIN row_m USING (lang)
+    JOIN col_m USING (source), tot
+    """,
+)
+def q_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source independence screen
+    (textstats.lang_source_contingency): expectations and Pearson
+    residuals from exact integer marginals."""
+    return textstats.lang_source_contingency(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH mn AS (
+      SELECT user_id, event_type, value,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events),
+    pur AS (
+      SELECT user_id, w, SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM mn WHERE event_type = 'purchase' GROUP BY user_id, w),
+    first AS (SELECT user_id, MIN(w) AS cohort_w FROM pur GROUP BY user_id),
+    cell AS (
+      SELECT cohort_w, CAST(w - cohort_w AS INTEGER) AS week_offset,
+             SUM(rev) AS rv
+      FROM pur JOIN first USING (user_id) GROUP BY cohort_w, week_offset)
+    SELECT CAST(DATE '1970-01-01' + CAST(cohort_w * 7 AS INTEGER) AS VARCHAR)
+             AS cohort_week,
+           week_offset,
+           CAST(rv AS DOUBLE) AS revenue,
+           CAST(SUM(rv) OVER (PARTITION BY cohort_w ORDER BY week_offset
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_revenue
+    FROM cell
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (events.cohort_ltv): exact integer epoch-week
+    arithmetic, exact decimal revenue, cumulative window over the
+    bounded cohort × offset aggregate."""
+    return events.cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4196,6 +4292,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_source_mi",
     "benford_screen",
     "dow_hour_heatmap",
+    "basket_rules",
+    "lang_source_contingency",
+    "cohort_ltv",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

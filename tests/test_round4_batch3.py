@@ -424,3 +424,68 @@ def test_dow_hour_heatmap_iso_weekday(spark):
 
     got = {(r["dow"], r["hr"]): r["share"] for r in dow_hour_heatmap(ev).collect()}
     assert got == {(1, 9): 0.5, (7, 23): 0.5}
+
+
+def test_basket_rules_metrics(spark):
+    # orders: {1,2} together 3x; order with only 1; n_orders = 4
+    rows = []
+    for ok in (10, 11, 12):
+        rows += [(ok, 1), (ok, 2)]
+    rows += [(13, 1)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from dumbo_spark.operators.graph import basket_rules
+
+    out = basket_rules(li, min_cooccur=3).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["part_a"], r["part_b"], r["n_ab"]) == (1, 2, 3)
+    assert r["support"] == 0.75          # 3/4 orders
+    assert r["conf_a_b"] == 0.75         # 3/4 orders with part 1
+    assert r["conf_b_a"] == 1.0          # 3/3 orders with part 2
+    assert r["lift"] == 1.0              # 3*4/(4*3)
+
+
+def test_contingency_independence_residuals(spark):
+    # perfectly independent 2x2 -> residuals all 0
+    rows = []
+    i = 0
+    for lang, source, n in [("en", "a", 20), ("en", "b", 20), ("de", "a", 10), ("de", "b", 10)]:
+        for _ in range(n):
+            rows.append((i, source, "t", lang))
+            i += 1
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string, lang string")
+    from dumbo_spark.operators.textstats import lang_source_contingency
+
+    out = lang_source_contingency(d).collect()
+    assert len(out) == 4
+    assert all(r["residual"] == 0.0 for r in out)
+    exp = {(r["lang"], r["source"]): r["expected"] for r in out}
+    assert exp[("en", "a")] == 20.0 and exp[("de", "b")] == 10.0
+
+
+def test_cohort_ltv_offsets_and_cumsum(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1 first buys in week of Jan 1, buys again 2 weeks later
+            (1, d(2024, 1, 1, 10), 1, "purchase", 10.0, None),
+            (2, d(2024, 1, 15, 10), 1, "purchase", 5.0, None),
+            # user 2 first buys two weeks in
+            (3, d(2024, 1, 15, 10), 2, "purchase", 7.0, None),
+            # non-purchase events don't count and don't set the cohort
+            (4, d(2023, 12, 1, 10), 2, "view", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import cohort_ltv
+
+    out = {(r["cohort_week"], r["week_offset"]): (r["revenue"], r["cum_revenue"])
+           for r in cohort_ltv(ev).collect()}
+    # epoch weeks start on Thursdays (1970-01-01 was a Thursday):
+    # Jan 1 2024 falls in the week starting 2023-12-28
+    assert out == {
+        ("2023-12-28", 0): (10.0, 10.0),
+        ("2023-12-28", 2): (5.0, 15.0),
+        ("2024-01-11", 0): (7.0, 7.0),
+    }

@@ -135,6 +135,9 @@ def main() -> None:
         "token_source_mi",
         "benford_screen",
         "dow_hour_heatmap",
+        "basket_rules",
+        "lang_source_contingency",
+        "cohort_ltv",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
