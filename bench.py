@@ -157,6 +157,8 @@ HEADLINE = [
     "basket_rules",
     "lang_source_contingency",
     "cohort_ltv",
+    "item_similarity",
+    "consistent_entity_sample",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

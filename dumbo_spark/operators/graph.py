@@ -24,7 +24,7 @@ Scale notes baked into the shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def copurchase_triangles(
@@ -276,4 +276,71 @@ def basket_rules(
             F.round(d("n_ab") / d("n_b"), 6).alias("conf_b_a"),
             F.round(d("n_ab") * d("n_orders") / (d("n_a") * d("n_b")), 6).alias("lift"),
         )
+    )
+
+
+def item_similarity(
+    lineitem: DataFrame,
+    min_common: int = 3,
+    k: int = 5,
+    max_basket: int = 20,
+) -> DataFrame:
+    """Item-based collaborative filtering ("customers who bought X
+    also bought Y"): per item, the top-k most similar items by Jaccard
+    over order neighborhoods — |orders with both| / |orders with
+    either|.
+
+    The common-neighbor count IS the basket-bounded co-purchase count
+    (same pair generation as :func:`basket_rules`); the union comes
+    from the two item frequencies by inclusion-exclusion, so no second
+    pass touches the orders. Pairs symmetrize (a→b and b→a) before the
+    per-item rank window — groups bounded by an item's co-purchase
+    partner count. The rank cut uses the 6dp-rounded score with an
+    item tie-break (house convention).
+    """
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ok_orders = (
+        po.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_basket)
+        .select("l_orderkey")
+    )
+    po = po.join(ok_orders, "l_orderkey")
+    freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "n_common"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "n_common"
+        )
+    )
+    fi = freq.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("n_i"))
+    fo = freq.select(F.col("l_partkey").alias("other"), F.col("n_item").alias("n_o"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_i") + F.col("n_o") - F.col("n_common")).cast("double"),
+        6,
+    )
+    w = Window.partitionBy("item").orderBy(F.col("jaccard").desc(), F.col("other").asc())
+    return (
+        sym.join(fi, "item")
+        .join(fo, "other")
+        .withColumn("jaccard", jac)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("item", "other", "n_common", "jaccard", "rank")
     )

@@ -252,3 +252,64 @@ def source_quality_matrix(documents: DataFrame, q: int = 4) -> DataFrame:
             4,
         ).alias("share"),
     )
+
+
+def consistent_entity_sample(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, pct: int = 10
+) -> DataFrame:
+    """Entity-consistent sampling census: keep ``pct``% of CUSTOMERS by
+    hash and verify the whole referential closure follows — the way a
+    100 TB warehouse is downsampled for a debug environment (row-level
+    sampling would orphan every order; entity-level keeps each
+    customer's complete history).
+
+    The keep-predicate is the md5 bucket of the ENTITY key, so it
+    pushes directly into any table carrying that key (customer,
+    orders) with no join; tables one hop away (lineitem has no
+    custkey) take a semi-join against the kept orders — the one
+    genuinely key-partitioned stage. Returns one row per table with
+    kept/total counts plus a closure-violation row that must be zero.
+    """
+    keep = lambda col: _md5_bucket(F.col(col), 100) < pct
+    kept_cust = customer.where(keep("c_custkey"))
+    kept_orders = orders.where(keep("o_custkey"))
+    kept_lines = lineitem.join(
+        kept_orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def census(name: str, kept: DataFrame, total: DataFrame) -> DataFrame:
+        return kept.agg(F.count("*").alias("n_kept")).crossJoin(
+            total.agg(F.count("*").alias("n_total"))
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_kept",
+            "n_total",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+
+    # closure check: kept orders whose customer is NOT in the kept set
+    # (must be structurally zero — same predicate, same key)
+    orphans = (
+        kept_orders.join(
+            F.broadcast(kept_cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_kept"))
+        .select(
+            F.lit("closure_violations").alias("table_name"),
+            "n_kept",
+            F.lit(0).cast("long").alias("n_total"),
+            F.lit(0.0).alias("share"),
+        )
+    )
+    return (
+        census("customer", kept_cust, customer)
+        .unionByName(census("orders", kept_orders, orders))
+        .unionByName(census("lineitem", kept_lines, lineitem))
+        .unionByName(orphans)
+    )

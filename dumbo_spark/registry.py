@@ -4259,6 +4259,93 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cohort_ltv(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "item_similarity",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey HAVING COUNT(*) <= 20),
+    pq AS (SELECT po.l_orderkey, po.l_partkey FROM po JOIN ok USING (l_orderkey)),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM pq GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_common
+      FROM pq a JOIN pq b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= 3),
+    sym AS (
+      SELECT pa AS item, pb AS other, n_common FROM pairs
+      UNION ALL
+      SELECT pb AS item, pa AS other, n_common FROM pairs),
+    scored AS (
+      SELECT item, other, n_common,
+             ROUND(CAST(n_common AS DOUBLE)
+                   / CAST(fi.n_item + fo.n_item - n_common AS DOUBLE), 6)
+               AS jaccard
+      FROM sym
+      JOIN freq fi ON sym.item = fi.l_partkey
+      JOIN freq fo ON sym.other = fo.l_partkey)
+    SELECT item, other, n_common, jaccard, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY jaccard DESC, other ASC) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based CF top-k (graph.item_similarity): Jaccard over order
+    neighborhoods via inclusion-exclusion on the co-purchase counts."""
+    return graph.item_similarity(load_table(spark, sf_dir, "lineitem"))
+
+
+_CES_KEEP_C = sampling.sql_md5_bucket("c_custkey")
+_CES_KEEP_O = sampling.sql_md5_bucket("o_custkey")
+
+
+@register(
+    "consistent_entity_sample",
+    oracle=f"""
+    WITH kc AS (SELECT * FROM customer WHERE {_CES_KEEP_C} < 10),
+    ko AS (SELECT * FROM orders WHERE {_CES_KEEP_O} < 10),
+    kl AS (SELECT * FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM ko))
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM kc) AS n_kept,
+           (SELECT COUNT(*) FROM customer) AS n_total,
+           ROUND(CAST((SELECT COUNT(*) FROM kc) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 6) AS share
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM ko),
+           (SELECT COUNT(*) FROM orders),
+           ROUND(CAST((SELECT COUNT(*) FROM ko) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM kl),
+           (SELECT COUNT(*) FROM lineitem),
+           ROUND(CAST((SELECT COUNT(*) FROM kl) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
+    UNION ALL
+    SELECT 'closure_violations',
+           (SELECT COUNT(*) FROM ko
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM kc)),
+           CAST(0 AS BIGINT),
+           CAST(0.0 AS DOUBLE)
+    """,
+)
+def q_consistent_entity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent 10% sample census
+    (sampling.consistent_entity_sample): hash keep-predicate pushes
+    into every custkey-carrying table; lineitem follows by semi-join;
+    closure violations must be zero."""
+    return sampling.consistent_entity_sample(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        pct=10,
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4295,6 +4382,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "basket_rules",
     "lang_source_contingency",
     "cohort_ltv",
+    "item_similarity",
+    "consistent_entity_sample",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

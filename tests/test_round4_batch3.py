@@ -489,3 +489,39 @@ def test_cohort_ltv_offsets_and_cumsum(spark):
         ("2023-12-28", 2): (5.0, 15.0),
         ("2024-01-11", 0): (7.0, 7.0),
     }
+
+
+def test_item_similarity_jaccard_and_symmetry(spark):
+    rows = []
+    # items 1,2 co-occur in 3 orders; item 1 also alone in 1 order
+    for ok in (10, 11, 12):
+        rows += [(ok, 1), (ok, 2)]
+    rows += [(13, 1)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from dumbo_spark.operators.graph import item_similarity
+
+    out = {(r["item"], r["other"]): r for r in item_similarity(li, min_common=3).collect()}
+    # jaccard(1,2) = 3 / (4 + 3 - 3) = 0.75, present in BOTH directions
+    assert out[(1, 2)]["jaccard"] == 0.75
+    assert out[(2, 1)]["jaccard"] == 0.75
+    assert out[(1, 2)]["rank"] == 1 and out[(2, 1)]["rank"] == 1
+
+
+def test_consistent_entity_sample_closure(spark, sf_dir):
+    from dumbo_spark.operators.sampling import consistent_entity_sample
+    from dumbo_spark.sources.catalog import load_table
+
+    out = {
+        r["table_name"]: r
+        for r in consistent_entity_sample(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            pct=10,
+        ).collect()
+    }
+    assert out["closure_violations"]["n_kept"] == 0
+    # ~10% of customers kept (hash bucket), orders/lineitem follow
+    assert 0.05 < out["customer"]["share"] < 0.15
+    assert 0.05 < out["orders"]["share"] < 0.15
+    assert 0.05 < out["lineitem"]["share"] < 0.15

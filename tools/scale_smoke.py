@@ -138,6 +138,8 @@ def main() -> None:
         "basket_rules",
         "lang_source_contingency",
         "cohort_ltv",
+        "item_similarity",
+        "consistent_entity_sample",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
