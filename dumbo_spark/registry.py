@@ -4346,6 +4346,41 @@ def q_consistent_entity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_error_bursts",
+    oracle="""
+    WITH errs AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'error'),
+    flagged AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM errs
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    bursts AS (
+      SELECT user_id, us,
+             SUM(new_burst) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+      FROM flagged)
+    SELECT user_id, MIN(us) AS burst_start_us, COUNT(*) AS n_errors
+    FROM bursts GROUP BY user_id, burst_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming error-burst monitor
+    (streaming/runners.py::streaming_error_bursts): session_window over
+    the error-FILTERED stream, state bounded by erroring users; oracle
+    is the batch islands form with ≥-gap split semantics."""
+    from dumbo_spark.streaming.runners import streaming_error_bursts
+
+    return streaming_error_bursts(spark, sf_dir)
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4384,6 +4419,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_ltv",
     "item_similarity",
     "consistent_entity_sample",
+    "streaming_error_bursts",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

@@ -260,3 +260,33 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     joined = click_purchase_stream_join(sides["clicks"], sides["purchases"])
     return _run_to_memory(joined, "q_streaming_attr_sink", mode="append")
+
+
+def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection as a TRUE stream: the error-filtered event
+    stream through ``session_window`` (30-minute gap) with a HAVING-≥2
+    cut — the continuous form of operators/events.py::error_bursts
+    (the monitoring query you would actually leave running).
+
+    The filter applies BEFORE the stateful operator, so session state
+    is proportional to ERRORING users only — at production scale the
+    difference between a trivial state store and an unbounded one.
+    Settled complete-mode output matches a batch islands oracle with
+    session_window's ≥-gap split semantics (the events_session_window
+    convention).
+    """
+    from dumbo_spark.streaming.windows import read_events_stream
+
+    errs = read_events_stream(spark, sf_dir).where(F.col("event_type") == "error")
+    stream = (
+        errs.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_errors"))
+        .where(F.col("n_errors") >= 2)
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("burst_start_us"),
+            "n_errors",
+        )
+    )
+    return _run_to_memory(stream, "q_streaming_error_bursts_sink", mode="complete")
