@@ -215,6 +215,25 @@ def kcore_nodes(
     )
 
 
+def _basket_po(lineitem: DataFrame, max_basket: int) -> DataFrame:
+    """Distinct (order, part) pairs from size-bounded baskets — the
+    shared, localCheckpoint()ed front half of the market-basket
+    operators. The checkpoint matters: every consumer branches off
+    this frame 3-4 times (frequencies, order total, both join sides of
+    the pairing), and without truncation Catalyst re-embeds the
+    distinct+filter subplan per branch — re-scanning the fact table
+    once PER BRANCH at 100 TB (the same finding that cut the triangle
+    census 59.9s → 20.9s at 10×, SCALE.md)."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ok_orders = (
+        po.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_basket)
+        .select("l_orderkey")
+    )
+    return po.join(ok_orders, "l_orderkey").localCheckpoint()
+
+
 def basket_rules(
     lineitem: DataFrame, min_cooccur: int = 3, max_basket: int = 20
 ) -> DataFrame:
@@ -230,14 +249,7 @@ def basket_rules(
     as token-keyed partial aggs / a broadcast scalar. Every metric is
     a ratio of exact longs rounded 6dp — engine-stable.
     """
-    po = lineitem.select("l_orderkey", "l_partkey").distinct()
-    ok_orders = (
-        po.groupBy("l_orderkey")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") <= max_basket)
-        .select("l_orderkey")
-    )
-    po = po.join(ok_orders, "l_orderkey")
+    po = _basket_po(lineitem, max_basket)
     n_orders = po.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
@@ -298,14 +310,7 @@ def item_similarity(
     partner count. The rank cut uses the 6dp-rounded score with an
     item tie-break (house convention).
     """
-    po = lineitem.select("l_orderkey", "l_partkey").distinct()
-    ok_orders = (
-        po.groupBy("l_orderkey")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") <= max_basket)
-        .select("l_orderkey")
-    )
-    po = po.join(ok_orders, "l_orderkey")
+    po = _basket_po(lineitem, max_basket)
     freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
 
     a, b = po.alias("a"), po.alias("b")
