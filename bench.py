@@ -159,6 +159,8 @@ HEADLINE = [
     "cohort_ltv",
     "item_similarity",
     "consistent_entity_sample",
+    "funnel_time_bounded",
+    "segment_priority_mode",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -805,3 +805,35 @@ def share_of_parent(
             4,
         ).alias("pct_of_region"),
     )
+
+
+def segment_priority_mode(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-segment modal order priority — the grouped MODE aggregate
+    (Spark has no ``mode()`` that is deterministic under ties; this is
+    the standard two-level construction with an explicit tie-break).
+
+    Plan: fact⋈dim broadcast join, one partial-agg to the
+    (segment, priority) grain — ≤ |segments|·|priorities| rows — and a
+    rank window OVER that tiny aggregate. Ties break on the priority
+    string so the mode is engine-stable.
+    """
+    counts = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n_orders",
+        )
+    )

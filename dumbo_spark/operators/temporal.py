@@ -365,3 +365,55 @@ def asof_nearest_event(
         F.when(use_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias("source_id"),
         F.when(use_back, back_gap).otherwise(-fwd_gap).alias("gap_us"),
     )
+
+
+def funnel_time_bounded(events: DataFrame, bound_sec: int = 3600) -> DataFrame:
+    """Time-bounded ordered funnel: view → click → purchase where each
+    stage must complete within ``bound_sec`` of the PREVIOUS stage —
+    the conversion-velocity variant of :func:`conversion_funnel`
+    (a purchase three weeks after the click is a different journey,
+    not this funnel).
+
+    Same one-pass shape: per-user conditional-min + sorted stage
+    arrays (bounded by one user's history), stage lookups are
+    "first element in (prev, prev + bound]" array expressions — no
+    self-joins, no per-stage scans, one shuffle.
+    """
+    us = F.unix_micros("ts")
+    bound_us = bound_sec * 1_000_000
+    per_user = (
+        events.select("user_id", F.col("event_type").alias("et"), us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("et") == "view", F.col("us"))).alias("t_view"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("et") == "click", F.col("us")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))
+            ).alias("purchases"),
+        )
+    )
+
+    def first_within(arr, thr):
+        return F.array_min(
+            F.filter(arr, lambda x: (x > thr) & (x <= thr + F.lit(bound_us)))
+        )
+
+    staged = per_user.withColumn(
+        "t_click", first_within(F.col("clicks"), F.col("t_view"))
+    ).withColumn("t_purchase", first_within(F.col("purchases"), F.col("t_click")))
+    counts = staged.agg(
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("reached_view").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("reached_click").alias("n_users")),
+                F.struct(F.lit("3_purchase").alias("stage"), F.col("reached_purchase").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")

@@ -4381,6 +4381,68 @@ def q_streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_error_bursts(spark, sf_dir)
 
 
+@register(
+    "funnel_time_bounded",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'click')) AS clicks,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'purchase')) AS purchases
+      FROM events GROUP BY user_id),
+    st AS (
+      SELECT user_id, t_view, clicks, purchases,
+             list_min(list_filter(clicks,
+               x -> x > t_view AND x <= t_view + 3600000000)) AS t_click
+      FROM pu),
+    st2 AS (
+      SELECT user_id, t_view, t_click,
+             list_min(list_filter(purchases,
+               x -> x > t_click AND x <= t_click + 3600000000)) AS t_purchase
+      FROM st),
+    c AS (SELECT COUNT(t_view) AS v, COUNT(t_click) AS k,
+                 COUNT(t_purchase) AS p FROM st2)
+    SELECT '1_view' AS stage, v AS n_users FROM c
+    UNION ALL SELECT '2_click', k FROM c
+    UNION ALL SELECT '3_purchase', p FROM c
+    """,
+)
+def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (temporal.funnel_time_bounded):
+    each stage within 1h of the previous — conversion velocity, same
+    one-shuffle conditional-min shape as conversion_funnel."""
+    return temporal.funnel_time_bounded(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "segment_priority_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority),
+    ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n_orders DESC,
+                                         o_orderpriority ASC) AS rn
+      FROM counts)
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, n_orders
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode with deterministic tie-break
+    (analytics.segment_priority_mode): rank window over the tiny
+    (segment, priority) aggregate."""
+    return analytics.segment_priority_mode(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4420,6 +4482,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "item_similarity",
     "consistent_entity_sample",
     "streaming_error_bursts",
+    "funnel_time_bounded",
+    "segment_priority_mode",
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",

@@ -525,3 +525,42 @@ def test_consistent_entity_sample_closure(spark, sf_dir):
     assert 0.05 < out["customer"]["share"] < 0.15
     assert 0.05 < out["orders"]["share"] < 0.15
     assert 0.05 < out["lineitem"]["share"] < 0.15
+
+
+def test_funnel_time_bound_enforced(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: full funnel within bounds
+            (1, d(2024, 1, 1, 10, 0), 1, "view", 0.0, None),
+            (2, d(2024, 1, 1, 10, 30), 1, "click", 0.0, None),
+            (3, d(2024, 1, 1, 11, 0), 1, "purchase", 0.0, None),
+            # user 2: click 2h after view -> funnel stops at view
+            (4, d(2024, 1, 1, 10, 0), 2, "view", 0.0, None),
+            (5, d(2024, 1, 1, 12, 30), 2, "click", 0.0, None),
+            (6, d(2024, 1, 1, 12, 40), 2, "purchase", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.temporal import funnel_time_bounded
+
+    got = {r["stage"]: r["n_users"] for r in funnel_time_bounded(ev).collect()}
+    assert got == {"1_view": 2, "2_click": 1, "3_purchase": 1}
+
+
+def test_segment_mode_tie_break(spark):
+    customer = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        # tie: one 1-URGENT, one 2-HIGH -> lexicographically smaller wins
+        [(10, 1, "1-URGENT"), (11, 2, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    from dumbo_spark.operators.analytics import segment_priority_mode
+
+    out = segment_priority_mode(customer, orders).collect()
+    assert [(r["c_mktsegment"], r["modal_priority"], r["n_orders"]) for r in out] == [
+        ("BUILDING", "1-URGENT", 1)
+    ]

@@ -140,6 +140,8 @@ def main() -> None:
         "cohort_ltv",
         "item_similarity",
         "consistent_entity_sample",
+        "funnel_time_bounded",
+        "segment_priority_mode",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
