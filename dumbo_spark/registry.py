@@ -4455,35 +4455,13 @@ def q_segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Locally, tests/test_differential.py still checks every query
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new in round 4 (no driver row yet)
-    "sequence_packing",
-    "token_budget_sample",
-    "heavy_hitter_tokens",
-    "revenue_share_parts",
-    "top_supplier_revenue",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "position_attribution",
-    "dq_expectations",
-    "discount_band_revenue",
-    "centroid_affinity",
-    "session_path_topk",
-    "error_bursts",
-    "topk_movers",
-    "asof_nearest_click",
-    "share_of_parent",
-    "source_quality_matrix",
-    "token_source_mi",
-    "benford_screen",
-    "dow_hour_heatmap",
-    "basket_rules",
-    "lang_source_contingency",
-    "cohort_ltv",
-    "item_similarity",
-    "consistent_entity_sample",
-    "streaming_error_bursts",
-    "funnel_time_bounded",
-    "segment_priority_mode",
+    # the driver samples the FIRST 50 names. Slots 1-2: the only two
+    # queries that have never driver-passed (round-3 verdict item #1 —
+    # token_entropy's oracle typing and group_collect's canonicalizer
+    # crash are both fixed; they need a green external row above all).
+    "token_entropy",
+    "group_collect",
+    # round-4 batch-1/2 (registered earliest this round, no driver row)
     "timeseries_gapfill",
     "group_regression",
     "winsorized_stats",
@@ -4521,9 +4499,36 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "value_drift_screen",
     "doc_perplexity",
-    # never driver-passed — both root-caused and fixed; need a green row
-    "token_entropy",
-    "group_collect",
+    # round-4 batch-3..11 flagships (slots 40-50 of the driver's 50)
+    "sequence_packing",
+    "token_budget_sample",
+    "heavy_hitter_tokens",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dq_expectations",
+    "position_attribution",
+    "item_similarity",
+    "basket_rules",
+    "source_quality_matrix",
+    "streaming_error_bursts",
+    # ── 50-name window ends ~here; the rest rotate in round 5 ──
+    "revenue_share_parts",
+    "top_supplier_revenue",
+    "discount_band_revenue",
+    "centroid_affinity",
+    "session_path_topk",
+    "error_bursts",
+    "topk_movers",
+    "asof_nearest_click",
+    "share_of_parent",
+    "token_source_mi",
+    "benford_screen",
+    "dow_hour_heatmap",
+    "lang_source_contingency",
+    "cohort_ltv",
+    "consistent_entity_sample",
+    "funnel_time_bounded",
+    "segment_priority_mode",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",
