@@ -222,6 +222,27 @@ def cmd_plan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dq(args: argparse.Namespace) -> int:
+    """Data-quality expectation report over a fixture directory
+    (operators/dq.py) — the admission gate as a CLI: prints one line
+    per rule, exit code 1 if any rule has violations (CI-friendly)."""
+    from dumbo_spark.operators.dq import dq_expectations
+    from dumbo_spark.session import get_session
+    from dumbo_spark.sources.catalog import load_table
+
+    spark = get_session("dumbo_spark_dq")
+    rows = dq_expectations(
+        load_table(spark, args.sf_dir, "orders"),
+        load_table(spark, args.sf_dir, "customer"),
+        load_table(spark, args.sf_dir, "lineitem"),
+    ).collect()
+    bad = 0
+    for r in rows:
+        print(f"{r['rule']}: {r['n_violations']}")
+        bad += r["n_violations"]
+    return 1 if bad else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dumbo-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -297,6 +318,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--verbose", action="store_true",
                     help="also print the full formatted physical plan")
     pl.set_defaults(fn=cmd_plan)
+
+    dqp = sub.add_parser(
+        "dq", help="data-quality expectation report (exit 1 on violations)"
+    )
+    dqp.add_argument("sf_dir")
+    dqp.set_defaults(fn=cmd_dq)
     return p
 
 

@@ -165,6 +165,14 @@ def test_cli_plan_subcommand():
     assert bad.returncode != 0
 
 
+def test_cli_dq_subcommand():
+    # clean fixtures -> every rule zero -> exit code 0
+    r = _cli("dq", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "o_totalprice_nonpositive: 0" in r.stdout
+    assert "lineitem_orphan_orderkey: 0" in r.stdout
+
+
 def test_zorder_interleave_bits(spark):
     from pyspark.sql import functions as F
 
