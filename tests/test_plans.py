@@ -272,3 +272,55 @@ def test_transitions_and_streaks_stay_jvm_side(spark, sf_dir):
         s = physical_summary(q)
         assert s["python_evals"] == 0
         assert "CartesianProduct" not in s["plan"]
+
+
+def test_token_budget_sample_no_global_sort(spark, sf_dir):
+    # the two-phase prefix sum must broadcast the offsets frame and
+    # never plan a single-partition global sort of the corpus
+    from dumbo_spark.operators.packing import token_budget_sample
+
+    s = physical_summary(token_budget_sample(load_table(spark, sf_dir, "documents")))
+    assert s["broadcast_joins"] >= 1, "offsets frame must broadcast back"
+    assert s["sortmerge_joins"] == 0
+    assert s["python_evals"] == 0
+    # at most ONE single-partition exchange is allowed: the tiny
+    # per-source offsets window (|sources|·buckets rows); a second one
+    # would mean the corpus itself is being globally ordered
+    assert s["plan"].count("Exchange SinglePartition") <= 1
+
+
+def test_topk_movers_takes_ordered(spark, sf_dir):
+    from dumbo_spark.operators.analytics import topk_movers
+
+    s = physical_summary(topk_movers(load_table(spark, sf_dir, "lineitem")))
+    assert s["take_ordered"] >= 1, "mover cut must be a per-task heap"
+    assert s["exchanges"] == 1, "one conditional-agg pass, one shuffle"
+    assert s["python_evals"] == 0
+
+
+def test_error_bursts_filter_pushdown(spark, sf_dir):
+    from dumbo_spark.operators.events import error_bursts
+
+    s = physical_summary(error_bursts(load_table(spark, sf_dir, "events")))
+    assert s["pushed_filters"], "the error filter must reach the scan"
+    assert s["exchanges"] == 1, "one user-keyed shuffle for the islands"
+    assert s["python_evals"] == 0
+
+
+def test_heavy_hitters_broadcast_total(spark, sf_dir):
+    from dumbo_spark.operators.textstats import heavy_hitter_tokens
+
+    s = physical_summary(heavy_hitter_tokens(load_table(spark, sf_dir, "documents")))
+    assert s["sortmerge_joins"] == 0, "the scalar total must ride as a broadcast"
+    assert s["python_evals"] == 0
+
+
+def test_frame_sample_prunes_payload_before_fanout(spark, sf_dir):
+    # the exploded frame table must never carry the payload/text bytes
+    from dumbo_spark.operators.multimodal import frame_sample
+
+    df = frame_sample(load_table(spark, sf_dir, "documents"))
+    s = physical_summary(df)
+    assert s["exchanges"] == 0, "frame-offset fan-out is a narrow pass"
+    assert s["python_evals"] == 0, "offset math is pure JVM arithmetic"
+    assert "text" not in df.columns
