@@ -161,6 +161,8 @@ HEADLINE = [
     "consistent_entity_sample",
     "funnel_time_bounded",
     "segment_priority_mode",
+    "jl_projection",
+    "fulfillment_latency",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

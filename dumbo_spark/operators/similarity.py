@@ -408,3 +408,33 @@ def centroid_affinity(embeddings: DataFrame) -> DataFrame:
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+def jl_projection(embeddings: DataFrame, dim: int = 64, out_dims: int = 4) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection to ``out_dims``
+    real-valued components — the dimensionality-reduction preprocessing
+    step before clustering/ANN indexing (distances are preserved within
+    (1±ε) by the JL lemma; sign-quantizing these same projections gives
+    :func:`lsh_signatures`).
+
+    The planes are the SAME seeded deterministic hyperplanes the LSH
+    path uses, so the reduction is reproducible across runs, clusters,
+    and engines — which is what lets it carry a full value oracle (the
+    plane constants are inlined into the oracle SQL). Projections are
+    sequential folds (:func:`_dot`) — engine-stable sums.
+
+    Scale: a zero-shuffle scan projection. For out_dims beyond ~16
+    switch to the one-matmul Arrow path (:func:`lsh_signatures`'s
+    shape) — the expression tree re-walks per row.
+    """
+    cols = [
+        F.round(
+            _dot(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in _hyperplane(dim, j)]),
+            ),
+            4,
+        ).alias(f"proj_{j}")
+        for j in range(out_dims)
+    ]
+    return embeddings.select("vec_id", *cols)

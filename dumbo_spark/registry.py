@@ -4443,6 +4443,60 @@ def q_segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_plane_dot(plane: list[float]) -> str:
+    lits = ", ".join("1.0" if v > 0 else "-1.0" for v in plane)
+    return (
+        "list_sum(list_transform(list_zip(embedding, [" + lits + "]), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+_JL_ORACLE = (
+    "SELECT vec_id, "
+    + ", ".join(
+        f"ROUND({_duck_plane_dot(similarity._hyperplane(64, j))}, 4) AS proj_{j}"
+        for j in range(4)
+    )
+    + " FROM embeddings"
+)
+
+
+@register("jl_projection", oracle=_JL_ORACLE)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection to 4 components
+    (similarity.jl_projection): the LSH hyperplanes' real-valued form,
+    zero-shuffle scan projection; plane constants inlined into the
+    oracle so the reduction is value-checked end-to-end."""
+    return similarity.jl_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "fulfillment_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE)), 0.5), 4)
+             AS p50_days,
+           ROUND(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE)), 0.9), 4)
+             AS p90_days,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS INTEGER) AS max_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority
+    (analytics.fulfillment_latency): exact integer day lags through
+    the orderkey fact join, percentile aggregate to |priorities|
+    rows."""
+    return analytics.fulfillment_latency(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4529,6 +4583,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "consistent_entity_sample",
     "funnel_time_bounded",
     "segment_priority_mode",
+    "jl_projection",
+    "fulfillment_latency",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

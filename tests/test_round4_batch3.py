@@ -564,3 +564,36 @@ def test_segment_mode_tie_break(spark):
     assert [(r["c_mktsegment"], r["modal_priority"], r["n_orders"]) for r in out] == [
         ("BUILDING", "1-URGENT", 1)
     ]
+
+
+def test_jl_projection_matches_manual_fold(spark):
+    from dumbo_spark.operators.similarity import _hyperplane, jl_projection
+
+    vec = [float(i % 3 - 1) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, vec, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    (r,) = jl_projection(emb).collect()
+    import numpy as np
+
+    v32 = np.array(vec, dtype=np.float32).astype(float)
+    for j in range(4):
+        expect = round(float((v32 * np.array(_hyperplane(64, j))).sum()), 4)
+        assert r[f"proj_{j}"] == expect
+
+
+def test_fulfillment_latency_exact_days(spark):
+    orders = spark.createDataFrame(
+        [(1, datetime(1996, 1, 1), "1-URGENT"), (2, datetime(1996, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, datetime(1996, 1, 3)), (2, datetime(1996, 1, 11))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    from dumbo_spark.operators.analytics import fulfillment_latency
+
+    (r,) = fulfillment_latency(orders, lineitem).collect()
+    assert r["n_lines"] == 2
+    assert r["p50_days"] == 6.0   # interpolated between 2 and 10
+    assert r["max_days"] == 10

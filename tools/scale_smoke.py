@@ -142,6 +142,8 @@ def main() -> None:
         "consistent_entity_sample",
         "funnel_time_bounded",
         "segment_priority_mode",
+        "jl_projection",
+        "fulfillment_latency",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
