@@ -163,6 +163,8 @@ HEADLINE = [
     "segment_priority_mode",
     "jl_projection",
     "fulfillment_latency",
+    "label_outlier_screen",
+    "ab_test_readout",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -845,3 +845,65 @@ def cohort_ltv(events: DataFrame) -> DataFrame:
         F.col("_rev").cast("double").alias("revenue"),
         F.sum("_rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+def ab_test_readout(
+    events: DataFrame, split_pct: int = 50, min_purchases: int = 14
+) -> DataFrame:
+    """A/B experiment readout with consistent hash assignment: users
+    land in variant A when their md5 bucket is below ``split_pct``
+    (the same entity-stable assignment as split_train_test — a user
+    keeps their variant across sessions, engines, and reruns), the
+    metric is "heavy purchaser" (≥ ``min_purchases`` purchase events —
+    a near-median cut on the fixtures; plain did-purchase saturates at
+    1.0 here, which would make the pooled z denominator zero), and
+    each variant row carries the two-proportion z statistic against
+    the other arm.
+
+    Every number derives from exact integer counts; the z denominator
+    uses the pooled rate — both engines evaluate the identical IEEE
+    expression over identical longs, rounded 4dp.
+
+    Scale: one per-user conditional aggregate (single shuffle), then a
+    2-row frame; the window sums over 2 rows.
+    """
+    from dumbo_spark.operators.sampling import _md5_bucket
+
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                >= min_purchases
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(_md5_bucket(F.col("user_id"), 100) < split_pct, "A").otherwise("B"),
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = Window.partitionBy()
+    tot_u = F.sum("n_users").over(w)
+    tot_c = F.sum("n_converted").over(w)
+    oth_u = (tot_u - F.col("n_users")).cast("double")
+    oth_c = (tot_c - F.col("n_converted")).cast("double")
+    rate = F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+    oth_rate = oth_c / oth_u
+    pool = tot_c.cast("double") / tot_u.cast("double")
+    z = (rate - oth_rate) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_users").cast("double") + F.lit(1.0) / oth_u)
+    )
+    return arms.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(rate, 6).alias("conversion_rate"),
+        F.round(z, 4).alias("z_vs_other"),
+    )

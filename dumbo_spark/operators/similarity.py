@@ -379,6 +379,20 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def _centroid_vectors(embeddings: DataFrame) -> DataFrame:
+    """(label, cvec) per-label centroid arrays: 4dp-rounded components
+    (the engine-stable :func:`embedding_centroids` convention)
+    assembled position-ordered — the shared front half of
+    :func:`centroid_affinity` and :func:`label_outlier_screen`."""
+    exploded = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = exploded.groupBy("label", "pos").agg(F.round(F.avg("v"), 4).alias("cv"))
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x["cv"]).alias("cvec"))
+    )
+
+
 def centroid_affinity(embeddings: DataFrame) -> DataFrame:
     """Pairwise cosine similarity between per-label centroids — the
     class/source affinity matrix used to spot confusable labels or
@@ -394,13 +408,7 @@ def centroid_affinity(embeddings: DataFrame) -> DataFrame:
     (|labels|·dim rows out); the |labels|² pairing is a broadcast
     self-join over a frame of bytes.
     """
-    exploded = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent = exploded.groupBy("label", "pos").agg(F.round(F.avg("v"), 4).alias("cv"))
-    vecs = (
-        cent.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
-        .select("label", F.transform("s", lambda x: x["cv"]).alias("cvec"))
-    )
+    vecs = _centroid_vectors(embeddings)
     a = vecs.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
     b = vecs.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
@@ -438,3 +446,40 @@ def jl_projection(embeddings: DataFrame, dim: int = 64, out_dims: int = 4) -> Da
         for j in range(out_dims)
     ]
     return embeddings.select("vec_id", *cols)
+
+
+def label_outlier_screen(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Label-noise screening: for each label, the k vectors FURTHEST
+    (by cosine distance) from their own label's centroid — the
+    mislabeled-point candidates a training-data audit reviews first.
+
+    Rank-based rather than threshold-based so the cut is deterministic
+    (distance rounded 6dp, vec_id tie-break — the house rank
+    convention); centroids come from the shared 4dp-rounded
+    position-ordered arrays (:func:`_centroid_vectors`), so both
+    engines fold identical numbers in identical order.
+
+    Scale: centroids are a |labels|·dim aggregate broadcast back; the
+    distance pass is a narrow scan projection; the rank window
+    partitions per label over corpus-sized groups — at extreme scale
+    swap the window for a per-label TakeOrdered via the salted top-k
+    (operators/topk.py) if single labels dominate.
+    """
+    vecs = _centroid_vectors(embeddings)
+    joined = embeddings.select("vec_id", "label", "embedding").join(
+        F.broadcast(vecs), "label"
+    )
+    cos = _dot(F.col("embedding"), F.col("cvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cvec"))
+    )
+    scored = joined.select(
+        "label", "vec_id", F.round(F.lit(1.0) - cos, 6).alias("centroid_dist")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("label", "vec_id", "centroid_dist", "rank")
+    )

@@ -4497,6 +4497,85 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "label_outlier_screen",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS cv
+      FROM (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings)
+      GROUP BY label, pos),
+    vecs AS (
+      SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             ROUND(CAST(1 AS DOUBLE)
+                   - {_duck_dot('e.embedding', 'v.cvec')}
+                     / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+                        * sqrt({_duck_dot('v.cvec', 'v.cvec')})), 6)
+               AS centroid_dist
+      FROM embeddings e JOIN vecs v USING (label))
+    SELECT label, vec_id, centroid_dist, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY centroid_dist DESC,
+                                            vec_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_label_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-point candidates (similarity.label_outlier_screen):
+    per label, top-3 furthest vectors from their own centroid —
+    rank-based deterministic cut."""
+    return similarity.label_outlier_screen(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ab_test_readout",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 14 AS INTEGER) AS converted
+      FROM events GROUP BY user_id),
+    pv AS (
+      SELECT CASE WHEN {sampling.sql_md5_bucket('user_id')} < 50
+                  THEN 'A' ELSE 'B' END AS variant,
+             converted
+      FROM pu),
+    arms AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM pv GROUP BY variant),
+    t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+                 CAST(SUM(n_converted) AS BIGINT) AS tc FROM arms)
+    SELECT variant, n_users, n_converted,
+           ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS conversion_rate,
+           ROUND((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  - CAST(tc - n_converted AS DOUBLE)
+                    / CAST(tu - n_users AS DOUBLE))
+                 / sqrt((CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE))
+                        * (CAST(1 AS DOUBLE)
+                           - CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE))
+                        * (CAST(1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                           + CAST(1 AS DOUBLE)
+                             / CAST(tu - n_users AS DOUBLE))), 4)
+             AS z_vs_other
+    FROM arms, t
+    """,
+)
+def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B heavy-purchaser readout (events.ab_test_readout):
+    entity-stable hash assignment, two-proportion z from exact
+    integer counts."""
+    return events.ab_test_readout(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4585,6 +4664,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "segment_priority_mode",
     "jl_projection",
     "fulfillment_latency",
+    "label_outlier_screen",
+    "ab_test_readout",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -597,3 +597,35 @@ def test_fulfillment_latency_exact_days(spark):
     assert r["n_lines"] == 2
     assert r["p50_days"] == 6.0   # interpolated between 2 and 10
     assert r["max_days"] == 10
+
+
+def test_label_outliers_planted_noise(spark):
+    # label 0 clusters near [1, 0]; one planted point at [0, 1] must be
+    # the furthest-from-centroid candidate
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [1.0, 0.1], 0),
+            (4, [0.0, 1.0], 0),  # mislabeled
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from dumbo_spark.operators.similarity import label_outlier_screen
+
+    out = label_outlier_screen(emb, k=1).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 4 and out[0]["rank"] == 1
+
+
+def test_ab_test_z_symmetry_and_assignment(spark, sf_dir):
+    from dumbo_spark.operators.events import ab_test_readout
+    from dumbo_spark.sources.catalog import load_table
+
+    out = {r["variant"]: r for r in ab_test_readout(
+        load_table(spark, sf_dir, "events")).collect()}
+    assert set(out) == {"A", "B"}
+    # two-proportion z is antisymmetric between the arms
+    assert abs(out["A"]["z_vs_other"] + out["B"]["z_vs_other"]) < 1e-9
+    # both arms non-degenerate on the fixture metric
+    for r in out.values():
+        assert 0.0 < r["conversion_rate"] < 1.0

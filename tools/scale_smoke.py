@@ -144,6 +144,8 @@ def main() -> None:
         "segment_priority_mode",
         "jl_projection",
         "fulfillment_latency",
+        "label_outlier_screen",
+        "ab_test_readout",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
