@@ -281,7 +281,7 @@ def consistent_entity_sample(
 
     def census(name: str, kept: DataFrame, total: DataFrame) -> DataFrame:
         return kept.agg(F.count("*").alias("n_kept")).crossJoin(
-            total.agg(F.count("*").alias("n_total"))
+            F.broadcast(total.agg(F.count("*").alias("n_total")))
         ).select(
             F.lit(name).alias("table_name"),
             "n_kept",

@@ -4576,6 +4576,33 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.ab_test_readout(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "streaming_upsert_sink",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+    SELECT user_id, us AS last_us, event_id AS last_event_id,
+           CAST(value AS DOUBLE) AS last_value, n_events
+    FROM r WHERE rn = 1
+    """,
+)
+def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE into a keyed parquet state table
+    (streaming/runners.py::streaming_upsert_sink): the settled
+    materialized view must equal the batch latest-per-key answer —
+    batch-boundary independence of the associative combine is exactly
+    what this oracle checks."""
+    from dumbo_spark.streaming.runners import streaming_upsert_sink
+
+    return streaming_upsert_sink(spark, sf_dir)
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4666,6 +4693,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fulfillment_latency",
     "label_outlier_screen",
     "ab_test_readout",
+    "streaming_upsert_sink",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",
