@@ -165,6 +165,8 @@ HEADLINE = [
     "fulfillment_latency",
     "label_outlier_screen",
     "ab_test_readout",
+    "hashed_features",
+    "knn_classifier_eval",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

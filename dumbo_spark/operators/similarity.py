@@ -483,3 +483,48 @@ def label_outlier_screen(embeddings: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("label", "vec_id", "centroid_dist", "rank")
     )
+
+
+def knn_classifier_eval(
+    embeddings: DataFrame, n_queries: int = 32, k: int = 5
+) -> DataFrame:
+    """Embedding-quality evaluation by leave-one-out kNN
+    classification: for each held-out query vector, the majority label
+    among its top-k cosine neighbors (ties: higher vote count first,
+    then smaller label) against its true label — the standard "are
+    these embeddings any good" probe before they are trusted for
+    dedup or retrieval.
+
+    Builds on :func:`knn_cosine` (broadcast query side, per-partition
+    top-k heaps); the vote is a rank window over ≤ n_queries·k rows.
+    """
+    neighbors = knn_cosine(embeddings, n_queries=n_queries, k=k)
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        neighbors.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )

@@ -612,3 +612,29 @@ def lang_source_contingency(documents: DataFrame) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+def hashed_features(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Hashing-trick featurizer: sparse (doc, bucket, count) token
+    features with the bucket taken from the engine-neutral md5 hash
+    (operators/sampling.py's bucket convention) — the fixed-width
+    feature map that feeds linear models without a vocabulary pass.
+
+    Using md5 instead of the engine-native hash (xxhash64/murmur) is
+    deliberate: the feature map becomes reproducible across engines
+    and runs — the property a feature STORE needs — and costs one
+    extra hash per token in exchange (the LSH modules keep xxhash64
+    where cross-engine stability is not part of the contract).
+
+    Scale: explode + two-level partial agg; output is bounded by
+    |docs|·n_buckets.
+    """
+    from dumbo_spark.operators.sampling import _md5_bucket
+
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        tok.groupBy(
+            "doc_id", _md5_bucket(F.col("token"), n_buckets).alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -4603,6 +4603,67 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_upsert_sink(spark, sf_dir)
 
 
+@register(
+    "hashed_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({sampling.sql_md5_bucket('token', 64)} AS INTEGER) AS bucket,
+           COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents)
+    GROUP BY doc_id, bucket
+    """,
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse features (textstats.hashed_features):
+    engine-neutral md5 buckets so the feature map is reproducible
+    across engines — a feature-store contract."""
+    return textstats.hashed_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "knn_classifier_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 32),
+    scored AS (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             round({_duck_dot('q.q_emb', 'e.embedding')}
+                   / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
+                      * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5),
+    votes AS (
+      SELECT nn.query_id, e.label AS n_label, COUNT(*) AS votes
+      FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+      GROUP BY nn.query_id, n_label),
+    pred AS (
+      SELECT query_id, n_label AS pred_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY votes DESC, n_label ASC) AS rn
+        FROM votes)
+      WHERE rn = 1)
+    SELECT p.query_id, e.label AS true_label, p.pred_label, p.votes,
+           CAST(p.pred_label = e.label AS INTEGER) AS correct
+    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+    """,
+)
+def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label vote vs true label
+    (similarity.knn_classifier_eval) — the embedding-quality probe
+    layered on knn_cosine's broadcast top-k."""
+    return similarity.knn_classifier_eval(load_table(spark, sf_dir, "embeddings"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4694,6 +4755,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "label_outlier_screen",
     "ab_test_readout",
     "streaming_upsert_sink",
+    "hashed_features",
+    "knn_classifier_eval",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -629,3 +629,36 @@ def test_ab_test_z_symmetry_and_assignment(spark, sf_dir):
     # both arms non-degenerate on the fixture metric
     for r in out.values():
         assert 0.0 < r["conversion_rate"] < 1.0
+
+
+def test_hashed_features_reproducible_and_complete(spark):
+    d = _docs(spark, [(1, "s", "a b a"), (2, "s", "a")])
+    from dumbo_spark.operators.textstats import hashed_features
+    from dumbo_spark.operators.sampling import _md5_bucket
+
+    out = hashed_features(d, n_buckets=8).collect()
+    # total counts preserved (3 tokens doc1, 1 token doc2)
+    by_doc = {}
+    for r in out:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["cnt"]
+    assert by_doc == {1: 3, 2: 1}
+    # same token -> same bucket in both docs
+    bucket_a = {r["bucket"] for r in out if r["doc_id"] == 2}
+    assert len(bucket_a) == 1
+
+
+def test_knn_classifier_eval_votes_clear_clusters(spark):
+    # two tight clusters -> every query's neighbors share its label
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.0 + i * 1e-3], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 1.0 + (i - 6) * 1e-3], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from dumbo_spark.operators.similarity import knn_classifier_eval
+
+    out = knn_classifier_eval(emb, n_queries=12, k=3).collect()
+    assert len(out) == 12
+    assert all(r["correct"] == 1 for r in out)

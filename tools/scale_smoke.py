@@ -146,6 +146,8 @@ def main() -> None:
         "fulfillment_latency",
         "label_outlier_screen",
         "ab_test_readout",
+        "hashed_features",
+        "knn_classifier_eval",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
