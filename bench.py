@@ -167,6 +167,8 @@ HEADLINE = [
     "ab_test_readout",
     "hashed_features",
     "knn_classifier_eval",
+    "daily_autocorrelation",
+    "recency_weighted_value",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -907,3 +907,95 @@ def ab_test_readout(
         F.round(rate, 6).alias("conversion_rate"),
         F.round(z, 4).alias("z_vs_other"),
     )
+
+
+def daily_autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags
+    1..``max_lag`` — the seasonality diagnostic (weekly traffic shows
+    a spike at lag 7) that decides whether forecasts/anomaly baselines
+    need a seasonal term.
+
+    Exactness: the series is integer daily counts; for each lag the
+    Pearson r comes from integer co-moment sums (n, Σx, Σy, Σxx, Σyy,
+    Σxy — all BIGINT-exact), finished in one closed-form double
+    expression — the group_regression discipline, so both engines
+    produce bit-identical r.
+
+    Scale: the corpus-sized stage is one partial-agg to |days| rows;
+    everything after operates on the tiny daily series (self-join on
+    day+lag, ≤ days·max_lag rows).
+    """
+    daily = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(F.count("*").alias("cnt"))
+
+    lags = spark_range = daily.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("d"), F.col("cnt").alias("x"))
+    b = daily.select(F.col("day").alias("d2"), F.col("cnt").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.col("d") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    return mom.select(
+        "lag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("autocorr")
+    )
+
+
+def recency_weighted_value(events: DataFrame) -> DataFrame:
+    """Per-user recency-weighted engagement score: purchase values
+    decayed by half per week of age — the freshness-aware ranking
+    signal behind churn/value models.
+
+    Exactness trick: the decay weight is 2^-age_weeks, an EXACT
+    decimal (1/2, 1/4, ... 1/1024), so value·weight stays exact
+    decimal and the per-user sum is order-independent — a float
+    ``exp(-λ·age)`` would make every sum shuffle-order-dependent.
+    Age anchors to the corpus max timestamp (broadcast 1-row
+    aggregate, no driver action).
+
+    Scale: one partial agg for the anchor, one per-user agg; weights
+    are a scan expression.
+    """
+    anchor = events.agg(F.max(F.col("ts").cast("date")).alias("_maxd"))
+    weeks = F.floor(
+        F.datediff(F.col("_maxd"), F.col("ts").cast("date")) / F.lit(7.0)
+    ).cast("int")
+    # exact dyadic decimal weights: 2^-w for w = 0..10, 0 beyond
+    weight = F.lit(0).cast("decimal(11,10)")
+    for w in range(10, -1, -1):
+        weight = F.when(weeks == w, F.lit(2.0 ** -w).cast("decimal(11,10)")).otherwise(
+            weight
+        )
+    contrib = dmoney("value") * weight
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(contrib).cast("double").alias("recency_score"),
+        )
+    )

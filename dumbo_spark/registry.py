@@ -4664,6 +4664,71 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_classifier_eval(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "daily_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY day),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.cnt AS x, b.cnt AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag),
+    mom AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INTEGER) AS lag, n,
+           ROUND((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE))), 6) AS autocorr
+    FROM mom
+    """,
+)
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series autocorrelation at lags 1..7
+    (events.daily_autocorrelation): Pearson r from exact integer
+    co-moment sums, closed-form double finish."""
+    return events.daily_autocorrelation(load_table(spark, sf_dir, "events"))
+
+
+_RW_CASE = "CASE w " + " ".join(
+    f"WHEN {w} THEN CAST({2.0 ** -w:.10f} AS DECIMAL(11,10))" for w in range(11)
+) + " ELSE CAST(0 AS DECIMAL(11,10)) END"
+
+
+@register(
+    "recency_weighted_value",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    p AS (
+      SELECT user_id, value,
+             CAST(FLOOR(date_diff('day', CAST(ts AS DATE), maxd) / 7.0)
+                  AS INTEGER) AS w
+      FROM events, anchor WHERE event_type = 'purchase')
+    SELECT user_id, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * ({_RW_CASE})) AS DOUBLE)
+             AS recency_score
+    FROM p GROUP BY user_id
+    """,
+)
+def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-per-week recency-decayed purchase value per user
+    (events.recency_weighted_value): dyadic decimal weights keep the
+    sum exact and order-independent — no float exp() anywhere."""
+    return events.recency_weighted_value(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4757,6 +4822,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_upsert_sink",
     "hashed_features",
     "knn_classifier_eval",
+    "daily_autocorrelation",
+    "recency_weighted_value",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

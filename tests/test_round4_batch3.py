@@ -662,3 +662,44 @@ def test_knn_classifier_eval_votes_clear_clusters(spark):
     out = knn_classifier_eval(emb, n_queries=12, k=3).collect()
     assert len(out) == 12
     assert all(r["correct"] == 1 for r in out)
+
+
+def test_autocorrelation_perfect_alternation(spark):
+    # alternating 10,20,10,20 daily counts: r(lag1) = -1, r(lag2) = +1
+    rows = []
+    eid = 0
+    for day in range(8):
+        n = 10 if day % 2 == 0 else 20
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1 + day, 12), 1, "view", 0.0, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import daily_autocorrelation
+
+    got = {r["lag"]: r["autocorr"] for r in daily_autocorrelation(ev, max_lag=2).collect()}
+    assert got[1] == -1.0
+    assert got[2] == 1.0
+
+
+def test_recency_weights_halve_per_week(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # anchor = Jan 29; purchases 0, 1, 2 weeks old
+            (1, d(2024, 1, 29, 12), 1, "purchase", 100.0, None),
+            (2, d(2024, 1, 20, 12), 1, "purchase", 100.0, None),  # 9d -> w=1
+            (3, d(2024, 1, 10, 12), 1, "purchase", 100.0, None),  # 19d -> w=2
+            (4, d(2024, 1, 29, 23), 2, "view", 0.0, None),        # sets anchor day
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import recency_weighted_value
+
+    (r,) = [x for x in recency_weighted_value(ev).collect() if x["user_id"] == 1]
+    assert r["n_purchases"] == 3
+    assert r["recency_score"] == 100.0 + 50.0 + 25.0

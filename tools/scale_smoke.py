@@ -148,6 +148,8 @@ def main() -> None:
         "ab_test_readout",
         "hashed_features",
         "knn_classifier_eval",
+        "daily_autocorrelation",
+        "recency_weighted_value",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
