@@ -169,6 +169,7 @@ HEADLINE = [
     "knn_classifier_eval",
     "daily_autocorrelation",
     "recency_weighted_value",
+    "sql_portable_revenue",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -4729,6 +4729,36 @@ def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.recency_weighted_value(load_table(spark, sf_dir, "events"))
 
 
+#: ONE ANSI-portable SQL string executed verbatim by BOTH engines —
+#: the spark.sql() surface demonstration: a user can hand this engine
+#: the same SQL they run on DuckDB/Trino and get hash-identical
+#: results (dialect discipline: explicit CASTs, no engine functions).
+_PORTABLE_SQL = """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY CAST(year(l_shipdate) AS INTEGER)
+"""
+
+
+@register("sql_portable_revenue", oracle=_PORTABLE_SQL)
+def q_sql_portable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() API surface, proven portable: this query's
+    ORACLE IS ITS OWN SOURCE — the identical string executes on Spark
+    (over catalog.register_views) and on DuckDB, and the driver
+    hash-compares the results. Catalyst still gets the declarative
+    plan (pushdown, partial agg) exactly as the DataFrame form
+    would."""
+    from dumbo_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_SQL)
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4824,6 +4854,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_classifier_eval",
     "daily_autocorrelation",
     "recency_weighted_value",
+    "sql_portable_revenue",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

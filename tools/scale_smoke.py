@@ -150,6 +150,7 @@ def main() -> None:
         "knn_classifier_eval",
         "daily_autocorrelation",
         "recency_weighted_value",
+        "sql_portable_revenue",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
