@@ -170,6 +170,8 @@ HEADLINE = [
     "daily_autocorrelation",
     "recency_weighted_value",
     "sql_portable_revenue",
+    "skyline_parts",
+    "decile_lift_table",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

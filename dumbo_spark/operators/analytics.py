@@ -864,3 +864,91 @@ def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.round(F.get(pcts, 1), 4).alias("p90_days"),
         F.max(lag).alias("max_days"),
     )
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts not dominated on
+    (retail price, size) — i.e. no other part is ≤ on both and < on
+    one. The classic multi-criteria shortlist query ("cheapest for
+    its size class").
+
+    Single-pass construction: in (price, size, key) ascending order a
+    row is on the skyline iff its size is strictly below the running
+    minimum size of the preceding prefix (ties collapse to the first
+    key — duplicates of a frontier point are dominated by it). The
+    window is a global order over the PART DIMENSION — bounded rows;
+    a fact-scale skyline uses the same cummin within value-range
+    buckets plus the offsets trick (operators/packing.py).
+    """
+    w = (
+        Window.orderBy(
+            F.col("p_retailprice").asc(), F.col("p_size").asc(), F.col("p_partkey").asc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmin = F.min("p_size").over(w)
+    return (
+        part.select("p_partkey", "p_retailprice", "p_size")
+        .withColumn("_rm", runmin)
+        .where(F.col("_rm").isNull() | (F.col("p_size") < F.col("_rm")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def decile_lift_table(events: DataFrame, min_purchases: int = 14) -> DataFrame:
+    """Decile lift table — the standard targeting-model evaluation:
+    rank users by an engagement score (total event count), cut into
+    10 exact global deciles (decile 0 = most engaged), and report each
+    decile's heavy-purchaser rate against the population rate.
+
+    Exact deciles WITHOUT a global sort: the score domain is small
+    integers, so global rank = (count of users with higher score) +
+    (rank among equal scores) via the distinct-value offsets trick
+    (same two-phase family as source_quality_matrix). Every rate/lift
+    is a ratio of exact longs, rounded.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("score"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= min_purchases
+        )
+        .cast("int")
+        .alias("converted"),
+    )
+    counts = per_user.groupBy("score").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).select("score", "_off")
+    total = per_user.agg(
+        F.count("*").alias("_n"), F.sum("converted").alias("_conv")
+    )
+    w_in = Window.partitionBy("score").orderBy("user_id")
+    ranked = (
+        per_user.join(F.broadcast(offsets), "score")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(total))
+    )
+    deciles = (
+        ranked.withColumn(
+            "decile", F.floor((F.col("_rank") - 1) * 10 / F.col("_n")).cast("int")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+            F.max(F.col("_conv").cast("double") / F.col("_n").cast("double")).alias(
+                "_base"
+            ),
+        )
+    )
+    rate = F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+    return deciles.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        F.round(rate, 6).alias("conv_rate"),
+        F.round(rate / F.col("_base"), 4).alias("lift"),
+    )

@@ -4759,6 +4759,63 @@ def q_sql_portable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PORTABLE_SQL)
 
 
+@register(
+    "skyline_parts",
+    oracle="""
+    WITH s AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             MIN(p_size) OVER (ORDER BY p_retailprice, p_size, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS rm
+      FROM part)
+    SELECT p_partkey, p_retailprice, p_size
+    FROM s WHERE rm IS NULL OR p_size < rm
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline on (price, size)
+    (analytics.skyline_parts): single cummin pass over the ordered
+    part dimension."""
+    return analytics.skyline_parts(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "decile_lift_table",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, COUNT(*) AS score,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 14 AS INTEGER) AS converted
+      FROM events GROUP BY user_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                 CAST(SUM(converted) AS BIGINT) AS tc FROM pu),
+    r AS (
+      SELECT user_id, converted,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) AS rnk
+      FROM pu),
+    d AS (
+      SELECT CAST(FLOOR((rnk - 1) * 10 / tn) AS INTEGER) AS decile, converted
+      FROM r, t),
+    g AS (
+      SELECT decile, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM d GROUP BY decile)
+    SELECT decile, n_users, n_converted,
+           ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS conv_rate,
+           ROUND((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                 / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)), 4) AS lift
+    FROM g, t
+    """,
+)
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeting-model decile lift (analytics.decile_lift_table):
+    exact global deciles via the distinct-value offsets trick (the
+    oracle's single ROW_NUMBER is the spec, the plan never globally
+    sorts), heavy-purchaser rates and lifts from exact longs."""
+    return analytics.decile_lift_table(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4855,6 +4912,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "daily_autocorrelation",
     "recency_weighted_value",
     "sql_portable_revenue",
+    "skyline_parts",
+    "decile_lift_table",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

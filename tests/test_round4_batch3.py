@@ -703,3 +703,35 @@ def test_recency_weights_halve_per_week(spark):
     (r,) = [x for x in recency_weighted_value(ev).collect() if x["user_id"] == 1]
     assert r["n_purchases"] == 3
     assert r["recency_score"] == 100.0 + 50.0 + 25.0
+
+
+def test_skyline_dominance(spark):
+    part = spark.createDataFrame(
+        [
+            (1, 10.0, 5),   # frontier (cheapest)
+            (2, 20.0, 3),   # frontier (smaller than all cheaper)
+            (3, 30.0, 4),   # dominated by 2 (pricier AND bigger)
+            (4, 30.0, 1),   # frontier
+            (5, 10.0, 5),   # duplicate of 1 -> dominated (tie collapse)
+        ],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    from dumbo_spark.operators.analytics import skyline_parts
+
+    got = {r["p_partkey"] for r in skyline_parts(part).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_decile_lift_monotone_population(spark, sf_dir):
+    from dumbo_spark.operators.analytics import decile_lift_table
+    from dumbo_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = decile_lift_table(ev).collect()
+    assert sum(r["n_users"] for r in out) == ev.select("user_id").distinct().count()
+    # weighted mean of decile rates equals the base rate -> mean lift 1
+    tot_conv = sum(r["n_converted"] for r in out)
+    tot_u = sum(r["n_users"] for r in out)
+    base = tot_conv / tot_u
+    for r in out:
+        assert abs(r["lift"] - round((r["n_converted"] / r["n_users"]) / base, 4)) < 1e-9

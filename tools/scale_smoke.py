@@ -151,6 +151,8 @@ def main() -> None:
         "daily_autocorrelation",
         "recency_weighted_value",
         "sql_portable_revenue",
+        "skyline_parts",
+        "decile_lift_table",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
