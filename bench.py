@@ -172,6 +172,8 @@ HEADLINE = [
     "sql_portable_revenue",
     "skyline_parts",
     "decile_lift_table",
+    "dup_cluster_sizes",
+    "contrastive_pairs",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -879,3 +879,13 @@ def incremental_dedup(
     )
     corpus_hashes = fingerprint(corpus).select("norm_hash").distinct()
     return batch_first.join(corpus_hashes, "norm_hash", "left_anti")
+
+
+def cluster_size_histogram(components: DataFrame) -> DataFrame:
+    """Duplicate-cluster size distribution: how many clusters have 2,
+    3, ... members — the dedup triage view (a fat head of giant
+    clusters means boilerplate/template content; a long tail of pairs
+    means true near-dups). Two partial aggs over the CC labeling;
+    bounded by |clusters| then |distinct sizes|."""
+    sizes = components.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))

@@ -528,3 +528,51 @@ def knn_classifier_eval(
         "votes",
         (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
     )
+
+
+def contrastive_pairs(
+    embeddings: DataFrame, n_queries: int = 32, k_neg: int = 3
+) -> DataFrame:
+    """Contrastive training-pair mining: for each query vector, one
+    positive (its nearest cosine neighbor) and ``k_neg`` hash-selected
+    negatives from OTHER labels — the (anchor, positive, negatives)
+    batches contrastive/embedding training consumes.
+
+    Negative selection is the deterministic md5 permutation of
+    (query_id, candidate_id) — a pure function of the ids, so the
+    mined set is reproducible across runs and engines (the property a
+    versioned training set needs; random negatives would be
+    rows-only). Positives ride on :func:`knn_cosine`'s broadcast
+    top-k.
+
+    Scale: queries broadcast against the corpus once for each of the
+    two passes; negative ranking windows per query over hash order.
+    """
+    pos = (
+        knn_cosine(embeddings, n_queries=n_queries, k=1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("other_id"),
+            F.lit("pos").alias("role"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    cand = embeddings.select(F.col("vec_id").alias("other_id"), "label")
+    keyed = cand.join(F.broadcast(q), F.col("label") != F.col("q_label")).withColumn(
+        "_k",
+        F.md5(
+            F.concat_ws(
+                "-", F.col("query_id").cast("string"), F.col("other_id").cast("string")
+            )
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("_k", "other_id")
+    neg = (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neg)
+        .select("query_id", "other_id", F.lit("neg").alias("role"), "rank")
+    )
+    return pos.unionByName(neg)

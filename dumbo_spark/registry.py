@@ -4816,6 +4816,97 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.decile_lift_table(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "dup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE 100 * c >= 60 * (sa.n + sb.n - c)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
+    cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters FROM cs GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (dedup.cluster_size_histogram
+    over the exact-Jaccard CC labeling) — dedup triage: template
+    content shows as a fat head, true near-dups as a pair tail."""
+    edges = dedup.jaccard_ngram_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
+    return dedup.cluster_size_histogram(dedup.connected_components(edges))
+
+
+@register(
+    "contrastive_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+      FROM embeddings WHERE vec_id < 32),
+    scored AS (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             round({_duck_dot('q.q_emb', 'e.embedding')}
+                   / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
+                      * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    pos AS (
+      SELECT query_id, neighbor_id AS other_id, 'pos' AS role,
+             CAST(1 AS INTEGER) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM scored)
+      WHERE rn = 1),
+    keyed AS (
+      SELECT q.query_id, e.vec_id AS other_id,
+             md5(CAST(q.query_id AS VARCHAR) || '-'
+                 || CAST(e.vec_id AS VARCHAR)) AS k
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.q_label),
+    neg AS (
+      SELECT query_id, other_id, 'neg' AS role, CAST(rn AS INTEGER) AS rank
+      FROM (
+        SELECT query_id, other_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY k, other_id) AS rn
+        FROM keyed)
+      WHERE rn <= 3)
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/positive/negative mining (similarity.contrastive_pairs):
+    nearest-neighbor positives + md5-permutation negatives from other
+    labels — a reproducible, versionable training set."""
+    return similarity.contrastive_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -4914,6 +5005,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_portable_revenue",
     "skyline_parts",
     "decile_lift_table",
+    "dup_cluster_sizes",
+    "contrastive_pairs",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -735,3 +735,35 @@ def test_decile_lift_monotone_population(spark, sf_dir):
     base = tot_conv / tot_u
     for r in out:
         assert abs(r["lift"] - round((r["n_converted"] / r["n_users"]) / base, 4)) < 1e-9
+
+
+def test_cluster_size_histogram(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    from dumbo_spark.operators.dedup import cluster_size_histogram
+
+    got = {r["cluster_size"]: r["n_clusters"]
+           for r in cluster_size_histogram(comps).collect()}
+    assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_contrastive_pairs_structure(spark):
+    rows = [(i, [1.0, float(i) * 1e-3], i % 2) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from dumbo_spark.operators.similarity import contrastive_pairs
+
+    out = contrastive_pairs(emb, n_queries=4, k_neg=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    labels = {i: i % 2 for i in range(10)}
+    for qid, rows_ in by_q.items():
+        roles = sorted(r["role"] for r in rows_)
+        assert roles == ["neg", "neg", "pos"]
+        for r in rows_:
+            if r["role"] == "neg":
+                assert labels[r["other_id"]] != labels[qid]
+            else:
+                assert r["other_id"] != qid

@@ -153,6 +153,8 @@ def main() -> None:
         "sql_portable_revenue",
         "skyline_parts",
         "decile_lift_table",
+        "dup_cluster_sizes",
+        "contrastive_pairs",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
