@@ -915,22 +915,14 @@ def decile_lift_table(events: DataFrame, min_purchases: int = 14) -> DataFrame:
         .cast("int")
         .alias("converted"),
     )
-    counts = per_user.groupBy("score").agg(F.count("*").alias("_c"))
-    w_off = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
-    ).select("score", "_off")
+    from dumbo_spark.operators.sampling import exact_global_rank
+
     total = per_user.agg(
         F.count("*").alias("_n"), F.sum("converted").alias("_conv")
     )
-    w_in = Window.partitionBy("score").orderBy("user_id")
-    ranked = (
-        per_user.join(F.broadcast(offsets), "score")
-        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
-        .crossJoin(F.broadcast(total))
-    )
+    ranked = exact_global_rank(
+        per_user, "score", "user_id", ascending=False
+    ).crossJoin(F.broadcast(total))
     deciles = (
         ranked.withColumn(
             "decile", F.floor((F.col("_rank") - 1) * 10 / F.col("_n")).cast("int")

@@ -900,6 +900,12 @@ def ab_test_readout(
         pool * (F.lit(1.0) - pool)
         * (F.lit(1.0) / F.col("n_users").cast("double") + F.lit(1.0) / oth_u)
     )
+    # degenerate readouts (one-arm extract, all-converted/none-converted
+    # pool) return a NULL z instead of an ANSI divide-by-zero crash —
+    # the CASE short-circuits before the division evaluates
+    z = F.when(
+        (oth_u > 0) & (tot_c > 0) & (tot_c < tot_u), z
+    )
     return arms.select(
         "variant",
         "n_users",
@@ -931,7 +937,7 @@ def daily_autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
         )
     ).agg(F.count("*").alias("cnt"))
 
-    lags = spark_range = daily.sparkSession.range(1, max_lag + 1).select(
+    lags = daily.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
     a = daily.select(F.col("day").alias("d"), F.col("cnt").alias("x"))

@@ -128,29 +128,12 @@ def copurchase_triangles(
 def _copurchase_edges(
     lineitem: DataFrame, min_cooccur: int = 2, max_basket: int = 20
 ) -> DataFrame:
-    """Support-thresholded co-purchase edge list (src < dst), the
-    shared front half of the graph operators here."""
-    po = lineitem.select("l_orderkey", "l_partkey").distinct()
-    ok_orders = (
-        po.groupBy("l_orderkey")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") <= max_basket)
-        .select("l_orderkey")
-    )
-    po = po.join(ok_orders, "l_orderkey")
-    a, b = po.alias("a"), po.alias("b")
+    """Support-thresholded co-purchase edge list (src < dst), built on
+    the shared basket pairing (:func:`_pair_counts`)."""
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= min_cooccur)
-        .select("src", "dst")
+        _pair_counts(_bounded_po(lineitem, max_basket))
+        .where(F.col("n_ab") >= min_cooccur)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
     )
 
 
@@ -215,15 +198,10 @@ def kcore_nodes(
     )
 
 
-def _basket_po(lineitem: DataFrame, max_basket: int) -> DataFrame:
+def _bounded_po(lineitem: DataFrame, max_basket: int) -> DataFrame:
     """Distinct (order, part) pairs from size-bounded baskets — the
-    shared, localCheckpoint()ed front half of the market-basket
-    operators. The checkpoint matters: every consumer branches off
-    this frame 3-4 times (frequencies, order total, both join sides of
-    the pairing), and without truncation Catalyst re-embeds the
-    distinct+filter subplan per branch — re-scanning the fact table
-    once PER BRANCH at 100 TB (the same finding that cut the triangle
-    census 59.9s → 20.9s at 10×, SCALE.md)."""
+    LAZY shared front of every co-occurrence operator in this module
+    (oversized baskets excluded BEFORE pairing)."""
     po = lineitem.select("l_orderkey", "l_partkey").distinct()
     ok_orders = (
         po.groupBy("l_orderkey")
@@ -231,7 +209,37 @@ def _basket_po(lineitem: DataFrame, max_basket: int) -> DataFrame:
         .where(F.col("_n") <= max_basket)
         .select("l_orderkey")
     )
-    return po.join(ok_orders, "l_orderkey").localCheckpoint()
+    return po.join(ok_orders, "l_orderkey")
+
+
+def _basket_po(lineitem: DataFrame, max_basket: int) -> DataFrame:
+    """:func:`_bounded_po`, localCheckpoint()ed — for consumers that
+    branch off the frame 3-4 times (frequencies, order total, both
+    pairing sides). Without truncation Catalyst re-embeds the
+    distinct+filter subplan per branch — re-scanning the fact table
+    once PER BRANCH at 100 TB (the finding that cut the triangle
+    census 59.9s → 20.9s at 10×, SCALE.md). Single-consumer paths
+    (the edge list) use the lazy form directly."""
+    return _bounded_po(lineitem, max_basket).localCheckpoint()
+
+
+def _pair_counts(po: DataFrame) -> DataFrame:
+    """(part_a < part_b, n_ab) co-occurrence counts over a bounded
+    (order, part) frame — THE basket pairing, shared verbatim by the
+    edge list, the association rules, and item similarity so their
+    co-purchase counts can never diverge."""
+    a, b = po.alias("a"), po.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
 
 
 def basket_rules(
@@ -255,19 +263,7 @@ def basket_rules(
     )
     item_freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
 
-    a, b = po.alias("a"), po.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count("*").alias("n_ab"))
-        .where(F.col("n_ab") >= min_cooccur)
-    )
+    pairs = _pair_counts(po).where(F.col("n_ab") >= min_cooccur)
     fa = item_freq.select(
         F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
     )
@@ -313,18 +309,14 @@ def item_similarity(
     po = _basket_po(lineitem, max_basket)
     freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
 
-    a, b = po.alias("a"), po.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _pair_counts(po)
+        .where(F.col("n_ab") >= min_common)
+        .select(
+            F.col("part_a").alias("pa"),
+            F.col("part_b").alias("pb"),
+            F.col("n_ab").alias("n_common"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("n_common"))
-        .where(F.col("n_common") >= min_common)
     )
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"), "n_common"

@@ -200,6 +200,36 @@ def sample_per_group(
     )
 
 
+def exact_global_rank(
+    df, value_col: str, tiebreak_col: str, ascending: bool = True
+):
+    """Exact global rank over (value, tiebreak) WITHOUT a global sort —
+    the shared distinct-value offsets machinery (same two-phase family
+    as operators/packing.py): rank = (count of rows with a
+    strictly-better value, via a running offset over the tiny
+    |distinct values| frame) + (row_number among equal values).
+    Returns the input plus a ``_rank`` column (1-based).
+
+    Callers: :func:`source_quality_matrix`,
+    analytics.decile_lift_table. For low-cardinality value domains at
+    extreme scale add a tiebreak-range sub-bucket level (see
+    topk.bucketed_quartiles for the range-repartition variant).
+    """
+    vcol = F.col(value_col)
+    order = vcol.asc() if ascending else vcol.desc()
+    counts = df.groupBy(value_col).agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).select(value_col, "_off")
+    w_in = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    return (
+        df.join(F.broadcast(offsets), value_col)
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
+        .drop("_off")
+    )
+
+
 def source_quality_matrix(documents: DataFrame, q: int = 4) -> DataFrame:
     """Source × global-quality-quartile distribution matrix: where does
     each source's length distribution sit against the WHOLE corpus —
@@ -220,18 +250,9 @@ def source_quality_matrix(documents: DataFrame, q: int = 4) -> DataFrame:
     Quartile is integer math — ``(rank-1)·q // N`` — so the cut is
     engine-exact; shares divide exact integers, rounded 4dp.
     """
-    counts = documents.groupBy("n_chars").agg(F.count("*").alias("_c"))
-    w_off = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
-    ).select("n_chars", "_off")
     total = documents.agg(F.count("*").alias("_n"))
-
-    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
-    ranked = (
-        documents.select("doc_id", "source", "n_chars")
-        .join(F.broadcast(offsets), "n_chars")
-        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
+    ranked = exact_global_rank(
+        documents.select("doc_id", "source", "n_chars"), "n_chars", "doc_id"
     )
     matrix = (
         ranked.crossJoin(F.broadcast(total))

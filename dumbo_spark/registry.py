@@ -4556,6 +4556,7 @@ def q_label_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT variant, n_users, n_converted,
            ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
              AS conversion_rate,
+           CASE WHEN tu - n_users > 0 AND tc > 0 AND tc < tu THEN
            ROUND((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
                   - CAST(tc - n_converted AS DOUBLE)
                     / CAST(tu - n_users AS DOUBLE))
@@ -4565,7 +4566,7 @@ def q_label_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (CAST(1 AS DOUBLE) / CAST(n_users AS DOUBLE)
                            + CAST(1 AS DOUBLE)
                              / CAST(tu - n_users AS DOUBLE))), 4)
-             AS z_vs_other
+           END AS z_vs_other
     FROM arms, t
     """,
 )

@@ -309,9 +309,14 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
       struct + count sum), so the settled state is independent of
       batch boundaries — which is exactly what the batch oracle
       checks;
-    - the state rewrite goes through a temp dir + atomic rename
-      (the compact_parquet lesson: overwriting a dataset you are
-      lazily reading destroys it).
+    - the state advances through VERSIONED directories
+      (``state_v{batch} ← atomic rename of a temp dir``): the previous
+      version stays on disk until the new one is fully committed, so a
+      crash at ANY point leaves a complete readable state — the
+      rmtree-then-rename variant has a window where all accumulated
+      state is gone and a restarted (already-committed-offsets) stream
+      would silently restart from empty (also the compact_parquet
+      lesson: never destroy what you might still need to read).
 
     State is keys-sized; each micro-batch costs one state read + one
     keyed combine. At warehouse scale the same loop targets a format
@@ -326,7 +331,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ranked.count()
     base = tempfile.mkdtemp(prefix="dumbo_spark_upsert_")
     src = os.path.join(base, "src")
-    state = os.path.join(base, "state")
+    state_base = os.path.join(base, "state")
     os.makedirs(src)
     cuts = [0, n // 3, 2 * n // 3, n]
     for i in range(3):
@@ -352,10 +357,16 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
 
+    def _versions() -> list[str]:
+        import glob as _glob
+
+        return _glob.glob(state_base + "_v*")
+
     def merge(batch_df, batch_id: int) -> None:
         batch_state = _combine(batch_df)
-        if os.path.exists(state):
-            old = batch_df.sparkSession.read.parquet(state)
+        vs = sorted(_versions())
+        if vs:
+            old = batch_df.sparkSession.read.parquet(vs[-1])
             merged = (
                 old.select(
                     "user_id",
@@ -389,13 +400,14 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = batch_state
-        tmp = state + "_tmp"
+        tmp = state_base + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state):
+        os.replace(tmp, f"{state_base}_v{batch_id:09d}")
+        # only after the new version is committed, drop older ones
+        for v in sorted(_versions())[:-1]:
             import shutil
 
-            shutil.rmtree(state)
-        os.replace(tmp, state)
+            shutil.rmtree(v)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -409,7 +421,8 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state).select(
+    final = sorted(_versions())[-1]
+    return spark.read.parquet(final).select(
         "user_id",
         "last_us",
         "last_event_id",
