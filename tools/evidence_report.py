@@ -1,0 +1,78 @@
+"""Generate EVIDENCE.md: per-query external-evidence matrix.
+
+For every registered query: does it carry an oracle, which driver
+round last sampled it (CORRECTNESS_r*.json), and what that row said —
+the table the per-round audit otherwise reconstructs by hand. Run
+after a driver round lands:
+
+    python tools/evidence_report.py > EVIDENCE.md
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from dumbo_spark.registry import QUERIES
+
+    rounds: dict[str, dict] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = path.split("_r")[1].split(".")[0]
+        with open(path) as f:
+            rounds[rnd] = json.load(f)
+
+    print("# EVIDENCE — external correctness rows per query\n")
+    print(
+        f"{len(QUERIES)} registered queries; driver rounds seen: "
+        f"{', '.join('r' + r for r in rounds)}. 'latest row' is the most "
+        "recent driver sample; queries without one are locally "
+        "oracle-verified only (tests/test_differential.py) and queue in "
+        "_DRIVER_PRIORITY for the next rotation.\n"
+    )
+    print("| query | oracle | latest row | verdict |")
+    print("|---|---|---|---|")
+    counts = {"full": 0, "rows_only": 0, "never": 0, "fail": 0}
+    for name in sorted(QUERIES):
+        has_oracle = QUERIES[name].oracle is not None
+        latest = None
+        for rnd in sorted(rounds, reverse=True):
+            if name in rounds[rnd]:
+                latest = (rnd, rounds[rnd][name])
+                break
+        if latest is None:
+            verdict = "local-only"
+            counts["never"] += 1
+            row = "—"
+        else:
+            rnd, rec = latest
+            row = f"r{rnd}"
+            if rec.get("err") == "no_oracle":
+                verdict = "rows-only pass"
+                counts["rows_only"] += 1
+            elif rec.get("hash_match"):
+                verdict = "full pass"
+                counts["full"] += 1
+            elif rec.get("err"):
+                verdict = f"ERR: {rec['err'][:40]}"
+                counts["fail"] += 1
+            else:
+                verdict = "FAIL"
+                counts["fail"] += 1
+        print(
+            f"| {name} | {'✓' if has_oracle else 'rows-only'} | {row} | {verdict} |"
+        )
+    print(
+        f"\nTotals: {counts['full']} full external passes, "
+        f"{counts['rows_only']} rows-only by design, {counts['fail']} "
+        f"failed/errored latest rows, {counts['never']} not yet sampled."
+    )
+
+
+if __name__ == "__main__":
+    main()
