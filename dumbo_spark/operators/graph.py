@@ -142,8 +142,11 @@ def degree_histogram(lineitem: DataFrame) -> DataFrame:
     have each degree — the first diagnostic you run before choosing a
     graph algorithm's partitioning (uniform vs power-law decides
     whether degree-ordering/salting matters). Two partial aggs over
-    the edge list."""
-    e = _copurchase_edges(lineitem)
+    the edge list, which is localCheckpoint()ed because the src/dst
+    union branches off it twice (the triangle-census finding: without
+    truncation each branch re-embeds — and re-executes — the whole
+    edge-construction subplan)."""
+    e = _copurchase_edges(lineitem).localCheckpoint()
     deg = (
         e.select(F.col("src").alias("v"))
         .unionAll(e.select(F.col("dst").alias("v")))
