@@ -767,3 +767,26 @@ def test_contrastive_pairs_structure(spark):
                 assert labels[r["other_id"]] != labels[qid]
             else:
                 assert r["other_id"] != qid
+
+
+def test_exact_global_rank_matches_naive_window(spark):
+    # property: the offsets-trick rank equals a naive global
+    # ROW_NUMBER over (value, tiebreak) for data with heavy value ties
+    from pyspark.sql import Window
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    rows = [(i, (i * 7) % 5) for i in range(200)]  # 5 distinct values, 40 ties each
+    df = spark.createDataFrame(rows, "id long, v int")
+    for ascending in (True, False):
+        got = {
+            r["id"]: r["_rank"]
+            for r in exact_global_rank(df, "v", "id", ascending=ascending).collect()
+        }
+        order = F.col("v").asc() if ascending else F.col("v").desc()
+        naive = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(order, F.col("id").asc()))
+            ).collect()
+        }
+        assert got == naive
