@@ -251,7 +251,19 @@ def connected_components(
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    both = both.persist()
+    # TRUNCATE the edge lineage, don't just persist it: with persist the
+    # (possibly enormous — e.g. a PPJoin) edge-construction subplan stays
+    # embedded in every round's logical plan and Catalyst re-optimizes it
+    # per iteration — measured 281s → 75s for dup_cluster_sizes at 10×
+    # (the same finding as the triangle census, SCALE.md). Durable runs
+    # round-trip the edges through the run dir so the restart contract
+    # holds for the input too, not just the labels.
+    if durable_dir is None:
+        both = both.localCheckpoint()
+    else:
+        edges_path = f"{run_dir}/edges"
+        both.write.mode("overwrite").parquet(edges_path)
+        both = both.sparkSession.read.parquet(edges_path)
     labels = truncate(
         both.select(F.col("src").alias("node"))
         .distinct()
