@@ -174,6 +174,8 @@ HEADLINE = [
     "decile_lift_table",
     "dup_cluster_sizes",
     "contrastive_pairs",
+    "bigram_pmi",
+    "vocab_coverage",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

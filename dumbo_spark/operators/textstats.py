@@ -638,3 +638,78 @@ def hashed_features(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def bigram_pmi(documents: DataFrame, k: int = 20, min_count: int = 10) -> DataFrame:
+    """Collocation detection: top-k adjacent token pairs by pointwise
+    mutual information ln(P(xy)/(P(x)P(y))) — the statistic that
+    separates real phrases ("prix fixe") from frequent-but-independent
+    neighbors, the first step of phrase-aware tokenization.
+
+    All probabilities derive from exact integer counts (bigram counts
+    over the same HOF n-gram projection as ngram_count; unigram counts
+    from wordcount), so both engines take ln of identical doubles; the
+    rank cut uses the 6dp-rounded score with a bigram tie-break.
+
+    Scale: two token-keyed partial aggs; the unigram side joins back
+    by token (vocabulary-keyed); the final cut is a
+    TakeOrderedAndProject heap.
+    """
+    bi = ngram_count(documents, n=2).where(F.col("cnt") >= min_count)
+    parts = F.split(F.col("ngram"), " ")
+    bi = bi.select(
+        "ngram",
+        F.col("cnt").alias("n_xy"),
+        F.get(parts, 0).alias("_x"),
+        F.get(parts, 1).alias("_y"),
+    )
+    uni = wordcount(documents)
+    n_total = uni.agg(F.sum("cnt").alias("n_tok"))
+    ux = uni.select(F.col("word").alias("_x"), F.col("cnt").alias("n_x"))
+    uy = uni.select(F.col("word").alias("_y"), F.col("cnt").alias("n_y"))
+    pmi = F.log(
+        F.col("n_xy").cast("double")
+        * F.col("n_tok").cast("double")
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    return (
+        bi.join(ux, "_x")
+        .join(uy, "_y")
+        .crossJoin(F.broadcast(n_total))
+        .select("ngram", "n_xy", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def vocab_coverage(documents: DataFrame, ks: tuple = (10, 100, 1000)) -> DataFrame:
+    """Vocabulary coverage curve: what share of all corpus tokens the
+    top-k most frequent words cover, for each k — the
+    tokenizer-budget sizing diagnostic (pairs with
+    :func:`vocab_growth` and :func:`heavy_hitter_tokens`).
+
+    Frequency rank is the exact global rank over (count DESC, word)
+    via the shared offsets machinery (sampling.exact_global_rank — no
+    global sort); covered-token sums are exact integers per k.
+    """
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    wc = wordcount(documents)
+    ranked = exact_global_rank(wc, "cnt", "word", ascending=False)
+    total = wc.agg(F.sum("cnt").alias("n_tok"))
+    per_k = [
+        ranked.where(F.col("_rank") <= kk).agg(
+            F.lit(kk).alias("k"), F.sum("cnt").alias("tokens_covered")
+        )
+        for kk in ks
+    ]
+    out = per_k[0]
+    for p in per_k[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(total)).select(
+        "k",
+        "tokens_covered",
+        F.round(
+            F.col("tokens_covered").cast("double") / F.col("n_tok").cast("double"), 6
+        ).alias("coverage"),
+    )

@@ -4908,6 +4908,75 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.contrastive_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKENS} AS t FROM documents),
+    bi AS (
+      SELECT ngram, COUNT(*) AS n_xy
+      FROM (
+        SELECT unnest(
+          CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS ngram
+        FROM toks)
+      GROUP BY ngram HAVING COUNT(*) >= 10),
+    uni AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM uni),
+    sp AS (
+      SELECT ngram, n_xy,
+             string_split(ngram, ' ')[1] AS x,
+             string_split(ngram, ' ')[2] AS y
+      FROM bi),
+    scored AS (
+      SELECT sp.ngram, sp.n_xy,
+             ROUND(ln(CAST(sp.n_xy AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
+                      / (CAST(ux.cnt AS DOUBLE) * CAST(uy.cnt AS DOUBLE))), 6)
+               AS pmi
+      FROM sp
+      JOIN uni ux ON sp.x = ux.word
+      JOIN uni uy ON sp.y = uy.word, tot)
+    SELECT ngram, n_xy, pmi FROM scored
+    ORDER BY pmi DESC, ngram ASC LIMIT 20
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI (textstats.bigram_pmi): exact-count
+    probabilities, 6dp rank cut, TakeOrderedAndProject."""
+    return textstats.bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH uni AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM uni),
+    r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+      FROM uni),
+    per AS (
+      SELECT k, CAST(SUM(cnt) AS BIGINT) AS tokens_covered
+      FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+      WHERE rnk <= k GROUP BY k)
+    SELECT CAST(k AS INTEGER) AS k, tokens_covered,
+           ROUND(CAST(tokens_covered AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+             AS coverage
+    FROM per, tot
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage shares (textstats.vocab_coverage):
+    exact frequency ranks via the shared offsets machinery, integer
+    covered-token sums."""
+    return textstats.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5008,6 +5077,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decile_lift_table",
     "dup_cluster_sizes",
     "contrastive_pairs",
+    "bigram_pmi",
+    "vocab_coverage",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -790,3 +790,27 @@ def test_exact_global_rank_matches_naive_window(spark):
             ).collect()
         }
         assert got == naive
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    import math
+
+    # "x y" always adjacent; "a b" co-occur by chance among many tokens
+    docs = [(i, "s", "x y a c b d a e b f") for i in range(5)]
+    d = _docs(spark, docs)
+    from dumbo_spark.operators.textstats import bigram_pmi
+
+    out = {r["ngram"]: r["pmi"] for r in bigram_pmi(d, k=50, min_count=5).collect()}
+    # x y: n_xy=5, n_x=5, n_y=5, N=50 -> pmi = ln(5*50/25) = ln(10)
+    assert out["x y"] == round(math.log(10.0), 6)
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    d = _docs(spark, [(1, "s", "a a a a b b c d")])
+    from dumbo_spark.operators.textstats import vocab_coverage
+
+    got = {r["k"]: (r["tokens_covered"], r["coverage"])
+           for r in vocab_coverage(d, ks=(1, 2, 4)).collect()}
+    assert got[1] == (4, 0.5)      # 'a' covers 4/8
+    assert got[2] == (6, 0.75)     # + 'b'
+    assert got[4] == (8, 1.0)

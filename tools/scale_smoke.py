@@ -155,6 +155,8 @@ def main() -> None:
         "decile_lift_table",
         "dup_cluster_sizes",
         "contrastive_pairs",
+        "bigram_pmi",
+        "vocab_coverage",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
