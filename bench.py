@@ -176,6 +176,8 @@ HEADLINE = [
     "contrastive_pairs",
     "bigram_pmi",
     "vocab_coverage",
+    "gini_revenue",
+    "discount_elasticity",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -944,3 +944,78 @@ def decile_lift_table(events: DataFrame, min_purchases: int = 14) -> DataFrame:
         F.round(rate, 6).alias("conv_rate"),
         F.round(rate / F.col("_base"), 4).alias("lift"),
     )
+
+
+def gini_revenue(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer revenue — THE inequality scalar
+    (the integral form of :func:`pareto_concentration`'s 80/20 view),
+    computed EXACTLY: G = 2·Σ(iᵢ·xᵢ)/(n·Σx) − (n+1)/n with x ascending
+    and i the exact global rank.
+
+    Everything before the final closed form is exact: per-customer
+    revenue is decimal, ranks come from the shared offsets machinery
+    (sampling.exact_global_rank — no global sort), and rank·revenue
+    sums stay decimal. Ties contribute x·Σi regardless of their
+    internal order, so the tie-break affects nothing. One scalar row
+    out.
+    """
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(dmoney("o_totalprice")).alias("rev")
+    )
+    ranked = exact_global_rank(per, "rev", "o_custkey", ascending=True)
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_rank") * F.col("rev")).alias("swx"),
+        F.sum("rev").alias("sx"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("swx").cast("double") / (nd * F.col("sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("double").alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand discount elasticity: the OLS slope of order quantity
+    on discount percentage — does discounting move volume, by brand
+    (the pricing-analytics regression, group_regression's discipline
+    applied to an econometric question).
+
+    Exactness: discount percentage points and quantity cents are exact
+    integers (decimal·100), so all co-moment SUMS are integer-exact;
+    only the closed-form slope finish runs in doubles — identical on
+    both engines. Slope is reported in quantity units per percentage
+    point (the /100 undoes the cents scaling).
+    """
+    bp = (dmoney("l_discount") * 100).cast("long")
+    qc = (dmoney("l_quantity") * 100).cast("long")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    mom = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(bp).alias("sx"),
+        F.sum(qc).alias("sy"),
+        F.sum(bp * bp).alias("sxx"),
+        F.sum(bp * qc).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return mom.select(
+        "p_brand",
+        "n",
+        F.round(num / den / F.lit(100.0), 6).alias("qty_per_pct"),
+    )

@@ -4977,6 +4977,71 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "gini_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM per),
+    s AS (
+      SELECT MAX(n) AS n,
+             SUM(rnk * rev) AS swx,
+             SUM(rev) AS sx
+      FROM r)
+    SELECT n AS n_customers,
+           CAST(sx AS DOUBLE) AS total_revenue,
+           ROUND(CAST(2 AS DOUBLE) * CAST(swx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue
+    (analytics.gini_revenue): decimal rank·revenue sums via the shared
+    offsets rank, double only in the closed form."""
+    return analytics.gini_revenue(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "discount_elasticity",
+    oracle="""
+    WITH j AS (
+      SELECT p_brand,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS bp,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    mom AS (
+      SELECT p_brand, COUNT(*) AS n,
+             CAST(SUM(bp) AS BIGINT) AS sx,
+             CAST(SUM(qc) AS BIGINT) AS sy,
+             CAST(SUM(bp * bp) AS BIGINT) AS sxx,
+             CAST(SUM(bp * qc) AS BIGINT) AS sxy
+      FROM j GROUP BY p_brand)
+    SELECT p_brand, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(100 AS DOUBLE), 6) AS qty_per_pct
+    FROM mom
+    """,
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount percentage
+    (analytics.discount_elasticity): integer-exact co-moments, double
+    closed form."""
+    return analytics.discount_elasticity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5079,6 +5144,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "contrastive_pairs",
     "bigram_pmi",
     "vocab_coverage",
+    "gini_revenue",
+    "discount_elasticity",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

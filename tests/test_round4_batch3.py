@@ -814,3 +814,37 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert got[1] == (4, 0.5)      # 'a' covers 4/8
     assert got[2] == (6, 0.75)     # + 'b'
     assert got[4] == (8, 1.0)
+
+
+def test_gini_extremes(spark):
+    from dumbo_spark.operators.analytics import gini_revenue
+
+    # perfectly equal revenues -> gini 0
+    eq = spark.createDataFrame(
+        [(i, 100.0) for i in range(1, 5)], "o_custkey long, o_totalprice double"
+    )
+    (r,) = gini_revenue(eq).collect()
+    assert r["gini"] == 0.0 and r["n_customers"] == 4
+    # one customer holds everything -> gini -> (n-1)/n
+    uneq = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 0.0), (4, 400.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    (r,) = gini_revenue(uneq).collect()
+    assert r["gini"] == 0.75
+
+
+def test_elasticity_recovers_planted_slope(spark):
+    # quantity = 30 - 2*pct exactly -> slope must be -2.0
+    rows = []
+    for pct in (0, 1, 2, 3, 4):
+        for i in range(3):
+            rows.append((1, float(pct) / 100.0, float(30 - 2 * pct)))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_discount double, l_quantity double"
+    )
+    part = spark.createDataFrame([(1, "B1")], "p_partkey long, p_brand string")
+    from dumbo_spark.operators.analytics import discount_elasticity
+
+    (r,) = discount_elasticity(li, part).collect()
+    assert r["qty_per_pct"] == -2.0

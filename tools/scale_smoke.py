@@ -157,6 +157,8 @@ def main() -> None:
         "contrastive_pairs",
         "bigram_pmi",
         "vocab_coverage",
+        "gini_revenue",
+        "discount_elasticity",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
