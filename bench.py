@@ -178,6 +178,8 @@ HEADLINE = [
     "vocab_coverage",
     "gini_revenue",
     "discount_elasticity",
+    "entity_clusters",
+    "market_concentration",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

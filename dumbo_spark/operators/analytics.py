@@ -1019,3 +1019,40 @@ def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         "n",
         F.round(num / den / F.lit(100.0), 6).alias("qty_per_pct"),
     )
+
+
+def market_concentration(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Herfindahl–Hirschman index per region: Σ (nation revenue
+    share)² — the antitrust-style concentration scalar that
+    complements :func:`share_of_parent`'s per-row view (HHI → 1 means
+    one nation owns the region).
+
+    Same star-join aggregate; shares divide exact decimals into
+    identical doubles and each region sums ≤ |nations-per-region|
+    squared shares — a handful of similar-magnitude terms, rounded
+    6dp.
+    """
+    rev = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).alias("_rev"))
+    )
+    w = Window.partitionBy("region")
+    share = F.col("_rev").cast("double") / F.sum("_rev").over(w).cast("double")
+    return (
+        rev.withColumn("_sh2", share * share)
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.round(F.sum("_sh2"), 6).alias("hhi"),
+        )
+    )

@@ -5042,6 +5042,74 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "entity_clusters",
+    oracle="""
+    WITH RECURSIVE v AS (SELECT DISTINCT p_name AS val FROM part),
+    b AS (SELECT val, right(val, 4) AS blk FROM v),
+    pairs AS (
+      SELECT a.val AS doc_a, c.val AS doc_b
+      FROM b a JOIN b c ON a.blk = c.blk AND a.val < c.val
+      WHERE levenshtein(a.val, c.val) <= 3),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src)
+    SELECT node AS name, MIN(r) AS canonical_name FROM reach GROUP BY node
+    """,
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (dedup.near_match_values edges →
+    dedup.connected_components): edit-distance matches close
+    transitively into canonical entity groups — the MDM endgame the
+    pairwise near-match feeds; recursive-CTE oracle over the same
+    deterministic edges."""
+    edges = dedup.near_match_values(
+        load_table(spark, sf_dir, "part"), "p_name"
+    ).select(F.col("val_a").alias("doc_a"), F.col("val_b").alias("doc_b"))
+    return dedup.connected_components(edges).select(
+        F.col("doc_id").alias("name"), F.col("cluster_id").alias("canonical_name")
+    )
+
+
+@register(
+    "market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rv
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name),
+    sh AS (
+      SELECT region,
+             CAST(rv AS DOUBLE)
+               / CAST(SUM(rv) OVER (PARTITION BY region) AS DOUBLE) AS s
+      FROM rev)
+    SELECT region, COUNT(*) AS n_nations, ROUND(SUM(s * s), 6) AS hhi
+    FROM sh GROUP BY region
+    """,
+)
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region HHI (analytics.market_concentration): Σ share² over
+    the star-join aggregate."""
+    return analytics.market_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5146,6 +5214,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage",
     "gini_revenue",
     "discount_elasticity",
+    "entity_clusters",
+    "market_concentration",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

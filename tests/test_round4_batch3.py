@@ -848,3 +848,34 @@ def test_elasticity_recovers_planted_slope(spark):
 
     (r,) = discount_elasticity(li, part).collect()
     assert r["qty_per_pct"] == -2.0
+
+
+def test_entity_clusters_transitive(spark):
+    # a~b and b~c within distance 3, a and c farther apart: all three
+    # must still share one canonical name (transitive closure)
+    part = spark.createDataFrame(
+        [(1, "navy thing"), (2, "wavy thing"), (3, "waxy thing"), (4, "other stuff")],
+        "p_partkey long, p_name string",
+    )
+    from dumbo_spark.operators import dedup
+
+    edges = dedup.near_match_values(part, "p_name").select(
+        F.col("val_a").alias("doc_a"), F.col("val_b").alias("doc_b")
+    )
+    comps = {r["doc_id"]: r["cluster_id"]
+             for r in dedup.connected_components(edges).collect()}
+    assert comps["navy thing"] == comps["wavy thing"] == comps["waxy thing"]
+    assert "other stuff" not in comps  # isolated values carry no edges
+
+
+def test_hhi_monopoly_and_uniform(spark, sf_dir):
+    from dumbo_spark.operators.analytics import market_concentration
+    from dumbo_spark.sources.catalog import load_table
+
+    out = market_concentration(
+        *[load_table(spark, sf_dir, t)
+          for t in ("lineitem", "orders", "customer", "nation", "region")]
+    ).collect()
+    for r in out:
+        # HHI bounded by [1/n, 1]
+        assert 1.0 / r["n_nations"] - 1e-9 <= r["hhi"] <= 1.0

@@ -159,6 +159,8 @@ def main() -> None:
         "vocab_coverage",
         "gini_revenue",
         "discount_elasticity",
+        "entity_clusters",
+        "market_concentration",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
