@@ -180,6 +180,8 @@ HEADLINE = [
     "discount_elasticity",
     "entity_clusters",
     "market_concentration",
+    "cart_abandonment",
+    "duplicate_payment_screen",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

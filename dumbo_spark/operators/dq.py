@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dumbo_spark.functions.numeric import dmoney as dmoney_col
+
 
 def _explode_rules(one_row: DataFrame, names: list[str]) -> DataFrame:
     """1-row frame of per-rule violation counts → (rule, n_violations)
@@ -128,4 +130,27 @@ def benford_screen(orders: DataFrame) -> DataFrame:
         F.round(share, 6).alias("observed"),
         F.round(expected, 6).alias("benford"),
         F.round(share - expected, 6).alias("deviation"),
+    )
+
+
+def duplicate_payment_screen(orders: DataFrame) -> DataFrame:
+    """Duplicate-payment audit: distinct orders sharing (customer,
+    amount, date) — the classic double-charge / double-entry screen
+    run before financial close. One partial-agg pass; each flagged
+    group carries its order count and exact amount.
+    """
+    return (
+        orders.groupBy(
+            "o_custkey",
+            dmoney_col("o_totalprice").alias("amount"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") > 1)
+        .select(
+            "o_custkey",
+            F.col("amount").cast("double").alias("amount"),
+            F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+            "n_orders",
+        )
     )

@@ -417,3 +417,57 @@ def funnel_time_bounded(events: DataFrame, bound_sec: int = 3600) -> DataFrame:
             )
         ).alias("s")
     ).select("s.stage", "s.n_users")
+
+
+def cart_abandonment(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Daily cart abandonment: of the users who clicked on a given
+    day, how many never purchased within ``window_minutes`` of any of
+    that day's clicks — the inverse of the conversion funnel and the
+    metric a checkout team actually watches.
+
+    Converters come from the same user-keyed click⋈purchase time-band
+    equi-join as the attribution family (bounded candidates); both
+    sides then collapse to per-(day, user) flags and one counting
+    aggregate per day. Rates are ratios of exact longs.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+            ),
+        )
+        .select("day", "user_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    clickers = clicks.select("day", "user_id").distinct()
+    per_day = (
+        clickers.join(converted, ["day", "user_id"], "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_clickers"),
+            F.count("_conv").alias("n_converted"),
+        )
+    )
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_clickers",
+        "n_converted",
+        F.round(
+            (F.col("n_clickers") - F.col("n_converted")).cast("double")
+            / F.col("n_clickers").cast("double"),
+            6,
+        ).alias("abandonment_rate"),
+    )

@@ -5110,6 +5110,59 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cart_abandonment",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT DISTINCT c.day, c.user_id
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE),
+    clickers AS (SELECT DISTINCT day, user_id FROM c),
+    d AS (
+      SELECT cl.day,
+             COUNT(*) AS n_clickers,
+             COUNT(conv.user_id) AS n_converted
+      FROM clickers cl
+      LEFT JOIN conv ON cl.day = conv.day AND cl.user_id = conv.user_id
+      GROUP BY cl.day)
+    SELECT CAST(day AS VARCHAR) AS day, n_clickers, n_converted,
+           ROUND(CAST(n_clickers - n_converted AS DOUBLE)
+                 / CAST(n_clickers AS DOUBLE), 6) AS abandonment_rate
+    FROM d
+    """,
+)
+def q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily abandonment rate (temporal.cart_abandonment): clickers
+    without a purchase within 1h of any same-day click."""
+    return temporal.cart_abandonment(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "duplicate_payment_screen",
+    oracle="""
+    SELECT o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey, CAST(o_totalprice AS DECIMAL(18,2)),
+             CAST(o_orderdate AS DATE)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge audit (dq.duplicate_payment_screen): distinct
+    orders sharing (customer, exact amount, date)."""
+    return dq.duplicate_payment_screen(load_table(spark, sf_dir, "orders"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5216,6 +5269,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "discount_elasticity",
     "entity_clusters",
     "market_concentration",
+    "cart_abandonment",
+    "duplicate_payment_screen",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -879,3 +879,44 @@ def test_hhi_monopoly_and_uniform(spark, sf_dir):
     for r in out:
         # HHI bounded by [1/n, 1]
         assert 1.0 / r["n_nations"] - 1e-9 <= r["hhi"] <= 1.0
+
+
+def test_cart_abandonment_counts(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1 clicks and buys within the hour -> converted
+            (1, d(2024, 1, 1, 10, 0), 1, "click", 0.0, None),
+            (2, d(2024, 1, 1, 10, 30), 1, "purchase", 5.0, None),
+            # user 2 clicks, never buys -> abandoned
+            (3, d(2024, 1, 1, 11, 0), 2, "click", 0.0, None),
+            # user 3 clicks, buys 3h later -> abandoned (outside window)
+            (4, d(2024, 1, 1, 9, 0), 3, "click", 0.0, None),
+            (5, d(2024, 1, 1, 12, 30), 3, "purchase", 5.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.temporal import cart_abandonment
+
+    (r,) = cart_abandonment(ev).collect()
+    assert (r["n_clickers"], r["n_converted"]) == (3, 1)
+    assert r["abandonment_rate"] == round(2 / 3, 6)
+
+
+def test_duplicate_payment_screen_flags_only_dups(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 99.99, datetime(2024, 1, 1)),
+            (2, 10, 99.99, datetime(2024, 1, 1)),   # double charge
+            (3, 10, 99.99, datetime(2024, 1, 2)),   # same amount, other day
+            (4, 11, 50.00, datetime(2024, 1, 1)),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    from dumbo_spark.operators.dq import duplicate_payment_screen
+
+    out = duplicate_payment_screen(orders).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["o_custkey"], r["amount"], r["n_orders"]) == (10, 99.99, 2)

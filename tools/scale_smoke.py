@@ -161,6 +161,8 @@ def main() -> None:
         "discount_elasticity",
         "entity_clusters",
         "market_concentration",
+        "cart_abandonment",
+        "duplicate_payment_screen",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
