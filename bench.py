@@ -182,6 +182,8 @@ HEADLINE = [
     "market_concentration",
     "cart_abandonment",
     "duplicate_payment_screen",
+    "daily_new_vs_returning",
+    "peak_concurrency",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1005,3 +1005,106 @@ def recency_weighted_value(events: DataFrame) -> DataFrame:
             F.sum(contrib).cast("double").alias("recency_score"),
         )
     )
+
+
+def daily_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily new-vs-returning active users — the first dashboard every
+    product team builds: actives per day split by whether the day is
+    the user's first-seen day.
+
+    Two partial aggregates ((user, day) distinct actives and per-user
+    first day) joined on user — exact integers end to end; no windows.
+    """
+    active = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        active.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias("n_new"),
+        )
+    )
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+    )
+
+
+def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line: sessionize
+    (islands), explode each session into a +1 start / −1 end endpoint,
+    and take the max running sum per day — the capacity-planning
+    number ("how many users at once", not "how many users").
+
+    Tie discipline: endpoints order by (µs, delta DESC) so a session
+    starting exactly when another ends counts as concurrent — and the
+    order is total, so the running sum is deterministic. Sessions that
+    span midnight are handled by a per-day CARRY (sessions already
+    open at 00:00, a tiny day-keyed aggregate): the day's true
+    concurrency is carry + running sum, and the peak also considers
+    the carry itself (the first in-day endpoint may be an END). The
+    sweep window partitions per DAY (bounded by a day's session
+    endpoints); for extreme per-day volumes the same running sum
+    decomposes over hour buckets with the offsets trick
+    (operators/packing.py).
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    flagged = events.select("user_id", "event_id", "ts").withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    endpoints = sessions.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    day = F.to_date(F.timestamp_micros(F.col("us")))
+    w_sweep = Window.partitionBy("day").orderBy(
+        F.col("us").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = endpoints.withColumn("day", day).withColumn(
+        "running", F.sum("delta").over(w_sweep)
+    )
+    per_day = swept.groupBy("day").agg(F.max("running").alias("_mx"))
+    # carry: sessions open at each day's 00:00 (started before, end on
+    # or after the day) — |days| rows via a broadcast day list
+    days = per_day.select("day")
+    carry = (
+        sessions.crossJoin(F.broadcast(days))
+        .where(
+            (F.to_date(F.timestamp_micros(F.col("s_us"))) < F.col("day"))
+            & (F.to_date(F.timestamp_micros(F.col("e_us"))) >= F.col("day"))
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("_carry"))
+    )
+    return (
+        per_day.join(carry, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.coalesce(F.col("_carry"), F.lit(0))
+                + F.greatest(F.col("_mx"), F.lit(0).cast("long"))
+            ).alias("peak_concurrent"),
+        )
+    )

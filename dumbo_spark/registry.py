@@ -5163,6 +5163,81 @@ def q_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.duplicate_payment_screen(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS first_day FROM active GROUP BY user_id),
+    d AS (
+      SELECT a.day,
+             COUNT(*) AS n_active,
+             COUNT(*) FILTER (WHERE a.day = f.first_day) AS n_new
+      FROM active a JOIN first f USING (user_id)
+      GROUP BY a.day)
+    SELECT CAST(day AS VARCHAR) AS day, n_active, n_new,
+           n_active - n_new AS n_returning
+    FROM d
+    """,
+)
+def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split new vs returning
+    (events.daily_new_vs_returning): two partial aggs, exact
+    integers."""
+    return events.daily_new_vs_returning(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sess0 AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sid,
+             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS e_us
+      FROM sess0 GROUP BY user_id, sid),
+    endpoints AS (
+      SELECT s_us AS us, 1 AS delta FROM sessions
+      UNION ALL SELECT e_us, -1 FROM sessions),
+    swept AS (
+      SELECT CAST(make_timestamp(us) AS DATE) AS day, us, delta,
+             SUM(delta) OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+                  ORDER BY us ASC, delta DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM endpoints),
+    per_day AS (SELECT day, MAX(running) AS mx FROM swept GROUP BY day),
+    carry AS (
+      SELECT d.day, COUNT(*) AS c
+      FROM per_day d JOIN sessions s
+        ON CAST(make_timestamp(s.s_us) AS DATE) < d.day
+       AND CAST(make_timestamp(s.e_us) AS DATE) >= d.day
+      GROUP BY d.day)
+    SELECT CAST(p.day AS VARCHAR) AS day,
+           CAST(COALESCE(c.c, 0) + greatest(p.mx, 0) AS BIGINT)
+             AS peak_concurrent
+    FROM per_day p LEFT JOIN carry c ON p.day = c.day
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrent sessions per day
+    (events.peak_concurrency): +1/−1 endpoints, deterministic tie
+    order, midnight carry from a tiny day-keyed aggregate."""
+    return events.peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5271,6 +5346,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "market_concentration",
     "cart_abandonment",
     "duplicate_payment_screen",
+    "daily_new_vs_returning",
+    "peak_concurrency",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -920,3 +920,45 @@ def test_duplicate_payment_screen_flags_only_dups(spark):
     assert len(out) == 1
     (r,) = out
     assert (r["o_custkey"], r["amount"], r["n_orders"]) == (10, 99.99, 2)
+
+
+def test_new_vs_returning_split(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 9), 1, "a", 0.0, None),
+            (2, d(2024, 1, 2, 9), 1, "a", 0.0, None),   # returning
+            (3, d(2024, 1, 2, 9), 2, "a", 0.0, None),   # new on day 2
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import daily_new_vs_returning
+
+    got = {r["day"]: (r["n_active"], r["n_new"], r["n_returning"])
+           for r in daily_new_vs_returning(ev).collect()}
+    assert got == {"2024-01-01": (1, 1, 0), "2024-01-02": (2, 1, 1)}
+
+
+def test_peak_concurrency_overlap_and_midnight_carry(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # two overlapping sessions on Jan 1 -> peak 2
+            (1, d(2024, 1, 1, 10, 0), 1, "a", 0.0, None),
+            (2, d(2024, 1, 1, 10, 20), 1, "a", 0.0, None),
+            (3, d(2024, 1, 1, 10, 10), 2, "a", 0.0, None),
+            # user 3's session spans midnight (23:50 -> 00:10 via 30min gap)
+            (4, d(2024, 1, 1, 23, 50), 3, "a", 0.0, None),
+            (5, d(2024, 1, 2, 0, 10), 3, "a", 0.0, None),
+            # user 4 session on Jan 2 overlapping the carried session
+            (6, d(2024, 1, 2, 0, 5), 4, "a", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import peak_concurrency
+
+    got = {r["day"]: r["peak_concurrent"] for r in peak_concurrency(ev).collect()}
+    assert got["2024-01-01"] == 2   # the two overlapping sessions
+    assert got["2024-01-02"] == 2   # carried session + user 4

@@ -163,6 +163,8 @@ def main() -> None:
         "market_concentration",
         "cart_abandonment",
         "duplicate_payment_screen",
+        "daily_new_vs_returning",
+        "peak_concurrency",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
