@@ -184,6 +184,8 @@ HEADLINE = [
     "duplicate_payment_screen",
     "daily_new_vs_returning",
     "peak_concurrency",
+    "return_rate_by_brand",
+    "session_depth_histogram",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1056,3 +1056,27 @@ def market_concentration(
             F.round(F.sum("_sh2"), 6).alias("hhi"),
         )
     )
+
+
+def return_rate_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Return rate per brand: share of line items flagged returned —
+    the product-quality screen that turns Q10's "who returned" into
+    "what gets returned". One conditional-aggregate pass over the
+    broadcast-dim join; rates are ratios of exact longs.
+    """
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per = j.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    return per.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("return_rate"),
+    )

@@ -1108,3 +1108,41 @@ def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
             ).alias("peak_concurrent"),
         )
     )
+
+
+def session_depth_histogram(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Session depth distribution: how many sessions contain 1, 2, …
+    events — the engagement-shape histogram behind bounce analysis
+    (:func:`bounce_rate` reads its first bar) and session-length SLOs.
+
+    Islands sessionizer → per-session count → distribution; shares
+    divide exact longs. Bounded by |sessions| then |distinct depths|.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    flagged = events.select("user_id", "event_id", "ts").withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
+    )
+    depths = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("depth"))
+    )
+    hist = depths.groupBy("depth").agg(F.count("*").alias("n_sessions"))
+    total = hist.agg(F.sum("n_sessions").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "depth",
+        "n_sessions",
+        F.round(
+            F.col("n_sessions").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("share"),
+    )

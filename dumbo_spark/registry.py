@@ -5238,6 +5238,59 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.peak_concurrency(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "return_rate_by_brand",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+           ROUND(CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return-rate screen (analytics.return_rate_by_brand):
+    one conditional-agg pass over the broadcast-dim join."""
+    return analytics.return_rate_by_brand(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "session_depth_histogram",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    depths AS (
+      SELECT user_id, sid, COUNT(*) AS depth FROM sess GROUP BY user_id, sid),
+    hist AS (SELECT depth, COUNT(*) AS n_sessions FROM depths GROUP BY depth),
+    tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS n_total FROM hist)
+    SELECT depth, n_sessions,
+           ROUND(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS share
+    FROM hist, tot
+    """,
+)
+def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth distribution (events.session_depth_histogram):
+    islands → per-session count → histogram + shares."""
+    return events.session_depth_histogram(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5348,6 +5401,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "duplicate_payment_screen",
     "daily_new_vs_returning",
     "peak_concurrency",
+    "return_rate_by_brand",
+    "session_depth_histogram",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

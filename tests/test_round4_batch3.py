@@ -962,3 +962,40 @@ def test_peak_concurrency_overlap_and_midnight_carry(spark):
     got = {r["day"]: r["peak_concurrent"] for r in peak_concurrency(ev).collect()}
     assert got["2024-01-01"] == 2   # the two overlapping sessions
     assert got["2024-01-02"] == 2   # carried session + user 4
+
+
+def test_return_rate_conditional_count(spark):
+    li = spark.createDataFrame(
+        [(1, "R"), (1, "N"), (1, "R"), (2, "N")],
+        "l_partkey long, l_returnflag string",
+    )
+    part = spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+    )
+    from dumbo_spark.operators.analytics import return_rate_by_brand
+
+    got = {r["p_brand"]: (r["n_lines"], r["n_returned"], r["return_rate"])
+           for r in return_rate_by_brand(li, part).collect()}
+    assert got == {"B1": (3, 2, round(2 / 3, 6)), "B2": (1, 0, 0.0)}
+
+
+def test_session_depth_histogram_shares(spark):
+    d = datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: one 3-event session, then (90min later) a 1-event session
+            (1, d(2024, 1, 1, 10, 0), 1, "a", 0.0, None),
+            (2, d(2024, 1, 1, 10, 5), 1, "a", 0.0, None),
+            (3, d(2024, 1, 1, 10, 10), 1, "a", 0.0, None),
+            (4, d(2024, 1, 1, 12, 0), 1, "a", 0.0, None),
+            # user 2: one 1-event session
+            (5, d(2024, 1, 1, 10, 0), 2, "a", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import session_depth_histogram
+
+    got = {r["depth"]: (r["n_sessions"], r["share"])
+           for r in session_depth_histogram(ev).collect()}
+    assert got == {3: (1, round(1 / 3, 6)), 1: (2, round(2 / 3, 6))}

@@ -165,6 +165,8 @@ def main() -> None:
         "duplicate_payment_screen",
         "daily_new_vs_returning",
         "peak_concurrency",
+        "return_rate_by_brand",
+        "session_depth_histogram",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
