@@ -186,6 +186,7 @@ HEADLINE = [
     "peak_concurrency",
     "return_rate_by_brand",
     "session_depth_histogram",
+    "value_drift_psi",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

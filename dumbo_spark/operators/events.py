@@ -1146,3 +1146,58 @@ def session_depth_histogram(
             F.col("n_sessions").cast("double") / F.col("n_total").cast("double"), 6
         ).alias("share"),
     )
+
+
+def value_drift_psi(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    bucket_width: float = 10.0,
+    smooth: int = 1,
+) -> DataFrame:
+    """Population Stability Index per event type — the
+    industry-standard binned drift scalar (credit-model monitoring's
+    PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ)) complementing the KS screen
+    (:func:`value_drift_screen`; same fixed decimal buckets, same
+    before/after split).
+
+    Laplace smoothing (``smooth`` added to every bucket count on both
+    sides) keeps empty bins finite and deterministic; shares then
+    divide exact integers, and the per-type sum runs over the bounded
+    per-type histogram. Convention: PSI < 0.1 stable, 0.1–0.25 drift
+    watch, > 0.25 action.
+    """
+    bucket = F.floor(dmoney("value") / F.lit(bucket_width).cast("decimal(18,2)")).cast(
+        "long"
+    )
+    tagged = events.select(
+        "event_type",
+        bucket.alias("bucket"),
+        F.when(F.col("ts") < F.lit(split_ts).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("before"),
+    )
+    hist = tagged.groupBy("event_type", "bucket").agg(
+        F.sum("before").alias("n_before"),
+        F.sum(F.lit(1) - F.col("before")).alias("n_after"),
+    )
+    totals = hist.groupBy("event_type").agg(
+        F.sum("n_before").alias("tb"),
+        F.sum("n_after").alias("ta"),
+        F.count("*").alias("n_bins"),
+    )
+    j = hist.join(F.broadcast(totals), "event_type")
+    p = (F.col("n_before") + F.lit(smooth)).cast("double") / (
+        F.col("tb") + F.col("n_bins") * F.lit(smooth)
+    ).cast("double")
+    q = (F.col("n_after") + F.lit(smooth)).cast("double") / (
+        F.col("ta") + F.col("n_bins") * F.lit(smooth)
+    ).cast("double")
+    contrib = (p - q) * F.log(p / q)
+    return (
+        j.withColumn("_c", contrib)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.round(F.sum("_c"), 6).alias("psi"),
+        )
+    )

@@ -5291,6 +5291,43 @@ def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.session_depth_histogram(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "value_drift_psi",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DECIMAL(18,2)) / CAST(10.0 AS DECIMAL(18,2)))
+                  AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_after
+      FROM events GROUP BY event_type, bucket),
+    totals AS (
+      SELECT event_type,
+             CAST(SUM(n_before) AS BIGINT) AS tb,
+             CAST(SUM(n_after) AS BIGINT) AS ta,
+             COUNT(*) AS n_bins
+      FROM hist GROUP BY event_type),
+    j AS (
+      SELECT h.event_type, t.n_bins,
+             CAST(h.n_before + 1 AS DOUBLE)
+               / CAST(t.tb + t.n_bins * 1 AS DOUBLE) AS p,
+             CAST(h.n_after + 1 AS DOUBLE)
+               / CAST(t.ta + t.n_bins * 1 AS DOUBLE) AS q
+      FROM hist h JOIN totals t USING (event_type))
+    SELECT event_type, MAX(n_bins) AS n_bins,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM j GROUP BY event_type
+    """,
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type
+    (events.value_drift_psi): Laplace-smoothed binned shares over the
+    same decimal buckets and split as the KS screen."""
+    return events.value_drift_psi(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5403,6 +5440,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "peak_concurrency",
     "return_rate_by_brand",
     "session_depth_histogram",
+    "value_drift_psi",
     # only driver row is r1 (pre-regeneration fixtures)
     "join_semi",
     "join_anti",

@@ -999,3 +999,29 @@ def test_session_depth_histogram_shares(spark):
     got = {r["depth"]: (r["n_sessions"], r["share"])
            for r in session_depth_histogram(ev).collect()}
     assert got == {3: (1, round(1 / 3, 6)), 1: (2, round(2 / 3, 6))}
+
+
+def test_psi_zero_when_identical_and_positive_under_shift(spark):
+    d = datetime
+    rows = []
+    eid = 0
+    # identical value mix before and after the split -> PSI ~ 0
+    for day, base in ((10, 0), (20, 0)):
+        for v in (5.0, 15.0, 25.0, 5.0):
+            eid += 1
+            rows.append((eid, d(2024, 1, day, 12), 1, "same", v, None))
+    # shifted mix after the split -> PSI > 0
+    for day, vals in ((10, (5.0, 5.0, 5.0)), (20, (95.0, 95.0, 95.0))):
+        for v in vals:
+            eid += 1
+            rows.append((eid, d(2024, 1, day, 12), 1, "shift", v, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from dumbo_spark.operators.events import value_drift_psi
+
+    got = {r["event_type"]: r["psi"] for r in value_drift_psi(ev).collect()}
+    assert got["same"] == 0.0
+    assert got["shift"] > 0.5

@@ -167,6 +167,7 @@ def main() -> None:
         "peak_concurrency",
         "return_rate_by_brand",
         "session_depth_histogram",
+        "value_drift_psi",
     ]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
