@@ -902,9 +902,10 @@ def decile_lift_table(events: DataFrame, min_purchases: int = 14) -> DataFrame:
 
     Exact deciles WITHOUT a global sort: the score domain is small
     integers, so global rank = (count of users with higher score) +
-    (rank among equal scores) via the distinct-value offsets trick
-    (same two-phase family as source_quality_matrix). Every rate/lift
-    is a ratio of exact longs, rounded.
+    (rank among equal scores) via the range-partitioned global rank
+    (topk.global_rank through sampling.exact_global_rank — safe for
+    any score cardinality). Every rate/lift is a ratio of exact longs,
+    rounded.
     """
     per_user = events.groupBy("user_id").agg(
         F.count("*").alias("score"),
@@ -953,8 +954,9 @@ def gini_revenue(orders: DataFrame) -> DataFrame:
     and i the exact global rank.
 
     Everything before the final closed form is exact: per-customer
-    revenue is decimal, ranks come from the shared offsets machinery
-    (sampling.exact_global_rank — no global sort), and rank·revenue
+    revenue is decimal, ranks come from the range-partitioned
+    global rank (sampling.exact_global_rank — no global sort, no
+    domain-sized broadcast even for this continuous domain), and rank·revenue
     sums stay decimal. Ties contribute x·Σi regardless of their
     internal order, so the tie-break affects nothing. One scalar row
     out.

@@ -91,30 +91,46 @@ def events_session_window(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> 
     )
 
 
-def events_sessionized(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
-    """Gap-based sessionization per user (batch form).
+def assign_sessions(
+    df: DataFrame, gap_min: int, id_col: str = "session_id"
+) -> DataFrame:
+    """Gap-islands session assignment — THE shared sessionizer core:
+    lag(ts) → gap>Δ flag → cumulative sum = island id (SURVEY §7.3#4).
+    Appends ``id_col`` (0-based per user), keeps every input column;
+    callers pre-select/filter (``df`` must carry ``user_id``,
+    ``event_id``, ``ts``). Gap comparison is on exact epoch
+    microseconds with BATCH ``>`` semantics: a gap strictly greater
+    than ``gap_min`` starts a new island. (The streaming
+    ``session_window`` twin closes at ``>=`` — the two semantics are
+    intentionally distinct; factoring this into one helper keeps the
+    batch family from drifting, ADVICE r4.)
 
-    lag(ts) → gap>Δ flag → cumulative sum = session id — the classic
-    islands trick (SURVEY §7.3#4). Gap comparison is on exact epoch
-    microseconds. The streaming twin uses ``session_window`` /
-    ``applyInPandasWithState`` (dumbo_spark.streaming).
-
-    Scale: one shuffle on user_id; sessions never span users, so the
+    Scale: one shuffle on user_id; islands never span users, so the
     window never serializes more than one user's events per task — at
     100 TB that is the natural partitioning (and AQE splits stragglers).
     """
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_min * 60 * 1_000_000
-    flagged = events.select("user_id", "event_id", "ts", "value").withColumn(
-        "new_session",
+    flagged = df.withColumn(
+        "_new_island",
         F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
     )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
+    return flagged.withColumn(
+        id_col,
+        F.sum("_new_island").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
+    ).drop("_new_island")
+
+
+def events_sessionized(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user (batch form) — the islands
+    trick via :func:`assign_sessions`, rolled up per session. The
+    streaming twin uses ``session_window`` / ``applyInPandasWithState``
+    (dumbo_spark.streaming)."""
+    sessions = assign_sessions(
+        events.select("user_id", "event_id", "ts", "value"), gap_min
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
@@ -695,18 +711,8 @@ def session_path_topk(
     session; the path-frequency agg is |distinct paths| ≤ |types|^steps
     rows; the final cut is TakeOrderedAndProject (per-task heap).
     """
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_min * 60 * 1_000_000
-    flagged = events.select("user_id", "event_id", "ts", "event_type").withColumn(
-        "new_session",
-        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    sessions = assign_sessions(
+        events.select("user_id", "event_id", "ts", "event_type"), gap_min
     )
     paths = sessions.groupBy("user_id", "session_id").agg(
         F.array_join(
@@ -750,22 +756,10 @@ def error_bursts(
     errors, so the windowed stage sees a fraction of the stream); one
     shuffle on user_id; bursts never span users.
     """
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_min * 60 * 1_000_000
     errs = events.where(F.col("event_type") == "error").select(
         "user_id", "event_id", "ts"
     )
-    flagged = errs.withColumn(
-        "new_burst",
-        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
-    )
-    bursts = flagged.withColumn(
-        "burst_id",
-        F.sum("new_burst").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    bursts = assign_sessions(errs, gap_min, id_col="burst_id")
     return (
         bursts.groupBy("user_id", "burst_id")
         .agg(
@@ -1053,20 +1047,8 @@ def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
     decomposes over hour buckets with the offsets trick
     (operators/packing.py).
     """
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_min * 60 * 1_000_000
-    flagged = events.select("user_id", "event_id", "ts").withColumn(
-        "new_session",
-        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
-    )
     sessions = (
-        flagged.withColumn(
-            "session_id",
-            F.sum("new_session").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        assign_sessions(events.select("user_id", "event_id", "ts"), gap_min)
         .groupBy("user_id", "session_id")
         .agg(
             F.unix_micros(F.min("ts")).alias("s_us"),
@@ -1086,9 +1068,21 @@ def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
         "running", F.sum("delta").over(w_sweep)
     )
     per_day = swept.groupBy("day").agg(F.max("running").alias("_mx"))
+    # Day axis: every day COVERED by a session (explode start..end),
+    # not just endpoint days — a day lying strictly inside a multi-day
+    # session has no endpoints, but its true concurrency is the carry
+    # (ADVICE r4: endpoint-derived days silently dropped such days).
+    # Fan-out is bounded by session length in days (gap-bounded).
+    days = sessions.select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros(F.col("s_us"))),
+                F.to_date(F.timestamp_micros(F.col("e_us"))),
+            )
+        ).alias("day")
+    ).distinct()
     # carry: sessions open at each day's 00:00 (started before, end on
     # or after the day) — |days| rows via a broadcast day list
-    days = per_day.select("day")
     carry = (
         sessions.crossJoin(F.broadcast(days))
         .where(
@@ -1099,12 +1093,13 @@ def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
         .agg(F.count("*").alias("_carry"))
     )
     return (
-        per_day.join(carry, "day", "left")
+        days.join(per_day, "day", "left")
+        .join(carry, "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             (
                 F.coalesce(F.col("_carry"), F.lit(0))
-                + F.greatest(F.col("_mx"), F.lit(0).cast("long"))
+                + F.greatest(F.coalesce(F.col("_mx"), F.lit(0)), F.lit(0).cast("long"))
             ).alias("peak_concurrent"),
         )
     )
@@ -1120,20 +1115,8 @@ def session_depth_histogram(
     Islands sessionizer → per-session count → distribution; shares
     divide exact longs. Bounded by |sessions| then |distinct depths|.
     """
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_min * 60 * 1_000_000
-    flagged = events.select("user_id", "event_id", "ts").withColumn(
-        "new_session",
-        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
-    )
     depths = (
-        flagged.withColumn(
-            "session_id",
-            F.sum("new_session").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        assign_sessions(events.select("user_id", "event_id", "ts"), gap_min)
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("depth"))
     )

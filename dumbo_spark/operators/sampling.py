@@ -204,30 +204,27 @@ def exact_global_rank(
     df, value_col: str, tiebreak_col: str, ascending: bool = True
 ):
     """Exact global rank over (value, tiebreak) WITHOUT a global sort —
-    the shared distinct-value offsets machinery (same two-phase family
-    as operators/packing.py): rank = (count of rows with a
-    strictly-better value, via a running offset over the tiny
-    |distinct values| frame) + (row_number among equal values).
-    Returns the input plus a ``_rank`` column (1-based).
+    delegates to topk.global_rank's terasort-style machinery:
+    range-repartition on (value, tiebreak), rank within each contiguous
+    range, add the per-partition row offset (a ``num_partitions``-row
+    broadcast, independent of the value domain). Returns the input plus
+    a ``_rank`` column (1-based).
 
-    Callers: :func:`source_quality_matrix`,
-    analytics.decile_lift_table. For low-cardinality value domains at
-    extreme scale add a tiebreak-range sub-bucket level (see
-    topk.bucketed_quartiles for the range-repartition variant).
+    Earlier rounds used distinct-value offsets here, which broadcast a
+    |distinct values| frame and ran one ordered window over it — fine
+    for small domains, but input-sized for continuous domains
+    (gini_revenue ranks per-customer decimal revenue; vocab_coverage
+    ranks a vocabulary). The range-partitioned form is safe for ANY
+    domain cardinality, so it is the only path (ADVICE r4, medium).
+
+    Callers: :func:`source_quality_matrix`, analytics.decile_lift_table,
+    analytics.gini_revenue, textstats.vocab_coverage.
     """
+    from dumbo_spark.operators.topk import global_rank
+
     vcol = F.col(value_col)
     order = vcol.asc() if ascending else vcol.desc()
-    counts = df.groupBy(value_col).agg(F.count("*").alias("_c"))
-    w_off = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
-    ).select(value_col, "_off")
-    w_in = Window.partitionBy(value_col).orderBy(tiebreak_col)
-    return (
-        df.join(F.broadcast(offsets), value_col)
-        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
-        .drop("_off")
-    )
+    return global_rank(df, [order, F.col(tiebreak_col).asc()]).drop("_n")
 
 
 def source_quality_matrix(documents: DataFrame, q: int = 4) -> DataFrame:
@@ -238,14 +235,12 @@ def source_quality_matrix(documents: DataFrame, q: int = 4) -> DataFrame:
     mixing).
 
     Exact global quartiles WITHOUT a global sort: rank(doc) in the
-    total order (n_chars, doc_id) = (count of docs with smaller
-    n_chars) + (rank among equal n_chars). The first term is a running
-    offset over the tiny distinct-value frame (|values| rows); the
-    second partitions by n_chars value. Same two-phase prefix-sum
-    family as operators/packing.py; for a value domain so small that
-    one value's docs exceed a task, add a doc_id-range sub-bucket
-    level (operators/topk.py::bucketed_quartiles shows the
-    range-repartition variant).
+    total order (n_chars, doc_id) via :func:`exact_global_rank`'s
+    range-partitioned machinery — each task ranks one contiguous
+    (n_chars, doc_id) range and adds its partition's row offset, so no
+    task ever holds the total order and the only broadcast is the
+    ``num_partitions``-row offset table. Same two-phase prefix-sum
+    family as operators/packing.py.
 
     Quartile is integer math — ``(rank-1)·q // N`` — so the cut is
     engine-exact; shares divide exact integers, rounded 4dp.

@@ -689,8 +689,9 @@ def vocab_coverage(documents: DataFrame, ks: tuple = (10, 100, 1000)) -> DataFra
     :func:`vocab_growth` and :func:`heavy_hitter_tokens`).
 
     Frequency rank is the exact global rank over (count DESC, word)
-    via the shared offsets machinery (sampling.exact_global_rank — no
-    global sort); covered-token sums are exact integers per k.
+    via the range-partitioned global rank (sampling.exact_global_rank
+    — no global sort, no vocabulary-sized broadcast); covered-token
+    sums are exact integers per k.
     """
     from dumbo_spark.operators.sampling import exact_global_rank
 

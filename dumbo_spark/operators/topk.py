@@ -179,24 +179,28 @@ def salted_topk_per_group(
     )
 
 
-def global_ntile(
-    df: DataFrame, sort_exprs: list, k: int, num_partitions: int | None = None
+def global_rank(
+    df: DataFrame, sort_exprs: list, num_partitions: int | None = None
 ) -> DataFrame:
-    """EXACT global NTILE without a single-task total sort — the
+    """EXACT global 1-based rank without a single-task total sort — the
     100 TB replacement for ``Window.orderBy(...)`` ranks.
 
     Terasort-style: range-repartition on the sort key (each partition
     holds a contiguous key range, partitions ordered by partition id),
     rank within each partition, then add each partition's global row
-    offset — a tiny per-partition-count table joined back by broadcast.
-    Ranks are exact regardless of where the sampled range boundaries
-    fall, PROVIDED ``sort_exprs`` defines a total order (include a
-    unique tie-break column). Cost: two full-data exchanges (range +
-    window hash), both parallel; no stage sees more than one
+    offset — a per-partition-count table of only ``num_partitions``
+    rows (genuinely tiny, independent of the value domain) joined back
+    by broadcast. Ranks are exact regardless of where the sampled range
+    boundaries fall, PROVIDED ``sort_exprs`` defines a total order
+    (include a unique tie-break column). Cost: two full-data exchanges
+    (range + window hash), both parallel; no stage sees more than one
     partition's rows in one task.
 
-    Appends an ``ntile`` int column (SQL NTILE semantics: first
-    ``n % k`` buckets get ``n/k + 1`` rows).
+    Appends ``_rank`` (1-based bigint) and ``_n`` (total row count).
+    Shared machinery for :func:`global_ntile` and
+    sampling.exact_global_rank (the distinct-value-offsets variant it
+    replaces broadcast a |distinct values| frame, which is input-sized
+    for continuous domains — ADVICE r4).
     """
     if num_partitions is None:
         # spark.sql.shuffle.partitions may be the non-numeric "auto"
@@ -229,18 +233,30 @@ def global_ntile(
             .alias("_n"),
         )
     )
-    ranked = r.join(F.broadcast(offsets), "_pid").withColumn(
-        "_rank", F.col("_off") + F.col("_rn")
+    return (
+        r.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
     )
+
+
+def global_ntile(
+    df: DataFrame, sort_exprs: list, k: int, num_partitions: int | None = None
+) -> DataFrame:
+    """EXACT global NTILE via :func:`global_rank` (terasort-style
+    range-partitioned rank — see its docstring for the scale argument).
+
+    Appends an ``ntile`` int column (SQL NTILE semantics: first
+    ``n % k`` buckets get ``n/k + 1`` rows).
+    """
+    ranked = global_rank(df, sort_exprs, num_partitions)
     q = F.floor(F.col("_n") / k)
     rem = F.col("_n") % k
     big = rem * (q + 1)  # rows covered by the size-(q+1) buckets
     bucket = F.when(
         F.col("_rank") <= big, F.floor((F.col("_rank") - 1) / (q + 1)) + 1
     ).otherwise(rem + F.floor((F.col("_rank") - big - 1) / F.greatest(q, F.lit(1))) + 1)
-    return ranked.withColumn("ntile", bucket.cast("int")).drop(
-        "_pid", "_rn", "_off", "_n", "_rank"
-    )
+    return ranked.withColumn("ntile", bucket.cast("int")).drop("_n", "_rank")
 
 
 def bucketed_quartiles(customer: DataFrame) -> DataFrame:

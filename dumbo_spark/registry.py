@@ -580,12 +580,11 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side (plan asserted in tests/test_bucketed.py) — the
     pay-the-shuffle-once-at-write pattern that converts a nightly
     100 TB fact join into a co-located bucket merge."""
-    import tempfile
-
     from dumbo_spark.functions.numeric import dsum
     from dumbo_spark.sources.bucketed import colocated_join, write_bucketed
+    from dumbo_spark.streaming.runners import _scratch_dir
 
-    base = tempfile.mkdtemp(prefix="dumbo_spark_buckets_")
+    base = _scratch_dir(prefix="dumbo_spark_buckets_")
     write_bucketed(
         load_table(spark, sf_dir, "orders"),
         "dsb_orders", "o_orderkey", 8, f"{base}/orders",
@@ -5219,16 +5218,24 @@ def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
       FROM endpoints),
     per_day AS (SELECT day, MAX(running) AS mx FROM swept GROUP BY day),
+    days AS (
+      SELECT DISTINCT CAST(gs.d AS DATE) AS day
+      FROM sessions s,
+           UNNEST(generate_series(CAST(make_timestamp(s.s_us) AS DATE),
+                                  CAST(make_timestamp(s.e_us) AS DATE),
+                                  INTERVAL 1 DAY)) AS gs(d)),
     carry AS (
       SELECT d.day, COUNT(*) AS c
-      FROM per_day d JOIN sessions s
+      FROM days d JOIN sessions s
         ON CAST(make_timestamp(s.s_us) AS DATE) < d.day
        AND CAST(make_timestamp(s.e_us) AS DATE) >= d.day
       GROUP BY d.day)
-    SELECT CAST(p.day AS VARCHAR) AS day,
-           CAST(COALESCE(c.c, 0) + greatest(p.mx, 0) AS BIGINT)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COALESCE(c.c, 0) + greatest(COALESCE(p.mx, 0), 0) AS BIGINT)
              AS peak_concurrent
-    FROM per_day p LEFT JOIN carry c ON p.day = c.day
+    FROM days d
+    LEFT JOIN per_day p ON d.day = p.day
+    LEFT JOIN carry c ON d.day = c.day
     """,
 )
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,12 +26,33 @@ Replay construction keeps the checks deterministic:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dumbo_spark.sources.catalog import load_table
+
+# Scratch dirs (source slices, checkpoints, versioned state) backing
+# the LAZY DataFrames these runners return: the files must outlive the
+# returned frame, so the earliest safe cleanup point is process exit —
+# registered here instead of leaking across repeated bench/test
+# invocations (ADVICE r4, streaming_upsert_sink retention).
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 
 
 def _run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
@@ -53,7 +74,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumbo_spark.streaming.dedup import dedup_stream
 
     ev = load_table(spark, sf_dir, "events")
-    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_replay_"), "src")
+    src = os.path.join(_scratch_dir(prefix="dumbo_spark_replay_"), "src")
     os.makedirs(src)
     # coalesce(1) pins each replay copy to exactly ONE part file: with
     # maxFilesPerTrigger=1, a multi-file copy would interleave across
@@ -78,7 +99,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumbo_spark.streaming.stateful import running_user_totals
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_totals_"), "src")
+    src = os.path.join(_scratch_dir(prefix="dumbo_spark_totals_"), "src")
     os.makedirs(src)
     # three disjoint slices → three files → three micro-batches; state
     # must carry totals across batches for the final rows to be right.
@@ -126,7 +147,7 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_enrich_"), "src")
+    src = os.path.join(_scratch_dir(prefix="dumbo_spark_enrich_"), "src")
     os.makedirs(src)
     for i in range(3):
         ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
@@ -188,7 +209,7 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("us", "event_id")
     ranked = ev.withColumn("_rk", F.row_number().over(w))
     n = ranked.count()
-    src = os.path.join(tempfile.mkdtemp(prefix="dumbo_spark_trans_"), "src")
+    src = os.path.join(_scratch_dir(prefix="dumbo_spark_trans_"), "src")
     os.makedirs(src)
     cuts = [0, n // 3, 2 * n // 3, n]
     for i in range(3):
@@ -241,7 +262,7 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
         ).alias("m")
     ).collect()[0]["m"]
-    base = tempfile.mkdtemp(prefix="dumbo_spark_attr_")
+    base = _scratch_dir(prefix="dumbo_spark_attr_")
     sides = {}
     for side, etype in (("clicks", "click"), ("purchases", "purchase")):
         d = os.path.join(base, side)
@@ -329,7 +350,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("ts", "event_id")
     ranked = ev.withColumn("_rk", F.row_number().over(w))
     n = ranked.count()
-    base = tempfile.mkdtemp(prefix="dumbo_spark_upsert_")
+    base = _scratch_dir(prefix="dumbo_spark_upsert_")
     src = os.path.join(base, "src")
     state_base = os.path.join(base, "state")
     os.makedirs(src)

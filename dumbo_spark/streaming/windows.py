@@ -36,7 +36,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the file streaming source requires a directory; fixtures are
         # single files — expose one through a symlink dir (real
         # pipelines read a growing directory, which needs none of this)
-        d = tempfile.mkdtemp(prefix="dumbo_spark_stream_")
+        from dumbo_spark.streaming.runners import _scratch_dir
+
+        d = _scratch_dir(prefix="dumbo_spark_stream_")
         os.symlink(path, os.path.join(d, "events.parquet"))
         path = d
     stream = spark.readStream.schema(raw_schema).parquet(path)
