@@ -187,6 +187,12 @@ HEADLINE = [
     "return_rate_by_brand",
     "session_depth_histogram",
     "value_drift_psi",
+    # round-5 additions (streaming_attribution_outer excluded: times
+    # replay writes, not operator throughput)
+    "approx_distinct_checked",
+    "hll_rollup_checked",
+    "approx_percentiles_checked",
+    "stratified_sample_checked",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -697,20 +697,30 @@ def vocab_coverage(documents: DataFrame, ks: tuple = (10, 100, 1000)) -> DataFra
 
     wc = wordcount(documents)
     ranked = exact_global_rank(wc, "cnt", "word", ascending=False)
-    total = wc.agg(F.sum("cnt").alias("n_tok"))
-    per_k = [
-        ranked.where(F.col("_rank") <= kk).agg(
-            F.lit(kk).alias("k"), F.sum("cnt").alias("tokens_covered")
-        )
-        for kk in ks
-    ]
-    out = per_k[0]
-    for p in per_k[1:]:
-        out = out.unionByName(p)
-    return out.crossJoin(F.broadcast(total)).select(
-        "k",
-        "tokens_covered",
+    # ONE pass over the ranked vocabulary: every k's covered-token sum
+    # is a conditional aggregate of the same scan (a union of
+    # per-k branches would re-run wordcount+rank once per k — 26
+    # exchanges at |ks|=3 in the round-5 plan audit, vs 8 here), then
+    # explode the k-wide row back to the (k, tokens_covered) shape.
+    sums = ranked.agg(
+        F.sum("cnt").alias("n_tok"),
+        *[
+            F.sum(F.when(F.col("_rank") <= kk, F.col("cnt")).otherwise(F.lit(0))).alias(
+                f"_c{kk}"
+            )
+            for kk in ks
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(kk).alias("k"), F.col(f"_c{kk}").alias("tokens_covered"))
+            for kk in ks
+        ]
+    )
+    return sums.select(F.explode(pairs).alias("p"), "n_tok").select(
+        F.col("p.k").alias("k"),
+        F.col("p.tokens_covered").alias("tokens_covered"),
         F.round(
-            F.col("tokens_covered").cast("double") / F.col("n_tok").cast("double"), 6
+            F.col("p.tokens_covered").cast("double") / F.col("n_tok").cast("double"), 6
         ).alias("coverage"),
     )
