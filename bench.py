@@ -193,6 +193,9 @@ HEADLINE = [
     "hll_rollup_checked",
     "approx_percentiles_checked",
     "stratified_sample_checked",
+    "zipf_fit",
+    "pii_screen",
+    "weighted_median_price",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

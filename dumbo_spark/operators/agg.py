@@ -27,7 +27,7 @@ tiny post-shuffle partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dumbo_spark.functions.numeric import dmoney, dsum
 
@@ -401,5 +401,79 @@ def winsorized_stats(lineitem: DataFrame) -> DataFrame:
             F.round(
                 F.sum(clipped).cast("double") / F.count("*").cast("double"), 4
             ).alias("winsor_mean"),
+        )
+    )
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    weighted-percentile primitive (plain medians answer "the typical
+    line"; this answers "the typical shipped unit", which is what
+    pricing reads). No built-in computes it: weighted quantiles need a
+    cumulative-weight sweep over the value order.
+
+    Scale-safe two-phase form (same family as topk.global_rank):
+    range-repartition on (flag, price, tie-break) so each task holds a
+    contiguous value range, sum weights per (partition, flag), prefix
+    those per-partition sums over the tiny (num_partitions × |flags|)
+    frame, then one in-partition cumulative-weight window — no task
+    ever sweeps a whole flag's rows. The median is the first price
+    where 2·cum ≥ total (exact DECIMAL compare, no division).
+
+    Output: (l_returnflag, total_qty, weighted_median_price).
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    li = lineitem.select(
+        "l_returnflag",
+        price.alias("_p"),
+        qty.alias("_q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    raw = li.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        parts = int(raw)
+    except ValueError:
+        parts = max(li.rdd.getNumPartitions(), 1)
+    order = [
+        F.col("l_returnflag").asc(),
+        F.col("_p").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    r = li.repartitionByRange(parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = r.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_w"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pc.select(
+        "_pid",
+        "l_returnflag",
+        F.coalesce(F.sum("_w").over(w_off), F.lit(0).cast("decimal(18,2)")).alias(
+            "_off"
+        ),
+    )
+    totals = li.groupBy("l_returnflag").agg(F.sum("_q").alias("_tot"))
+    w_in = (
+        Window.partitionBy("_pid", "l_returnflag")
+        .orderBy("_p", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        r.join(F.broadcast(offsets), ["_pid", "l_returnflag"])
+        .join(F.broadcast(totals), "l_returnflag")
+        .withColumn("_cum", F.col("_off") + F.sum("_q").over(w_in))
+    )
+    return (
+        cum.where(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("_tot").cast("double").alias("total_qty"),
+            F.min("_p").cast("double").alias("weighted_median_price"),
         )
     )

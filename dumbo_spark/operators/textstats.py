@@ -724,3 +724,92 @@ def vocab_coverage(documents: DataFrame, ks: tuple = (10, 100, 1000)) -> DataFra
             F.col("p.tokens_covered").cast("double") / F.col("n_tok").cast("double"), 6
         ).alias("coverage"),
     )
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Zipf-law fit over the corpus frequency spectrum: OLS slope and
+    intercept of log(count) vs log(rank) for the ``top_n`` most
+    frequent words — the corpus-health scalar reviewers eyeball a
+    rank-frequency plot for (natural text sits near slope −1; a
+    machine-generated or template-heavy corpus flattens or cliffs).
+
+    Ranks come from the range-partitioned global rank
+    (sampling.exact_global_rank — no vocabulary-sized broadcast); the
+    regression is one closed-form aggregate over ≤ ``top_n`` points.
+    Output: (n_points, slope, intercept), rounded 6dp.
+    """
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    wc = wordcount(documents)
+    ranked = exact_global_rank(wc, "cnt", "word", ascending=False).where(
+        F.col("_rank") <= top_n
+    )
+    pts = ranked.select(
+        F.log(F.col("_rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+# PII patterns shared by the Spark screen and its DuckDB oracle — kept
+# to syntax with identical semantics in Java regex and RE2.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+PII_LONGNUM = r"[0-9]{6,}"
+
+
+def pii_screen(documents: DataFrame) -> DataFrame:
+    """Per-source PII exposure screen: how many documents contain
+    email-like, phone-like, or long-digit-run substrings — the
+    scrub-before-training gate every corpus pipeline runs before a
+    source is admitted to the mix.
+
+    One conditional-aggregate scan (three ``rlike`` per row, JVM
+    regex, no shuffle beyond the per-source rollup). The synthetic
+    fixtures contain no digits or '@' at all, so every fixture count
+    is zero — which the oracle CHECKS (both engines must agree the
+    corpus is clean); the detection semantics are pinned on planted
+    PII in tests/test_round5_fixes.py.
+
+    Output: (source, n_docs, n_email, n_phone, n_longnum, pii_share).
+    """
+    hit = lambda pat: F.col("text").rlike(pat).cast("long")  # noqa: E731
+    agg = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(hit(PII_EMAIL)).alias("n_email"),
+        F.sum(hit(PII_PHONE)).alias("n_phone"),
+        F.sum(hit(PII_LONGNUM)).alias("n_longnum"),
+        F.sum(
+            (
+                F.col("text").rlike(PII_EMAIL)
+                | F.col("text").rlike(PII_PHONE)
+                | F.col("text").rlike(PII_LONGNUM)
+            ).cast("long")
+        ).alias("_any"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_email",
+        "n_phone",
+        "n_longnum",
+        F.round(F.col("_any").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+            "pii_share"
+        ),
+    )

@@ -5429,6 +5429,96 @@ def q_stratified_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample_checked(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "zipf_fit",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    r AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+      FROM wc),
+    p AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM r WHERE rnk <= 1000)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
+           ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                           * SUM(x)) / COUNT(*), 6) AS intercept
+    FROM p
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-1000 word frequencies
+    (textstats.zipf_fit): corpus-health slope/intercept; ranks from
+    the range-partitioned global rank."""
+    return textstats.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_screen",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_EMAIL}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_PHONE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_LONGNUM}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_longnum,
+           ROUND(CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_EMAIL}')
+                               OR regexp_matches(text, '{textstats.PII_PHONE}')
+                               OR regexp_matches(text, '{textstats.PII_LONGNUM}')
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pii_share
+    FROM documents GROUP BY source
+    """,
+)
+def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure screen (textstats.pii_screen): email /
+    phone / long-digit-run document counts — the scrub gate before a
+    source enters the training mix. The synthetic corpus is clean, so
+    both engines must agree on zeros; detection semantics are pinned
+    on planted PII in tests/test_round5_fixes.py."""
+    return textstats.pii_screen(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, p,
+             SUM(q) OVER (PARTITION BY l_returnflag
+                          ORDER BY p, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(q) OVER (PARTITION BY l_returnflag) AS tot
+      FROM t)
+    SELECT l_returnflag,
+           CAST(MAX(tot) AS DOUBLE) AS total_qty,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN p END) AS DOUBLE)
+             AS weighted_median_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag
+    (agg.weighted_median_price): range-partitioned cumulative-weight
+    sweep — the weighted-percentile primitive no built-in covers,
+    computed without any task sweeping a whole flag."""
+    return agg.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -5496,9 +5586,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_percentiles_checked",
     "stratified_sample_checked",
     "streaming_attribution_outer",
-    # slot 50 + overflow: oracle-backed names whose only driver row is
-    # r1 (pre-regeneration fixtures) — refresh queue for round 6
+    # slot 50 + overflow: round-5 breadth additions, then oracle-backed
+    # names whose only driver row is r1 (pre-regeneration fixtures) —
+    # the refresh queue for round 6
     "join_semi",
+    "zipf_fit",
+    "pii_screen",
+    "weighted_median_price",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",

@@ -152,3 +152,97 @@ def test_stratified_sample_checked_exact_passthrough_and_bound(spark):
     assert rows["de"]["within_bound"]  # fraction 1.0 -> exact passthrough
     assert rows["en"]["within_bound"]  # Bernoulli within 6 sigma
     assert rows["en"]["n_total"] == rows["de"]["n_total"] == 1000
+
+
+def test_pii_screen_detects_planted_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com for details", "en", "s1", 40),
+            (2, "call 555-867-5309 now", "en", "s1", 20),
+            (3, "account number 12345678 on file", "en", "s1", 30),
+            (4, "a perfectly clean document", "en", "s1", 26),
+            (5, "clean too", "en", "s2", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from dumbo_spark.operators.textstats import pii_screen
+
+    rows = {r["source"]: r for r in pii_screen(docs).collect()}
+    s1 = rows["s1"]
+    assert (s1["n_email"], s1["n_phone"], s1["n_longnum"]) == (1, 1, 1)
+    assert s1["pii_share"] == 0.75
+    s2 = rows["s2"]
+    assert (s2["n_email"], s2["n_phone"], s2["n_longnum"]) == (0, 0, 0)
+
+
+def test_pii_regexes_agree_with_duckdb(spark):
+    """The screen's external check on the clean corpus is degenerate
+    (all zeros), so pin the regex DIALECT equivalence here: Java regex
+    and DuckDB RE2 must classify the same planted strings the same."""
+    import duckdb
+
+    from dumbo_spark.operators.textstats import PII_EMAIL, PII_LONGNUM, PII_PHONE
+
+    samples = [
+        "alice@example.com", "bob.smith+tag@mail.co.uk", "not-an-email@",
+        "555-867-5309", "555 8675 1234", "55-867-5309",
+        "123456", "12345", "id 9876543 here",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    for pat in (PII_EMAIL, PII_PHONE, PII_LONGNUM):
+        got_spark = [
+            r["m"] for r in sdf.select(F.col("text").rlike(pat).alias("m")).collect()
+        ]
+        got_duck = [
+            bool(x[0])
+            for x in duckdb.sql(
+                "SELECT regexp_matches(text, '%s') FROM (SELECT unnest(%r) AS text)"
+                % (pat, samples)
+            ).fetchall()
+        ]
+        assert got_spark == got_duck, pat
+
+
+def test_weighted_median_crosses_on_weight_not_count(spark):
+    li = spark.createDataFrame(
+        [
+            # flag A: one heavy cheap line outweighs many expensive ones
+            ("A", 1.0, 10.0, 1, 1),
+            ("A", 100.0, 1.0, 1, 2),
+            ("A", 200.0, 1.0, 1, 3),
+            ("A", 300.0, 1.0, 1, 4),
+            # flag B: uniform weights -> plain median (middle value)
+            ("B", 10.0, 1.0, 2, 1),
+            ("B", 20.0, 1.0, 2, 2),
+            ("B", 30.0, 1.0, 2, 3),
+        ],
+        "l_returnflag string, l_extendedprice double, l_quantity double, "
+        "l_orderkey long, l_linenumber int",
+    )
+    from dumbo_spark.operators.agg import weighted_median_price
+
+    got = {r["l_returnflag"]: r for r in weighted_median_price(li).collect()}
+    # A: total weight 13, half = 6.5, first price with cum >= 6.5 is 1.0
+    assert got["A"]["weighted_median_price"] == 1.0
+    assert got["A"]["total_qty"] == 13.0
+    # B: total 3, half 1.5, cum hits 2 at price 20
+    assert got["B"]["weighted_median_price"] == 20.0
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    # craft a corpus whose word counts follow cnt(rank) = C / rank
+    # exactly: word w_r appears round(1000/r) times -> slope ~ -1
+    rows = []
+    did = 0
+    for r in range(1, 51):
+        for _ in range(round(1000 / r)):
+            rows.append((did, "w%03d" % r, "en", "s", 5))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from dumbo_spark.operators.textstats import zipf_fit
+
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_points"] == 50
+    assert abs(row["slope"] + 1.0) < 0.02
