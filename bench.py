@@ -196,6 +196,7 @@ HEADLINE = [
     "zipf_fit",
     "pii_screen",
     "weighted_median_price",
+    "bucketed_group_percentiles",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1714,6 +1714,24 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bucketed_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_percentiles' contract, scale-safe
+    (agg.bucketed_group_percentiles): range-partitioned exact ranks +
+    broadcast quantile-target join + interpolation — no per-group
+    single-task sort; shares the exact quantile_cont oracle."""
+    return agg.bucketed_group_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "hourly_active_users",
     oracle="""
     SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00')
@@ -5593,6 +5611,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zipf_fit",
     "pii_screen",
     "weighted_median_price",
+    "bucketed_group_percentiles",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",

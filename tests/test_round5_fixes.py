@@ -246,3 +246,23 @@ def test_zipf_fit_recovers_planted_slope(spark):
     row = zipf_fit(docs).collect()[0]
     assert row["n_points"] == 50
     assert abs(row["slope"] + 1.0) < 0.02
+
+
+def test_bucketed_group_percentiles_matches_interpolation(spark):
+    # n=5 (h = 4*p + 1 lands mid-rank for p=0.9) and n=1 edge group
+    li = spark.createDataFrame(
+        [("A", 10.0, 1, 1), ("A", 20.0, 1, 2), ("A", 30.0, 1, 3),
+         ("A", 40.0, 1, 4), ("A", 50.0, 1, 5),
+         ("B", 7.0, 2, 1)],
+        "l_returnflag string, l_extendedprice double, l_orderkey long, "
+        "l_linenumber int",
+    )
+    from dumbo_spark.operators.agg import bucketed_group_percentiles
+
+    got = {r["l_returnflag"]: r for r in bucketed_group_percentiles(li).collect()}
+    # A: h50 = 3 -> 30; h90 = 4.6 -> 40 + 0.6*10 = 46; h99 = 4.96 -> 49.6
+    assert got["A"]["p50_price"] == 30.0
+    assert got["A"]["p90_price"] == 46.0
+    assert got["A"]["p99_price"] == 49.6
+    # B: single row -> every percentile is the value itself
+    assert (got["B"]["p50_price"], got["B"]["p99_price"]) == (7.0, 7.0)
