@@ -197,6 +197,7 @@ HEADLINE = [
     "pii_screen",
     "weighted_median_price",
     "bucketed_group_percentiles",
+    "copurchase_components",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -344,3 +344,36 @@ def item_similarity(
         .where(F.col("rank") <= k)
         .select("item", "other", "n_common", "jaccard", "rank")
     )
+
+
+def copurchase_components(
+    lineitem: DataFrame, min_cooccur: int = 2, max_basket: int = 20
+) -> DataFrame:
+    """Connected components of the co-purchase graph, as a
+    component-size histogram — the substitutability-market map ("which
+    parts ever sell together, transitively") and the graph twin of the
+    doc-dedup clustering. Oracle-checked end to end: the iterative
+    min-label CC (dedup.connected_components, per-round lineage
+    truncation) must reproduce a recursive-CTE transitive closure's
+    histogram bit-for-bit.
+
+    Node set is edge-touched parts only (a part that never co-occurs
+    is not a 1-component — documented contract shared by the oracle).
+    Iterations are bounded by component diameter; co-purchase graphs
+    are shallow (hub parts collapse distances), so the fixpoint lands
+    in a handful of rounds.
+
+    Output: (n_members, n_components), ascending by size.
+    """
+    from dumbo_spark.operators.dedup import connected_components
+
+    e = _copurchase_edges(lineitem, min_cooccur, max_basket).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    labels = connected_components(e)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.groupBy("n_members")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("n_members")
+    )

@@ -2927,6 +2927,37 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_components",
+    oracle="""
+    WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
+           HAVING COUNT(*) <= 20),
+    p2 AS (SELECT po.l_orderkey, po.l_partkey
+           FROM po JOIN ok USING (l_orderkey)),
+    e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           FROM p2 a JOIN p2 b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst, src FROM e0),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
+    comp AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+    sizes AS (SELECT cid, COUNT(*) AS n_members FROM comp GROUP BY cid)
+    SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY n_members ORDER BY n_members
+    """,
+)
+def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the co-purchase graph
+    (graph.copurchase_components): iterative min-label CC checked
+    bit-for-bit against a recursive-CTE transitive closure."""
+    return graph.copurchase_components(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "doc_perplexity",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
@@ -5612,6 +5643,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pii_screen",
     "weighted_median_price",
     "bucketed_group_percentiles",
+    "copurchase_components",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",

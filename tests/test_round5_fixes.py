@@ -266,3 +266,21 @@ def test_bucketed_group_percentiles_matches_interpolation(spark):
     assert got["A"]["p99_price"] == 49.6
     # B: single row -> every percentile is the value itself
     assert (got["B"]["p50_price"], got["B"]["p99_price"]) == (7.0, 7.0)
+
+
+def test_copurchase_components_histogram(spark):
+    # baskets: {1,2}, {2,3} (chain -> one 3-component via support 2 edges
+    # needs each pair twice), plus {7,8} twice -> a 2-component
+    rows = []
+    for ok, parts in [
+        (1, [1, 2]), (2, [1, 2]),        # edge 1-2 (support 2)
+        (3, [2, 3]), (4, [2, 3]),        # edge 2-3 -> component {1,2,3}
+        (5, [7, 8]), (6, [7, 8]),        # component {7,8}
+        (7, [4, 5]),                      # support 1 -> no edge
+    ]:
+        rows += [(ok, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from dumbo_spark.operators.graph import copurchase_components
+
+    got = {r["n_members"]: r["n_components"] for r in copurchase_components(li).collect()}
+    assert got == {2: 1, 3: 1}
