@@ -2927,6 +2927,30 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_hourly_distinct_checked",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS within_5pct
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def q_streaming_hourly_distinct_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly distinct users as a TRUE stream with HLL++ in the window
+    state, 5% bound oracle-checked against batch exact
+    (streaming/runners.py::streaming_hourly_distinct_checked) — the
+    streaming member of the *_checked sketch family."""
+    from dumbo_spark.streaming.runners import streaming_hourly_distinct_checked
+
+    return streaming_hourly_distinct_checked(spark, sf_dir)
+
+
+@register(
     "copurchase_components",
     oracle="""
     WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -5644,6 +5668,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_median_price",
     "bucketed_group_percentiles",
     "copurchase_components",
+    "streaming_hourly_distinct_checked",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
