@@ -198,6 +198,8 @@ HEADLINE = [
     "weighted_median_price",
     "bucketed_group_percentiles",
     "copurchase_components",
+    "knn_recall_checked",
+    "dedup_recall_checked",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -576,3 +576,58 @@ def contrastive_pairs(
         .select("query_id", "other_id", F.lit("neg").alias("role"), "rank")
     )
     return pos.unionByName(neg)
+
+
+def knn_recall_checked(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    lsh_bound: float = 0.5,
+    ivf_bound: float = 0.3,
+) -> DataFrame:
+    """The ANN family's recall contracts as oracle-checkable booleans
+    (VERDICT r4 #6 applied to LSH/IVF): exact brute-force top-k is the
+    ground truth, and the LSH / IVF hit-rates against it must clear
+    the same bounds the unit tests pin (0.5 / 0.3). The oracle derives
+    the exact-pair count combinatorially (min(n_queries, n) queries ×
+    min(k, n−1) neighbors) and asserts TRUE per bound — an index whose
+    recall collapses flips the hash.
+
+    All three searches share the broadcast query side; the recall
+    joins are |exact| rows. One output row.
+
+    Output: (n_queries, n_exact_pairs, lsh_recall_ok, ivf_recall_ok).
+    """
+    ex = knn_cosine(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    lsh = knn_cosine_lsh(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = knn_cosine_ivf(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    nq = ex.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_pairs"),
+    )
+    lh = ex.join(lsh, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("_lsh_hits")
+    )
+    ih = ex.join(ivf, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("_ivf_hits")
+    )
+    return (
+        nq.crossJoin(lh)
+        .crossJoin(ih)
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (
+                F.col("_lsh_hits")
+                >= F.lit(lsh_bound) * F.col("n_exact_pairs")
+            ).alias("lsh_recall_ok"),
+            (
+                F.col("_ivf_hits")
+                >= F.lit(ivf_bound) * F.col("n_exact_pairs")
+            ).alias("ivf_recall_ok"),
+        )
+    )

@@ -2927,6 +2927,56 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_recall_checked",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM embeddings)
+    SELECT CAST(LEAST(8, c) AS BIGINT) AS n_queries,
+           CAST(LEAST(8, c) * LEAST(5, c - 1) AS BIGINT) AS n_exact_pairs,
+           TRUE AS lsh_recall_ok,
+           TRUE AS ivf_recall_ok
+    FROM n
+    """,
+)
+def q_knn_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH and IVF ANN recall vs exact brute-force top-k as
+    oracle-checked booleans (similarity.knn_recall_checked): bounds
+    0.5 / 0.3, matching the unit-test pins."""
+    return similarity.knn_recall_checked(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_recall_checked",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) FILTER (
+             WHERE 10 * c >= 7 * (sa.n + sb.n - c)) AS BIGINT)
+             AS n_exact_pairs,
+           TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    """,
+)
+def q_dedup_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH→verify recall vs the exact PPJoin pair set at
+    Jaccard ≥ 0.7 as an oracle-checked boolean
+    (dedup.dedup_recall_checked)."""
+    return dedup.dedup_recall_checked(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "streaming_hourly_distinct_checked",
     oracle="""
     SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
@@ -5669,6 +5719,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_group_percentiles",
     "copurchase_components",
     "streaming_hourly_distinct_checked",
+    "knn_recall_checked",
+    "dedup_recall_checked",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
