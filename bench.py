@@ -200,6 +200,7 @@ HEADLINE = [
     "copurchase_components",
     "knn_recall_checked",
     "dedup_recall_checked",
+    "pagerank_checked",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
