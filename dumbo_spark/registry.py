@@ -3175,13 +3175,41 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_histogram(load_table(spark, sf_dir, "lineitem"))
 
 
-@register("copurchase_kcore")  # rows-only: iterative peeling fixpoint
+@register(
+    "copurchase_kcore",
+    oracle="""
+    WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
+           HAVING COUNT(*) <= 20),
+    p2 AS (SELECT po.l_orderkey, po.l_partkey
+           FROM po JOIN ok USING (l_orderkey)),
+    e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           FROM p2 a JOIN p2 b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+    sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    es(it, src, dst) AS (
+      SELECT 0, src, dst FROM sym
+      UNION ALL
+      SELECT it + 1, src, dst FROM (
+        SELECT it, src, dst,
+               COUNT(*) OVER (PARTITION BY src) AS ds,
+               COUNT(*) OVER (PARTITION BY dst) AS dd
+        FROM es WHERE it < 30) x
+      WHERE ds >= 3 AND dd >= 3)
+    SELECT src AS l_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM es WHERE it = 30 GROUP BY src
+    """,
+)
 def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core extraction (graph.kcore_nodes, k=3): iterative
-    degree-peel to a fixpoint with per-round lineage truncation —
-    the third iterative-graph operator alongside connected components
-    and PageRank; fixpoint pinned on hand graphs in
-    tests/test_round4_ops.py."""
+    degree-peel to a fixpoint with per-round lineage truncation — the
+    third iterative-graph operator alongside connected components and
+    PageRank. Round-5 upgrade from rows-only to a FULL value oracle:
+    DuckDB peels the symmetric edge list level by level (30 rounds ≡
+    the Spark fixpoint, extra rounds are no-ops once stable) — the
+    same iteration-counter recursive-CTE trick as pagerank_checked.
+    Fixpoint also pinned on hand graphs in tests/test_round4_ops.py."""
     return graph.kcore_nodes(load_table(spark, sf_dir, "lineitem"))
 
 
