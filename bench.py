@@ -201,6 +201,9 @@ HEADLINE = [
     "knn_recall_checked",
     "dedup_recall_checked",
     "pagerank_checked",
+    "referential_integrity",
+    "bpe_merge_candidates",
+    "pca_top_component",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

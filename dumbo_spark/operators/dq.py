@@ -154,3 +154,57 @@ def duplicate_payment_screen(orders: DataFrame) -> DataFrame:
             "n_orders",
         )
     )
+
+
+def referential_integrity(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Full FK-closure integrity audit: every parent/child relationship
+    in the schema as one (relationship, n_child_rows, n_orphans) row —
+    the whole-warehouse admission check, where :func:`dq_expectations`
+    spot-checks the order pipeline's two hottest edges.
+
+    Each relationship is one left join counting misses in the same
+    pass as the row count (no separate anti-join scan). Dimension
+    parents broadcast; the two fact→fact edges (lineitem→orders and
+    the implicit order side of lineitem→part/supplier) shuffle on the
+    key — intrinsic to validating a distributed FK, and exchange-free
+    on the bucketed layout (sources/bucketed.py).
+    """
+
+    def rel(
+        name: str, child: DataFrame, ckey: str,
+        parent: DataFrame, pkey: str, bcast: bool,
+    ) -> DataFrame:
+        keys = parent.select(F.col(pkey).alias("_k")).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+        if bcast:
+            keys = F.broadcast(keys)
+        j = child.select(F.col(ckey).alias("_k")).join(keys, "_k", "left")
+        return j.agg(
+            F.count("*").alias("n_child_rows"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("relationship"), "n_child_rows", "n_orphans"
+        )
+
+    rels = [
+        rel("nation.regionkey", nation, "n_regionkey", region, "r_regionkey", True),
+        rel("customer.nationkey", customer, "c_nationkey", nation, "n_nationkey", True),
+        rel("supplier.nationkey", supplier, "s_nationkey", nation, "n_nationkey", True),
+        rel("orders.custkey", orders, "o_custkey", customer, "c_custkey", True),
+        rel("lineitem.orderkey", lineitem, "l_orderkey", orders, "o_orderkey", False),
+        rel("lineitem.partkey", lineitem, "l_partkey", part, "p_partkey", True),
+        rel("lineitem.suppkey", lineitem, "l_suppkey", supplier, "s_suppkey", True),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out

@@ -631,3 +631,108 @@ def knn_recall_checked(
             ).alias("ivf_recall_ok"),
         )
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame, n_iter: int = 8
+) -> DataFrame:
+    """Top principal component of the embedding cloud by POWER
+    ITERATION — the corpus-geometry diagnostic behind whitening /
+    anisotropy removal (a dominant direction usually encodes length or
+    frequency artifacts, not meaning). Distributed exactly as a 100 TB
+    run would be: the only corpus-sized work is one Arrow-batched
+    Gram-matrix pass (per-batch Xᵀ X partials, summed — the same
+    documented vectorized site as the LSH matmul); everything after
+    operates on the d×d covariance frame (d=|dims|, tiny), iterated
+    IN-PLAN with the same per-round truncation as the CC/PageRank
+    family — no driver-side linear algebra, no collect.
+
+    The algorithm is pinned, so it is oracle-checkable (the
+    iteration-counter recursive CTE, like pagerank_checked): v₀ =
+    1/√d; ``n_iter`` UNnormalized mat-vecs (direction converges
+    identically; normalization deferred to the end keeps the recursion
+    a single join-aggregate); then one normalize and a Rayleigh
+    quotient. Loadings are reported SQUARED (sign-free — the
+    eigenvector's sign is arbitrary and engine-dependent).
+
+    Output: (pos, loading_sq, eigenvalue) — d rows, 5dp/4dp rounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(embeddings.select("embedding").first()["embedding"])
+
+    def gram_batches(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(x) == 0:
+                continue
+            g = x.T @ x
+            j, k = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"j": j.ravel(), "k": k.ravel(), "g": g.ravel()}
+            )
+
+    gram = (
+        embeddings.select("embedding")
+        .mapInPandas(gram_batches, "j int, k int, g double")
+        .groupBy("j", "k")
+        .agg(F.sum("g").alias("g"))
+    )
+    means = (
+        embeddings.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"), F.count("*").alias("n"))
+    )
+    mj = means.select(F.col("pos").alias("j"), F.col("mu").alias("mu_j"), "n")
+    mk = means.select(F.col("pos").alias("k"), F.col("mu").alias("mu_k"))
+    # C = (G − n·μμᵀ)/n, exact algebraic centering — no second data pass
+    cov = (
+        gram.join(F.broadcast(mj), "j")
+        .join(F.broadcast(mk), "k")
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("g") - F.col("n") * F.col("mu_j") * F.col("mu_k"))
+                / F.col("n")
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    spark = embeddings.sparkSession
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("j"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("val"),
+    )
+    for _ in range(n_iter):
+        v = (
+            cov.join(v.withColumnRenamed("j", "k"), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("val"))
+            .localCheckpoint()
+        )
+    norm = v.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("_nrm"))
+    vn = v.crossJoin(F.broadcast(norm)).select(
+        "j", (F.col("val") / F.col("_nrm")).alias("val")
+    )
+    cv = (
+        cov.join(vn.withColumnRenamed("j", "k"), "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("val")).alias("cv"))
+    )
+    lam = (
+        vn.join(cv, "j")
+        .agg(F.sum(F.col("val") * F.col("cv")).alias("_lam"))
+    )
+    return (
+        vn.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").alias("pos"),
+            F.round(F.col("val") * F.col("val"), 5).alias("loading_sq"),
+            F.round(F.col("_lam"), 4).alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )

@@ -813,3 +813,33 @@ def pii_screen(documents: DataFrame) -> DataFrame:
             "pii_share"
         ),
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """The first BPE TRAINING step, distributed: the most frequent
+    adjacent character pairs inside words, weighted by word frequency
+    — exactly the statistic byte-pair encoding greedily merges
+    (Sennrich et al. 2016, arXiv:1508.07909 — public). Running it over
+    the corpus's WORDCOUNT (vocabulary-sized, not corpus-sized) is
+    what makes tokenizer training feasible at 100 TB: the fact table
+    collapses to |vocab| rows before any pair enumeration.
+
+    Pair positions explode per distinct word (multiplicity inside a
+    word counts: 'aaa' contributes 'aa' twice); counts weight by the
+    word's corpus frequency; the final cut is
+    TakeOrderedAndProject with a pair tie-break.
+
+    Output: top-k (pair, pair_count).
+    """
+    wc = wordcount(documents).where(F.length("word") >= 2)
+    pairs = wc.select(
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        F.col("word"),
+    ).select(F.expr("substr(word, i, 2)").alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )

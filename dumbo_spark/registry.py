@@ -2927,6 +2927,123 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    pos AS (
+      SELECT word, cnt, unnest(range(1, length(word))) AS i
+      FROM wc WHERE length(word) >= 2),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, SUM(cnt) AS pair_count
+      FROM pos GROUP BY 1)
+    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+    FROM pairs ORDER BY pair_count DESC, pair ASC LIMIT 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training step (textstats.bpe_merge_candidates):
+    frequency-weighted adjacent character pairs over the
+    vocabulary-sized wordcount — the greedy-merge statistic."""
+    return textstats.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pca_top_component",
+    oracle="""
+    WITH RECURSIVE ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    mu AS (SELECT pos, AVG(v) AS mu FROM ex GROUP BY pos),
+    g AS (SELECT a.pos AS j, b.pos AS k, SUM(a.v * b.v) AS g
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+    cov AS (
+      SELECT j, k,
+             (g - (SELECT n FROM nn) * mj.mu * mk.mu) / (SELECT n FROM nn)
+               AS c
+      FROM g JOIN mu mj ON g.j = mj.pos JOIN mu mk ON g.k = mk.pos),
+    dd AS (SELECT COUNT(*) AS d FROM mu),
+    pv(it, j, val) AS (
+      SELECT 0, pos, 1.0 / sqrt((SELECT d FROM dd)) FROM mu
+      UNION ALL
+      SELECT it + 1, cov.j, SUM(cov.c * pv.val)
+      FROM pv JOIN cov ON pv.j = cov.k
+      WHERE it < 8 GROUP BY 1, 2),
+    vfin AS (SELECT j, val FROM pv WHERE it = 8),
+    nrm AS (SELECT sqrt(SUM(val * val)) AS nrm FROM vfin),
+    vn AS (SELECT j, val / (SELECT nrm FROM nrm) AS val FROM vfin),
+    cv AS (SELECT cov.j, SUM(cov.c * vn.val) AS cv
+           FROM cov JOIN vn ON vn.j = cov.k GROUP BY 1),
+    lam AS (SELECT SUM(vn.val * cv.cv) AS lam
+            FROM vn JOIN cv ON vn.j = cv.j)
+    SELECT vn.j AS pos,
+           ROUND(vn.val * vn.val, 5) AS loading_sq,
+           ROUND((SELECT lam FROM lam), 4) AS eigenvalue
+    FROM vn ORDER BY pos
+    """,
+)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration
+    (similarity.pca_top_component): one Arrow-batched Gram pass +
+    in-plan d×d iterations, checked against a recursive-CTE power
+    iteration to 5dp — the linear-algebra member of the
+    iterative-with-full-oracle family (pagerank_checked, kcore)."""
+    return similarity.pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "referential_integrity",
+    oracle="""
+    SELECT 'nation.regionkey' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+             AS n_orphans
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT 'customer.nationkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier.nationkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'orders.custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK integrity audit (dq.referential_integrity):
+    seven parent/child edges, each one left-join count pass; dims
+    broadcast, fact→fact shuffles on the key."""
+    return dq.referential_integrity(
+        *[
+            load_table(spark, sf_dir, t)
+            for t in (
+                "region", "nation", "customer", "supplier",
+                "part", "orders", "lineitem",
+            )
+        ]
+    )
+
+
+@register(
     "pagerank_checked",
     oracle="""
     WITH RECURSIVE toks AS (
@@ -5806,6 +5923,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_recall_checked",
     "dedup_recall_checked",
     "pagerank_checked",
+    "referential_integrity",
+    "bpe_merge_candidates",
+    "pca_top_component",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",

@@ -284,3 +284,70 @@ def test_copurchase_components_histogram(spark):
 
     got = {r["n_members"]: r["n_components"] for r in copurchase_components(li).collect()}
     assert got == {2: 1, 3: 1}
+
+
+def test_referential_integrity_counts_orphans(spark):
+    region = spark.createDataFrame([(0, "A")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(0, "x", 0), (1, "y", 9)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    customer = spark.createDataFrame(
+        [(1, "c", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "s", 0)], "s_suppkey long, s_name string, s_nationkey int"
+    )
+    part = spark.createDataFrame([(1, "p")], "p_partkey long, p_name string")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 99)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1, 1), (12, 2, 1)], "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    from dumbo_spark.operators.dq import referential_integrity
+
+    got = {
+        r["relationship"]: (r["n_child_rows"], r["n_orphans"])
+        for r in referential_integrity(
+            region, nation, customer, supplier, part, orders, lineitem
+        ).collect()
+    }
+    assert got["nation.regionkey"] == (2, 1)     # regionkey 9 orphan
+    assert got["orders.custkey"] == (2, 1)       # custkey 99 orphan
+    assert got["lineitem.orderkey"] == (2, 1)    # orderkey 12 orphan
+    assert got["lineitem.partkey"] == (2, 1)     # partkey 2 orphan
+    assert got["lineitem.suppkey"] == (2, 0)
+
+
+def test_bpe_merge_candidates_weighted_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa ab", "en", "s", 6), (2, "aaa", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from dumbo_spark.operators.textstats import bpe_merge_candidates
+
+    got = {r["pair"]: r["pair_count"] for r in bpe_merge_candidates(docs).collect()}
+    # 'aaa' appears twice -> 'aa' pair twice per occurrence = 4; 'ab' once
+    assert got == {"aa": 4, "ab": 1}
+
+
+def test_pca_top_component_recovers_planted_direction(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    direction = np.zeros(8); direction[3] = 1.0
+    rows = []
+    for i in range(300):
+        v = 0.05 * rng.randn(8) + direction * rng.randn() * 3.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from dumbo_spark.operators.similarity import pca_top_component
+
+    got = {r["pos"]: r for r in pca_top_component(emb).collect()}
+    assert len(got) == 8
+    # the planted axis dominates: loading_sq near 1 at pos 3
+    assert got[3]["loading_sq"] > 0.95
+    assert got[0]["loading_sq"] < 0.05
+    assert got[3]["eigenvalue"] > 1.0
