@@ -676,12 +676,24 @@ def pagerank(
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
+    # TRUNCATE the edge/degree lineage, don't persist it: with persist
+    # the (possibly enormous — e.g. a PPJoin) edge-construction subplan
+    # stays embedded in every iteration's logical plan and Catalyst
+    # re-optimizes it per round — the same plan-string blowup CC fixed
+    # in round 4 (measured here: pagerank_checked on the 10× replica
+    # 287s → 45s, SCALE.md round-5 table).
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
-    deg = both.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    )
+    if durable_dir is None:
+        both = both.localCheckpoint()
+    else:
+        edges_path = f"{durable_dir.rstrip('/')}/pr_edges"
+        both.write.mode("overwrite").parquet(edges_path)
+        both = both.sparkSession.read.parquet(edges_path)
+    deg = both.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     n_nodes = deg.count()
     base = (1.0 - damping) / n_nodes
     ranks = truncate(

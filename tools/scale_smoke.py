@@ -168,7 +168,28 @@ def main() -> None:
         "return_rate_by_brand",
         "session_depth_histogram",
         "value_drift_psi",
+        # round-5 additions (streaming runners excluded as before:
+        # replay construction, not the operator, dominates at 10x)
+        "approx_distinct_checked",
+        "hll_rollup_checked",
+        "approx_percentiles_checked",
+        "stratified_sample_checked",
+        "zipf_fit",
+        "pii_screen",
+        "weighted_median_price",
+        "bucketed_group_percentiles",
+        "copurchase_components",
+        "knn_recall_checked",
+        "dedup_recall_checked",
+        "pagerank_checked",
+        "referential_integrity",
+        "bpe_merge_candidates",
+        "pca_top_component",
     ]
+    only = os.environ.get("SCALE_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
     for name in names:
