@@ -2467,6 +2467,35 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_1h_30m",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    windows AS (
+      SELECT event_type, value,
+             unnest([us - us % 1800000000,
+                     us - us % 1800000000 - 1800000000]) AS start_us
+      FROM e)
+    SELECT strftime(make_timestamp(CAST(start_us AS BIGINT)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM windows GROUP BY window_start, event_type
+    """,
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window as a real stream (streaming/runners.py::
+    streaming_sliding_1h_30m); settled output shares the batch twin's
+    two-candidate-starts oracle."""
+    from dumbo_spark.streaming.runners import streaming_sliding_1h_30m
+
+    return streaming_sliding_1h_30m(spark, sf_dir)
+
+
+@register(
     "events_session_window",
     oracle="""
     WITH flagged AS (
@@ -5926,6 +5955,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "referential_integrity",
     "bpe_merge_candidates",
     "pca_top_component",
+    "streaming_sliding_1h_30m",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",

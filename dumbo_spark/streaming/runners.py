@@ -565,3 +565,28 @@ def streaming_hourly_distinct_checked(spark: SparkSession, sf_dir: str) -> DataF
             <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(3.0))
         ).alias("within_5pct"),
     )
+
+
+def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregate (1h window, 30m slide) as a TRUE
+    stream — completes the windowed-aggregation trio (tumbling and
+    session are streaming-verified since r3): every event is assigned
+    to exactly two open windows, watermark bounds how long each stays
+    in state. Settled complete-mode output equals the batch twin, so
+    it shares events_sliding_1h_30m's oracle."""
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.streaming.windows import read_events_stream
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(stream, "q_streaming_sliding_sink", mode="complete")
