@@ -204,6 +204,7 @@ HEADLINE = [
     "referential_integrity",
     "bpe_merge_candidates",
     "pca_top_component",
+    "seasonal_anomalies",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1184,3 +1184,50 @@ def value_drift_psi(
             F.round(F.sum("_c"), 6).alias("psi"),
         )
     )
+
+
+def seasonal_anomalies(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
+    """Seasonality-adjusted daily anomaly screen: a plain z-score over
+    daily totals (:func:`value_anomalies`' shape) flags every weekend
+    twice a week, so the expected value here is the DAY-OF-WEEK mean
+    per event type, and anomalies are days whose residual against
+    their own weekday's norm exceeds ``z_threshold`` residual-sigmas —
+    the on-call "is today actually weird" screen.
+
+    Three bounded aggregates: daily rollup (|days|×|types| rows), dow
+    means (≤7×|types|, broadcast), residual sigma per type (|types|,
+    broadcast). Daily totals are exact DECIMAL sums surfaced at 2dp,
+    so the double-precision stats are computed from identical inputs
+    in any engine; z rounds to 4dp.
+
+    Output: (day, event_type, daily_value, z_score) for flagged days.
+    """
+    from dumbo_spark.functions.numeric import dsum
+
+    daily = (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(dsum("value", "_dv"))
+        .select(
+            "day",
+            "event_type",
+            F.col("_dv").cast("double").alias("daily_value"),
+            F.dayofweek(F.to_date("day")).alias("_dow"),
+        )
+    )
+    dow_means = daily.groupBy("event_type", "_dow").agg(
+        F.avg("daily_value").alias("_mu")
+    )
+    resid = daily.join(F.broadcast(dow_means), ["event_type", "_dow"]).withColumn(
+        "_r", F.col("daily_value") - F.col("_mu")
+    )
+    sigma = resid.groupBy("event_type").agg(
+        F.sqrt(F.avg(F.col("_r") * F.col("_r"))).alias("_sd")
+    )
+    return (
+        resid.join(F.broadcast(sigma), "event_type")
+        .withColumn("z_score", F.round(F.col("_r") / F.col("_sd"), 4))
+        .where(F.abs(F.col("z_score")) >= z_threshold)
+        .select("day", "event_type", "daily_value", "z_score")
+    )

@@ -2956,6 +2956,39 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value,
+             dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 1 AS dow
+      FROM events GROUP BY day, event_type, dow),
+    mu AS (
+      SELECT event_type, dow, AVG(daily_value) AS mu
+      FROM daily GROUP BY event_type, dow),
+    resid AS (
+      SELECT d.day, d.event_type, d.daily_value,
+             d.daily_value - m.mu AS r
+      FROM daily d JOIN mu m
+        ON d.event_type = m.event_type AND d.dow = m.dow),
+    sigma AS (
+      SELECT event_type, sqrt(AVG(r * r)) AS sd
+      FROM resid GROUP BY event_type)
+    SELECT r.day, r.event_type, r.daily_value,
+           ROUND(r.r / s.sd, 4) AS z_score
+    FROM resid r JOIN sigma s ON r.event_type = s.event_type
+    WHERE ABS(ROUND(r.r / s.sd, 4)) >= 2.5
+    """,
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted daily anomaly screen
+    (events.seasonal_anomalies): residual z vs the weekday norm per
+    event type — the screen that doesn't page on every weekend."""
+    return events.seasonal_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "bpe_merge_candidates",
     oracle=f"""
     WITH wc AS (
@@ -5956,6 +5989,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_merge_candidates",
     "pca_top_component",
     "streaming_sliding_1h_30m",
+    "seasonal_anomalies",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",

@@ -351,3 +351,26 @@ def test_pca_top_component_recovers_planted_direction(spark):
     assert got[3]["loading_sq"] > 0.95
     assert got[0]["loading_sq"] < 0.05
     assert got[3]["eigenvalue"] > 1.0
+
+
+def test_seasonal_anomalies_adjusts_for_weekday(spark):
+    """A high-but-normal Saturday must NOT flag; a same-magnitude spike
+    on a weekday whose norm is low MUST flag."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    start = datetime(2024, 1, 1)  # a Monday
+    for d in range(28):
+        day = start + timedelta(days=d)
+        # Saturdays always 100, other days 10
+        v = 100.0 if day.weekday() == 5 else 10.0
+        rows.append((eid, day.replace(hour=12), 1, "a", v, None)); eid += 1
+    # week 5 Monday spike: 100 on a day whose norm is 10
+    rows.append((eid, (start + timedelta(days=28)).replace(hour=12), 1, "a", 100.0, None))
+    ev = _events(spark, rows)
+    from dumbo_spark.operators.events import seasonal_anomalies
+
+    flagged = {r["day"] for r in seasonal_anomalies(ev, z_threshold=2.0).collect()}
+    assert "2024-01-29" in flagged          # the Monday spike
+    assert not any(d in flagged for d in
+                   ("2024-01-06", "2024-01-13", "2024-01-20", "2024-01-27"))
