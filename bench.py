@@ -205,6 +205,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "pca_top_component",
     "seasonal_anomalies",
+    "quantile_transform",
+    "vocab_indexer",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -372,3 +372,27 @@ def consistent_entity_sample(
         .unionByName(census("lineitem", kept_lines, lineitem))
         .unionByName(orphans)
     )
+
+
+def quantile_transform(documents: DataFrame) -> DataFrame:
+    """Quantile (rank) normalization of a numeric column: map each
+    document's ``n_chars`` to its percentile in the corpus — the
+    feature-engineering transform that makes a heavy-tailed length
+    usable as a bounded model feature (and the building block of
+    quantile binning). pctl = rank/n over the (n_chars, doc_id) total
+    order, exact via the range-partitioned global rank — no global
+    sort, any domain cardinality.
+
+    Output: (doc_id, n_chars, pctl 6dp) — one row per document.
+    """
+    ranked = exact_global_rank(
+        documents.select("doc_id", "n_chars"), "n_chars", "doc_id"
+    )
+    total = documents.agg(F.count("*").alias("_n"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.col("_rank").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("pctl"),
+    )

@@ -843,3 +843,23 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def vocab_indexer(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Frequency-ordered vocabulary index: dense ids 1..N for the top
+    ``vocab_size`` words by (count DESC, word ASC) — the
+    token-to-id table every embedding/tokenizer pipeline materializes
+    before training. Ids come from the range-partitioned global rank
+    (no vocabulary-sized broadcast), so the assignment is exact and
+    engine-stable under ties.
+
+    Output: (word, cnt, token_id) for the kept vocabulary.
+    """
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    wc = wordcount(documents)
+    return (
+        exact_global_rank(wc, "cnt", "word", ascending=False)
+        .where(F.col("_rank") <= vocab_size)
+        .select("word", "cnt", F.col("_rank").cast("int").alias("token_id"))
+    )

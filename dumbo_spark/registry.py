@@ -2956,6 +2956,44 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_transform",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROUND(CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
+                 / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS pctl
+    FROM documents
+    """,
+)
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length
+    (sampling.quantile_transform): rank/n over the (n_chars, doc_id)
+    total order via the range-partitioned global rank."""
+    return sampling.quantile_transform(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_indexer",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    r AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+      FROM wc)
+    SELECT word, cnt, CAST(rnk AS INTEGER) AS token_id
+    FROM r WHERE rnk <= 1000
+    """,
+)
+def q_vocab_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered token-to-id table (textstats.vocab_indexer):
+    dense ids for the top-1000 vocabulary via the range-partitioned
+    global rank."""
+    return textstats.vocab_indexer(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "seasonal_anomalies",
     oracle="""
     WITH daily AS (
@@ -5990,6 +6028,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pca_top_component",
     "streaming_sliding_1h_30m",
     "seasonal_anomalies",
+    "quantile_transform",
+    "vocab_indexer",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
