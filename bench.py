@@ -207,6 +207,7 @@ HEADLINE = [
     "seasonal_anomalies",
     "quantile_transform",
     "vocab_indexer",
+    "daily_value_percentiles",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

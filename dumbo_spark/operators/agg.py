@@ -481,70 +481,69 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def bucketed_group_percentiles(
-    lineitem: DataFrame, ps: tuple = (0.5, 0.9, 0.99)
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_cols: list,
+    ps: tuple,
+    aliases: tuple,
+    round_dp: int = 4,
 ) -> DataFrame:
-    """:func:`group_percentiles`' output contract computed the
-    scale-safe way — the op that retires the exact-percentile
-    perf-weak family (VERDICT r4): ``F.percentile`` sorts each group
-    inside ONE task, so a 100 TB flag partition serializes; here no
-    task ever holds more than one contiguous value range.
+    """EXACT per-group continuous quantiles WITHOUT per-group sorts —
+    the generic machinery behind :func:`bucketed_group_percentiles`
+    and events.daily_value_percentiles.
 
-    Same two-phase machinery as :func:`weighted_median_price` but
-    count-based and interpolating: range-repartition on (flag, value,
-    tie-break), per-(partition, flag) counts prefix-summed over the
-    tiny partition×flag frame give each row its exact within-flag
+    Same two-phase family as :func:`weighted_median_price` but
+    count-based and interpolating: range-repartition on (group, value,
+    tie-breaks), per-(partition, group) counts prefix-summed over the
+    tiny partition×group frame give each row its exact within-group
     rank; the continuous-quantile targets (h = (n−1)p + 1, the
     quantile_cont definition) select the two bracketing order
-    statistics per (flag, p) via a broadcast target join, and the
-    final interpolation is scalar math. Bit-compatible with the
-    ``group_percentiles`` oracle (rounded 4dp).
+    statistics per (group, p) via a broadcast target join, and the
+    final interpolation is scalar math. No task ever holds more than
+    one contiguous value range of one group — the property
+    ``F.percentile``'s single-task group sort loses at 100 TB.
 
-    Output: (l_returnflag, p50_price, p90_price, p99_price).
+    Output: one row per group — (group_col, *aliases), ``round_dp``dp.
     """
-    li = lineitem.select(
-        "l_returnflag",
-        F.col("l_extendedprice").cast("double").alias("_v"),
-        "l_orderkey",
-        "l_linenumber",
+    base = df.select(
+        group_col, F.col(value_col).cast("double").alias("_v"), *tiebreak_cols
     )
-    raw = li.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    raw = base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     try:
         parts = int(raw)
     except ValueError:
-        parts = max(li.rdd.getNumPartitions(), 1)
+        parts = max(base.rdd.getNumPartitions(), 1)
     order = [
-        F.col("l_returnflag").asc(),
+        F.col(group_col).asc(),
         F.col("_v").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
     ]
-    r = li.repartitionByRange(parts, *order).withColumn(
+    r = base.repartitionByRange(parts, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    pc = r.groupBy("_pid", "l_returnflag").agg(F.count("*").alias("_c"))
+    pc = r.groupBy("_pid", group_col).agg(F.count("*").alias("_c"))
     w_off = (
-        Window.partitionBy("l_returnflag")
+        Window.partitionBy(group_col)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = pc.select(
         "_pid",
-        "l_returnflag",
+        group_col,
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
     )
-    w_in = Window.partitionBy("_pid", "l_returnflag").orderBy(
-        "_v", "l_orderkey", "l_linenumber"
-    )
-    ranked = r.join(F.broadcast(offsets), ["_pid", "l_returnflag"]).withColumn(
+    w_in = Window.partitionBy("_pid", group_col).orderBy("_v", *tiebreak_cols)
+    ranked = r.join(F.broadcast(offsets), ["_pid", group_col]).withColumn(
         "_rank", F.col("_off") + F.row_number().over(w_in)
     )
     n = F.col("_n").cast("double")
     targets = (
-        li.groupBy("l_returnflag")
+        base.groupBy(group_col)
         .agg(F.count("*").alias("_n"))
         .select(
-            "l_returnflag",
+            group_col,
             F.explode(
                 F.array(
                     *[
@@ -560,26 +559,42 @@ def bucketed_group_percentiles(
                 )
             ).alias("t"),
         )
-        .select("l_returnflag", "t.p", "t.lo", "t.hi", "t.frac")
+        .select(group_col, "t.p", "t.lo", "t.hi", "t.frac")
     )
     hits = ranked.join(
         F.broadcast(targets),
-        (ranked["l_returnflag"] == targets["l_returnflag"])
+        (ranked[group_col] == targets[group_col])
         & ((F.col("_rank") == F.col("lo")) | (F.col("_rank") == F.col("hi"))),
-    ).select(
-        ranked["l_returnflag"].alias("flag"), "p", "frac", "_rank", "lo", "_v"
-    )
-    per_p = hits.groupBy("flag", "p", "frac").agg(
+    ).select(ranked[group_col].alias("_grp"), "p", "frac", "_rank", "lo", "_v")
+    per_p = hits.groupBy("_grp", "p", "frac").agg(
         F.max(F.when(F.col("_rank") == F.col("lo"), F.col("_v"))).alias("_vlo"),
         F.max(F.col("_v")).alias("_vhi"),
     )
     val = F.col("_vlo") + F.col("frac") * (F.col("_vhi") - F.col("_vlo"))
-    wide = per_p.groupBy("flag").agg(
+    wide = per_p.groupBy("_grp").agg(
         *[
-            F.round(
-                F.max(F.when(F.col("p") == F.lit(p), val)), 4
-            ).alias(f"p{str(p)[2:].ljust(2, '0')}_price")
-            for p in ps
+            F.round(F.max(F.when(F.col("p") == F.lit(p), val)), round_dp).alias(a)
+            for p, a in zip(ps, aliases)
         ]
     )
-    return wide.withColumnRenamed("flag", "l_returnflag")
+    return wide.withColumnRenamed("_grp", group_col)
+
+
+def bucketed_group_percentiles(
+    lineitem: DataFrame, ps: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """:func:`group_percentiles`' output contract computed the
+    scale-safe way (see :func:`grouped_exact_percentiles` for the
+    machinery and the 100 TB argument) — bit-compatible with the
+    ``group_percentiles`` oracle (rounded 4dp).
+
+    Output: (l_returnflag, p50_price, p90_price, p99_price).
+    """
+    return grouped_exact_percentiles(
+        lineitem,
+        "l_returnflag",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        ps,
+        tuple(f"p{str(p)[2:].ljust(2, '0')}_price" for p in ps),
+    )

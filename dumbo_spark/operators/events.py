@@ -1231,3 +1231,24 @@ def seasonal_anomalies(events: DataFrame, z_threshold: float = 2.5) -> DataFrame
         .where(F.abs(F.col("z_score")) >= z_threshold)
         .select("day", "event_type", "daily_value", "z_score")
     )
+
+
+def daily_value_percentiles(events: DataFrame) -> DataFrame:
+    """Daily p50/p95 of event value per day — the band-chart feed
+    behind every latency/size dashboard, computed EXACTLY with
+    agg.grouped_exact_percentiles (range-partitioned ranks +
+    interpolation): a day's events never serialize through one task,
+    which is the difference between this and a
+    ``percentile() OVER (PARTITION BY day)`` at 100 TB/day.
+
+    Output: (day, p50_value, p95_value) — one row per day.
+    """
+    from dumbo_spark.operators.agg import grouped_exact_percentiles
+
+    daily = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value", "event_id"
+    )
+    return grouped_exact_percentiles(
+        daily, "day", "value", ["event_id"], (0.5, 0.95),
+        ("p50_value", "p95_value"),
+    ).orderBy("day")

@@ -2956,6 +2956,22 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_value_percentiles",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50_value,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95_value
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily p50/p95 of event value
+    (events.daily_value_percentiles) via the shared range-partitioned
+    percentile machinery — no day ever sorts inside one task."""
+    return events.daily_value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "quantile_transform",
     oracle="""
     SELECT doc_id, n_chars,
@@ -6030,6 +6046,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seasonal_anomalies",
     "quantile_transform",
     "vocab_indexer",
+    "daily_value_percentiles",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
