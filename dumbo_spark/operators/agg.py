@@ -379,15 +379,24 @@ def winsorized_stats(lineitem: DataFrame) -> DataFrame:
     group (tiny result, broadcast back) + one scan-aggregate pass —
     two scans, no window, no skew hazard at 100 TB.
 
-    The exact percentile buffers each group's values (same caveat as
-    :func:`group_percentiles`); at 100 TB swap the bounds pass to
-    ``approx_percentile`` — clipping tolerates sketch error by
-    construction, the bounds only need to be *near* the tails.
+    Round-5 upgrade: the bounds pass now runs through
+    :func:`grouped_exact_percentiles` (range-partitioned exact ranks),
+    so no group ever sorts inside one task — the last member of the
+    exact-percentile perf-weak family retired, with the SAME oracle
+    (the interpolation reproduces quantile_cont bit-for-bit).
     """
-    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95)))
-    bounds = lineitem.groupBy("l_returnflag").agg(
-        F.round(F.get(pcts, 0), 2).cast("decimal(18,2)").alias("_lo"),
-        F.round(F.get(pcts, 1), 2).cast("decimal(18,2)").alias("_hi"),
+    bounds = grouped_exact_percentiles(
+        lineitem,
+        "l_returnflag",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        (0.05, 0.95),
+        ("_lo_d", "_hi_d"),
+        round_dp=2,
+    ).select(
+        "l_returnflag",
+        F.col("_lo_d").cast("decimal(18,2)").alias("_lo"),
+        F.col("_hi_d").cast("decimal(18,2)").alias("_hi"),
     )
     v = dmoney("l_extendedprice")
     clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
