@@ -208,6 +208,7 @@ HEADLINE = [
     "quantile_transform",
     "vocab_indexer",
     "daily_value_percentiles",
+    "monthly_revenue_yoy",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

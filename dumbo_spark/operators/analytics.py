@@ -1082,3 +1082,42 @@ def return_rate_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.col("n_returned").cast("double") / F.col("n_lines").cast("double"), 6
         ).alias("return_rate"),
     )
+
+
+def monthly_revenue_yoy(orders: DataFrame) -> DataFrame:
+    """Monthly revenue with year-over-year growth: each month's total
+    next to the same month a year earlier and the growth percentage —
+    the first chart in every revenue review. The lag-12 join is a
+    window over the |months| frame (dozens of rows after the rollup),
+    so the full-data work is exactly one partial-agg scan.
+
+    Output: (month, revenue, revenue_prev_year, yoy_pct) — yoy null
+    for the first year of history.
+    """
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(dmoney("o_totalprice")).alias("_rev"))
+    # calendar join, not lag(12): a lag over the month sequence silently
+    # pairs wrong months if history has a gap
+    prev = monthly.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat_ws("-", "month", F.lit("01"))), 12),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("_rev").alias("_prev"),
+    )
+    return (
+        monthly.join(F.broadcast(prev), "month", "left")
+        .select(
+            "month",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("_prev").cast("double").alias("revenue_prev_year"),
+            F.round(
+                (F.col("_rev") - F.col("_prev")).cast("double")
+                / F.col("_prev").cast("double")
+                * 100.0,
+                4,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )

@@ -2956,6 +2956,31 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_revenue_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY month)
+    SELECT a.month,
+           CAST(a.rev AS DOUBLE) AS revenue,
+           CAST(b.rev AS DOUBLE) AS revenue_prev_year,
+           ROUND(CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE)
+                 * 100.0, 4) AS yoy_pct
+    FROM m a LEFT JOIN m b
+      ON a.month = strftime(CAST(b.month || '-01' AS DATE)
+                            + INTERVAL 12 MONTH, '%Y-%m')
+    ORDER BY a.month
+    """,
+)
+def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth
+    (analytics.monthly_revenue_yoy): calendar-joined previous-year
+    month (gap-safe, unlike lag-12 over the month sequence)."""
+    return analytics.monthly_revenue_yoy(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "daily_value_percentiles",
     oracle="""
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
@@ -6047,6 +6072,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quantile_transform",
     "vocab_indexer",
     "daily_value_percentiles",
+    "monthly_revenue_yoy",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
