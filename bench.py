@@ -209,6 +209,9 @@ HEADLINE = [
     "vocab_indexer",
     "daily_value_percentiles",
     "monthly_revenue_yoy",
+    "dedup_report",
+    "near_dup_rate_by_source",
+    "order_total_consistency",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -949,3 +949,86 @@ def dedup_recall_checked(
             "recall_ok"
         ),
     )
+
+
+def dedup_report(documents: DataFrame) -> DataFrame:
+    """Executive duplication summary — one row per DETERMINISTIC dedup
+    method (exact, normalized, exact n-gram Jaccard), each with the
+    corpus-level duplicate count and rate. The one-glance report a
+    corpus owner reads before deciding which dedup tier to pay for;
+    composes the existing operators so the numbers can never diverge
+    from the per-method queries. (MinHash/SimHash tiers are excluded:
+    their outputs are probabilistic and carry recall checks instead —
+    see dedup_recall_checked.)
+
+    Output: (method, n_docs, n_duplicates, dup_rate) — 3 rows.
+    """
+    total = documents.agg(F.count("*").alias("_n"))
+
+    def row(method: str, dups: DataFrame) -> DataFrame:
+        return (
+            dups.agg(F.coalesce(F.sum("_d"), F.lit(0)).alias("n_duplicates"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(method).alias("method"),
+                F.col("_n").alias("n_docs"),
+                "n_duplicates",
+                F.round(
+                    F.col("n_duplicates").cast("double") / F.col("_n").cast("double"),
+                    6,
+                ).alias("dup_rate"),
+            )
+        )
+
+    exact = dedup_exact(documents).select((F.col("n_copies") - 1).alias("_d"))
+    norm = dedup_normalized(documents).select((F.col("n_copies") - 1).alias("_d"))
+    # Jaccard tier: docs that appear in ANY >=0.6 near-dup pair, minus
+    # one keeper per connected group is cluster work — report the
+    # simpler, well-defined "docs involved in at least one pair" count
+    jac_docs = (
+        jaccard_ngram_pairs(documents)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .select(F.lit(1).alias("_d"))
+    )
+    return (
+        row("exact", exact)
+        .unionByName(row("normalized", norm))
+        .unionByName(row("jaccard_pair_member", jac_docs))
+    )
+
+
+def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source near-duplication exposure: how many of a source's
+    documents sit in at least one exact-Jaccard (≥0.6) near-dup pair —
+    the triage view that says WHICH feed is flooding the corpus with
+    boilerplate (pairs with dedup_by_source's exact-hash view).
+
+    The pair set is the lossless PPJoin; membership collapses it to
+    distinct doc ids before the source join, so fan-out never reaches
+    the rollup.
+
+    Output: (source, n_docs, n_near_dup_docs, near_dup_rate).
+    """
+    members = (
+        jaccard_ngram_pairs(documents)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(members, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_m").alias("n_near_dup_docs"),
+        )
+        .withColumn(
+            "near_dup_rate",
+            F.round(
+                F.col("n_near_dup_docs").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )

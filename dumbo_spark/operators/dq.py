@@ -208,3 +208,47 @@ def referential_integrity(
     for r in rels[1:]:
         out = out.unionByName(r)
     return out
+
+
+def order_total_consistency(
+    orders: DataFrame, lineitem: DataFrame, tol_pct: float = 1.0
+) -> DataFrame:
+    """Cross-field consistency audit: does ``o_totalprice`` equal the
+    order's lineitem total Σ price·(1+tax)·(1−discount) within
+    ``tol_pct`` percent — the classic derived-column invariant check
+    (TPC-H maintains it; a synthetic or corrupted feed does not, and
+    THIS report is how you find out: the driver fixtures fail it for
+    ~99% of orders, which both engines must agree on).
+
+    Exact decimal lineitem totals, one fact-fact join on orderkey
+    (bucketed layout makes it exchange-free), tolerance compare in
+    double. One summary row.
+
+    Output: (n_orders, n_with_lines, n_consistent, consistency_rate).
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    lt = lineitem.groupBy("l_orderkey").agg(
+        F.sum(price * (F.lit(1) + tax) * (F.lit(1) - disc)).alias("_calc")
+    )
+    j = orders.select("o_orderkey", "o_totalprice").join(
+        lt, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    ok = (
+        F.abs(F.col("o_totalprice").cast("double") - F.col("_calc").cast("double"))
+        <= F.lit(tol_pct / 100.0) * F.col("o_totalprice").cast("double")
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.count("_calc").alias("n_with_lines"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_consistent"),
+    ).select(
+        "n_orders",
+        "n_with_lines",
+        F.col("n_consistent").cast("long").alias("n_consistent"),
+        F.round(
+            F.col("n_consistent").cast("double") / F.col("n_with_lines").cast("double"),
+            6,
+        ).alias("consistency_rate"),
+    )

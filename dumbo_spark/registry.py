@@ -2956,6 +2956,130 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_report",
+    oracle=r"""
+    WITH total AS (SELECT COUNT(*) AS n FROM documents),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS d
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)),
+    nm AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS d
+      FROM (SELECT COUNT(*) AS c FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\W+', ' ', 'g')))),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pmem AS (
+      SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS d
+      FROM (SELECT unnest([doc_a, doc_b]) AS m
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE 100 * c >= 60 * (sa.n + sb.n - c)))
+    SELECT 'exact' AS method, t.n AS n_docs, ex.d AS n_duplicates,
+           ROUND(CAST(ex.d AS DOUBLE) / t.n, 6) AS dup_rate
+    FROM total t CROSS JOIN ex
+    UNION ALL
+    SELECT 'normalized', t.n, nm.d, ROUND(CAST(nm.d AS DOUBLE) / t.n, 6)
+    FROM total t CROSS JOIN nm
+    UNION ALL
+    SELECT 'jaccard_pair_member', t.n, pmem.d,
+           ROUND(CAST(pmem.d AS DOUBLE) / t.n, 6)
+    FROM total t CROSS JOIN pmem
+    """,
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-glance duplication summary across the deterministic dedup
+    tiers (dedup.dedup_report): exact, normalized, and PPJoin pair
+    membership, each with count and rate."""
+    return dedup.dedup_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "near_dup_rate_by_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    members AS (
+      SELECT DISTINCT m AS doc_id
+      FROM (SELECT unnest([doc_a, doc_b]) AS m
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE 100 * c >= 60 * (sa.n + sb.n - c)))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_near_dup_docs,
+           ROUND(CAST(COUNT(m.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS near_dup_rate
+    FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication exposure
+    (dedup.near_dup_rate_by_source): PPJoin pair membership rolled up
+    by feed — which source floods the corpus."""
+    return dedup.near_dup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "order_total_consistency",
+    oracle="""
+    WITH lt AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 + CAST(l_tax AS DECIMAL(18,2)))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS calc
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_totalprice, lt.calc
+      FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(calc) AS BIGINT) AS n_with_lines,
+           CAST(SUM(CASE WHEN ABS(CAST(o_totalprice AS DOUBLE)
+                                  - CAST(calc AS DOUBLE))
+                         <= 0.01 * CAST(o_totalprice AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           ROUND(CAST(SUM(CASE WHEN ABS(CAST(o_totalprice AS DOUBLE)
+                                        - CAST(calc AS DOUBLE))
+                               <= 0.01 * CAST(o_totalprice AS DOUBLE)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(calc) AS DOUBLE), 6) AS consistency_rate
+    FROM j
+    """,
+)
+def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column invariant audit (dq.order_total_consistency):
+    o_totalprice vs the lineitem-computed total within 1% — the
+    fixtures FAIL it for ~99% of orders, which both engines agree on."""
+    return dq.order_total_consistency(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
     "monthly_revenue_yoy",
     oracle="""
     WITH m AS (
@@ -6073,6 +6197,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_indexer",
     "daily_value_percentiles",
     "monthly_revenue_yoy",
+    "dedup_report",
+    "near_dup_rate_by_source",
+    "order_total_consistency",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
