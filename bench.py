@@ -297,8 +297,14 @@ def main() -> None:
         if out.returncode == 0 and out.stdout:
             with open(os.path.join(here, "EVIDENCE.md"), "w") as f:
                 f.write(out.stdout)
-    except Exception:
-        pass  # evidence refresh must never fail the bench
+        else:
+            print(
+                f"evidence refresh failed rc={out.returncode}: "
+                f"{out.stderr[-300:]}",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # refresh must never fail the bench —
+        print(f"evidence refresh failed: {exc!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

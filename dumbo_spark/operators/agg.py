@@ -442,11 +442,9 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    raw = li.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        parts = int(raw)
-    except ValueError:
-        parts = max(li.rdd.getNumPartitions(), 1)
+    from dumbo_spark.operators.topk import shuffle_partitions
+
+    parts = shuffle_partitions(li)
     order = [
         F.col("l_returnflag").asc(),
         F.col("_p").asc(),
@@ -519,11 +517,9 @@ def grouped_exact_percentiles(
     base = df.select(
         group_col, F.col(value_col).cast("double").alias("_v"), *tiebreak_cols
     )
-    raw = base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        parts = int(raw)
-    except ValueError:
-        parts = max(base.rdd.getNumPartitions(), 1)
+    from dumbo_spark.operators.topk import shuffle_partitions
+
+    parts = shuffle_partitions(base)
     order = [
         F.col(group_col).asc(),
         F.col("_v").asc(),

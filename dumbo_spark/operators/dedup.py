@@ -693,7 +693,16 @@ def pagerank(
         edges_path = f"{durable_dir.rstrip('/')}/pr_edges"
         both.write.mode("overwrite").parquet(edges_path)
         both = both.sparkSession.read.parquet(edges_path)
-    deg = both.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    deg = both.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg must honor the same durability contract as the ranks: a
+    # localCheckpoint'd deg dies with an executor and has no recompute
+    # path, failing every remaining iteration on a cluster run
+    if durable_dir is None:
+        deg = deg.localCheckpoint()
+    else:
+        deg_path = f"{durable_dir.rstrip('/')}/pr_deg"
+        deg.write.mode("overwrite").parquet(deg_path)
+        deg = deg.sparkSession.read.parquet(deg_path)
     n_nodes = deg.count()
     base = (1.0 - damping) / n_nodes
     ranks = truncate(
@@ -934,7 +943,9 @@ def dedup_recall_checked(
     Output: (n_exact_pairs, recall_ok) — one row.
     """
     ex = (
-        jaccard_ngram_pairs(documents)
+        jaccard_ngram_pairs(
+            documents, threshold_pct=int(jaccard_threshold * 100)
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b")
     )

@@ -1225,9 +1225,14 @@ def seasonal_anomalies(events: DataFrame, z_threshold: float = 2.5) -> DataFrame
     sigma = resid.groupBy("event_type").agg(
         F.sqrt(F.avg(F.col("_r") * F.col("_r"))).alias("_sd")
     )
+    # _sd == 0 (constant series / every day its own dow mean) must not
+    # divide: Spark 0/0 is NaN (ordered GREATEST, so it would flag every
+    # day) while DuckDB yields NULL — make z NULL in that case so both
+    # engines drop the rows identically (round-5 review finding).
+    z = F.when(F.col("_sd") > 0, F.round(F.col("_r") / F.col("_sd"), 4))
     return (
         resid.join(F.broadcast(sigma), "event_type")
-        .withColumn("z_score", F.round(F.col("_r") / F.col("_sd"), 4))
+        .withColumn("z_score", z)
         .where(F.abs(F.col("z_score")) >= z_threshold)
         .select("day", "event_type", "daily_value", "z_score")
     )

@@ -385,11 +385,15 @@ def quantile_transform(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, n_chars, pctl 6dp) — one row per document.
     """
-    ranked = exact_global_rank(
-        documents.select("doc_id", "n_chars"), "n_chars", "doc_id"
+    from dumbo_spark.operators.topk import global_rank
+
+    # global_rank appends BOTH _rank and the total _n — one pass, no
+    # second count scan and no crossJoin (round-5 review finding)
+    ranked = global_rank(
+        documents.select("doc_id", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
     )
-    total = documents.agg(F.count("*").alias("_n"))
-    return ranked.crossJoin(F.broadcast(total)).select(
+    return ranked.select(
         "doc_id",
         "n_chars",
         F.round(

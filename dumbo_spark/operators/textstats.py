@@ -756,10 +756,14 @@ def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     n = F.col("n").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # single-point fits (or degenerate x) give denom = 0: DuckDB's
+    # 0.0/0.0 is NULL while Spark's is NaN — emit NULL on both sides
+    # (round-5 review finding)
+    slope = F.when(
+        denom != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     )
-    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    intercept = F.when(denom != 0, (F.col("sy") - slope * F.col("sx")) / n)
     return s.select(
         F.col("n").alias("n_points"),
         F.round(slope, 6).alias("slope"),

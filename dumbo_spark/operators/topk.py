@@ -179,6 +179,18 @@ def salted_topk_per_group(
     )
 
 
+def shuffle_partitions(df: DataFrame) -> int:
+    """Resolve a concrete partition count for explicit repartitions:
+    ``spark.sql.shuffle.partitions`` unless it is the non-numeric
+    "auto" (AQE-managed), then the input's partition count. Shared by
+    global_rank and the agg percentile/weighted-median machinery."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except ValueError:
+        return max(df.rdd.getNumPartitions(), 1)
+
+
 def global_rank(
     df: DataFrame, sort_exprs: list, num_partitions: int | None = None
 ) -> DataFrame:
@@ -202,15 +214,7 @@ def global_rank(
     replaces broadcast a |distinct values| frame, which is input-sized
     for continuous domains — ADVICE r4).
     """
-    if num_partitions is None:
-        # spark.sql.shuffle.partitions may be the non-numeric "auto"
-        # (AQE-managed); fall back to the input's partition count.
-        raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        try:
-            num_partitions = int(raw)
-        except ValueError:
-            num_partitions = max(df.rdd.getNumPartitions(), 1)
-    parts = num_partitions
+    parts = shuffle_partitions(df) if num_partitions is None else num_partitions
     r = df.repartitionByRange(parts, *sort_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )

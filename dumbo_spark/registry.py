@@ -5996,9 +5996,10 @@ def q_hll_rollup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile's rank-error guarantee oracle-checked
-    (agg.approx_percentiles_checked): the sketch value must lie
-    between the exact values at ranks p±0.001 (10× the accuracy
-    knob's bound)."""
+    (agg.approx_percentiles_checked): the sketch value's true rank
+    interval must intersect p·n ± (n/accuracy + 2) — the exact
+    1/accuracy bound plus two rows of discreteness slack, in rank
+    space (no value-interpolation ambiguity)."""
     return agg.approx_percentiles_checked(load_table(spark, sf_dir, "lineitem"))
 
 
