@@ -212,6 +212,8 @@ HEADLINE = [
     "dedup_report",
     "near_dup_rate_by_source",
     "order_total_consistency",
+    "embedding_norm_stats",
+    "order_cadence",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1121,3 +1121,45 @@ def monthly_revenue_yoy(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def order_cadence(orders: DataFrame) -> DataFrame:
+    """Customer purchase-cadence profile: the day gaps between each
+    customer's consecutive orders, summarized as exact corpus-wide
+    p50/p90 — the replenishment-cycle number behind every
+    "when to re-engage" campaign (the orders-side sibling of
+    conversion_lag_histogram's event-side lags).
+
+    Gaps come from one lag window per customer (bounded by a
+    customer's own history); the corpus-wide percentiles run through
+    agg.grouped_exact_percentiles on a constant group, so even a
+    billion gaps never sort inside one task.
+
+    Output: (n_customers_multi, n_gaps, p50_gap_days, p90_gap_days).
+    """
+    from dumbo_spark.operators.agg import grouped_exact_percentiles
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).cast("double"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    counts = gaps.agg(
+        F.countDistinct("o_custkey").alias("n_customers_multi"),
+        F.count("*").alias("n_gaps"),
+    )
+    pcts = grouped_exact_percentiles(
+        gaps.withColumn("_g", F.lit("all")),
+        "_g",
+        "gap_days",
+        ["o_custkey", "o_orderkey"],
+        (0.5, 0.9),
+        ("p50_gap_days", "p90_gap_days"),
+    ).drop("_g")
+    return counts.crossJoin(F.broadcast(pcts))

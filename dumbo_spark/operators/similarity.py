@@ -736,3 +736,34 @@ def pca_top_component(
         )
         .orderBy("pos")
     )
+
+
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label L2-norm profile of the embedding cloud — the
+    first-look vector-quality diagnostic (a label whose norms collapse
+    toward 0 or blow out usually marks failed encodes or unnormalized
+    batches; pairs with label_outlier_screen's distance view).
+
+    The norm is a per-row array fold (F.aggregate — JVM higher-order
+    function, no Python); the rollup is one partial agg. Norms round
+    4dp so the doubles agree across engines before averaging at 4dp.
+
+    Output: (label, n_vecs, mean_norm, min_norm, max_norm).
+    """
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        4,
+    )
+    per = embeddings.select("label", norm.alias("_nrm"))
+    return per.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("_nrm"), 4).alias("mean_norm"),
+        F.min("_nrm").alias("min_norm"),
+        F.max("_nrm").alias("max_norm"),
+    )

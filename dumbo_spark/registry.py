@@ -2956,6 +2956,57 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             ROUND(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS nrm
+      FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(nrm), 4) AS mean_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile (similarity.embedding_norm_stats):
+    the first-look vector-quality diagnostic; JVM array fold, one
+    partial-agg rollup."""
+    return similarity.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "order_cadence",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day',
+                       CAST(lag(CAST(o_orderdate AS TIMESTAMP)) OVER w AS DATE),
+                       CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey)),
+    g2 AS (SELECT * FROM g WHERE gap_days IS NOT NULL)
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_multi,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.5), 4)
+             AS p50_gap_days,
+           ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.9), 4)
+             AS p90_gap_days
+    FROM g2
+    """,
+)
+def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer purchase-cadence profile (analytics.order_cadence):
+    lag-window day gaps, corpus-wide exact percentiles via the
+    range-partitioned machinery."""
+    return analytics.order_cadence(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "dedup_report",
     oracle=r"""
     WITH total AS (SELECT COUNT(*) AS n FROM documents),
@@ -6201,6 +6252,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_report",
     "near_dup_rate_by_source",
     "order_total_consistency",
+    "embedding_norm_stats",
+    "order_cadence",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
