@@ -214,6 +214,7 @@ HEADLINE = [
     "order_total_consistency",
     "embedding_norm_stats",
     "order_cadence",
+    "churn_risk_buckets",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1163,3 +1163,38 @@ def order_cadence(orders: DataFrame) -> DataFrame:
         ("p50_gap_days", "p90_gap_days"),
     ).drop("_g")
     return counts.crossJoin(F.broadcast(pcts))
+
+
+def churn_risk_buckets(orders: DataFrame, bucket_days: int = 30) -> DataFrame:
+    """Customer recency distribution: how many customers last ordered
+    0-30, 30-60, … days before the corpus's latest order date — the
+    churn-risk funnel every lifecycle campaign is sized from (pairs
+    with :func:`customer_rfm`'s per-customer view by giving the
+    population shape).
+
+    Recency anchors on max(o_orderdate) IN THE DATA, not wall-clock
+    now(), so the result is a pure function of the table (reproducible
+    and oracle-checkable). One per-customer partial agg; the anchor is
+    a broadcast single-row aggregate.
+
+    Output: (bucket, days_from, n_customers, share) ascending.
+    """
+    mx = orders.agg(F.max("o_orderdate").alias("_mx"))
+    last = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("_last"))
+    bucketed = last.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.datediff("_mx", "_last") / F.lit(bucket_days)).alias("bucket")
+    )
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("n_customers"))
+    total = hist.agg(F.sum("n_customers").alias("_n"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_days).cast("int").alias("days_from"),
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )

@@ -2956,6 +2956,34 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "churn_risk_buckets",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS m FROM orders),
+    last AS (
+      SELECT o_custkey, MAX(CAST(o_orderdate AS TIMESTAMP)) AS l
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT CAST(floor(date_diff('day', CAST(l AS DATE),
+                                  CAST((SELECT m FROM mx) AS DATE)) / 30.0)
+                  AS BIGINT) AS bucket
+      FROM last),
+    hist AS (SELECT bucket, COUNT(*) AS n_customers FROM b GROUP BY bucket),
+    t AS (SELECT SUM(n_customers) AS n FROM hist)
+    SELECT bucket,
+           CAST(bucket * 30 AS INTEGER) AS days_from,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(CAST(n_customers AS DOUBLE) / (SELECT n FROM t), 6) AS share
+    FROM hist ORDER BY bucket
+    """,
+)
+def q_churn_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer recency distribution (analytics.churn_risk_buckets):
+    30-day buckets of days-since-last-order, anchored on the data's
+    own max date for reproducibility."""
+    return analytics.churn_risk_buckets(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "embedding_norm_stats",
     oracle="""
     WITH n AS (
@@ -6254,6 +6282,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "order_total_consistency",
     "embedding_norm_stats",
     "order_cadence",
+    "churn_risk_buckets",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
