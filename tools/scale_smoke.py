@@ -185,6 +185,18 @@ def main() -> None:
         "referential_integrity",
         "bpe_merge_candidates",
         "pca_top_component",
+        "streaming_sliding_1h_30m",
+        "seasonal_anomalies",
+        "quantile_transform",
+        "vocab_indexer",
+        "daily_value_percentiles",
+        "monthly_revenue_yoy",
+        "dedup_report",
+        "near_dup_rate_by_source",
+        "order_total_consistency",
+        "embedding_norm_stats",
+        "order_cadence",
+        "churn_risk_buckets",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
