@@ -214,3 +214,92 @@ def run_differential(spark, sf_dir: str, name: str) -> DiffResult:
     finally:
         con.close()
     return compare_frames(name, spark_pdf, duck_pdf)
+
+
+WINDOW_FNS = ("row_number", "rank", "dense_rank", "lag", "lead", "running_sum")
+
+#: per-table unique tie-break keys: appended to ORDER BY for the
+#: row-identity window functions so outputs are total-order stable
+TABLE_TIEBREAKS = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+}
+
+
+def compile_window_spec_spark(spark, sf_dir: str, spec: dict):
+    """window spec -> Spark DataFrame.
+
+    rank/dense_rank order WITHOUT the tie-break (their outputs are
+    deterministic under ties by definition — peers share a rank, and
+    adding the tie-break would collapse them to row_number); every
+    row-identity function orders WITH it.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from dumbo_spark.functions.numeric import dmoney
+    from dumbo_spark.sources.catalog import load_table
+
+    df = load_table(spark, sf_dir, spec["table"])
+    tb = TABLE_TIEBREAKS[spec["table"]]
+    oc, fn = spec["order"], spec["fn"]
+    base = Window.partitionBy(*spec["partition"])
+    if fn in ("rank", "dense_rank"):
+        w = base.orderBy(F.col(oc).asc())
+    else:
+        w = base.orderBy(F.col(oc).asc(), *[F.col(c).asc() for c in tb])
+    if fn == "row_number":
+        col = F.row_number().over(w)
+    elif fn == "rank":
+        col = F.rank().over(w)
+    elif fn == "dense_rank":
+        col = F.dense_rank().over(w)
+    elif fn == "lag":
+        col = F.lag(F.col(oc), 1).over(w)
+    elif fn == "lead":
+        col = F.lead(F.col(oc), 1).over(w)
+    else:  # running_sum
+        col = (
+            F.sum(dmoney(oc))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+        )
+    # a partition column may coincide with a tie-break key — dedupe
+    # the projection (both engines would otherwise emit it twice)
+    keys = tb + [c for c in spec["partition"] if c not in tb]
+    return df.select(*keys, F.col(oc).alias("v"), col.alias("w"))
+
+
+def compile_window_spec_sql(spec: dict) -> str:
+    tb = TABLE_TIEBREAKS[spec["table"]]
+    oc, fn = spec["order"], spec["fn"]
+    part = f"PARTITION BY {', '.join(spec['partition'])} " if spec["partition"] else ""
+    order_tb = f"ORDER BY {', '.join([oc] + tb)}"
+    order_plain = f"ORDER BY {oc}"
+    if fn == "row_number":
+        expr = f"row_number() OVER ({part}{order_tb})"
+    elif fn == "rank":
+        expr = f"rank() OVER ({part}{order_plain})"
+    elif fn == "dense_rank":
+        expr = f"dense_rank() OVER ({part}{order_plain})"
+    elif fn == "lag":
+        expr = f"lag({oc}) OVER ({part}{order_tb})"
+    elif fn == "lead":
+        expr = f"lead({oc}) OVER ({part}{order_tb})"
+    else:
+        expr = (
+            f"CAST(SUM(CAST({oc} AS DECIMAL(18,2))) OVER ({part}{order_tb} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        )
+    keys = tb + [c for c in spec["partition"] if c not in tb]
+    cols = keys + [f"{oc} AS v", f"{expr} AS w"]
+    return f"SELECT {', '.join(cols)} FROM {spec['table']}"
+
+
+def run_window_spec_differential(spark, sf_dir: str, spec: dict) -> DiffResult:
+    spark_pdf = compile_window_spec_spark(spark, sf_dir, spec).toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(compile_window_spec_sql(spec)).fetch_df()
+    finally:
+        con.close()
+    return compare_frames(f"winfuzz:{spec}", spark_pdf, duck_pdf)

@@ -299,3 +299,30 @@ def test_upsert_latest_matches_model(spark, case):
     for k, (v, _src, xs) in best.items():
         assert got[k][0] == v
         assert got[k][1] in xs  # any member of the tied winning set
+
+
+@st.composite
+def window_spec(draw):
+    from dumbo_spark.testing import WINDOW_FNS
+
+    table = draw(st.sampled_from(sorted(TABLE_COLS)))
+    cols = TABLE_COLS[table]
+    partition = draw(
+        st.lists(st.sampled_from(cols["cat"]), unique=True, max_size=2)
+    )
+    order = draw(st.sampled_from(cols["num"]))
+    fn = draw(st.sampled_from(WINDOW_FNS))
+    return {"table": table, "partition": partition, "order": order, "fn": fn}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_spec())
+def test_random_window_specs_match_duckdb(spark, sf_dir, spec):
+    from dumbo_spark.testing import run_window_spec_differential
+
+    res = run_window_spec_differential(spark, sf_dir, spec)
+    assert res.ok, res.report()
