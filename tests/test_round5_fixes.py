@@ -374,3 +374,41 @@ def test_seasonal_anomalies_adjusts_for_weekday(spark):
     assert "2024-01-29" in flagged          # the Monday spike
     assert not any(d in flagged for d in
                    ("2024-01-06", "2024-01-13", "2024-01-20", "2024-01-27"))
+
+
+def test_rank_and_percentile_machinery_on_empty_input(spark):
+    """The range-partition machinery must degrade to empty output (not
+    crash or emit spurious rows) when the input is empty."""
+    from dumbo_spark.operators.agg import (
+        bucketed_group_percentiles,
+        weighted_median_price,
+    )
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    li = spark.createDataFrame(
+        [],
+        "l_returnflag string, l_extendedprice double, l_quantity double, "
+        "l_orderkey long, l_linenumber int",
+    )
+    assert bucketed_group_percentiles(li).count() == 0
+    assert weighted_median_price(li).count() == 0
+    df = spark.createDataFrame([], "k long, v double")
+    assert exact_global_rank(df, "v", "k").count() == 0
+
+
+def test_checked_queries_on_empty_input(spark):
+    from dumbo_spark.operators.agg import approx_distinct_checked
+    from dumbo_spark.operators.dedup import dedup_recall_checked
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert approx_distinct_checked(ev).count() == 0
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # zero exact pairs -> recall trivially ok (0 >= 0.8 * 0)
+    row = dedup_recall_checked(docs).collect()[0]
+    assert row["n_exact_pairs"] == 0 and row["recall_ok"]
