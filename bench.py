@@ -215,6 +215,7 @@ HEADLINE = [
     "embedding_norm_stats",
     "order_cadence",
     "churn_risk_buckets",
+    "top_percent_customers",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

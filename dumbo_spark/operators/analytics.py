@@ -1198,3 +1198,44 @@ def churn_risk_buckets(orders: DataFrame, bucket_days: int = 30) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def top_percent_customers(orders: DataFrame, pct: float = 1.0) -> DataFrame:
+    """The top ``pct``% of customers by lifetime revenue, with their
+    collective revenue share — :func:`pareto_concentration`'s question
+    answered as a roster instead of a curve (the VIP list a key-account
+    program actually loads). Cut size is ceil(pct% · n) with the
+    (revenue DESC, custkey) total order, so membership is exact and
+    tie-stable.
+
+    Ranks come from topk.global_rank's range-partitioned machinery
+    (per-customer revenue is near-continuous — exactly the domain the
+    distinct-value trick fails on); the revenue share joins one
+    broadcast scalar.
+
+    Output: (o_custkey, revenue, rank, revenue_share_pct) sorted.
+    """
+    from dumbo_spark.operators.topk import global_rank
+
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(dmoney("o_totalprice")).alias("_rev")
+    )
+    ranked = global_rank(
+        per, [F.col("_rev").desc(), F.col("o_custkey").asc()]
+    )
+    total = per.agg(F.sum("_rev").alias("_tot"))
+    cut = F.ceil(F.col("_n") * F.lit(pct) / 100.0)
+    return (
+        ranked.where(F.col("_rank") <= cut)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("_rank").alias("rank"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_tot").cast("double") * 100.0,
+                6,
+            ).alias("revenue_share_pct"),
+        )
+        .orderBy("rank")
+    )

@@ -2956,6 +2956,35 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_percent_customers",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT o_custkey, rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rnk,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER () AS tot
+      FROM per)
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rnk AS BIGINT) AS rank,
+           ROUND(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) * 100.0, 6)
+             AS revenue_share_pct
+    FROM r WHERE rnk <= ceil(n * 1.0 / 100.0)
+    ORDER BY rnk
+    """,
+)
+def q_top_percent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1% customer roster by revenue
+    (analytics.top_percent_customers): exact tie-stable cut via the
+    range-partitioned global rank."""
+    return analytics.top_percent_customers(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "churn_risk_buckets",
     oracle="""
     WITH mx AS (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS m FROM orders),
@@ -6283,6 +6312,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_norm_stats",
     "order_cadence",
     "churn_risk_buckets",
+    "top_percent_customers",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
