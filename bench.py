@@ -216,6 +216,9 @@ HEADLINE = [
     "order_cadence",
     "churn_risk_buckets",
     "top_percent_customers",
+    "weighted_price_quartiles",
+    "session_conversion_rate",
+    "order_size_value_correlation",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -603,3 +603,73 @@ def bucketed_group_percentiles(
         ps,
         tuple(f"p{str(p)[2:].ljust(2, '0')}_price" for p in ps),
     )
+
+
+def weighted_price_quartiles(lineitem: DataFrame) -> DataFrame:
+    """Exact quantity-weighted price quartiles per return flag — the
+    general weighted-percentile form of :func:`weighted_median_price`
+    (same range-partitioned cumulative-weight sweep, three thresholds
+    in one pass): wq(p) = the smallest price whose cumulative quantity
+    reaches p·total, with 100·cum ≥ ⌈100p⌉·tot as the exact integer
+    comparison (no float thresholds).
+
+    Output: (l_returnflag, wq25_price, wq50_price, wq75_price).
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    li = lineitem.select(
+        "l_returnflag",
+        price.alias("_p"),
+        qty.alias("_q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    from dumbo_spark.operators.topk import shuffle_partitions
+
+    parts = shuffle_partitions(li)
+    order = [
+        F.col("l_returnflag").asc(),
+        F.col("_p").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    r = li.repartitionByRange(parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = r.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_w"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pc.select(
+        "_pid",
+        "l_returnflag",
+        F.coalesce(F.sum("_w").over(w_off), F.lit(0).cast("decimal(18,2)")).alias(
+            "_off"
+        ),
+    )
+    totals = li.groupBy("l_returnflag").agg(F.sum("_q").alias("_tot"))
+    w_in = (
+        Window.partitionBy("_pid", "l_returnflag")
+        .orderBy("_p", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        r.join(F.broadcast(offsets), ["_pid", "l_returnflag"])
+        .join(F.broadcast(totals), "l_returnflag")
+        .withColumn("_cum", F.col("_off") + F.sum("_q").over(w_in))
+    )
+    return cum.groupBy("l_returnflag").agg(
+        *[
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cum") >= F.lit(q100) * F.col("_tot"),
+                    F.col("_p"),
+                )
+            )
+            .cast("double")
+            .alias(f"wq{q100}_price")
+            for q100 in (25, 50, 75)
+        ]
+    )

@@ -1239,3 +1239,39 @@ def top_percent_customers(orders: DataFrame, pct: float = 1.0) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def order_size_value_correlation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation between basket size (lines per order) and
+    order value — the "do bigger baskets mean bigger orders" scalar a
+    pricing team asks for. Computed from exact decimal/integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) finalized in float and rounded 6dp, so
+    the result is shuffle-order-independent — the same mergeable-
+    moments discipline as agg.group_stats.
+
+    One fact-fact join on orderkey (the per-order line count), then a
+    single scalar aggregate. Output: (n_orders, corr).
+    """
+    sizes = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("_x"))
+    j = orders.select("o_orderkey", dmoney("o_totalprice").alias("_y")).join(
+        sizes, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    x = F.col("_x").cast("double")
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(x * F.col("_y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sx * sy / n
+    vx = F.col("sxx").cast("double") - sx * sx / n
+    vy = F.col("syy").cast("double") - sy * sy / n
+    corr = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+    )
+    return m.select(F.col("n").alias("n_orders"), corr.alias("corr"))

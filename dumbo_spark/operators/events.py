@@ -1257,3 +1257,37 @@ def daily_value_percentiles(events: DataFrame) -> DataFrame:
         daily, "day", "value", ["event_id"], (0.5, 0.95),
         ("p50_value", "p95_value"),
     ).orderBy("day")
+
+
+def session_conversion_rate(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Daily session conversion rate: the share of sessions containing
+    at least one purchase, bucketed by session-start day —
+    :func:`bounce_rate`'s revenue-side sibling (same islands
+    sessionizer via :func:`assign_sessions`, same day rollup), the
+    topline e-commerce funnel number.
+
+    Output: (day, n_sessions, n_converted, conversion_rate).
+    """
+    sessions = assign_sessions(
+        events.select("user_id", "event_id", "ts", "event_type"), gap_min
+    )
+    per = sessions.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("_start_us"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_conv"),
+    )
+    day = F.date_format(F.timestamp_micros("_start_us"), "yyyy-MM-dd")
+    return (
+        per.groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("_conv").cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_sessions"), 6
+            ),
+        )
+    )

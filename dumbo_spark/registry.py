@@ -2956,6 +2956,110 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_price_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, p,
+             SUM(q) OVER (PARTITION BY l_returnflag
+                          ORDER BY p, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(q) OVER (PARTITION BY l_returnflag) AS tot
+      FROM t)
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 100 * cum >= 25 * tot THEN p END) AS DOUBLE)
+             AS wq25_price,
+           CAST(MIN(CASE WHEN 100 * cum >= 50 * tot THEN p END) AS DOUBLE)
+             AS wq50_price,
+           CAST(MIN(CASE WHEN 100 * cum >= 75 * tot THEN p END) AS DOUBLE)
+             AS wq75_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q_weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quartiles per return flag
+    (agg.weighted_price_quartiles): three thresholds in one
+    range-partitioned cumulative-weight sweep."""
+    return agg.weighted_price_quartiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "session_conversion_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sess AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    per AS (
+      SELECT user_id, sid,
+             MIN(CAST(ts AS TIMESTAMP)) AS s_start,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM sess GROUP BY user_id, sid)
+    SELECT strftime(s_start, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM per GROUP BY day
+    """,
+)
+def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session conversion rate (events.session_conversion_rate):
+    islands sessionizer + purchase flag, bounce_rate's revenue-side
+    sibling."""
+    return events.session_conversion_rate(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "order_size_value_correlation",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT s.x, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN sizes s ON o.o_orderkey = s.l_orderkey),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(y * y) AS syy,
+             SUM(CAST(x AS DOUBLE) * y) AS sxy
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) > 0
+                 AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) > 0
+                THEN ROUND(
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
+                  6)
+           END AS corr
+    FROM m
+    """,
+)
+def q_order_size_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size × order-value Pearson correlation from exact
+    moments (analytics.order_size_value_correlation)."""
+    return analytics.order_size_value_correlation(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
     "top_percent_customers",
     oracle="""
     WITH per AS (
@@ -6313,6 +6417,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "order_cadence",
     "churn_risk_buckets",
     "top_percent_customers",
+    "weighted_price_quartiles",
+    "session_conversion_rate",
+    "order_size_value_correlation",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
