@@ -219,6 +219,7 @@ HEADLINE = [
     "weighted_price_quartiles",
     "session_conversion_rate",
     "order_size_value_correlation",
+    "monthly_new_vs_returning_revenue",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

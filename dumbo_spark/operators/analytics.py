@@ -1275,3 +1275,43 @@ def order_size_value_correlation(orders: DataFrame, lineitem: DataFrame) -> Data
         (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
     )
     return m.select(F.col("n").alias("n_orders"), corr.alias("corr"))
+
+
+def monthly_new_vs_returning_revenue(orders: DataFrame) -> DataFrame:
+    """Monthly revenue split by NEW vs RETURNING customers (a customer
+    is new in their first-order month) — the acquisition-vs-retention
+    decomposition every growth review wants next to
+    :func:`monthly_revenue_yoy`'s topline.
+
+    The first-order month is one per-customer partial agg broadcast
+    back; everything else is a conditional decimal sum in the monthly
+    rollup pass.
+
+    Output: (month, n_orders, new_revenue, returning_revenue,
+    new_share) ascending.
+    """
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("_first_month")
+    )
+    j = orders.select(
+        "o_custkey", month.alias("month"), dmoney("o_totalprice").alias("_v")
+    ).join(first, "o_custkey")
+    is_new = F.col("month") == F.col("_first_month")
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = j.groupBy("month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(is_new, F.col("_v")).otherwise(zero)).alias("_new"),
+        F.sum(F.when(~is_new, F.col("_v")).otherwise(zero)).alias("_ret"),
+    )
+    return agg.select(
+        "month",
+        "n_orders",
+        F.col("_new").cast("double").alias("new_revenue"),
+        F.col("_ret").cast("double").alias("returning_revenue"),
+        F.round(
+            F.col("_new").cast("double")
+            / (F.col("_new") + F.col("_ret")).cast("double"),
+            6,
+        ).alias("new_share"),
+    ).orderBy("month")

@@ -2956,6 +2956,42 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_new_vs_returning_revenue",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             MIN(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m'))
+               AS first_month
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+             f.first_month
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN month = first_month THEN v
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS new_revenue,
+           CAST(SUM(CASE WHEN month <> first_month THEN v
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS returning_revenue,
+           ROUND(CAST(SUM(CASE WHEN month = first_month THEN v
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(v) AS DOUBLE), 6) AS new_share
+    FROM j GROUP BY month ORDER BY month
+    """,
+)
+def q_monthly_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split by new vs returning customers
+    (analytics.monthly_new_vs_returning_revenue): first-order-month
+    flag + conditional decimal sums."""
+    return analytics.monthly_new_vs_returning_revenue(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "weighted_price_quartiles",
     oracle="""
     WITH t AS (
@@ -6420,6 +6456,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "session_conversion_rate",
     "order_size_value_correlation",
+    "monthly_new_vs_returning_revenue",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
