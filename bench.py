@@ -220,6 +220,7 @@ HEADLINE = [
     "session_conversion_rate",
     "order_size_value_correlation",
     "monthly_new_vs_returning_revenue",
+    "doclen_percentiles_by_lang",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -867,3 +867,25 @@ def vocab_indexer(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
         .where(F.col("_rank") <= vocab_size)
         .select("word", "cnt", F.col("_rank").cast("int").alias("token_id"))
     )
+
+
+def doclen_percentiles_by_lang(documents: DataFrame) -> DataFrame:
+    """Exact p50/p90 document length per language — the corpus-shape
+    profile behind per-language truncation budgets, via
+    agg.grouped_exact_percentiles (range-partitioned ranks: a
+    language's documents never sort inside one task — at 100 TB the
+    dominant language IS most of the corpus, which is exactly when a
+    per-group window would serialize).
+
+    Output: (lang, p50_chars, p90_chars).
+    """
+    from dumbo_spark.operators.agg import grouped_exact_percentiles
+
+    return grouped_exact_percentiles(
+        documents.select("lang", "n_chars", "doc_id"),
+        "lang",
+        "n_chars",
+        ["doc_id"],
+        (0.5, 0.9),
+        ("p50_chars", "p90_chars"),
+    )

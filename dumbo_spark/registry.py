@@ -2956,6 +2956,24 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doclen_percentiles_by_lang",
+    oracle="""
+    SELECT lang,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doclen_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length percentiles
+    (textstats.doclen_percentiles_by_lang) via the shared
+    range-partitioned percentile machinery."""
+    return textstats.doclen_percentiles_by_lang(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "monthly_new_vs_returning_revenue",
     oracle="""
     WITH f AS (
@@ -6457,6 +6475,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "session_conversion_rate",
     "order_size_value_correlation",
     "monthly_new_vs_returning_revenue",
+    "doclen_percentiles_by_lang",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
