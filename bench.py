@@ -221,6 +221,9 @@ HEADLINE = [
     "order_size_value_correlation",
     "monthly_new_vs_returning_revenue",
     "doclen_percentiles_by_lang",
+    "transition_dwell_times",
+    "brand_cross_shopping",
+    "return_rate_by_basket_size",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

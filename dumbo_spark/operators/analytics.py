@@ -1315,3 +1315,72 @@ def monthly_new_vs_returning_revenue(orders: DataFrame) -> DataFrame:
             6,
         ).alias("new_share"),
     ).orderBy("month")
+
+
+def brand_cross_shopping(
+    lineitem: DataFrame, part: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Brand cross-shopping histogram: how many customers bought
+    exactly 1, 2, … distinct brands — the assortment-loyalty shape a
+    category manager reads before bundling (complements
+    :func:`item_similarity`'s pair view with the per-customer
+    breadth view).
+
+    Brand joins broadcast (part is a dimension); the distinct count
+    is per customer (bounded groups); the histogram is |distinct
+    breadths| rows.
+
+    Output: (n_brands, n_customers) ascending.
+    """
+    j = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    per = j.groupBy("o_custkey").agg(
+        F.countDistinct("p_brand").alias("n_brands")
+    )
+    return (
+        per.groupBy("n_brands")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_brands")
+    )
+
+
+def return_rate_by_basket_size(lineitem: DataFrame) -> DataFrame:
+    """Return rate as a function of basket size: do bigger orders
+    return more? Lines-per-order buckets (1-2, 3-4, 5+) against the
+    share of lines flagged 'R' — the ops-diagnostic that separates
+    "returns scale with volume" from "big baskets are riskier".
+
+    One per-order aggregate (size + returned count) then a bucket
+    rollup; rates divide exact longs.
+
+    Output: (size_bucket, n_orders, n_lines, n_returned, return_rate).
+    """
+    per = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("_n_ret"),
+    )
+    bucket = (
+        F.when(F.col("_n_lines") <= 2, "1-2")
+        .when(F.col("_n_lines") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return (
+        per.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("_n_lines").alias("n_lines"),
+            F.sum("_n_ret").alias("n_returned"),
+        )
+        .withColumn(
+            "return_rate",
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -1291,3 +1291,30 @@ def session_conversion_rate(
             ),
         )
     )
+
+
+def transition_dwell_times(events: DataFrame) -> DataFrame:
+    """Per-transition dwell profile: for each (from → to) event-type
+    pair within a user's stream, how many transitions and the mean
+    gap — :func:`event_transitions`' counts extended with the timing
+    dimension (the input to "where do users stall" funnels).
+
+    One lag window per user (total order on (ts, event_id)), one
+    partial-agg rollup; gaps are exact epoch-microsecond integers and
+    the mean is one rounded division.
+
+    Output: (from_type, to_type, n_transitions, avg_gap_sec).
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        (us - F.lag(us).over(w)).alias("_gap_us"),
+    ).where(F.col("from_type").isNotNull())
+    return t.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(
+            (F.sum("_gap_us").cast("double") / F.count("*")) / 1e6, 4
+        ).alias("avg_gap_sec"),
+    )

@@ -2956,6 +2956,80 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "transition_dwell_times",
+    oracle="""
+    WITH t AS (
+      SELECT lag(event_type) OVER w AS from_type,
+             event_type AS to_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id))
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND((CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)) / 1e6, 4)
+             AS avg_gap_sec
+    FROM t WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition dwell profile (events.transition_dwell_times):
+    event_transitions' counts with the timing dimension."""
+    return events.transition_dwell_times(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "brand_cross_shopping",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_custkey, p.p_brand
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per AS (
+      SELECT o_custkey, COUNT(DISTINCT p_brand) AS n_brands
+      FROM j GROUP BY o_custkey)
+    SELECT CAST(n_brands AS BIGINT) AS n_brands,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per GROUP BY n_brands ORDER BY n_brands
+    """,
+)
+def q_brand_cross_shopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand cross-shopping histogram (analytics.brand_cross_shopping):
+    distinct brands per customer, bucketed."""
+    return analytics.brand_cross_shopping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "return_rate_by_basket_size",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CASE WHEN n_lines <= 2 THEN '1-2'
+                WHEN n_lines <= 4 THEN '3-4'
+                ELSE '5+' END AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(n_ret) AS BIGINT) AS n_returned,
+           ROUND(CAST(SUM(n_ret) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE), 6)
+             AS return_rate
+    FROM per GROUP BY size_bucket
+    """,
+)
+def q_return_rate_by_basket_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate vs basket size (analytics.return_rate_by_basket_size)."""
+    return analytics.return_rate_by_basket_size(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "doclen_percentiles_by_lang",
     oracle="""
     SELECT lang,
@@ -6476,6 +6550,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "order_size_value_correlation",
     "monthly_new_vs_returning_revenue",
     "doclen_percentiles_by_lang",
+    "transition_dwell_times",
+    "brand_cross_shopping",
+    "return_rate_by_basket_size",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
