@@ -224,6 +224,8 @@ HEADLINE = [
     "transition_dwell_times",
     "brand_cross_shopping",
     "return_rate_by_basket_size",
+    "price_dispersion_parts",
+    "tenure_value_buckets",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1384,3 +1384,73 @@ def return_rate_by_basket_size(lineitem: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def price_dispersion_parts(
+    lineitem: DataFrame, min_lines: int = 5, k: int = 20
+) -> DataFrame:
+    """The parts with the most dispersed selling prices (coefficient
+    of variation of l_extendedprice per part, min support) — the
+    pricing-consistency screen that surfaces negotiation leakage or
+    data errors. Exact decimal moments per part (the group_stats
+    algebra), one partial-agg scan, TakeOrderedAndProject cut on the
+    ROUNDED cv with a partkey tie-break (engine-stable).
+
+    Output: top-k (l_partkey, n_lines, mean_price, cv).
+    """
+    d = dmoney("l_extendedprice")
+    n = F.count("*")
+    s = F.sum(d)
+    s2 = F.sum(d * d)
+    mean = s.cast("double") / n
+    var = s2.cast("double") / n - mean * mean
+    per = lineitem.groupBy("l_partkey").agg(
+        n.alias("n_lines"),
+        F.round(mean, 4).alias("mean_price"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6).alias("cv"),
+    )
+    return (
+        per.where(F.col("n_lines") >= min_lines)
+        .orderBy(F.col("cv").desc(), F.col("l_partkey").asc())
+        .limit(k)
+    )
+
+
+def tenure_value_buckets(orders: DataFrame) -> DataFrame:
+    """Average customer value by tenure bucket: months between first
+    and last order (0, 1-6, 7-12, 13+) against revenue per customer —
+    the loyalty-payoff curve ("do long-tenure customers actually spend
+    more"), the aggregate behind CLV sanity checks.
+
+    One per-customer partial agg (first/last order month + revenue),
+    bucket in the tiny frame, rates divide exact values.
+
+    Output: (tenure_bucket, n_customers, avg_revenue) ordered.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("_first"),
+        F.max("o_orderdate").alias("_last"),
+        F.sum(dmoney("o_totalprice")).alias("_rev"),
+    )
+    # calendar-month difference via integer (year·12+month) arithmetic
+    # — exact and engine-portable (months_between's fractional
+    # day-of-month semantics have no DuckDB equivalent)
+    months = (F.year("_last") * 12 + F.month("_last")) - (
+        F.year("_first") * 12 + F.month("_first")
+    )
+    bucket = (
+        F.when(months == 0, "0")
+        .when(months <= 6, "1-6")
+        .when(months <= 12, "7-12")
+        .otherwise("13+")
+    )
+    return (
+        per.groupBy(bucket.alias("tenure_bucket"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("_rev").cast("double") / F.count("*").cast("double"), 4
+            ).alias("avg_revenue"),
+        )
+        .orderBy("tenure_bucket")
+    )

@@ -2956,6 +2956,63 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_dispersion_parts",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_lines,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS mean_price,
+             ROUND(sqrt(GREATEST(
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*)
+                     - POW(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*), 2), 0.0))
+                   / (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) / COUNT(*)), 6) AS cv
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines, mean_price, cv
+    FROM per WHERE n_lines >= 5
+    ORDER BY cv DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def q_price_dispersion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most price-dispersed parts (analytics.price_dispersion_parts):
+    exact decimal moments per part, rounded-cv top-k cut."""
+    return analytics.price_dispersion_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "tenure_value_buckets",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS TIMESTAMP)) AS f,
+             MAX(CAST(o_orderdate AS TIMESTAMP)) AS l,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT rev,
+             (year(l) * 12 + month(l)) - (year(f) * 12 + month(f)) AS m
+      FROM per)
+    SELECT CASE WHEN m = 0 THEN '0'
+                WHEN m <= 6 THEN '1-6'
+                WHEN m <= 12 THEN '7-12'
+                ELSE '13+' END AS tenure_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS avg_revenue
+    FROM b GROUP BY tenure_bucket ORDER BY tenure_bucket
+    """,
+)
+def q_tenure_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average customer value by tenure bucket
+    (analytics.tenure_value_buckets): integer calendar-month tenure,
+    exact decimal revenue."""
+    return analytics.tenure_value_buckets(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "transition_dwell_times",
     oracle="""
     WITH t AS (
@@ -6553,6 +6610,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "transition_dwell_times",
     "brand_cross_shopping",
     "return_rate_by_basket_size",
+    "price_dispersion_parts",
+    "tenure_value_buckets",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
