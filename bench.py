@@ -226,6 +226,8 @@ HEADLINE = [
     "return_rate_by_basket_size",
     "price_dispersion_parts",
     "tenure_value_buckets",
+    "error_rate_by_hour",
+    "distinctive_tokens_by_lang",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1318,3 +1318,27 @@ def transition_dwell_times(events: DataFrame) -> DataFrame:
             (F.sum("_gap_us").cast("double") / F.count("*")) / 1e6, 4
         ).alias("avg_gap_sec"),
     )
+
+
+def error_rate_by_hour(events: DataFrame) -> DataFrame:
+    """Error share by hour of day: the diurnal reliability profile
+    ("do errors spike at peak or during the nightly batch window") —
+    one conditional-aggregate scan to 24 rows.
+
+    Output: (hour_of_day, n_events, n_errors, error_rate).
+    """
+    return (
+        events.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(
+                F.col("n_errors").cast("double") / F.col("n_events").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -889,3 +889,53 @@ def doclen_percentiles_by_lang(documents: DataFrame) -> DataFrame:
         (0.5, 0.9),
         ("p50_chars", "p90_chars"),
     )
+
+
+def distinctive_tokens_by_lang(
+    documents: DataFrame, k: int = 5, alpha: float = 1.0
+) -> DataFrame:
+    """The k most DISTINCTIVE tokens per language by smoothed
+    log-odds: log((c_lw + α)/(n_l − c_lw + α)) −
+    log((c_w − c_lw + α)/(n − n_l − (c_w − c_lw) + α)) — the
+    "what makes this slice different" statistic (Monroe, Colaresi &
+    Quinn 2008, public) behind corpus-slice characterization; raw
+    frequency top-k just returns stopwords everywhere.
+
+    Two partial-agg passes (per-(lang, word) and per-word counts, the
+    second broadcast — vocabulary-sized); the top-k cut ranks the
+    ROUNDED score with a word tie-break so it is engine-stable.
+
+    Output: top-k (lang, word, n_lang_word, log_odds) per language.
+    """
+    lw = (
+        documents.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c_lw"))
+    )
+    w_tot = lw.groupBy("word").agg(F.sum("c_lw").alias("c_w"))
+    l_tot = lw.groupBy("lang").agg(F.sum("c_lw").alias("n_l"))
+    n_tot = lw.agg(F.sum("c_lw").alias("n"))
+    j = (
+        lw.join(F.broadcast(w_tot), "word")
+        .join(F.broadcast(l_tot), "lang")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.lit(alpha)
+    in_rate = (F.col("c_lw") + a) / (F.col("n_l") - F.col("c_lw") + a)
+    out_rate = (F.col("c_w") - F.col("c_lw") + a) / (
+        F.col("n") - F.col("n_l") - (F.col("c_w") - F.col("c_lw")) + a
+    )
+    scored = j.select(
+        "lang",
+        "word",
+        F.col("c_lw").alias("n_lang_word"),
+        F.round(F.log(in_rate) - F.log(out_rate), 6).alias("log_odds"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("log_odds").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

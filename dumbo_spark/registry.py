@@ -2956,6 +2956,56 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "error_rate_by_hour",
+    oracle="""
+    SELECT hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS error_rate
+    FROM events GROUP BY hour_of_day ORDER BY hour_of_day
+    """,
+)
+def q_error_rate_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal error-share profile (events.error_rate_by_hour)."""
+    return events.error_rate_by_hour(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "distinctive_tokens_by_lang",
+    oracle=f"""
+    WITH lw AS (
+      SELECT lang, word, COUNT(*) AS c_lw
+      FROM (SELECT lang, unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY lang, word),
+    wt AS (SELECT word, SUM(c_lw) AS c_w FROM lw GROUP BY word),
+    lt AS (SELECT lang, SUM(c_lw) AS n_l FROM lw GROUP BY lang),
+    nt AS (SELECT SUM(c_lw) AS n FROM lw),
+    scored AS (
+      SELECT lw.lang, lw.word, lw.c_lw AS n_lang_word,
+             ROUND(ln((lw.c_lw + 1.0) / (lt.n_l - lw.c_lw + 1.0))
+                   - ln((wt.c_w - lw.c_lw + 1.0)
+                        / ((SELECT n FROM nt) - lt.n_l
+                           - (wt.c_w - lw.c_lw) + 1.0)), 6) AS log_odds
+      FROM lw JOIN wt ON lw.word = wt.word JOIN lt ON lw.lang = lt.lang),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY log_odds DESC, word ASC) AS rn
+      FROM scored)
+    SELECT lang, word, CAST(n_lang_word AS BIGINT) AS n_lang_word, log_odds
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_distinctive_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed log-odds distinctive tokens per language
+    (textstats.distinctive_tokens_by_lang, Monroe et al. 2008)."""
+    return textstats.distinctive_tokens_by_lang(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "price_dispersion_parts",
     oracle="""
     WITH per AS (
@@ -6612,6 +6662,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "return_rate_by_basket_size",
     "price_dispersion_parts",
     "tenure_value_buckets",
+    "error_rate_by_hour",
+    "distinctive_tokens_by_lang",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
