@@ -228,6 +228,8 @@ HEADLINE = [
     "tenure_value_buckets",
     "error_rate_by_hour",
     "distinctive_tokens_by_lang",
+    "event_mix_weekly_drift",
+    "user_active_days_histogram",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1342,3 +1342,78 @@ def error_rate_by_hour(events: DataFrame) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+def event_mix_weekly_drift(events: DataFrame) -> DataFrame:
+    """Week-over-week event-type mix drift: each ISO week's type-share
+    vector compared to the previous week's by L1 (total variation ×2)
+    distance — the composition-shift monitor that catches "clicks
+    collapsed, errors doubled" even when total volume is flat
+    (value_drift_psi watches value distributions; this watches the
+    type mix).
+
+    Weekly shares are exact-count ratios; the drift lag runs over the
+    |weeks|×|types| frame (tiny). First week emits NULL drift.
+
+    Output: (week, n_events, l1_drift) ascending by week.
+    """
+    week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    cell = events.groupBy(week.alias("week"), "event_type").agg(
+        F.count("*").alias("_c")
+    )
+    # dense week×type grid (both sides tiny): a type absent one week
+    # must contribute its full share to the L1, and a bare lag over
+    # sparse cells would silently pair non-adjacent weeks
+    grid = cell.select("week").distinct().crossJoin(
+        cell.select("event_type").distinct()
+    )
+    full = grid.join(cell, ["week", "event_type"], "left").fillna(0, "_c")
+    tot = Window.partitionBy("week")
+    shares = full.select(
+        "week",
+        "event_type",
+        (F.col("_c").cast("double") / F.sum("_c").over(tot)).alias("_share"),
+        F.sum("_c").over(tot).alias("_n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    d = shares.withColumn("_prev", F.lag("_share").over(w))
+    return (
+        d.groupBy("week")
+        .agg(
+            F.max("_n").alias("n_events"),
+            F.when(
+                F.count("_prev") > 0,
+                F.round(F.sum(F.abs(F.col("_share") - F.col("_prev"))), 6),
+            ).alias("l1_drift"),
+        )
+        .orderBy("week")
+    )
+
+
+def user_active_days_histogram(events: DataFrame) -> DataFrame:
+    """Engagement-frequency histogram: how many users were active on
+    1, 2, … distinct days — the stickiness SHAPE behind
+    :func:`dau_wau_stickiness`'s single ratio (a bimodal histogram
+    means two populations, which the ratio hides).
+
+    Per-user distinct-day count (bounded groups) then a tiny rollup;
+    shares divide exact longs.
+
+    Output: (n_active_days, n_users, share) ascending.
+    """
+    per = events.groupBy("user_id").agg(
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_active_days")
+    )
+    hist = per.groupBy("n_active_days").agg(F.count("*").alias("n_users"))
+    total = hist.agg(F.sum("n_users").alias("_t"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "n_active_days",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("n_active_days")
+    )

@@ -2956,6 +2956,70 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_mix_weekly_drift",
+    oracle="""
+    WITH cell AS (
+      SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d') AS week,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY week, event_type),
+    grid AS (
+      SELECT w.week, t.event_type
+      FROM (SELECT DISTINCT week FROM cell) w
+      CROSS JOIN (SELECT DISTINCT event_type FROM cell) t),
+    filled AS (
+      SELECT g.week, g.event_type, COALESCE(c.c, 0) AS c
+      FROM grid g LEFT JOIN cell c
+        ON g.week = c.week AND g.event_type = c.event_type),
+    shares AS (
+      SELECT week, event_type,
+             CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY week) AS share,
+             SUM(c) OVER (PARTITION BY week) AS n
+      FROM filled),
+    d AS (
+      SELECT week, n, share,
+             lag(share) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM shares)
+    SELECT week,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CASE WHEN COUNT(prev) > 0
+                THEN ROUND(SUM(ABS(share - prev)), 6) END AS l1_drift
+    FROM d GROUP BY week ORDER BY week
+    """,
+)
+def q_event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event-type mix drift (L1 distance of share
+    vectors over a dense week×type grid;
+    events.event_mix_weekly_drift)."""
+    return events.event_mix_weekly_drift(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_active_days_histogram",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
+               AS n_active_days
+      FROM events GROUP BY user_id),
+    hist AS (
+      SELECT n_active_days, COUNT(*) AS n_users
+      FROM per GROUP BY n_active_days),
+    t AS (SELECT SUM(n_users) AS tt FROM hist)
+    SELECT CAST(n_active_days AS BIGINT) AS n_active_days,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(CAST(n_users AS DOUBLE) / (SELECT tt FROM t), 6) AS share
+    FROM hist ORDER BY n_active_days
+    """,
+)
+def q_user_active_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-frequency histogram
+    (events.user_active_days_histogram): distinct active days per
+    user, bucketed."""
+    return events.user_active_days_histogram(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "error_rate_by_hour",
     oracle="""
     SELECT hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
@@ -6664,6 +6728,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tenure_value_buckets",
     "error_rate_by_hour",
     "distinctive_tokens_by_lang",
+    "event_mix_weekly_drift",
+    "user_active_days_histogram",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
