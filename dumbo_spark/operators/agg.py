@@ -433,6 +433,29 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
 
     Output: (l_returnflag, total_qty, weighted_median_price).
     """
+    cum = _weighted_cum_sweep(lineitem)
+    return (
+        cum.where(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("_tot").cast("double").alias("total_qty"),
+            F.min("_p").cast("double").alias("weighted_median_price"),
+        )
+    )
+
+
+def _weighted_cum_sweep(lineitem: DataFrame) -> DataFrame:
+    """The SHARED quantity-weighted cumulative sweep behind
+    :func:`weighted_median_price` and :func:`weighted_price_quartiles`
+    (round-5 second review: the two had diverging copies):
+    range-repartition on (flag, price, tie-break), per-(partition,
+    flag) weight sums prefix-summed over the tiny partition×flag
+    frame, one in-partition cumulative-weight window. Returns
+    (l_returnflag, _p price, _cum cumulative qty, _tot flag total) —
+    callers apply their threshold aggregates.
+    """
+    from dumbo_spark.operators.topk import shuffle_partitions
+
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     li = lineitem.select(
@@ -442,8 +465,6 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    from dumbo_spark.operators.topk import shuffle_partitions
-
     parts = shuffle_partitions(li)
     order = [
         F.col("l_returnflag").asc(),
@@ -473,18 +494,11 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
         .orderBy("_p", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
+    return (
         r.join(F.broadcast(offsets), ["_pid", "l_returnflag"])
         .join(F.broadcast(totals), "l_returnflag")
         .withColumn("_cum", F.col("_off") + F.sum("_q").over(w_in))
-    )
-    return (
-        cum.where(F.lit(2) * F.col("_cum") >= F.col("_tot"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.max("_tot").cast("double").alias("total_qty"),
-            F.min("_p").cast("double").alias("weighted_median_price"),
-        )
+        .select("l_returnflag", "_p", "_cum", "_tot")
     )
 
 
@@ -615,51 +629,7 @@ def weighted_price_quartiles(lineitem: DataFrame) -> DataFrame:
 
     Output: (l_returnflag, wq25_price, wq50_price, wq75_price).
     """
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    li = lineitem.select(
-        "l_returnflag",
-        price.alias("_p"),
-        qty.alias("_q"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    from dumbo_spark.operators.topk import shuffle_partitions
-
-    parts = shuffle_partitions(li)
-    order = [
-        F.col("l_returnflag").asc(),
-        F.col("_p").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    ]
-    r = li.repartitionByRange(parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    pc = r.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_w"))
-    w_off = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = pc.select(
-        "_pid",
-        "l_returnflag",
-        F.coalesce(F.sum("_w").over(w_off), F.lit(0).cast("decimal(18,2)")).alias(
-            "_off"
-        ),
-    )
-    totals = li.groupBy("l_returnflag").agg(F.sum("_q").alias("_tot"))
-    w_in = (
-        Window.partitionBy("_pid", "l_returnflag")
-        .orderBy("_p", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        r.join(F.broadcast(offsets), ["_pid", "l_returnflag"])
-        .join(F.broadcast(totals), "l_returnflag")
-        .withColumn("_cum", F.col("_off") + F.sum("_q").over(w_in))
-    )
+    cum = _weighted_cum_sweep(lineitem)
     return cum.groupBy("l_returnflag").agg(
         *[
             F.min(

@@ -1162,7 +1162,10 @@ def order_cadence(orders: DataFrame) -> DataFrame:
         (0.5, 0.9),
         ("p50_gap_days", "p90_gap_days"),
     ).drop("_g")
-    return counts.crossJoin(F.broadcast(pcts))
+    # left join on TRUE (not crossJoin): with no multi-order customers
+    # the percentile frame is empty and the oracle still emits one
+    # (0, 0, NULL, NULL) row — so must we
+    return counts.join(F.broadcast(pcts), F.lit(True), "left")
 
 
 def churn_risk_buckets(orders: DataFrame, bucket_days: int = 30) -> DataFrame:
@@ -1256,14 +1259,17 @@ def order_size_value_correlation(orders: DataFrame, lineitem: DataFrame) -> Data
     j = orders.select("o_orderkey", dmoney("o_totalprice").alias("_y")).join(
         sizes, F.col("o_orderkey") == F.col("l_orderkey")
     )
-    x = F.col("_x").cast("double")
+    # every moment sums EXACT types (long×long, long×decimal,
+    # decimal×decimal) so the result is shuffle-order-independent —
+    # a double-typed sxy would be order-dependent and could flip the
+    # 6dp rounding (round-5 second-review finding)
     m = j.agg(
         F.count("*").alias("n"),
         F.sum("_x").alias("sx"),
         F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
         F.sum("_y").alias("sy"),
         F.sum(F.col("_y") * F.col("_y")).alias("syy"),
-        F.sum(x * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -1353,7 +1353,11 @@ def event_mix_weekly_drift(events: DataFrame) -> DataFrame:
     type mix).
 
     Weekly shares are exact-count ratios; the drift lag runs over the
-    |weeks|×|types| frame (tiny). First week emits NULL drift.
+    |weeks|×|types| frame (tiny). The first OBSERVED week emits NULL
+    drift, and drift compares consecutive OBSERVED weeks: a calendar
+    week with zero events has no share vector (0/0), so after an
+    ingestion outage the next row measures drift across the gap —
+    by design, since "the mix during silence" is undefined.
 
     Output: (week, n_events, l1_drift) ascending by week.
     """
@@ -1361,9 +1365,9 @@ def event_mix_weekly_drift(events: DataFrame) -> DataFrame:
     cell = events.groupBy(week.alias("week"), "event_type").agg(
         F.count("*").alias("_c")
     )
-    # dense week×type grid (both sides tiny): a type absent one week
-    # must contribute its full share to the L1, and a bare lag over
-    # sparse cells would silently pair non-adjacent weeks
+    # dense week×type grid over OBSERVED weeks (both sides tiny): a
+    # type absent in an observed week must contribute its full share
+    # to the L1 (a bare lag over sparse cells would skip it)
     grid = cell.select("week").distinct().crossJoin(
         cell.select("event_type").distinct()
     )

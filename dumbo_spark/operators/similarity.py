@@ -750,15 +750,21 @@ def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
 
     Output: (label, n_vecs, mean_norm, min_norm, max_norm).
     """
-    norm = F.round(
-        F.sqrt(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
+    # empty arrays must yield NULL (DuckDB's list_sum([]) is NULL while
+    # F.aggregate would return the 0.0 seed); NULL elements propagate
+    # to NULL in both engines already
+    norm = F.when(
+        F.size("embedding") > 0,
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
         ),
-        4,
     )
     per = embeddings.select("label", norm.alias("_nrm"))
     return per.groupBy("label").agg(

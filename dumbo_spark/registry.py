@@ -3336,7 +3336,7 @@ def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n,
              SUM(x) AS sx, SUM(x * x) AS sxx,
              SUM(y) AS sy, SUM(y * y) AS syy,
-             SUM(CAST(x AS DOUBLE) * y) AS sxy
+             SUM(x * y) AS sxy
       FROM j)
     SELECT CAST(n AS BIGINT) AS n_orders,
            CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) > 0

@@ -11,8 +11,11 @@ Run with the engine CLI:
     python -m dumbo_spark.cli run examples/verified_sketches.py \
         --output /tmp/sketch_report.parquet
 
-Every row is a named check with an `ok` boolean; the job exits clean
-only if the frame is all-true (the same booleans the registry's
+Every row is a named check with an `ok` boolean (NULL-hostile: a
+check whose boolean column is entirely NULL reads as failed, not
+vacuously true). Run as a script, the program exits non-zero if any
+check fails; under `cli run` the report frame is written and CI
+should gate on the `ok` column (the same booleans the registry's
 `_checked` queries hash against their DuckDB oracles each round).
 """
 
@@ -44,11 +47,15 @@ def main(spark: SparkSession) -> DataFrame:
     def rows(name: str, df: DataFrame, ok_cols: list[str]) -> DataFrame:
         ok = None
         for c in ok_cols:
-            ok = F.col(c) if ok is None else (ok & F.col(c))
+            # NULL booleans count as failures, never as vacuous passes
+            col = F.coalesce(F.col(c), F.lit(False))
+            ok = col if ok is None else (ok & col)
         return df.agg(
             F.lit(name).alias("check"),
             F.count("*").alias("n_rows"),
-            F.min(ok.cast("int")).cast("boolean").alias("ok"),
+            F.coalesce(F.min(ok.cast("int")).cast("boolean"), F.lit(False)).alias(
+                "ok"
+            ),
         )
 
     report = (
@@ -71,7 +78,14 @@ def main(spark: SparkSession) -> DataFrame:
 
 
 if __name__ == "__main__":
+    import sys
+
     from dumbo_spark.session import get_session
 
     spark = get_session("verified_sketches")
-    main(spark).show(truncate=False)
+    report = main(spark)
+    report.show(truncate=False)
+    failed = [r["check"] for r in report.collect() if not r["ok"]]
+    if failed:
+        print(f"sketch verification FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)

@@ -185,7 +185,6 @@ def main() -> None:
         "referential_integrity",
         "bpe_merge_candidates",
         "pca_top_component",
-        "streaming_sliding_1h_30m",
         "seasonal_anomalies",
         "quantile_transform",
         "vocab_indexer",
