@@ -230,6 +230,8 @@ HEADLINE = [
     "distinctive_tokens_by_lang",
     "event_mix_weekly_drift",
     "user_active_days_histogram",
+    "region_revenue_rollup",
+    "corpus_source_concentration",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

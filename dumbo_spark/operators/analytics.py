@@ -1460,3 +1460,33 @@ def tenure_value_buckets(orders: DataFrame) -> DataFrame:
         )
         .orderBy("tenure_bucket")
     )
+
+
+def region_revenue_rollup(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue by region with nation detail AND region subtotals in
+    one pass (ROLLUP(region, nation)) — the drill-down financial view;
+    the geographic sibling of rollup_counts' status×priority rollup.
+
+    The dims (customer→nation→region) broadcast onto the orders scan;
+    ROLLUP adds the subtotal rows without a second aggregate.
+
+    Output: (r_name, n_name, n_orders, revenue); NULL n_name rows are
+    region subtotals, the all-NULL row is the grand total.
+    """
+    j = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dmoney("o_totalprice")).cast("double").alias("revenue"),
+    )

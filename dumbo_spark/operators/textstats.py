@@ -939,3 +939,38 @@ def distinctive_tokens_by_lang(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def corpus_source_concentration(documents: DataFrame) -> DataFrame:
+    """How concentrated is the corpus across sources, in TOKENS (not
+    documents): per-source token share plus the corpus-level HHI
+    (Σ share² ×10000) repeated on every row — the "is one crawl
+    dominating the mix" number a data-governance review asks before
+    :func:`token_source_mi`'s finer per-token view.
+
+    Token counts are exact whitespace-token integers from one scan
+    projection; shares and the HHI divide/square exact longs.
+
+    Output: (source, n_docs, n_tokens, token_share, corpus_hhi).
+    """
+    per = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_t"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "token_share",
+        F.round(F.col("n_tokens").cast("double") / F.col("_t").cast("double"), 6),
+    )
+    hhi = shared.agg(
+        F.round(
+            F.sum(
+                F.pow(F.col("n_tokens").cast("double") / F.col("_t").cast("double"), 2)
+            )
+            * 10000.0,
+            4,
+        ).alias("corpus_hhi")
+    )
+    return shared.crossJoin(F.broadcast(hhi)).select(
+        "source", "n_docs", "n_tokens", "token_share", "corpus_hhi"
+    )

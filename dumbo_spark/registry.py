@@ -2956,6 +2956,65 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "region_revenue_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation revenue drill-down with subtotals
+    (analytics.region_revenue_rollup): broadcast dims + ROLLUP."""
+    return analytics.region_revenue_rollup(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "corpus_source_concentration",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len({DUCK_TOKENS})) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_tokens) AS tt FROM per),
+    shared AS (
+      SELECT source, n_docs, n_tokens,
+             ROUND(CAST(n_tokens AS DOUBLE) / (SELECT tt FROM t), 6)
+               AS token_share
+      FROM per),
+    h AS (
+      SELECT ROUND(SUM(POW(CAST(n_tokens AS DOUBLE)
+                           / (SELECT tt FROM t), 2)) * 10000.0, 4)
+               AS corpus_hhi
+      FROM per)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           token_share,
+           (SELECT corpus_hhi FROM h) AS corpus_hhi
+    FROM shared
+    """,
+)
+def q_corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted source concentration + corpus HHI
+    (textstats.corpus_source_concentration)."""
+    return textstats.corpus_source_concentration(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "event_mix_weekly_drift",
     oracle="""
     WITH cell AS (
@@ -6730,6 +6789,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "distinctive_tokens_by_lang",
     "event_mix_weekly_drift",
     "user_active_days_histogram",
+    "region_revenue_rollup",
+    "corpus_source_concentration",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
