@@ -232,6 +232,7 @@ HEADLINE = [
     "user_active_days_histogram",
     "region_revenue_rollup",
     "corpus_source_concentration",
+    "weekday_weekend_mix",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

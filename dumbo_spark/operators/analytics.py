@@ -1490,3 +1490,38 @@ def region_revenue_rollup(
         F.count("*").alias("n_orders"),
         F.sum(dmoney("o_totalprice")).cast("double").alias("revenue"),
     )
+
+
+def weekday_weekend_mix(orders: DataFrame) -> DataFrame:
+    """Monthly weekday/weekend order mix: order counts and revenue
+    split by day class per month — the staffing/traffic-mix view
+    (dow_hour_heatmap gives the raw grid; this gives the trended
+    split). One conditional-aggregate scan.
+
+    Output: (month, weekday_orders, weekend_orders, weekday_revenue,
+    weekend_revenue, weekend_share) ascending by month.
+    """
+    # Spark dayofweek: 1=Sunday..7=Saturday → weekend = {1, 7}
+    is_weekend = F.dayofweek("o_orderdate").isin(1, 7)
+    zero = F.lit(0).cast("decimal(18,2)")
+    v = dmoney("o_totalprice")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.when(~is_weekend, 1).otherwise(0)).alias("weekday_orders"),
+        F.sum(F.when(is_weekend, 1).otherwise(0)).alias("weekend_orders"),
+        F.sum(F.when(~is_weekend, v).otherwise(zero)).alias("_wd_rev"),
+        F.sum(F.when(is_weekend, v).otherwise(zero)).alias("_we_rev"),
+    )
+    return m.select(
+        "month",
+        "weekday_orders",
+        "weekend_orders",
+        F.col("_wd_rev").cast("double").alias("weekday_revenue"),
+        F.col("_we_rev").cast("double").alias("weekend_revenue"),
+        F.round(
+            F.col("weekend_orders").cast("double")
+            / (F.col("weekday_orders") + F.col("weekend_orders")).cast("double"),
+            6,
+        ).alias("weekend_share"),
+    ).orderBy("month")

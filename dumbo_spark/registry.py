@@ -2956,6 +2956,40 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekday_weekend_mix",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
+                                             AS DATE)) IN (0, 6)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS weekday_orders,
+           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
+                                             AS DATE)) IN (0, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
+                                             AS DATE)) IN (0, 6)
+                         THEN CAST(0 AS DECIMAL(18,2))
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS weekday_revenue,
+           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
+                                             AS DATE)) IN (0, 6)
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS weekend_revenue,
+           ROUND(CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate
+                                  AS TIMESTAMP) AS DATE)) IN (0, 6)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS weekend_share
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+def q_weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly weekday/weekend order and revenue mix
+    (analytics.weekday_weekend_mix); DuckDB dayofweek 0=Sun..6=Sat vs
+    Spark 1=Sun..7=Sat handled per engine."""
+    return analytics.weekday_weekend_mix(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "region_revenue_rollup",
     oracle="""
     SELECT r.r_name, n.n_name,
@@ -6791,6 +6825,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_active_days_histogram",
     "region_revenue_rollup",
     "corpus_source_concentration",
+    "weekday_weekend_mix",
     "join_anti",
     "join_broadcast_dim",
     "topk_per_group",
