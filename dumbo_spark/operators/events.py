@@ -1073,22 +1073,23 @@ def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
     # session has no endpoints, but its true concurrency is the carry
     # (ADVICE r4: endpoint-derived days silently dropped such days).
     # Fan-out is bounded by session length in days (gap-bounded).
-    days = sessions.select(
+    covered = sessions.select(
+        F.to_date(F.timestamp_micros(F.col("s_us"))).alias("start_day"),
         F.explode(
             F.sequence(
                 F.to_date(F.timestamp_micros(F.col("s_us"))),
                 F.to_date(F.timestamp_micros(F.col("e_us"))),
             )
-        ).alias("day")
-    ).distinct()
-    # carry: sessions open at each day's 00:00 (started before, end on
-    # or after the day) — |days| rows via a broadcast day list
+        ).alias("day"),
+    )
+    days = covered.select("day").distinct()
+    # carry: sessions open at each day's 00:00 — exactly the covered
+    # days after the session's start day, so it falls out of the same
+    # explode (fan-out bounded by session length, not the calendar;
+    # replaces the r5 sessions×days broadcast nested loop — VERDICT r5
+    # item 4).
     carry = (
-        sessions.crossJoin(F.broadcast(days))
-        .where(
-            (F.to_date(F.timestamp_micros(F.col("s_us"))) < F.col("day"))
-            & (F.to_date(F.timestamp_micros(F.col("e_us"))) >= F.col("day"))
-        )
+        covered.where(F.col("day") > F.col("start_day"))
         .groupBy("day")
         .agg(F.count("*").alias("_carry"))
     )

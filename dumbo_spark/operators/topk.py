@@ -119,15 +119,16 @@ def moving_avg_daily(orders: DataFrame, days: int = 7) -> DataFrame:
 def ntile_quartiles(customer: DataFrame) -> DataFrame:
     """NTILE bucketing + per-bucket profile (gap row).
 
-    Note the scale caveat: a global NTILE totally orders the input
-    through one task. This shape is for dimension-sized inputs; the
-    100 TB path is approxQuantile cut-points + a broadcast bucket join
-    (same output contract, sketch-bounded error).
+    Computed via :func:`global_ntile` (terasort-style range-partitioned
+    rank) — bit-exact SQL NTILE semantics with no single-task total
+    sort, so the same code is the 100 TB path. The (c_acctbal,
+    c_custkey) ordering is total, which NTILE exactness requires.
     """
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    quartiled = customer.select(
-        "c_acctbal", F.ntile(4).over(w).alias("quartile")
-    )
+    quartiled = global_ntile(
+        customer.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        k=4,
+    ).withColumnRenamed("ntile", "quartile")
     return quartiled.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         F.min("c_acctbal").alias("min_bal"),
@@ -264,21 +265,12 @@ def global_ntile(
 
 
 def bucketed_quartiles(customer: DataFrame) -> DataFrame:
-    """`ntile_quartiles`'s output contract computed the scale-safe way:
-    :func:`global_ntile` instead of a global window. Bit-exact vs the
-    NTILE oracle (total order via the c_custkey tie-break), but no
-    total sort through one task — this is the form a 100 TB run should
-    register."""
-    quartiled = global_ntile(
-        customer.select("c_acctbal", "c_custkey"),
-        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
-        k=4,
-    ).withColumnRenamed("ntile", "quartile")
-    return quartiled.groupBy("quartile").agg(
-        F.count("*").alias("n_customers"),
-        F.min("c_acctbal").alias("min_bal"),
-        F.max("c_acctbal").alias("max_bal"),
-    )
+    """Historical twin of :func:`ntile_quartiles` — kept as a separately
+    registered name for oracle-history continuity (it was the scale-safe
+    form while ntile_quartiles still used a global window; round 6
+    rewrote ntile_quartiles onto the same global_ntile machinery, so
+    both now share one implementation)."""
+    return ntile_quartiles(customer)
 
 
 def ntile_quartiles_by_segment(customer: DataFrame) -> DataFrame:
@@ -299,9 +291,9 @@ def ntile_quartiles_by_segment(customer: DataFrame) -> DataFrame:
 
 
 def percent_rank_by_segment(customer: DataFrame) -> DataFrame:
-    """Partitioned percent_rank/cume_dist — the scale-safe primary form
-    of :func:`percent_rank_balance` (global version kept as the
-    documented small-input shape)."""
+    """Partitioned percent_rank/cume_dist — the per-segment sibling of
+    :func:`percent_rank_balance` (whose global form now rides
+    global_rank, so both are scale-safe)."""
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
@@ -335,14 +327,25 @@ def percent_rank_balance(customer: DataFrame) -> DataFrame:
     absent in dumbo, where any global rank was a 1-reducer sort job).
 
     Both functions are count-ratio exact ((rank-1)/(n-1), rank/n) so
-    engines agree bit-for-bit after a stabilizing round. Global window
-    = one total sort; the realistic scaled use partitions by segment,
-    which `window_rank` already covers.
+    engines agree bit-for-bit after a stabilizing round. Computed via
+    :func:`global_rank` (range-partitioned exact rank): the ordering's
+    c_custkey tie-break makes it total, so there are no peers and
+    RANK == ROW_NUMBER == ``_rank``, giving
+    percent_rank = (_rank-1)/(_n-1) and cume_dist = _rank/_n exactly —
+    SQL-identical output with no single-task total sort, scale-safe as
+    written.
     """
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return customer.select(
+    ranked = global_rank(
+        customer.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.round(
+            (F.col("_rank") - 1)
+            / F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(F.lit(1)),
+            8,
+        ).alias("pct_rank"),
+        F.round(F.col("_rank") / F.col("_n"), 8).alias("cume"),
     )

@@ -2081,9 +2081,9 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bucketed_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same contract/oracle as ntile_quartiles, computed via
-    topk.global_ntile (range-repartition + offset join) — the
-    registered scale path; no single-task total sort."""
+    """Same contract/oracle as ntile_quartiles; since round 6 both
+    names share the global_ntile (range-repartition + offset join)
+    implementation — kept registered for oracle-history continuity."""
     return topk.bucketed_quartiles(load_table(spark, sf_dir, "customer"))
 
 

@@ -324,3 +324,30 @@ def test_frame_sample_prunes_payload_before_fanout(spark, sf_dir):
     assert s["exchanges"] == 0, "frame-offset fan-out is a narrow pass"
     assert s["python_evals"] == 0, "offset math is pure JVM arithmetic"
     assert "text" not in df.columns
+
+
+def test_peak_concurrency_no_nested_loop_carry(spark, sf_dir):
+    """The sessions-open-at-midnight carry must come from the covered-day
+    explode (fan-out bounded by session length), not a sessions×days
+    broadcast nested loop (VERDICT r5 item 4)."""
+    from dumbo_spark.operators.events import peak_concurrency
+
+    s = physical_summary(peak_concurrency(load_table(spark, sf_dir, "events")))
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert "CartesianProduct" not in s["plan"]
+    assert s["python_evals"] == 0
+
+
+def test_global_window_family_range_partitioned(spark, sf_dir):
+    """ntile_quartiles and percent_rank_balance now ride global_rank /
+    global_ntile: their plans must contain a range exchange and NO
+    empty-partitionBy window (single-task total sort) — the last
+    perf-weak family, retired in round 6 (VERDICT r5 item 3)."""
+    customer = load_table(spark, sf_dir, "customer")
+    for df in (topk.ntile_quartiles(customer), topk.percent_rank_balance(customer)):
+        plan = physical_summary(df)["plan"]
+        assert "rangepartitioning" in plan.lower()
+        # a global-window sort shows up as Window [...] ordered by the
+        # sort key with an empty partition spec; the rewrite windows
+        # only by _pid
+        assert "_pid" in plan
