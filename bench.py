@@ -311,14 +311,14 @@ def main() -> None:
         import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
+        # evidence_report.py writes EVIDENCE.md itself (atomic
+        # temp+rename) — stdout is never captured into the file, so
+        # incidental prints/warnings can't corrupt it (ADVICE r5)
         out = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "evidence_report.py")],
             capture_output=True, text=True, timeout=120, cwd=here,
         )
-        if out.returncode == 0 and out.stdout:
-            with open(os.path.join(here, "EVIDENCE.md"), "w") as f:
-                f.write(out.stdout)
-        else:
+        if out.returncode != 0:
             print(
                 f"evidence refresh failed rc={out.returncode}: "
                 f"{out.stderr[-300:]}",

@@ -98,11 +98,13 @@ def approx_distinct_checked(events: DataFrame) -> DataFrame:
     engine-specific, but the CLAIM about it — within 5% of exact — is
     a boolean an ANSI oracle can assert (the oracle computes exact and
     emits TRUE; a sketch drifting out of bounds flips the hash).
-    rsd=0.02 gives ~2.5σ of headroom under the 5% gate.
+    rsd=0.01 gives ~5σ of headroom under the 5% gate (ADVICE r5: the
+    earlier rsd=0.02 left only ~2.5σ, close enough for a fixture
+    regeneration or HLL seed change to flip the boolean).
 
     Output: (event_type, exact_users, n_events, within_5pct)."""
     est = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
@@ -124,11 +126,13 @@ def hll_rollup_checked(events: DataFrame) -> DataFrame:
     exact distinct — the oracle computes the exact count and day
     cardinality and asserts TRUE for the bound. Register-max merge is
     commutative and fixed-seed, so the boolean is run-stable.
+    lgConfigK=14 puts the sketch RSE at ~0.8%, ≥6σ under the 5% gate
+    (ADVICE r5: the lgK-12 default's ~1.6% RSE left only ~3σ).
 
     Output: (event_type, n_days, exact_users, within_5pct)."""
     daily = events.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
     merged = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
@@ -557,6 +561,13 @@ def grouped_exact_percentiles(
     ranked = r.join(F.broadcast(offsets), ["_pid", group_col]).withColumn(
         "_rank", F.col("_off") + F.row_number().over(w_in)
     )
+    # quantile targets in double: (n-1)*p+1 with floor/ceil is exact as
+    # long as the product is below 2^53 ulp-loss territory — for the
+    # p-grids used here (exact decimals ≤ 2 places) that holds for
+    # group counts up to ~2^45, far past any per-group cardinality this
+    # runs at; beyond that, compute lo/hi on integer rationals
+    # (round(p*100)·(n−1) divmod 100) as the weighted-quartile path
+    # does (ADVICE r5 bound note)
     n = F.col("_n").cast("double")
     targets = (
         base.groupBy(group_col)

@@ -195,6 +195,10 @@ def _ivf_index(embeddings: DataFrame, n_cells: int):
     vec = embeddings.select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
+    # KMeans.fit rejects k > |corpus|; clamp for tiny inputs. The probe
+    # is limit(n_cells).count() — it scans at most n_cells rows, so the
+    # check stays O(n_cells) even on a corpus-scale table
+    n_cells = max(1, min(n_cells, vec.limit(n_cells).count()))
     model = KMeans(k=n_cells, seed=42, maxIter=10).fit(vec)
     assigned = model.transform(vec).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
@@ -589,9 +593,10 @@ def knn_recall_checked(
     (VERDICT r4 #6 applied to LSH/IVF): exact brute-force top-k is the
     ground truth, and the LSH / IVF hit-rates against it must clear
     the same bounds the unit tests pin (0.5 / 0.3). The oracle derives
-    the exact-pair count combinatorially (min(n_queries, n) queries ×
-    min(k, n−1) neighbors) and asserts TRUE per bound — an index whose
-    recall collapses flips the hash.
+    the exact-pair count from the same pair definition (per query,
+    min(k, |candidates|) — exact for any input, since row_number ranks
+    every candidate row whatever its cosine) and asserts TRUE per
+    bound — an index whose recall collapses flips the hash.
 
     All three searches share the broadcast query side; the recall
     joins are |exact| rows. One output row.
@@ -660,7 +665,16 @@ def pca_top_component(
     import numpy as np
     import pandas as pd
 
-    d = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:
+        # empty-input contract (pinned for the rank/percentile/checked
+        # machinery in f909a7e; ADVICE r5 extended it here): an empty
+        # embeddings table yields an empty result, not a TypeError
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "pos int, loading_sq double, eigenvalue double"
+        )
+    d = len(first["embedding"])
 
     def gram_batches(batches):
         for pdf in batches:

@@ -3970,13 +3970,25 @@ def q_pagerank_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_recall_checked",
+    # The counts are derived from the same brute-force pair definition
+    # the Spark side uses (queries = vec_id < 8; candidates = every
+    # other vec_id; top-k keeps min(5, |candidates|) rows per query —
+    # exact for ANY input because row_number assigns a rank to every
+    # candidate row regardless of its cosine value, NaN/NULL included),
+    # not from a closed-form |table| product (ADVICE r5: the
+    # combinatorial LEAST(8,c)*LEAST(5,c-1) silently assumed every
+    # query sees a full candidate set).
     oracle="""
-    WITH n AS (SELECT COUNT(*) AS c FROM embeddings)
-    SELECT CAST(LEAST(8, c) AS BIGINT) AS n_queries,
-           CAST(LEAST(8, c) * LEAST(5, c - 1) AS BIGINT) AS n_exact_pairs,
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 8),
+    cnt AS (SELECT query_id, COUNT(*) AS c FROM cand GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COALESCE(SUM(LEAST(5, c)), 0) AS BIGINT) AS n_exact_pairs,
            TRUE AS lsh_recall_ok,
            TRUE AS ivf_recall_ok
-    FROM n
+    FROM cnt
     """,
 )
 def q_knn_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -534,7 +534,9 @@ def streaming_hourly_distinct_checked(spark: SparkSession, sf_dir: str) -> DataF
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            # rsd=0.01: ~5σ under the 5% relative gate (ADVICE r5);
+            # the ±3 absolute floor below covers single-digit windows
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
             F.count("*").alias("n_events"),
         )
         .select(

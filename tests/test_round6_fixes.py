@@ -1,0 +1,91 @@
+"""Round-6 fix pins (VERDICT r5 / ADVICE r5).
+
+- pca_top_component's empty-input contract (ADVICE #1)
+- the widened _checked sketch margins still hold on the fixtures
+  (ADVICE #3: rsd 0.02→0.01, HLL lgK→14)
+- knn_recall_checked's oracle-side count derivation matches the
+  operator on degenerate inputs (ADVICE #2)
+- evidence_report writes EVIDENCE.md itself, atomically (ADVICE #5)
+"""
+
+from __future__ import annotations
+
+
+def test_pca_top_component_empty_input(spark):
+    from dumbo_spark.operators.similarity import pca_top_component
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    out = pca_top_component(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["pos", "loading_sq", "eigenvalue"]
+
+
+def test_pca_top_component_nonempty_unchanged(spark):
+    import numpy as np
+    from dumbo_spark.operators.similarity import pca_top_component
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 4)
+    base[:, 0] *= 5.0  # dominant direction = axis 0
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["pos"]: r for r in pca_top_component(df).collect()}
+    assert len(out) == 4
+    # axis 0 dominates the top component's squared loading
+    assert out[0]["loading_sq"] > 0.8
+    assert out[0]["eigenvalue"] > 0
+
+
+def test_checked_sketches_hold_with_widened_margins(spark, sf_dir):
+    from dumbo_spark.operators.agg import approx_distinct_checked, hll_rollup_checked
+    from dumbo_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    for row in approx_distinct_checked(ev).collect():
+        assert row["within_5pct"], row
+    for row in hll_rollup_checked(ev).collect():
+        assert row["within_5pct"], row
+
+
+def test_knn_recall_checked_counts_from_pair_definition(spark):
+    """With only 3 vectors (fewer than k=5 candidates each), the
+    operator emits 3 queries × 2 candidates = 6 exact pairs — the count
+    the data-derived oracle now reproduces and the old combinatorial
+    LEAST(8,c)*LEAST(5,c-1) formula also happened to give; the real
+    divergence risk was fixture drift, so pin the data-derived shape."""
+    import numpy as np
+    from dumbo_spark.operators.similarity import knn_recall_checked
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(64)], i % 2) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_recall_checked(df).collect()[0]
+    assert out["n_queries"] == 3
+    assert out["n_exact_pairs"] == 6
+
+
+def test_evidence_report_writes_file_atomically(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    target = os.path.join(repo, "EVIDENCE.md")
+    before = open(target).read() if os.path.exists(target) else None
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "evidence_report.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    # report lands in the file, not stdout
+    assert r.stdout == ""
+    content = open(target).read()
+    assert content.startswith("# EVIDENCE")
+    assert "Totals:" in content
+    if before is not None:
+        with open(target, "w") as f:
+            f.write(before)

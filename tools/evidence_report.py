@@ -5,7 +5,12 @@ round last sampled it (CORRECTNESS_r*.json), and what that row said —
 the table the per-round audit otherwise reconstructs by hand. Run
 after a driver round lands:
 
-    python tools/evidence_report.py > EVIDENCE.md
+    python tools/evidence_report.py        # writes EVIDENCE.md itself
+
+The script writes the file atomically (temp + rename) rather than
+relying on a caller capturing stdout — ADVICE r5: bench.py's old
+stdout-capture path would have silently corrupted EVIDENCE.md if any
+incidental print/warning ever joined the report on stdout.
 """
 
 from __future__ import annotations
@@ -15,28 +20,30 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
-def main() -> None:
+def build_report() -> str:
     from dumbo_spark.registry import QUERIES
 
     rounds: dict[str, dict] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = path.split("_r")[1].split(".")[0]
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[1].split(".")[0]
         with open(path) as f:
             rounds[rnd] = json.load(f)
 
-    print("# EVIDENCE — external correctness rows per query\n")
-    print(
+    lines: list[str] = []
+    lines.append("# EVIDENCE — external correctness rows per query\n")
+    lines.append(
         f"{len(QUERIES)} registered queries; driver rounds seen: "
         f"{', '.join('r' + r for r in rounds)}. 'latest row' is the most "
         "recent driver sample; queries without one are locally "
         "oracle-verified only (tests/test_differential.py) and queue in "
         "_DRIVER_PRIORITY for the next rotation.\n"
     )
-    print("| query | oracle | latest row | verdict |")
-    print("|---|---|---|---|")
+    lines.append("| query | oracle | latest row | verdict |")
+    lines.append("|---|---|---|---|")
     counts = {"full": 0, "rows_only": 0, "never": 0, "fail": 0}
     for name in sorted(QUERIES):
         has_oracle = QUERIES[name].oracle is not None
@@ -64,14 +71,25 @@ def main() -> None:
             else:
                 verdict = "FAIL"
                 counts["fail"] += 1
-        print(
+        lines.append(
             f"| {name} | {'✓' if has_oracle else 'rows-only'} | {row} | {verdict} |"
         )
-    print(
+    lines.append(
         f"\nTotals: {counts['full']} full external passes, "
         f"{counts['rows_only']} rows-only by design, {counts['fail']} "
         f"failed/errored latest rows, {counts['never']} not yet sampled."
     )
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    report = build_report()
+    target = os.path.join(_REPO, "EVIDENCE.md")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(report)
+    os.replace(tmp, target)
+    print(f"wrote {target} ({report.count(chr(10))} lines)", file=sys.stderr)
 
 
 if __name__ == "__main__":
