@@ -339,6 +339,71 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("click_id") >= 0)
 
 
+def streaming_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join fed an AT-LEAST-ONCE purchase replay
+    (windows.py::click_purchase_stream_left_join_dedup, VERDICT r5
+    #7): every purchase half is delivered TWICE in consecutive
+    micro-batches; dropDuplicatesWithinWatermark in front of the join
+    makes the settled output identical to the exactly-once run — the
+    batch LEFT JOIN oracle, unchanged.
+
+    Redelivery correctness, by construction: a duplicate copy lands
+    one micro-batch after its original, when the purchase watermark is
+    max(ts of the half) − 2h. Duplicates younger than that are caught
+    by dedup STATE (key still resident — eviction needs the watermark
+    to pass ts + 2h); older ones are dropped by the WATERMARK itself.
+    Either path removes the copy, and no FIRST delivery is ever late
+    (each half's minimum ts exceeds the previous half's watermark), so
+    exactly the distinct purchase set reaches the join. Sentinel files
+    as in streaming_attribution_outer drive the final watermark past
+    every click's window so null rows settle.
+    """
+    from datetime import timedelta
+
+    from dumbo_spark.streaming.windows import click_purchase_stream_left_join_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    base = _scratch_dir(prefix="dumbo_spark_attrd_")
+    sides = {}
+    for side, etype, copies in (("clicks", "click", 1), ("purchases", "purchase", 2)):
+        d = os.path.join(base, side)
+        os.makedirs(d)
+        part = ev.where(F.col("event_type") == etype)
+        seq = 0
+        for half in (
+            part.where(F.col("ts") <= F.lit(mid)),
+            part.where(F.col("ts") > F.lit(mid)),
+        ):
+            for _ in range(copies):
+                half.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(d, f"f{seq}.parquet")
+                )
+                seq += 1
+        for days in (30, 60):
+            sent = (
+                ev.limit(1)
+                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
+                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"f{seq}_sentinel.parquet")
+            )
+            seq += 1
+        sides[side] = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+    joined = click_purchase_stream_left_join_dedup(
+        sides["clicks"], sides["purchases"]
+    )
+    out = _run_to_memory(joined, "q_streaming_attr_dedup_sink", mode="append")
+    return out.where(F.col("click_id") >= 0)
+
+
 def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-burst detection as a TRUE stream: the error-filtered event
     stream through ``session_window`` (30-minute gap) with a HAVING-≥2

@@ -199,3 +199,60 @@ def click_purchase_stream_left_join(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def click_purchase_stream_left_join_dedup(
+    clicks: DataFrame, purchases: DataFrame,
+    watermark: str = "2 hours", within_minutes: int = 30,
+) -> DataFrame:
+    """:func:`click_purchase_stream_left_join` hardened for an
+    AT-LEAST-ONCE purchase feed (VERDICT r5 #7): the purchase side
+    passes through ``dropDuplicatesWithinWatermark`` before the outer
+    interval join, so redelivered purchase events (retried producers,
+    replayed partitions — the normal failure mode of a real event bus)
+    join exactly once instead of fanning out duplicate attribution
+    rows.
+
+    Why ``dropDuplicatesWithinWatermark`` and not ``dropDuplicates``:
+    plain streaming dropDuplicates keeps EVERY seen key in state
+    forever (unbounded at 100 TB/day); the within-watermark form
+    evicts a key once the watermark passes its event time + delay, so
+    dedup state is bounded by (rate × delay) — and a redelivery
+    arriving later than the watermark delay is late data by
+    definition, already dropped by the watermark itself. Two chained
+    stateful operators (dedup → symmetric-hash outer join) are legal
+    in append mode because both are watermark-bounded.
+
+    Settled output on a duplicated replay equals the batch LEFT JOIN
+    against the DISTINCT purchase set — streaming_attribution_outer's
+    oracle verbatim, which is the point: duplication upstream, none
+    downstream.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+        .dropDuplicatesWithinWatermark(["purchase_id"])
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

@@ -152,3 +152,21 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     cols = ["user_id", "click_id", "purchase_id", "lag_us"]
     assert len(got.collect()) > 0, "fixture must produce at least one attribution"
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_attribution_dedup_matches_outer_despite_redelivery(spark, sf_dir):
+    """The at-least-once replay (every purchase half delivered twice)
+    through dropDuplicatesWithinWatermark + outer interval join must
+    settle to the same rows as the exactly-once outer runner."""
+    from dumbo_spark.streaming.runners import streaming_attribution_dedup
+
+    out = streaming_attribution_dedup(spark, sf_dir)
+    # no duplicate attribution rows despite double delivery
+    assert out.count() == out.dropDuplicates(["click_id", "purchase_id"]).count()
+    # every click surfaces exactly as in the batch left join
+    from dumbo_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").count()
+    assert out.select("click_id").distinct().count() == clicks
