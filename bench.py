@@ -233,6 +233,13 @@ HEADLINE = [
     "region_revenue_rollup",
     "corpus_source_concentration",
     "weekday_weekend_mix",
+    # round-6 additions (streaming_attribution_dedup/_full excluded:
+    # they time replay writes, not operator throughput)
+    "simhash_recall_checked",
+    "semantic_dedup_checked",
+    "training_mix_epochs",
+    "linenumber_density_check",
+    "interval_coverage_daily",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1525,3 +1525,61 @@ def weekday_weekend_mix(orders: DataFrame) -> DataFrame:
             6,
         ).alias("weekend_share"),
     ).orderBy("month")
+
+
+def auc_roc_exact(orders: DataFrame) -> DataFrame:
+    """EXACT tie-corrected ROC-AUC of a score against a binary label —
+    the Mann-Whitney U identity (AUC = P(score⁺ > score⁻) + ½P(tie)),
+    the evaluation metric every ranking/quality model ships with.
+    Demonstrated on orders (label = finalized status, score = order
+    total), but the shape is generic: any (score, label) pair.
+
+    Rank statistics without a global sort: rows rank via the
+    range-partitioned exact rank (sampling.exact_global_rank —
+    terasort machinery, safe for any score cardinality); tie
+    correction needs only per-distinct-score (min_rank, max_rank,
+    count, positives) because equal scores occupy a CONTIGUOUS rank
+    block, so the tie-averaged rank is (min+max)/2 — one groupBy after
+    the rank pass, everything else is scalar aggregation:
+
+        AUC = (Σ⁺ avg_rank − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    All inputs to the final ratio are exact longs/halves, so the 6dp
+    round is engine-stable.
+
+    Output: (n_pos, n_neg, auc) — one row.
+    """
+    scored = orders.select(
+        dmoney("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("_id"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    from dumbo_spark.operators.sampling import exact_global_rank
+
+    ranked = exact_global_rank(scored, "score", "_id", ascending=True)
+    per_score = ranked.groupBy("score").agg(
+        F.min("_rank").alias("_mn"),
+        F.max("_rank").alias("_mx"),
+        F.sum("y").alias("_pos"),
+        F.count("*").alias("_c"),
+    )
+    agg = per_score.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_c") - F.col("_pos")).alias("n_neg"),
+        F.sum(
+            F.col("_pos").cast("double")
+            * (F.col("_mn") + F.col("_mx")).cast("double")
+            / 2.0
+        ).alias("_s_pos"),
+    )
+    auc = (
+        F.col("_s_pos")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double") / 2.0
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), 6).alias(
+            "auc"
+        ),
+    )

@@ -252,3 +252,41 @@ def order_total_consistency(
             6,
         ).alias("consistency_rate"),
     )
+
+
+def linenumber_density_check(lineitem: DataFrame) -> DataFrame:
+    """Dense-sequence integrity check: every order's line numbers must
+    form exactly 1..n (no gaps, no duplicates, no zero/negative ids) —
+    the DQ shape behind "did an upstream writer drop or double-write a
+    child row", which referential/total checks cannot see (a dropped
+    line 3 of 5 keeps the FK valid and may keep totals plausible).
+
+    The whole check folds into one partial-agg pass per order:
+    a dense 1..n sequence is EQUIVALENT to (min = 1) ∧ (max = n) ∧
+    (count distinct = n) — no sort, no window, no self-join. The
+    report aggregates violations by kind so the output is k rows,
+    corpus-size independent.
+
+    Output: (seq_check, n_orders) — one row per violation class plus
+    the 'dense_ok' row counting clean orders.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("l_linenumber").alias("_nd"),
+        F.min("l_linenumber").alias("_mn"),
+        F.max("l_linenumber").alias("_mx"),
+    )
+    ok = (F.col("_mn") == 1) & (F.col("_mx") == F.col("_n")) & (
+        F.col("_nd") == F.col("_n")
+    )
+    cls = (
+        F.when(F.col("_nd") != F.col("_n"), F.lit("duplicate_linenumber"))
+        .when(F.col("_mn") < 1, F.lit("nonpositive_linenumber"))
+        .when(ok, F.lit("dense_ok"))
+        .otherwise(F.lit("gapped_sequence"))
+    )
+    return (
+        per_order.select(cls.alias("seq_check"))
+        .groupBy("seq_check")
+        .agg(F.count("*").alias("n_orders"))
+    )

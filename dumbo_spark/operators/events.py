@@ -1422,3 +1422,73 @@ def user_active_days_histogram(events: DataFrame) -> DataFrame:
         )
         .orderBy("n_active_days")
     )
+
+
+def interval_coverage_daily(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Per-day UNION-of-intervals coverage: how many microseconds of
+    each day had at least one session open — the utilization complement
+    of :func:`peak_concurrency` (peak answers "how many at once",
+    coverage answers "for how long at all", the SLA/occupancy number).
+    Overlapping sessions must not double-count, so this is the classic
+    merge-overlapping-intervals sweep, not a sum of durations.
+
+    Shape: sessionize (shared gap-islands core) → explode each session
+    onto its covered days (fan-out bounded by session length) → clip to
+    day boundaries → per-day island merge (ordered window over ONE
+    day's intervals — bounded by a day's session count, the
+    peak_concurrency argument) → island spans summed per day.
+    Single-event sessions span 0 µs and contribute nothing; days no
+    session touches don't appear (coverage 0).
+
+    Output: (day, covered_us, n_intervals) ascending by day.
+    """
+    sessions = (
+        assign_sessions(events.select("user_id", "event_id", "ts"), gap_min)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    covered = sessions.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros(F.col("s_us"))),
+                F.to_date(F.timestamp_micros(F.col("e_us"))),
+            )
+        ).alias("day"),
+    )
+    day_start = F.unix_micros(F.col("day").cast("timestamp"))
+    day_end = F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp"))
+    clipped = covered.select(
+        "day",
+        F.greatest(F.col("s_us"), day_start).alias("cs"),
+        F.least(F.col("e_us"), day_end).alias("ce"),
+    ).where(F.col("ce") > F.col("cs"))
+    w = Window.partitionBy("day").orderBy("cs", "ce")
+    prev_max = F.max("ce").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = clipped.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("cs") > prev_max), 1).otherwise(0)
+    ).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = flagged.groupBy("day", "_isl").agg(
+        (F.max("ce") - F.min("cs")).alias("_span")
+    )
+    return (
+        islands.groupBy("day")
+        .agg(
+            F.sum("_span").alias("covered_us"),
+            F.count("*").alias("n_intervals"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "covered_us",
+            "n_intervals",
+        )
+        .orderBy("day")
+    )

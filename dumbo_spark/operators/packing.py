@@ -124,3 +124,62 @@ def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+def training_mix_epochs(
+    documents: DataFrame,
+    budget_tokens: int = 2_000_000,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Data-mixture planning table: given a total training-token
+    budget and target per-source mix weights, how many EPOCHS
+    (repetitions) of each source does the plan imply? The table every
+    LLM run publishes next to its corpus recipe (epochs > 1 = the
+    source is repeated, < 1 = subsampled) — the planning complement of
+    :func:`token_budget_sample` (which CUTS to a budget) and
+    sampling.source_mix_rebalance (which rebalances doc counts, not
+    tokens).
+
+    epochs_s = (budget · w_s / Σw) / available_tokens_s, 6dp.
+
+    Scale: one partial-agg token count per source (|sources| rows), a
+    broadcast weight lookup, pure arithmetic after — a single shuffle
+    of k rows regardless of corpus size.
+
+    Output: (source, n_docs, available_tokens, target_tokens, epochs)
+    ordered by source.
+    """
+    weights = weights or {}
+    avail = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_n_tokens()).alias("available_tokens"),
+    )
+    if weights:
+        w_col = F.coalesce(
+            *[
+                F.when(F.col("source") == s, F.lit(float(w)))
+                for s, w in weights.items()
+            ],
+            F.lit(0.0),
+        )
+    else:  # default: uniform across observed sources
+        w_col = F.lit(1.0)
+    tot_w = avail.select(w_col.alias("_w")).agg(F.sum("_w").alias("_tw"))
+    return (
+        avail.crossJoin(F.broadcast(tot_w))
+        .select(
+            "source",
+            "n_docs",
+            "available_tokens",
+            F.round(
+                F.lit(float(budget_tokens)) * w_col / F.col("_tw"), 4
+            ).alias("target_tokens"),
+            F.round(
+                F.lit(float(budget_tokens))
+                * w_col
+                / F.col("_tw")
+                / F.col("available_tokens").cast("double"),
+                6,
+            ).alias("epochs"),
+        )
+    )

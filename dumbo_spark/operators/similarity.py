@@ -383,6 +383,53 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def semantic_dedup_checked(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """:func:`semantic_dedup`'s cluster semantics with a FULL value
+    oracle (completing the `_checked` tier, round 6): pairs come from
+    the EXACT brute-force cosine join (rounded 6dp, ≥ ``threshold``)
+    instead of LSH buckets, so an ANSI oracle can recompute every pair
+    (list_dot_product) and close them with a recursive-CTE connected
+    components — cluster ids, keeper flags and sizes all hash-checked.
+
+    Threshold 0.4 (not semantic_dedup's 0.95) because the fixture
+    embeddings are near-isotropic (measured max pairwise cosine 0.513;
+    59 pairs ≥ 0.4) — at 0.95 the check would be vacuously empty. The
+    brute-force O(n²) pair join is deliberate here: this is the AUDIT
+    twin that verifies the clustering machinery at verification scale;
+    the production 100 TB path remains :func:`semantic_dedup`'s
+    LSH-bucketed candidates.
+
+    Output: (vec_id, cluster_id, is_keeper, cluster_size).
+    """
+    from dumbo_spark.operators.dedup import connected_components
+
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        "cluster_size",
+    )
+
+
 def _centroid_vectors(embeddings: DataFrame) -> DataFrame:
     """(label, cvec) per-label centroid arrays: 4dp-rounded components
     (the engine-stable :func:`embedding_centroids` convention)

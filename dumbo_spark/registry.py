@@ -4031,6 +4031,79 @@ def q_dedup_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_recall_checked",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) FILTER (
+             WHERE 10 * c >= 9 * (sa.n + sb.n - c)) AS BIGINT)
+             AS n_exact_pairs,
+           TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    """,
+)
+def q_simhash_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded-candidate recall vs the exact PPJoin pair set at
+    Jaccard ≥ 0.9 as an oracle-checked boolean
+    (dedup.simhash_recall_checked) — completes the `_checked` tier:
+    every probabilistic dedup/ANN/sketch op now has an externally
+    verifiable claim."""
+    return dedup.simhash_recall_checked(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "semantic_dedup_checked",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(
+              list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])))),
+              6) >= 0.4),
+    edges AS (SELECT va AS src, vb AS dst FROM p
+              UNION ALL SELECT vb, va FROM p),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
+    cc AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+    SELECT cc.vec_id, cc.cluster_id,
+           cc.vec_id = cc.cluster_id AS is_keeper, sz.cluster_size
+    FROM cc JOIN sz USING (cluster_id)
+    """,
+)
+def q_semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster semantics with a FULL value oracle
+    (similarity.semantic_dedup_checked): exact brute-force cosine
+    pairs at ≥ 0.4 closed by iterative connected components, re-run
+    level-by-level in DuckDB's recursive CTE — cluster ids, keeper
+    flags and sizes hash-checked. The LSH-bucketed semantic_dedup
+    remains the registered 100 TB path (rows-only by design)."""
+    return similarity.semantic_dedup_checked(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
     "streaming_hourly_distinct_checked",
     oracle="""
     SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
@@ -4500,6 +4573,30 @@ def q_streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_attribution_full",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join (streaming/runners.py::
+    streaming_attribution_full): unmatched clicks and organic
+    purchases both emitted after watermark expiry; settled availableNow
+    output equals the batch FULL JOIN oracle bit-for-bit."""
+    from dumbo_spark.streaming.runners import streaming_attribution_full
+
+    return streaming_attribution_full(spark, sf_dir)
+
+
+@register(
     "streaming_attribution_dedup",
     oracle="""
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
@@ -4848,6 +4945,29 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.token_budget_sample(
         load_table(spark, sf_dir, "documents"), budget=600, buckets=8
     )
+
+
+@register(
+    "training_mix_epochs",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source),
+    tw AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_w FROM avail)
+    SELECT source, n_docs, available_tokens,
+           ROUND(2000000.0 * 1.0 / total_w, 4) AS target_tokens,
+           ROUND(2000000.0 * 1.0 / total_w
+                 / CAST(available_tokens AS DOUBLE), 6) AS epochs
+    FROM avail, tw
+    """,
+)
+def q_training_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning table (packing.training_mix_epochs):
+    per-source epochs/repeat factors implied by a 2M-token budget at
+    uniform target weights — one k-row partial-agg shuffle plus
+    broadcast arithmetic, corpus-size-independent."""
+    return packing.training_mix_epochs(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -6326,6 +6446,131 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(edges).select(
         F.col("doc_id").alias("name"), F.col("cluster_id").alias("canonical_name")
     )
+
+
+@register(
+    "auc_roc_exact",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    ps AS (SELECT score, SUM(y) AS pos, COUNT(*) AS c FROM s GROUP BY score),
+    w AS (
+      SELECT score, pos, c,
+             SUM(c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ps),
+    t AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c - pos) AS BIGINT) AS n_neg,
+             SUM(CAST(pos AS DOUBLE) * (2 * cum - c + 1) / 2.0) AS s_pos
+      FROM w)
+    SELECT n_pos, n_neg,
+           ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN (s_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                 END, 6) AS auc
+    FROM t
+    """,
+)
+def q_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC via the Mann-Whitney rank identity
+    (analytics.auc_roc_exact): range-partitioned exact rank, per-score
+    contiguous-block tie averaging, scalar ratio — the oracle's single
+    global window over DISTINCT scores is the semantic spec; the Spark
+    plan never totals-orders rows in one task."""
+    return analytics.auc_roc_exact(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "linenumber_density_check",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n,
+             COUNT(DISTINCT l_linenumber) AS nd,
+             MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+      FROM lineitem GROUP BY 1)
+    SELECT CASE WHEN nd <> n THEN 'duplicate_linenumber'
+                WHEN mn < 1 THEN 'nonpositive_linenumber'
+                WHEN mn = 1 AND mx = n THEN 'dense_ok'
+                ELSE 'gapped_sequence' END AS seq_check,
+           COUNT(*) AS n_orders
+    FROM per_order GROUP BY 1
+    """,
+)
+def q_linenumber_density_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-sequence integrity check (dq.linenumber_density_check):
+    every order's line numbers must be exactly 1..n — dropped or
+    double-written child rows that FK and total checks cannot see.
+    One partial-agg pass; k-row output."""
+    return dq.linenumber_density_check(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "interval_coverage_daily",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sess0 AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sid,
+             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS e_us
+      FROM sess0 GROUP BY user_id, sid),
+    covered AS (
+      SELECT CAST(gs.d AS DATE) AS day, s.s_us, s.e_us
+      FROM sessions s,
+           UNNEST(generate_series(CAST(make_timestamp(s.s_us) AS DATE),
+                                  CAST(make_timestamp(s.e_us) AS DATE),
+                                  INTERVAL 1 DAY)) AS gs(d)),
+    clipped AS (
+      SELECT day,
+             GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS cs,
+             LEAST(e_us, epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS ce
+      FROM covered
+      WHERE LEAST(e_us, epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+            > GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP)))),
+    marked AS (
+      SELECT day, cs, ce,
+             CASE WHEN MAX(ce) OVER (PARTITION BY day ORDER BY cs, ce
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                  OR cs > MAX(ce) OVER (PARTITION BY day ORDER BY cs, ce
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM clipped),
+    islands AS (
+      SELECT day, cs, ce,
+             SUM(new_isl) OVER (PARTITION BY day ORDER BY cs, ce
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM marked),
+    spans AS (
+      SELECT day, isl, MAX(ce) - MIN(cs) AS span
+      FROM islands GROUP BY day, isl)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(SUM(span) AS BIGINT) AS covered_us,
+           COUNT(*) AS n_intervals
+    FROM spans GROUP BY day
+    """,
+)
+def q_interval_coverage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day union-of-intervals session coverage
+    (events.interval_coverage_daily): merge-overlapping-intervals
+    sweep per day on the shared gap-islands sessionizer — the
+    occupancy complement of peak_concurrency."""
+    return events.interval_coverage_daily(load_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -256,3 +256,47 @@ def click_purchase_stream_left_join_dedup(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def click_purchase_stream_full_join(
+    clicks: DataFrame, purchases: DataFrame,
+    watermark: str = "2 hours", within_minutes: int = 30,
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join-type
+    matrix (inner → left outer → full outer): unmatched clicks emit
+    null purchase columns AND unattributed purchases (no qualifying
+    click before them) emit null click columns, each once its side's
+    watermark proves the interval closed empty. The operational read:
+    the null-click rows are "organic purchases", a number attribution
+    pipelines must report, not drop.
+
+    Same bounded state as the one-sided forms (rate × (delay +
+    window)); null emission trails the watermark on BOTH sides, so an
+    availableNow replay needs sentinels on both streams (the runner
+    provides them). Batch twin: FULL JOIN with the identical interval
+    condition.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "fullOuter").select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

@@ -1,0 +1,176 @@
+"""Round-6 breadth operators: checked-tier completion (simhash,
+semantic), mixture planning, dense-sequence DQ, interval coverage,
+full-outer streaming attribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumbo_spark.sources.catalog import load_table
+
+
+def test_simhash_recall_checked_bound_holds(spark, sf_dir):
+    from dumbo_spark.operators.dedup import simhash_recall_checked
+
+    row = simhash_recall_checked(load_table(spark, sf_dir, "documents")).collect()[0]
+    assert row["n_exact_pairs"] > 0
+    assert row["recall_ok"]
+
+
+def test_simhash_recall_checked_flags_broken_bands(spark):
+    """Identical docs (Jaccard 1.0, Hamming 0) must be caught; a
+    corpus of unrelated docs yields zero exact pairs (trivially ok)."""
+    from dumbo_spark.operators.dedup import simhash_recall_checked
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "a", 60),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en", "b", 60),
+        (3, "completely different text about spark query engines at scale", "en", "a", 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = simhash_recall_checked(df).collect()[0]
+    assert row["n_exact_pairs"] == 1 and row["recall_ok"]
+
+
+def test_semantic_dedup_checked_clusters(spark):
+    """Three near-identical vectors + one orthogonal: one 3-cluster
+    with min-id keeper, the loner absent from the output."""
+    from dumbo_spark.operators.similarity import semantic_dedup_checked
+
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0], 0),
+        (11, [0.99, 0.1, 0.0, 0.0], 0),
+        (12, [0.98, 0.15, 0.0, 0.0], 0),
+        (99, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in semantic_dedup_checked(df, threshold=0.9).collect()}
+    assert set(out) == {10, 11, 12}
+    assert all(r["cluster_id"] == 10 and r["cluster_size"] == 3 for r in out.values())
+    assert out[10]["is_keeper"] and not out[11]["is_keeper"]
+
+
+def test_training_mix_epochs_uniform(spark, sf_dir):
+    from dumbo_spark.operators.packing import training_mix_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = training_mix_epochs(docs, budget_tokens=1000).collect()
+    k = len(out)
+    for r in out:
+        assert abs(r["target_tokens"] - 1000.0 / k) < 1e-6
+        assert abs(r["epochs"] - (1000.0 / k) / r["available_tokens"]) < 1e-4
+
+
+def test_training_mix_epochs_weighted(spark):
+    from dumbo_spark.operators.packing import training_mix_epochs
+
+    rows = [(1, "a b c d", "en", "s1", 7), (2, "e f", "en", "s2", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["source"]: r
+        for r in training_mix_epochs(
+            df, budget_tokens=100, weights={"s1": 3.0, "s2": 1.0}
+        ).collect()
+    }
+    assert out["s1"]["target_tokens"] == 75.0 and out["s2"]["target_tokens"] == 25.0
+    assert abs(out["s1"]["epochs"] - 75.0 / 4) < 1e-6
+    assert abs(out["s2"]["epochs"] - 25.0 / 2) < 1e-6
+
+
+def test_linenumber_density_check_classes(spark):
+    from dumbo_spark.operators.dq import linenumber_density_check
+
+    rows = (
+        # order 1: dense 1..3
+        [(1, i) for i in (1, 2, 3)]
+        # order 2: gap (1,3)
+        + [(2, 1), (2, 3)]
+        # order 3: duplicate (1,1,2)
+        + [(3, 1), (3, 1), (3, 2)]
+        # order 4: nonpositive (0,1)
+        + [(4, 0), (4, 1)]
+    )
+    df = spark.createDataFrame(rows, "l_orderkey long, l_linenumber int")
+    out = {r["seq_check"]: r["n_orders"] for r in linenumber_density_check(df).collect()}
+    assert out == {
+        "dense_ok": 1,
+        "gapped_sequence": 1,
+        "duplicate_linenumber": 1,
+        "nonpositive_linenumber": 1,
+    }
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    """Two overlapping sessions by different users must count their
+    union once; a disjoint later session adds its own span."""
+    from datetime import datetime
+
+    from dumbo_spark.operators.events import interval_coverage_daily
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # user 1: session 10:00-11:00 (every gap <= 30 min)
+        (1, 1, ts(10, 0)), (2, 1, ts(10, 20)), (3, 1, ts(10, 45)), (4, 1, ts(11, 0)),
+        # user 2: session 10:30-11:30 (overlaps user 1's)
+        (5, 2, ts(10, 30)), (6, 2, ts(10, 55)), (7, 2, ts(11, 20)), (8, 2, ts(11, 30)),
+        # user 3: disjoint 14:00-14:10
+        (9, 3, ts(14, 0)), (10, 3, ts(14, 10)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = interval_coverage_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # union = 10:00-11:30 (90 min) + 14:00-14:10 (10 min)
+    assert r["covered_us"] == 100 * 60 * 1_000_000
+    assert r["n_intervals"] == 2
+
+
+def test_streaming_attribution_full_organic_purchases(spark, sf_dir):
+    """The full-outer runner must emit null-click rows for organic
+    purchases on top of the left-join rows."""
+    from dumbo_spark.streaming.runners import streaming_attribution_full
+
+    out = streaming_attribution_full(spark, sf_dir)
+    assert out.where(F.col("click_id").isNull()).count() > 0
+    assert out.where(F.col("purchase_id").isNull()).count() > 0
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").count()
+    assert out.where(F.col("click_id").isNotNull()).select(
+        "click_id"
+    ).distinct().count() == clicks
+
+
+def test_auc_roc_exact_known_values(spark):
+    """Hand-computable case with a tie: scores pos={3,2}, neg={2,1}.
+    Pairs: (3,2)+1, (3,1)+1, (2,2)+.5, (2,1)+1 → AUC = 3.5/4 = 0.875."""
+    from dumbo_spark.operators.analytics import auc_roc_exact
+
+    rows = [
+        (1, "F", 3.0),
+        (2, "F", 2.0),
+        (3, "O", 2.0),
+        (4, "O", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    r = auc_roc_exact(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert abs(r["auc"] - 0.875) < 1e-9
+
+
+def test_auc_roc_exact_degenerate_single_class(spark):
+    from dumbo_spark.operators.analytics import auc_roc_exact
+
+    df = spark.createDataFrame(
+        [(1, "F", 1.0), (2, "F", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    r = auc_roc_exact(df).collect()[0]
+    assert r["n_neg"] == 0 and r["auc"] is None
