@@ -196,6 +196,17 @@ def main() -> None:
         "embedding_norm_stats",
         "order_cadence",
         "churn_risk_buckets",
+        # round-6 additions (streaming runners excluded as before).
+        # semantic_dedup_checked is NOT smoked: its brute-force pair
+        # join is the documented audit twin (O(n²) by design, run at
+        # verification scale); the 10× scale path is semantic_dedup.
+        "ntile_quartiles",
+        "percent_rank_balance",
+        "simhash_recall_checked",
+        "training_mix_epochs",
+        "linenumber_density_check",
+        "interval_coverage_daily",
+        "auc_roc_exact",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
