@@ -234,12 +234,18 @@ HEADLINE = [
     "corpus_source_concentration",
     "weekday_weekend_mix",
     # round-6 additions (streaming_attribution_dedup/_full excluded:
-    # they time replay writes, not operator throughput)
+    # they time replay writes, not operator throughput;
+    # semantic_dedup_checked excluded: its brute-force O(n²) pair join
+    # is the documented AUDIT twin — 54s at sf0.1 measured, intrinsic
+    # to the design, verified at sf0.01 by the correctness harness)
     "simhash_recall_checked",
-    "semantic_dedup_checked",
     "training_mix_epochs",
     "linenumber_density_check",
     "interval_coverage_daily",
+    "auc_roc_exact",
+    "theil_sen_trend",
+    "clustering_coefficient",
+    "ngram_novelty_rate",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1583,3 +1583,53 @@ def auc_roc_exact(orders: DataFrame) -> DataFrame:
             "auc"
         ),
     )
+
+
+def theil_sen_trend(orders: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: slope = MEDIAN of all
+    pairwise day-to-day slopes, intercept = median(yᵢ − slope·xᵢ) —
+    the outlier-resistant complement of :func:`group_regression`'s OLS
+    (one blowout day shifts OLS arbitrarily; Theil–Sen tolerates ~29%
+    contamination). The robust-statistics family member the anomaly
+    screens (value_anomalies_mad, winsorized_stats) was missing a
+    trend estimator for.
+
+    The pair join runs on the DAILY rollup — calendar-bounded (d days
+    → d(d−1)/2 pairs), the moving_avg_daily scale argument — so the
+    exact median over pairs is a bounded aggregate, never
+    corpus-sized. Revenue goes through the DECIMAL(18,2) cast before
+    double math (engine-stable), day x-coordinates are exact integer
+    day offsets from the first day.
+
+    Output: (n_days, n_pairs, slope, intercept) — one row, 6dp.
+    """
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice", "revenue"))
+    base = daily.agg(F.min("day").alias("_d0"))
+    xy = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("day"), F.col("_d0")).cast("double").alias("x"),
+        F.col("revenue").cast("double").alias("y"),
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("s")
+    )
+    med_slope = slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.percentile(F.col("s"), F.lit(0.5)).alias("slope"),
+    )
+    resid = xy.crossJoin(F.broadcast(med_slope)).select(
+        "n_pairs",
+        "slope",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "slope").agg(
+        F.count("*").alias("n_days"),
+        F.percentile(F.col("r"), F.lit(0.5)).alias("intercept"),
+    ).select(
+        "n_days",
+        "n_pairs",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )

@@ -377,3 +377,93 @@ def copurchase_components(
         .agg(F.count("*").alias("n_components"))
         .orderBy("n_members")
     )
+
+
+def clustering_coefficient(
+    lineitem: DataFrame, min_cooccur: int = 2, max_basket: int = 20
+) -> DataFrame:
+    """PER-NODE local clustering coefficient of the co-purchase graph:
+    c_v = 2·T_v / (d_v·(d_v−1)) — the community-structure profile that
+    the global triangle census (:func:`copurchase_triangles`) only
+    summarizes. High-coefficient parts sit in tight "bought-together"
+    cliques (bundle candidates); hubs with low coefficients are
+    cross-category connectors.
+
+    Triangle attribution rides the same degree-ordered Chiba–Nishizeki
+    enumeration as the census (each triangle found exactly once at its
+    lowest-(deg,id) corner), then each triangle credits its THREE corners
+    via one explode — per-node counts in a single partial-agg shuffle
+    on top of the oriented wedge join. Degree-2+ nodes only get a
+    coefficient; degree-1 nodes emit NULL (guarded division — the
+    0/0 NaN-vs-NULL engine divergence).
+
+    Output: (part, degree, n_triangles, clustering_coeff).
+    """
+    edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    oriented = (
+        edges.join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "dd"), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(
+                    F.col("src").alias("lo"),
+                    F.col("dst").alias("hi"),
+                    F.col("ds").alias("dlo"),
+                    F.col("dd").alias("dhi"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("dst").alias("lo"),
+                    F.col("src").alias("hi"),
+                    F.col("dd").alias("dlo"),
+                    F.col("ds").alias("dhi"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.lo", "e.hi", "e.dlo", "e.dhi")
+        .localCheckpoint()
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.lo") == F.col("w2.lo"))
+        & (
+            (F.col("w1.dhi") < F.col("w2.dhi"))
+            | ((F.col("w1.dhi") == F.col("w2.dhi")) & (F.col("w1.hi") < F.col("w2.hi")))
+        ),
+    ).select(F.col("w1.lo").alias("a"), F.col("w1.hi").alias("b"), F.col("w2.hi").alias("c"))
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    if oriented.count() <= 5_000_000:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    joined = deg.join(per_node, "v", "left").select(
+        F.col("v").alias("part"),
+        F.col("deg").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    coeff = (
+        F.lit(2.0)
+        * F.col("n_triangles").cast("double")
+        / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double"))
+    )
+    return joined.select(
+        "part",
+        "degree",
+        "n_triangles",
+        F.round(F.when(F.col("degree") >= 2, coeff), 6).alias("clustering_coeff"),
+    )

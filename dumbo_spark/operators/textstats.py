@@ -974,3 +974,47 @@ def corpus_source_concentration(documents: DataFrame) -> DataFrame:
     return shared.crossJoin(F.broadcast(hhi)).select(
         "source", "n_docs", "n_tokens", "token_share", "corpus_hhi"
     )
+
+
+def ngram_novelty_rate(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction of a doc's distinct
+    n-grams first appear in THIS doc (no lower-doc_id document contains
+    them)? The memorization/freshness profile of a crawl ordered by
+    ingestion id — near-1 novelty marks genuinely new text, near-0
+    marks recombinations of already-seen phrasing (boilerplate,
+    template spam, near-dups that slipped the pairwise tiers).
+
+    First-occurrence attribution is ONE aggregate: gram → min(doc_id)
+    over the corpus (the "owner"), joined back to the per-doc distinct
+    gram set — two shuffles on the gram key, no pairwise comparison
+    anywhere, so cost is O(total grams), not O(docs²); ingestion order
+    is the deterministic doc_id, making the rate engine-stable.
+    Documents with fewer than ``n`` tokens carry no grams and are
+    excluded (the PPJoin family's convention).
+
+    Output: (doc_id, n_grams, n_novel, novelty_rate) — one row per
+    gram-bearing document.
+    """
+    grams = (
+        documents.select(
+            "doc_id", F.explode(ngrams(tokens("text"), n)).alias("gram")
+        )
+        .distinct()
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+    return (
+        grams.join(owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("_first")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )

@@ -4247,6 +4247,48 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustering_coefficient",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
+           HAVING COUNT(*) <= 20),
+    p2 AS (SELECT po.l_orderkey, po.l_partkey
+           FROM po JOIN ok USING (l_orderkey)),
+    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM p2 a JOIN p2 b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+    deg AS (SELECT v, COUNT(*) AS degree
+            FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY v),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    pn AS (SELECT v, COUNT(*) AS t
+           FROM (SELECT a AS v FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY v)
+    SELECT deg.v AS part, deg.degree,
+           CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN deg.degree >= 2
+                      THEN 2.0 * COALESCE(pn.t, 0)
+                           / (deg.degree * (deg.degree - 1.0))
+                 END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN pn ON deg.v = pn.v
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient
+    (graph.clustering_coefficient): degree-ordered triangle
+    enumeration credits each triangle's three corners, one
+    partial-agg shuffle over the wedge join."""
+    return graph.clustering_coefficient(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "copurchase_kcore",
     oracle="""
     WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -4945,6 +4987,35 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.token_budget_sample(
         load_table(spark, sf_dir, "documents"), budget=600, buckets=8
     )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3),
+    owner AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE g.doc_id = o.first_doc) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE g.doc_id = o.first_doc) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_rate
+    FROM grams g JOIN owner o USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty vs ingestion order
+    (textstats.ngram_novelty_rate): gram → min-doc_id owner aggregate
+    joined back — O(total grams), no pairwise work."""
+    return textstats.ngram_novelty_rate(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -6449,6 +6520,38 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    base AS (SELECT MIN(day) AS d0 FROM daily),
+    xy AS (SELECT CAST(date_diff('day', d0, day) AS DOUBLE) AS x, y
+           FROM daily, base),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM xy a JOIN xy b ON a.x < b.x),
+    ms AS (SELECT COUNT(*) AS n_pairs, quantile_cont(s, 0.5) AS slope
+           FROM slopes),
+    resid AS (SELECT n_pairs, slope, y - slope * x AS r FROM xy, ms)
+    SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+           CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+           ROUND(MAX(slope), 6) AS slope,
+           ROUND(quantile_cont(r, 0.5), 6) AS intercept
+    FROM (SELECT n_pairs, slope, r,
+                 COUNT(*) OVER () AS n_days
+          FROM resid)
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-revenue trend (analytics.theil_sen_trend):
+    exact median of pairwise slopes on the calendar-bounded daily
+    rollup — the outlier-resistant sibling of group_regression's OLS."""
+    return analytics.theil_sen_trend(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "auc_roc_exact",
     oracle="""
     WITH s AS (
@@ -7096,6 +7199,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_volume",
     "product_profit",
     "order_count_distribution",
+    # round-6 additions: queue immediately after the refresh backlog so
+    # they rotate into the round-7 window
+    "streaming_attribution_dedup",
+    "streaming_attribution_full",
+    "simhash_recall_checked",
+    "semantic_dedup_checked",
+    "training_mix_epochs",
+    "linenumber_density_check",
+    "interval_coverage_daily",
+    "auc_roc_exact",
+    "theil_sen_trend",
+    "clustering_coefficient",
+    "ngram_novelty_rate",
 )
 
 

@@ -351,3 +351,45 @@ def test_global_window_family_range_partitioned(spark, sf_dir):
         # sort key with an empty partition spec; the rewrite windows
         # only by _pid
         assert "_pid" in plan
+
+
+def test_round6_ops_plan_shapes(spark, sf_dir):
+    """Round-6 additions keep the scale posture: no Python evals, no
+    accidental nested-loop joins in the shuffle-based ops, pushdown
+    where applicable."""
+    from dumbo_spark.operators.analytics import auc_roc_exact, theil_sen_trend
+    from dumbo_spark.operators.dq import linenumber_density_check
+    from dumbo_spark.operators.events import interval_coverage_daily
+    from dumbo_spark.operators.packing import training_mix_epochs
+    from dumbo_spark.operators.textstats import ngram_novelty_rate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = physical_summary(linenumber_density_check(li))
+    assert s["python_evals"] == 0
+    # countDistinct rewrites to a two-phase expand agg: order-key
+    # distinct, order-key agg, then the k-row class rollup
+    assert s["exchanges"] <= 3
+
+    s = physical_summary(auc_roc_exact(load_table(spark, sf_dir, "orders")))
+    assert s["python_evals"] == 0
+    assert "rangepartitioning" in s["plan"].lower(), "exact rank must range-partition"
+
+    s = physical_summary(theil_sen_trend(load_table(spark, sf_dir, "orders")))
+    assert s["python_evals"] == 0
+    # pair join runs on the daily rollup: the nested loop is over the
+    # calendar-bounded aggregate, which is the documented shape
+
+    s = physical_summary(training_mix_epochs(load_table(spark, sf_dir, "documents")))
+    assert s["python_evals"] == 0
+    # source agg + the 1-row weight-total rollup + its broadcast back;
+    # everything after the first exchange moves k rows
+    assert s["exchanges"] <= 4
+
+    s = physical_summary(interval_coverage_daily(load_table(spark, sf_dir, "events")))
+    assert s["python_evals"] == 0
+    assert "CartesianProduct" not in s["plan"]
+
+    s = physical_summary(ngram_novelty_rate(load_table(spark, sf_dir, "documents")))
+    assert s["python_evals"] == 0
+    assert "CartesianProduct" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]

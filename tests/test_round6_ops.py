@@ -174,3 +174,66 @@ def test_auc_roc_exact_degenerate_single_class(spark):
     )
     r = auc_roc_exact(df).collect()[0]
     assert r["n_neg"] == 0 and r["auc"] is None
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Graph: triangle {1,2,3} plus pendant 4-1. Node 1 has degree 3,
+    1 triangle -> c=1/3; nodes 2,3 degree 2 -> c=1.0; node 4 degree 1
+    -> NULL."""
+    from dumbo_spark.operators.graph import clustering_coefficient
+
+    # orders co-purchase: build baskets so that support >= 2 edges are
+    # exactly {1-2, 1-3, 2-3, 1-4}
+    rows = []
+    ok = 0
+    for _ in range(2):  # each basket twice -> co-occurrence support 2
+        for basket in ([1, 2, 3], [1, 4]):
+            ok += 1
+            rows += [(ok, p) for p in basket]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r["part"]: r for r in clustering_coefficient(df).collect()}
+    assert out[1]["degree"] == 3 and out[1]["n_triangles"] == 1
+    assert abs(out[1]["clustering_coeff"] - 1 / 3) < 1e-6
+    assert out[2]["clustering_coeff"] == 1.0 and out[3]["clustering_coeff"] == 1.0
+    assert out[4]["degree"] == 1 and out[4]["clustering_coeff"] is None
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    from dumbo_spark.operators.textstats import ngram_novelty_rate
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 22),       # grams: ab g, b g d
+        (2, "alpha beta gamma epsilon", "en", "s", 24),     # first gram repeated
+        (3, "zz yy xx", "en", "s", 8),                      # one novel gram
+        (4, "too short", "en", "s", 9),                     # no grams -> absent
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty_rate(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty_rate"] == 1.0
+    # doc 2: grams {alpha beta gamma, beta gamma epsilon} -> 1 of 2 novel
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
+    assert out[3]["novelty_rate"] == 1.0
+
+
+def test_theil_sen_trend_robust_to_outlier(spark):
+    """Perfect line y=2x+5 over 7 days with one blown-out day: the
+    Theil-Sen slope stays 2.0 (median of pairwise slopes), where OLS
+    would not."""
+    from datetime import date
+
+    from dumbo_spark.operators.analytics import theil_sen_trend
+
+    rows = []
+    ok = 0
+    for d in range(7):
+        y = 2.0 * d + 5.0 if d != 3 else 1000.0  # day 3 is an outlier
+        ok += 1
+        rows.append((ok, date(2024, 1, 1 + d), y))
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate date, o_totalprice double")
+    r = theil_sen_trend(df).collect()[0]
+    assert r["n_days"] == 7 and r["n_pairs"] == 21
+    assert abs(r["slope"] - 2.0) < 1e-9
+    assert abs(r["intercept"] - 5.0) < 1e-9

@@ -207,6 +207,9 @@ def main() -> None:
         "linenumber_density_check",
         "interval_coverage_daily",
         "auc_roc_exact",
+        "theil_sen_trend",
+        "clustering_coefficient",
+        "ngram_novelty_rate",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
