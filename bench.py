@@ -246,6 +246,9 @@ HEADLINE = [
     "theil_sen_trend",
     "clustering_coefficient",
     "ngram_novelty_rate",
+    "diversified_topk",
+    "knn_cosine_pq",
+    "pq_recall_checked",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

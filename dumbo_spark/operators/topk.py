@@ -349,3 +349,39 @@ def percent_rank_balance(customer: DataFrame) -> DataFrame:
         ).alias("pct_rank"),
         F.round(F.col("_rank") / F.col("_n"), 8).alias("cume"),
     )
+
+
+def diversified_topk(
+    part: DataFrame, k: int = 10, per_brand: int = 2
+) -> DataFrame:
+    """Top-k with a DIVERSITY constraint: the k cheapest parts per
+    size class, but at most ``per_brand`` from any one brand — the
+    diversity re-ranking every retrieval/recommendation surface
+    applies so one dominant sub-group cannot monopolize a result list
+    (the same shape de-duplicates near-identical hits in RAG retrieval).
+
+    Two nested bounded windows: rank within (size, brand) and keep the
+    brand's quota, then re-rank the survivors within size and cut at
+    k. Both windows partition on real keys (no global order); the
+    first pass discards all but ``per_brand`` rows per brand, so the
+    second window's input is quota-bounded, not data-bounded. Ordering
+    is (rounded price, partkey) — total, hence engine-stable.
+
+    Output: (p_size, p_brand, p_partkey, p_retailprice, rank).
+    """
+    price = dmoney("p_retailprice")
+    w_brand = Window.partitionBy("p_size", "p_brand").orderBy(
+        price.asc(), F.col("p_partkey").asc()
+    )
+    quota = (
+        part.withColumn("_br", F.row_number().over(w_brand))
+        .where(F.col("_br") <= per_brand)
+    )
+    w_size = Window.partitionBy("p_size").orderBy(
+        price.asc(), F.col("p_partkey").asc()
+    )
+    return (
+        quota.withColumn("rank", F.row_number().over(w_size))
+        .where(F.col("rank") <= k)
+        .select("p_size", "p_brand", "p_partkey", "p_retailprice", "rank")
+    )

@@ -4064,6 +4064,39 @@ def q_simhash_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_recall_checked(load_table(spark, sf_dir, "documents"))
 
 
+@register("knn_cosine_pq")
+def q_knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN top-k (similarity.knn_cosine_pq): corpus as 16×5-bit
+    product-quantization codes, approximate dots as m table lookups
+    per vector (zip_with over codes × the query's broadcast lookup
+    table — JVM-side, zero corpus-side float math). Rows-only by
+    design (codebook k-means is not SQL-expressible); its recall
+    contract is externally checked by pq_recall_checked."""
+    return similarity.knn_cosine_pq(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pq_recall_checked",
+    oracle="""
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 8),
+    cnt AS (SELECT query_id, COUNT(*) AS c FROM cand GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COALESCE(SUM(LEAST(5, c)), 0) AS BIGINT) AS n_exact_pairs,
+           TRUE AS pq_recall_ok
+    FROM cnt
+    """,
+)
+def q_pq_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall vs exact top-k as an
+    oracle-checked boolean (similarity.pq_recall_checked): measured
+    0.55 at the 16×32 geometry on the near-isotropic fixtures, gated
+    at 0.3 — completes the ANN `_checked` matrix (LSH, IVF, PQ)."""
+    return similarity.pq_recall_checked(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "semantic_dedup_checked",
     oracle="""
@@ -6520,6 +6553,35 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diversified_topk",
+    oracle="""
+    WITH quota AS (
+      SELECT p_size, p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_size, p_brand
+                 ORDER BY CAST(p_retailprice AS DECIMAL(18,2)) ASC,
+                          p_partkey ASC) AS br
+      FROM part),
+    kept AS (SELECT * FROM quota WHERE br <= 2)
+    SELECT p_size, p_brand, p_partkey, p_retailprice,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT p_size, p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_size
+                 ORDER BY CAST(p_retailprice AS DECIMAL(18,2)) ASC,
+                          p_partkey ASC) AS rank
+      FROM kept)
+    WHERE rank <= 10
+    """,
+)
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained top-k (topk.diversified_topk): cheapest
+    10 parts per size class with at most 2 per brand — two nested
+    bounded windows, quota pass first so the re-rank input is
+    quota-bounded."""
+    return topk.diversified_topk(load_table(spark, sf_dir, "part"))
+
+
+@register(
     "theil_sen_trend",
     oracle="""
     WITH daily AS (
@@ -7212,6 +7274,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "theil_sen_trend",
     "clustering_coefficient",
     "ngram_novelty_rate",
+    "diversified_topk",
+    "pq_recall_checked",
 )
 
 

@@ -237,3 +237,34 @@ def test_theil_sen_trend_robust_to_outlier(spark):
     assert r["n_days"] == 7 and r["n_pairs"] == 21
     assert abs(r["slope"] - 2.0) < 1e-9
     assert abs(r["intercept"] - 5.0) < 1e-9
+
+
+def test_diversified_topk_quota_enforced(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from dumbo_spark.operators.topk import diversified_topk
+
+    out = diversified_topk(load_table(spark, sf_dir, "part"))
+    per = out.groupBy("p_size", "p_brand").agg(F.count("*").alias("n"))
+    assert per.where(F.col("n") > 2).count() == 0, "brand quota violated"
+    sizes = out.groupBy("p_size").agg(F.count("*").alias("n"))
+    assert sizes.where(F.col("n") > 10).count() == 0, "k exceeded"
+
+
+def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from dumbo_spark.operators.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb).collect()}
+    assert a == b, "codes must be run-deterministic"
+    some = next(iter(a.values()))
+    assert len(some) == 16
+    assert all(0 <= c < 32 for codes in a.values() for c in codes)
+
+
+def test_pq_recall_checked_bound_holds(spark, sf_dir):
+    from dumbo_spark.operators.similarity import pq_recall_checked
+
+    row = pq_recall_checked(load_table(spark, sf_dir, "embeddings")).collect()[0]
+    assert row["n_queries"] == 8 and row["pq_recall_ok"]

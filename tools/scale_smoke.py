@@ -210,6 +210,8 @@ def main() -> None:
         "theil_sen_trend",
         "clustering_coefficient",
         "ngram_novelty_rate",
+        "diversified_topk",
+        "pq_recall_checked",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
