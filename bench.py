@@ -249,6 +249,9 @@ HEADLINE = [
     "diversified_topk",
     "knn_cosine_pq",
     "pq_recall_checked",
+    "knn_euclid",
+    "rank_fusion_rrf",
+    "dataset_manifest",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

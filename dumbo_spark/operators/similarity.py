@@ -1019,3 +1019,83 @@ def pq_recall_checked(
             "pq_recall_ok"
         ),
     )
+
+
+def knn_euclid(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact EUCLIDEAN top-k — the second retrieval ranking next to
+    cosine (they disagree whenever vector norms vary: cosine ignores
+    magnitude, L2 does not), primarily feeding :func:`rank_fusion_rrf`.
+    Same broadcast-queries / streaming-corpus shape as
+    :func:`knn_cosine`; distance is the exact sequential fold, rounded
+    6dp with an id tie-break for engine-stable ranking.
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.sqrt(d2), 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def rank_fusion_rrf(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (cosine top-k
+    and euclidean top-k): RRF(d) = Σ_lists 1/(c + rank_d) — the
+    standard hybrid-retrieval combiner (Cormack et al., SIGIR 2009)
+    every RAG stack applies over dense + sparse lists. Fusion is pure
+    arithmetic over the two rank columns (full outer join on
+    (query, neighbor), missing ranks contribute 0), so the whole
+    fusion layer adds no corpus-sized work beyond the input searches.
+
+    RRF scores are exact rationals evaluated in double with a fixed
+    formula, then rounded 6dp and tie-broken by id — engine-stable.
+
+    Output: (query_id, neighbor_id, rrf_score, fused_rank), top-k per
+    query by fused score.
+    """
+    cos = knn_cosine(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.col("rn").alias("r_cos")
+    )
+    euc = knn_euclid(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id", F.col("rn").alias("r_euc")
+    )
+    fused = cos.join(euc, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (F.lit(c) + F.col("r_cos")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("r_euc")), F.lit(0.0))
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_s", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )

@@ -4064,6 +4064,83 @@ def q_simhash_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_recall_checked(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "knn_euclid",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_distance(CAST(q.q_emb AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])), 6) AS dist
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, dist, rn FROM (
+      SELECT query_id, neighbor_id, dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rn
+      FROM p)
+    WHERE rn <= 5
+    """,
+)
+def q_knn_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact euclidean top-k (similarity.knn_euclid): the second
+    retrieval ranking for hybrid fusion; broadcast queries, streaming
+    corpus, 6dp-rounded distances."""
+    return similarity.knn_euclid(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "rank_fusion_rrf",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    pc AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                            CAST(q.q_emb AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cs
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+    rc AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, neighbor_id ASC) AS r_cos
+           FROM pc QUALIFY r_cos <= 5),
+    pe AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_distance(CAST(q.q_emb AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])), 6) AS dist
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+    re AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dist ASC, neighbor_id ASC) AS r_euc
+           FROM pe QUALIFY r_euc <= 5),
+    fused AS (
+      SELECT COALESCE(rc.query_id, re.query_id) AS query_id,
+             COALESCE(rc.neighbor_id, re.neighbor_id) AS neighbor_id,
+             COALESCE(1.0 / (60 + r_cos), 0) + COALESCE(1.0 / (60 + r_euc), 0)
+               AS s
+      FROM rc FULL JOIN re
+        ON rc.query_id = re.query_id AND rc.neighbor_id = re.neighbor_id)
+    SELECT query_id, neighbor_id, ROUND(s, 6) AS rrf_score,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM (
+      SELECT query_id, neighbor_id, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, neighbor_id ASC) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 5
+    """,
+)
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the cosine and euclidean top-k lists
+    (similarity.rank_fusion_rrf): the hybrid-retrieval combiner, pure
+    rank arithmetic over the two input searches."""
+    return similarity.rank_fusion_rrf(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("knn_cosine_pq")
 def q_knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN top-k (similarity.knn_cosine_pq): corpus as 16×5-bit
@@ -6649,6 +6726,46 @@ def q_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_manifest",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'region' AS table_name, COUNT(*) AS n_rows, 2 AS n_cols FROM region
+      UNION ALL SELECT 'nation', COUNT(*), 3 FROM nation
+      UNION ALL SELECT 'customer', COUNT(*), 5 FROM customer
+      UNION ALL SELECT 'supplier', COUNT(*), 4 FROM supplier
+      UNION ALL SELECT 'part', COUNT(*), 6 FROM part
+      UNION ALL SELECT 'orders', COUNT(*), 6 FROM orders
+      UNION ALL SELECT 'lineitem', COUNT(*), 11 FROM lineitem
+      UNION ALL SELECT 'events', COUNT(*), 6 FROM events
+      UNION ALL SELECT 'documents', COUNT(*), 5 FROM documents
+      UNION ALL SELECT 'embeddings', COUNT(*), 3 FROM embeddings)
+    """,
+)
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset manifest — the "data card" audit row per table (name,
+    row count, column count) a versioned corpus publishes with every
+    release; schema drift or a short-loaded table flips the hash. Each
+    count is one metadata-cheap aggregate; the union is k rows."""
+    from functools import reduce
+
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    frames = []
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        frames.append(
+            df.agg(F.count("*").alias("n_rows")).select(
+                F.lit(n).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).alias("n_cols"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+@register(
     "linenumber_density_check",
     oracle="""
     WITH per_order AS (
@@ -7276,6 +7393,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_novelty_rate",
     "diversified_topk",
     "pq_recall_checked",
+    "knn_euclid",
+    "rank_fusion_rrf",
+    "dataset_manifest",
 )
 
 

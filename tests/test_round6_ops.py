@@ -268,3 +268,38 @@ def test_pq_recall_checked_bound_holds(spark, sf_dir):
 
     row = pq_recall_checked(load_table(spark, sf_dir, "embeddings")).collect()[0]
     assert row["n_queries"] == 8 and row["pq_recall_ok"]
+
+
+def test_rank_fusion_rrf_scores(spark, sf_dir):
+    """A neighbor in both top-5 lists at rank r1/r2 scores
+    1/(60+r1)+1/(60+r2); fused list caps at k per query."""
+    from pyspark.sql import functions as F
+    from dumbo_spark.operators.similarity import (
+        knn_cosine,
+        knn_euclid,
+        rank_fusion_rrf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = rank_fusion_rrf(emb)
+    per_q = out.groupBy("query_id").agg(F.count("*").alias("n"))
+    assert per_q.where(F.col("n") > 5).count() == 0
+    cos = {(r["query_id"], r["neighbor_id"]): r["rn"] for r in knn_cosine(emb).collect()}
+    euc = {(r["query_id"], r["neighbor_id"]): r["rn"] for r in knn_euclid(emb).collect()}
+    for r in out.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        expect = 0.0
+        if key in cos:
+            expect += 1.0 / (60 + cos[key])
+        if key in euc:
+            expect += 1.0 / (60 + euc[key])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+
+
+def test_dataset_manifest_counts(spark, sf_dir):
+    from dumbo_spark.registry import QUERIES
+
+    rows = {r["table_name"]: r for r in QUERIES["dataset_manifest"].fn(spark, sf_dir).collect()}
+    assert rows["region"]["n_rows"] == 5 and rows["region"]["n_cols"] == 2
+    assert rows["lineitem"]["n_cols"] == 11
+    assert len(rows) == 10

@@ -212,6 +212,9 @@ def main() -> None:
         "ngram_novelty_rate",
         "diversified_topk",
         "pq_recall_checked",
+        "knn_euclid",
+        "rank_fusion_rrf",
+        "dataset_manifest",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
