@@ -252,6 +252,7 @@ HEADLINE = [
     "knn_euclid",
     "rank_fusion_rrf",
     "dataset_manifest",
+    "bm25_topk",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

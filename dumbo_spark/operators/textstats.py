@@ -1031,3 +1031,80 @@ def ngram_novelty_rate(documents: DataFrame, n: int = 3) -> DataFrame:
             6,
         ).alias("novelty_rate"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_tokens: tuple[str, ...] = ("hash", "join", "vector"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed token query — the sparse-side
+    scorer of hybrid search (Robertson–Spärck Jones; the ranking
+    function behind Lucene/Elasticsearch defaults), completing the
+    retrieval matrix next to dense kNN and :func:`rank_fusion_rrf`:
+
+        score(d) = Σ_t idf_t · tf_td·(k1+1)
+                         / (tf_td + k1·(1 − b + b·len_d/avg_len))
+        idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+
+    Shape: one token-explode pass filtered to the query tokens (the
+    scan predicate prunes everything else, so the shuffle carries only
+    query-term postings — exactly an inverted-index probe), joined to
+    the broadcast per-term df and corpus stats; scores are fixed
+    arithmetic over exact counts, rounded 6dp with a doc tie-break.
+
+    Output: (doc_id, n_hit_terms, score, rank) — top-k docs.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).where(F.col("tok").isin(*query_tokens))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    lens = documents.select(
+        "doc_id", F.size(tokens("text")).alias("len_d")
+    )
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("len_d").alias("avg_len")
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(lens, "doc_id")
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("len_d") / F.col("avg_len"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("_s").alias("_score"),
+        )
+    )
+    # top-k via orderBy().limit(): TakeOrderedAndProject (per-partition
+    # heaps, no global-window single task over the hit set — common
+    # query terms can match a corpus-sized doc set); the rank window
+    # then runs over exactly k rows
+    top = (
+        scored.select(
+            "doc_id", "n_hit_terms", F.round("_score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))

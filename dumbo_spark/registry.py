@@ -5129,6 +5129,48 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents),
+    lens AS (
+      SELECT doc_id, len({DUCK_TOKENS}) AS len_d FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len_d) AS avg_len FROM lens),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, tok),
+    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             COUNT(*) AS n_hit_terms,
+             SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * len_d / avg_len))) AS s
+      FROM tf
+      JOIN lens ON tf.doc_id = lens.doc_id
+      JOIN dft ON tf.tok = dft.tok
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_hit_terms, ROUND(s, 6) AS score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, n_hit_terms, s,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-token query
+    (textstats.bm25_topk): inverted-index-probe shape — the token
+    filter prunes at the scan, postings shuffle only query terms,
+    TakeOrderedAndProject cuts the top-k."""
+    return textstats.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "training_mix_epochs",
     oracle=f"""
     WITH avail AS (
@@ -7396,6 +7438,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_euclid",
     "rank_fusion_rrf",
     "dataset_manifest",
+    "bm25_topk",
 )
 
 

@@ -303,3 +303,21 @@ def test_dataset_manifest_counts(spark, sf_dir):
     assert rows["region"]["n_rows"] == 5 and rows["region"]["n_cols"] == 2
     assert rows["lineitem"]["n_cols"] == 11
     assert len(rows) == 10
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    from dumbo_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "hash join vector hash join", "en", "s", 26),   # dense in all 3
+        (2, "hash " + "filler " * 50, "en", "s", 300),      # one term, long
+        (3, "nothing relevant here at all", "en", "s", 28),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = bm25_topk(df, k=5)
+    rows_out = out.collect()
+    ids = [r["doc_id"] for r in sorted(rows_out, key=lambda r: r["rank"])]
+    assert ids[0] == 1, "the term-dense doc must rank first"
+    assert 3 not in ids, "docs with no query terms never appear"

@@ -215,6 +215,7 @@ def main() -> None:
         "knn_euclid",
         "rank_fusion_rrf",
         "dataset_manifest",
+        "bm25_topk",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
