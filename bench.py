@@ -253,6 +253,7 @@ HEADLINE = [
     "rank_fusion_rrf",
     "dataset_manifest",
     "bm25_topk",
+    "cusum_drift",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

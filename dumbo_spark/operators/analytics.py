@@ -1620,9 +1620,23 @@ def theil_sen_trend(orders: DataFrame) -> DataFrame:
     slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
         ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("s")
     )
-    med_slope = slopes.agg(
-        F.count("*").alias("n_pairs"),
-        F.percentile(F.col("s"), F.lit(0.5)).alias("slope"),
+    # exact median of the d(d−1)/2 slopes via the range-partitioned
+    # rank — a single-task F.percentile over the pair set measured
+    # 8.5s of an 11s run at sf0.1 (2.9M slopes from 2405 days);
+    # selecting the two middle order statistics by global_rank is the
+    # same value ((1−f)·lo + f·hi at p=0.5 = their mean) with no task
+    # ever holding the full slope set
+    from dumbo_spark.operators.topk import global_rank
+
+    ranked = global_rank(slopes, [F.col("s").asc()])
+    mid_lo = F.floor((F.col("_n") + 1) / 2)
+    mid_hi = F.ceil((F.col("_n") + 1) / 2)
+    med_slope = (
+        ranked.where((F.col("_rank") == mid_lo) | (F.col("_rank") == mid_hi))
+        .agg(
+            F.max("_n").alias("n_pairs"),
+            F.avg("s").alias("slope"),
+        )
     )
     resid = xy.crossJoin(F.broadcast(med_slope)).select(
         "n_pairs",

@@ -1492,3 +1492,66 @@ def interval_coverage_daily(
         )
         .orderBy("day")
     )
+
+
+def cusum_drift(
+    events: DataFrame, k_frac: float = 0.25, h_frac: float = 2.0
+) -> DataFrame:
+    """One-sided CUSUM drift detection over the daily mean event value:
+    S_d = max(0, S_{d-1} + (x_d − μ − k)) with alarm when S_d > h —
+    the classic sequential change-point monitor (Page 1954), catching
+    slow sustained drifts that per-day z-score screens
+    (value_anomalies) miss by design. k (slack) and h (threshold) are
+    the usual σ-scaled settings (k = k_frac·σ, h = h_frac·σ), with μ/σ
+    taken from the series itself (retrospective monitoring form).
+
+    The recursion is NON-associative (the max-with-zero reset), so no
+    window/prefix-sum decomposition exists — but the state walks the
+    DAILY rollup, which is calendar-bounded at any corpus scale: the
+    fact table reduces by one partial-agg shuffle and only the
+    day-level frame (hundreds of rows per year) enters the sequential
+    pass, which runs as ONE Arrow-batched applyInPandas group — the
+    same bounded-frame argument as moving_avg_daily's global window,
+    with state never touching corpus-sized data. The oracle re-runs
+    the identical recursion level-by-level in a recursive CTE.
+
+    Output: (day, daily_mean, cusum, alarm) ascending, 6dp.
+    """
+    import pandas as pd
+
+    daily = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.avg(F.col("value").cast("double")).alias("x"))
+    )
+    stats = daily.agg(
+        F.avg("x").alias("_mu"),
+        F.stddev_samp("x").alias("_sigma"),
+    )
+    frame = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "_g", F.lit(1)
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        mu = pdf["_mu"].iloc[0]
+        sigma = pdf["_sigma"].iloc[0] or 0.0
+        k, h = k_frac * sigma, h_frac * sigma
+        s, out = 0.0, []
+        for x in pdf["x"]:
+            s = max(0.0, s + (x - mu - k))
+            out.append(s)
+        pdf["cusum"] = out
+        pdf["alarm"] = [v > h for v in out]
+        return pdf[["day", "x", "cusum", "alarm"]]
+
+    return (
+        frame.groupBy("_g")
+        .applyInPandas(walk, "day string, x double, cusum double, alarm boolean")
+        .select(
+            "day",
+            F.round("x", 6).alias("daily_mean"),
+            F.round("cusum", 6).alias("cusum"),
+            "alarm",
+        )
+        .orderBy("day")
+    )

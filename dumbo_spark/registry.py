@@ -6832,6 +6832,36 @@ def q_linenumber_density_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cusum_drift",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             AVG(CAST(value AS DOUBLE)) AS x
+      FROM events GROUP BY 1),
+    st AS (SELECT AVG(x) AS mu, STDDEV_SAMP(x) AS sigma FROM daily),
+    idx AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+    walk(i, day, x, s) AS (
+      SELECT i, day, x, GREATEST(0, 0 + (x - mu - 0.25 * sigma))
+      FROM idx, st WHERE i = 1
+      UNION ALL
+      SELECT idx.i, idx.day, idx.x,
+             GREATEST(0, walk.s + (idx.x - st.mu - 0.25 * st.sigma))
+      FROM walk JOIN idx ON idx.i = walk.i + 1 CROSS JOIN st)
+    SELECT day, ROUND(x, 6) AS daily_mean, ROUND(s, 6) AS cusum,
+           s > 2.0 * (SELECT sigma FROM st) AS alarm
+    FROM walk
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor over daily mean event value
+    (events.cusum_drift): non-associative sequential state walked on
+    the calendar-bounded daily rollup in one Arrow group; the oracle
+    re-runs the recursion level-by-level (recursive CTE — the
+    pagerank_checked technique applied to sequential state)."""
+    return events.cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "interval_coverage_daily",
     oracle="""
     WITH flagged AS (
@@ -7439,6 +7469,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rank_fusion_rrf",
     "dataset_manifest",
     "bm25_topk",
+    "cusum_drift",
 )
 
 

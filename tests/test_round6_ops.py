@@ -321,3 +321,26 @@ def test_bm25_prefers_term_dense_short_docs(spark):
     ids = [r["doc_id"] for r in sorted(rows_out, key=lambda r: r["rank"])]
     assert ids[0] == 1, "the term-dense doc must rank first"
     assert 3 not in ids, "docs with no query terms never appear"
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    """Flat series then a sustained +jump: cusum grows after the shift
+    and alarms; pre-shift days stay near zero."""
+    from datetime import datetime
+
+    from dumbo_spark.operators.events import cusum_drift
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        val = 10.0 if d < 12 else 14.0  # sustained shift at day 12
+        for j in range(5):
+            eid += 1
+            rows.append((eid, datetime(2024, 3, 1 + d, 12, j), 1, "view", val))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = sorted(cusum_drift(df).collect(), key=lambda r: r["day"])
+    assert not any(r["alarm"] for r in out[:12])
+    assert out[-1]["alarm"], "sustained shift must eventually alarm"
+    assert out[-1]["cusum"] > out[12]["cusum"] >= 0

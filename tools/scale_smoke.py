@@ -216,6 +216,7 @@ def main() -> None:
         "rank_fusion_rrf",
         "dataset_manifest",
         "bm25_topk",
+        "cusum_drift",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
