@@ -254,6 +254,7 @@ HEADLINE = [
     "dataset_manifest",
     "bm25_topk",
     "cusum_drift",
+    "calibration_bins",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1652,3 +1652,42 @@ def theil_sen_trend(orders: DataFrame) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+def calibration_bins(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Reliability diagram (calibration table) for a score against a
+    binary outcome: exact global score deciles, each reporting its
+    mean score and observed positive rate — read next to
+    :func:`auc_roc_exact` (AUC says the ranking is good; calibration
+    says the score VALUES mean what they claim). Demonstrated on the
+    same (order total, finalized-status) pair.
+
+    Exact deciles via topk.global_ntile (range-partitioned — no
+    single-task total sort at any cardinality); per-bin stats are one
+    partial-agg shuffle of k groups. Mean score goes through the
+    DECIMAL(18,2) money cast before double math; rates are exact long
+    ratios, both rounded 6dp.
+
+    Output: (bin, n_rows, n_pos, mean_score, pos_rate) — k rows.
+    """
+    from dumbo_spark.operators.topk import global_ntile
+
+    scored = orders.select(
+        dmoney("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("_id"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    binned = global_ntile(
+        scored, [F.col("score").desc(), F.col("_id").asc()], k=k
+    ).withColumnRenamed("ntile", "bin")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.avg(F.col("score").cast("double")), 6).alias("mean_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count("*").cast("double"), 6
+            ).alias("pos_rate"),
+        )
+    )

@@ -6832,6 +6832,32 @@ def q_linenumber_density_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS score, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    b AS (
+      SELECT score, y,
+             NTILE(10) OVER (ORDER BY score DESC, o_orderkey ASC) AS bin
+      FROM s)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           COUNT(*) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(AVG(CAST(score AS DOUBLE)), 6) AS mean_score,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+    FROM b GROUP BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over exact global score deciles
+    (analytics.calibration_bins): global_ntile range-partitioned
+    binning + one k-group partial agg — AUC's calibration companion."""
+    return analytics.calibration_bins(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "cusum_drift",
     oracle="""
     WITH RECURSIVE daily AS (
@@ -7470,6 +7496,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dataset_manifest",
     "bm25_topk",
     "cusum_drift",
+    "calibration_bins",
 )
 
 

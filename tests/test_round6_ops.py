@@ -344,3 +344,19 @@ def test_cusum_drift_detects_level_shift(spark):
     assert not any(r["alarm"] for r in out[:12])
     assert out[-1]["alarm"], "sustained shift must eventually alarm"
     assert out[-1]["cusum"] > out[12]["cusum"] >= 0
+
+
+def test_calibration_bins_partition_properties(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from dumbo_spark.operators.analytics import calibration_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = calibration_bins(orders)
+    rows = {r["bin"]: r for r in out.collect()}
+    assert set(rows) == set(range(1, 11))
+    total = sum(r["n_rows"] for r in rows.values())
+    assert total == orders.count()
+    # bins are ordered by score desc: bin 1's mean >= bin 10's mean
+    assert rows[1]["mean_score"] >= rows[10]["mean_score"]
+    for r in rows.values():
+        assert abs(r["pos_rate"] - round(r["n_pos"] / r["n_rows"], 6)) < 1e-9

@@ -217,6 +217,7 @@ def main() -> None:
         "dataset_manifest",
         "bm25_topk",
         "cusum_drift",
+        "calibration_bins",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
