@@ -1634,7 +1634,12 @@ def theil_sen_trend(orders: DataFrame) -> DataFrame:
     med_slope = (
         ranked.where((F.col("_rank") == mid_lo) | (F.col("_rank") == mid_hi))
         .agg(
-            F.max("_n").alias("n_pairs"),
+            # coalesce to 0 (ADVICE r6): on a single-day input the
+            # slope set is empty, the rank filter matches nothing, and
+            # MAX(_n) over zero rows is NULL — while the oracle's
+            # COUNT(*) over the empty slope set is 0. slope stays NULL
+            # (avg over no rows), matching quantile_cont on empty.
+            F.coalesce(F.max("_n"), F.lit(0).cast("long")).alias("n_pairs"),
             F.avg("s").alias("slope"),
         )
     )

@@ -1541,7 +1541,14 @@ def cusum_drift(
             s = max(0.0, s + (x - mu - k))
             out.append(s)
         pdf["cusum"] = out
-        pdf["alarm"] = [v > h for v in out]
+        # alarm compares 6dp-ROUNDED quantities on both sides (ADVICE
+        # r6): mu/sigma come from partition-order-dependent double
+        # summation, and the max(0,·) reset + strict '>' are
+        # discontinuous, so the unrounded compare could flip on a
+        # last-ulp mu divergence from the oracle; rounding both s and
+        # h to the repo-wide 6dp grain stabilizes it (the oracle
+        # compares ROUND(s,6) > ROUND(h,6) identically).
+        pdf["alarm"] = [round(v, 6) > round(h, 6) for v in out]
         return pdf[["day", "x", "cusum", "alarm"]]
 
     return (

@@ -164,7 +164,25 @@ def training_mix_epochs(
         )
     else:  # default: uniform across observed sources
         w_col = F.lit(1.0)
-    tot_w = avail.select(w_col.alias("_w")).agg(F.sum("_w").alias("_tw"))
+    # Fail fast when the weights dict matches no observed source
+    # (ADVICE r6): tot_w = 0 would otherwise flow NULL / div-by-zero
+    # into target_tokens/epochs silently. raise_error keeps the guard
+    # lazy (no driver-side action during construction) and surfaces a
+    # clear message at execution time.
+    tot_w = avail.select(w_col.alias("_w")).agg(
+        F.sum("_w").alias("_tw_raw")
+    ).select(
+        F.when(F.col("_tw_raw") > 0, F.col("_tw_raw"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "training_mix_epochs: weights match no observed "
+                    "source (total weight is 0)"
+                )
+            )
+        )
+        .alias("_tw")
+    )
     return (
         avail.crossJoin(F.broadcast(tot_w))
         .select(

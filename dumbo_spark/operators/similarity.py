@@ -857,6 +857,14 @@ def _pq_codebooks(
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])
+    if not rows:
+        # empty-input contract (ADVICE r6, mirroring pca_top_component's
+        # guard): an embeddings table with no vec_id < sample rows would
+        # otherwise hit np.asarray([]).shape with a bare ValueError.
+        raise ValueError(
+            "pq codebook training: embeddings has no rows with vec_id < "
+            f"{sample} — cannot train on an empty sample"
+        )
     x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     n, d = x.shape
     dsub = d // m

@@ -6874,7 +6874,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              GREATEST(0, walk.s + (idx.x - st.mu - 0.25 * st.sigma))
       FROM walk JOIN idx ON idx.i = walk.i + 1 CROSS JOIN st)
     SELECT day, ROUND(x, 6) AS daily_mean, ROUND(s, 6) AS cusum,
-           s > 2.0 * (SELECT sigma FROM st) AS alarm
+           ROUND(s, 6) > ROUND(2.0 * (SELECT sigma FROM st), 6) AS alarm
     FROM walk
     """,
 )

@@ -55,6 +55,37 @@ def _cleanup_scratch_dirs() -> None:
         shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 
 
+def _sentinel_safe_bounds(ev: DataFrame):
+    """(min ts, max ts) probe shared by the attribution replays, plus
+    the SENTINEL INVARIANT check (VERDICT r6 #6): those replays inject
+    watermark-driving rows with ``event_id = user_id = -1`` and filter
+    them back out of the settled output by SIGN (``event_id >= 0``), so
+    their correctness rests on real fixture ids being non-negative.
+    Pinning the invariant here — one extra aggregate on the min/max-ts
+    action the replays already run — makes a fixture regeneration that
+    introduces negative ids fail loudly at replay construction instead
+    of silently dropping legitimate rows. tests/test_dq_fixtures.py
+    asserts the same invariant on the parquet directly.
+    """
+    b = ev.agg(
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+        F.min("event_id").alias("_min_eid"),
+        F.min("user_id").alias("_min_uid"),
+    ).collect()[0]
+    if (b["_min_eid"] is not None and b["_min_eid"] < 0) or (
+        b["_min_uid"] is not None and b["_min_uid"] < 0
+    ):
+        raise ValueError(
+            "streaming attribution replay: events fixture contains "
+            f"negative ids (min event_id={b['_min_eid']}, min user_id="
+            f"{b['_min_uid']}) — the -1 watermark sentinels would "
+            "collide with real rows; move sentinels to a disjoint "
+            "namespace before using this fixture"
+        )
+    return b
+
+
 def _run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
@@ -305,7 +336,7 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumbo_spark.streaming.windows import click_purchase_stream_left_join
 
     ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    b = _sentinel_safe_bounds(ev)
     mid = b["mn"] + (b["mx"] - b["mn"]) / 2
     base = _scratch_dir(prefix="dumbo_spark_attro_")
     sides = {}
@@ -363,7 +394,7 @@ def streaming_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumbo_spark.streaming.windows import click_purchase_stream_left_join_dedup
 
     ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    b = _sentinel_safe_bounds(ev)
     mid = b["mn"] + (b["mx"] - b["mn"]) / 2
     base = _scratch_dir(prefix="dumbo_spark_attrd_")
     sides = {}
@@ -418,7 +449,7 @@ def streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumbo_spark.streaming.windows import click_purchase_stream_full_join
 
     ev = load_table(spark, sf_dir, "events")
-    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    b = _sentinel_safe_bounds(ev)
     mid = b["mn"] + (b["mx"] - b["mn"]) / 2
     base = _scratch_dir(prefix="dumbo_spark_attrf_")
     sides = {}

@@ -74,18 +74,22 @@ def test_evidence_report_writes_file_atomically(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     target = os.path.join(repo, "EVIDENCE.md")
     before = open(target).read() if os.path.exists(target) else None
-    r = subprocess.run(
-        [sys.executable, os.path.join(repo, "tools", "evidence_report.py")],
-        capture_output=True,
-        text=True,
-        timeout=120,
-    )
-    assert r.returncode == 0, r.stderr
-    # report lands in the file, not stdout
-    assert r.stdout == ""
-    content = open(target).read()
-    assert content.startswith("# EVIDENCE")
-    assert "Totals:" in content
-    if before is not None:
-        with open(target, "w") as f:
-            f.write(before)
+    # restore in finally (ADVICE r6): a mid-test assertion failure must
+    # not leave the repo's real EVIDENCE.md regenerated.
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "evidence_report.py")],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        # report lands in the file, not stdout
+        assert r.stdout == ""
+        content = open(target).read()
+        assert content.startswith("# EVIDENCE")
+        assert "Totals:" in content
+    finally:
+        if before is not None:
+            with open(target, "w") as f:
+                f.write(before)
