@@ -7378,18 +7378,78 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
-# caps its sample at 50 names (observed exactly 50 rows in r02-r05).
-# Round-6 rotation (VERDICT r5 items #1/#6): the first 50 slots are the
-# 42 oracle-backed queries with no external driver row (EVIDENCE.md
-# "local-only" rows, all r4-tail/r5 additions), plus copurchase_kcore
-# (its recursive-CTE oracle postdates its last r4 rows-only sample),
-# plus 7 r1-vintage refresh names whose only external row predates the
-# r3 fixture regeneration. A green r6 run completes external
-# verification of the entire 249-oracle registry with every row >= r3.
+# caps its sample at 50 names with NO cross-round cursor (observed in
+# r02-r07: each round re-reads the head 50; r7 proved it by re-sampling
+# r6's identical set when the r6 additions were queued at positions
+# 81-99). Round-8 rotation (VERDICT r7 item #1): the FIRST 50 slots are
+# exactly (a) the 20 round-6 additions that have never had an external
+# driver row (19 oracle-backed + rows-only knn_cosine_pq), then (b) the
+# 11 remaining r1-vintage refresh names whose only external row predates
+# the r3 fixture regeneration, then (c) 19 r2-vintage refreshes. A green
+# r8 run leaves ZERO oracle-backed queries without an external row.
 # Locally, tests/test_differential.py still checks every query
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # 42 oracle-backed queries with no external row yet
+    # (a) 20 round-6 additions, never externally sampled (r6 queued
+    # them at tail positions the 50-name window never reached)
+    "streaming_attribution_dedup",
+    "streaming_attribution_full",
+    "simhash_recall_checked",
+    "semantic_dedup_checked",
+    "training_mix_epochs",
+    "linenumber_density_check",
+    "interval_coverage_daily",
+    "auc_roc_exact",
+    "theil_sen_trend",
+    "clustering_coefficient",
+    "ngram_novelty_rate",
+    "diversified_topk",
+    "knn_cosine_pq",
+    "pq_recall_checked",
+    "knn_euclid",
+    "rank_fusion_rrf",
+    "dataset_manifest",
+    "bm25_topk",
+    "cusum_drift",
+    "calibration_bins",
+    # (b) r1-vintage refresh: only external row predates the r3 fixture
+    # regeneration
+    "bottomk_per_group",
+    "join_anti",
+    "join_broadcast_dim",
+    "events_tumbling_1h",
+    "events_sessionized",
+    "trailing_window_totals",
+    "dedup_normalized",
+    "group_percentiles",
+    "hourly_active_users",
+    "pivot_status",
+    "token_doc_freq",
+    # (c) r2-vintage refresh queue (oldest first)
+    "pricing_summary",
+    "top_revenue_nations",
+    "segment_top_customers",
+    "order_priority_counts",
+    "shipping_priority",
+    "returned_items",
+    "orders_above_avg",
+    "join_full_outer",
+    "grouping_sets_counts",
+    "lag_lead_delta",
+    "moving_avg",
+    "bucketed_quartiles",
+    "ntile_quartiles_by_segment",
+    "percent_rank_by_segment",
+    "salted_topk_per_group",
+    "local_supplier_volume",
+    "promo_revenue",
+    "large_orders",
+    "nation_trade_volume",
+    # ── end of the 50-name driver window ──
+    # overflow: remaining r2-vintage, then the r6/r7-green refresh
+    # backlog (kept for deterministic ordering; all have rows >= r6)
+    "product_profit",
+    "order_count_distribution",
     "bpe_merge_candidates",
     "brand_cross_shopping",
     "bucketed_group_percentiles",
@@ -7432,10 +7492,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_median_price",
     "weighted_price_quartiles",
     "zipf_fit",
-    # oracle added in r5, never driver-exercised since
     "copurchase_kcore",
-    # r1-vintage refresh (only external row predates the r3 fixture
-    # regeneration)
     "dedup_exact",
     "dedup_jaccard",
     "topk_per_group",
@@ -7443,60 +7500,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_by_day",
     "topk_global",
     "window_rank",
-    # overflow: remaining r1-vintage, then r2-vintage refresh queue
-    "join_anti",
-    "join_broadcast_dim",
-    "bottomk_per_group",
-    "events_tumbling_1h",
-    "trailing_window_totals",
-    "events_sessionized",
-    "dedup_normalized",
-    "group_percentiles",
-    "hourly_active_users",
-    "pivot_status",
-    "token_doc_freq",
-    "pricing_summary",
-    "top_revenue_nations",
-    "segment_top_customers",
-    "order_priority_counts",
-    "shipping_priority",
-    "returned_items",
-    "orders_above_avg",
-    "join_full_outer",
-    "grouping_sets_counts",
-    "lag_lead_delta",
-    "moving_avg",
-    "bucketed_quartiles",
-    "ntile_quartiles_by_segment",
-    "percent_rank_by_segment",
-    "salted_topk_per_group",
-    "local_supplier_volume",
-    "promo_revenue",
-    "large_orders",
-    "nation_trade_volume",
-    "product_profit",
-    "order_count_distribution",
-    # round-6 additions: queue immediately after the refresh backlog so
-    # they rotate into the round-7 window
-    "streaming_attribution_dedup",
-    "streaming_attribution_full",
-    "simhash_recall_checked",
-    "semantic_dedup_checked",
-    "training_mix_epochs",
-    "linenumber_density_check",
-    "interval_coverage_daily",
-    "auc_roc_exact",
-    "theil_sen_trend",
-    "clustering_coefficient",
-    "ngram_novelty_rate",
-    "diversified_topk",
-    "pq_recall_checked",
-    "knn_euclid",
-    "rank_fusion_rrf",
-    "dataset_manifest",
-    "bm25_topk",
-    "cusum_drift",
-    "calibration_bins",
 )
 
 
