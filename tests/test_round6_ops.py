@@ -268,6 +268,13 @@ def test_pq_recall_checked_bound_holds(spark, sf_dir):
 
     row = pq_recall_checked(load_table(spark, sf_dir, "embeddings")).collect()[0]
     assert row["n_queries"] == 8 and row["pq_recall_ok"]
+    # measured-recall pins (VERDICT r7 #4): 16/40 = 0.40 on the sf0.001
+    # fixture, 22/40 = 0.55 at sf0.01 (16x32 geometry, deterministic
+    # training) — a silent recall regression now fails here, and the
+    # driver oracle recomputes the same integer in SQL.
+    assert 0 < row["n_hits"] <= row["n_exact_pairs"]
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        assert row["n_hits"] == 16, f"measured recall drifted: {row}"
 
 
 def test_rank_fusion_rrf_scores(spark, sf_dir):
