@@ -170,3 +170,204 @@ def test_attribution_dedup_matches_outer_despite_redelivery(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").count()
     assert out.select("click_id").distinct().count() == clicks
+
+
+def test_upsert_sink_crash_restart_idempotent(spark, sf_dir):
+    """Crash-restart of the foreachBatch MERGE sink at BOTH crash
+    windows (VERDICT r6 #7 / r7 #5): (1) crash after the state-version
+    rename but before the offset commit — the batch is RE-DELIVERED
+    with the same id and must be skipped, not re-merged (double-count
+    otherwise); (2) crash before any side effect — the batch re-runs
+    normally. The settled state after all restarts must equal the
+    batch combine over the whole table."""
+    import os
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dumbo_spark.streaming.runners import (
+        _upsert_combine,
+        _VersionedMergeState,
+        _write_event_slices,
+    )
+
+    base = tempfile.mkdtemp(prefix="upsert_crash_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = os.path.join(base, "src")
+    _write_event_slices(ev, src, n_slices=3)
+    state = _VersionedMergeState(os.path.join(base, "state"))
+    ckpt = os.path.join(base, "ckpt")
+    seen: list[list[int]] = []
+
+    def run(fn):
+        seen.append([])
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return None
+        except StreamingQueryException as exc:
+            return exc
+
+    def crash_after_commit(batch_df, batch_id):
+        seen[-1].append(batch_id)
+        state.merge(batch_df, batch_id)  # side effect IS durable
+        if batch_id == 1:
+            raise RuntimeError("crash: after version rename, before offset commit")
+
+    def crash_before_side_effect(batch_df, batch_id):
+        seen[-1].append(batch_id)
+        if batch_id == 2:
+            raise RuntimeError("crash: before any side effect")
+        state.merge(batch_df, batch_id)
+
+    assert run(crash_after_commit) is not None
+    assert seen[0] == [0, 1]
+    assert run(crash_before_side_effect) is not None
+    # batch 1 was RE-DELIVERED (offsets uncommitted) — the guard must
+    # have skipped its already-committed merge
+    assert seen[1][0] == 1
+    assert run(state.merge) is None  # clean completion re-runs batch 2
+
+    got = state.read(spark)
+    want = _upsert_combine(ev)
+    cols = ["user_id", "last_us", "last_event_id", "last_value", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # the double-count signature the guard prevents: total n_events
+    # equals the table row count exactly
+    assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_attribution_replay_resumes_from_checkpoint(spark, sf_dir):
+    """Kill-and-resume of a stream-stream FULL OUTER interval join
+    (VERDICT r7 #5): run 1 sees only the first chronological half of
+    each side, stops with matches and join STATE in the checkpoint;
+    run 2 delivers the second halves plus the watermark sentinels.
+    Cross-run pairs (a run-1 click matching a run-2 purchase) only
+    attribute correctly if the buffered join state was restored, and
+    the file sink's transaction log must not duplicate run-1 output.
+    Settled output equals the batch FULL JOIN oracle."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dumbo_spark.streaming.runners import _sentinel_safe_bounds
+    from dumbo_spark.streaming.windows import click_purchase_stream_full_join
+
+    base = tempfile.mkdtemp(prefix="attr_resume_")
+    ev = load_table(spark, sf_dir, "events")
+    b = _sentinel_safe_bounds(ev)
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def write_half(side, etype, i):
+        d = os.path.join(base, side)
+        part = ev.where(F.col("event_type") == etype)
+        half = (
+            part.where(F.col("ts") <= F.lit(mid))
+            if i == 0
+            else part.where(F.col("ts") > F.lit(mid))
+        )
+        half.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"half{i}.parquet")
+        )
+
+    def write_sentinels(side):
+        d = os.path.join(base, side)
+        for k, days in ((2, 30), (3, 60)):
+            (
+                ev.limit(1)
+                .withColumn(
+                    "event_id", F.lit(-1).cast(ev.schema["event_id"].dataType)
+                )
+                .withColumn(
+                    "user_id", F.lit(-1).cast(ev.schema["user_id"].dataType)
+                )
+                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, f"half{k}_sentinel.parquet"))
+            )
+
+    def run_available():
+        sides = {}
+        for side in ("clicks", "purchases"):
+            sides[side] = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(base, side, "*"))
+            )
+        joined = click_purchase_stream_full_join(
+            sides["clicks"], sides["purchases"]
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first halves only — join state accumulates, then the
+    # query terminates (availableNow) with state in the checkpoint
+    write_half("clicks", "click", 0)
+    write_half("purchases", "purchase", 0)
+    run_available()
+
+    # run 2: second halves + watermark sentinels arrive; resume
+    write_half("clicks", "click", 1)
+    write_half("purchases", "purchase", 1)
+    write_sentinels("clicks")
+    write_sentinels("purchases")
+    run_available()
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+        .where(F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    want = c.join(p, cond, "fullOuter").select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+    def rows(df):
+        none_low = -(10**18)
+        return sorted(
+            (
+                tuple(none_low if v is None else v for v in (r["user_id"], r["click_id"], r["purchase_id"], r["lag_us"]))
+            )
+            for r in df.collect()
+        )
+
+    assert rows(got) == rows(want)
