@@ -1494,6 +1494,15 @@ def interval_coverage_daily(
     )
 
 
+def _round6_half_up(v: float) -> float:
+    """SQL-ROUND twin for driver-side compares: 6dp half-away-from-zero
+    over the double's exact decimal expansion (what Spark's F.round and
+    DuckDB ROUND both do), unlike builtin round()'s half-to-even."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def cusum_drift(
     events: DataFrame, k_frac: float = 0.25, h_frac: float = 2.0
 ) -> DataFrame:
@@ -1547,8 +1556,13 @@ def cusum_drift(
         # discontinuous, so the unrounded compare could flip on a
         # last-ulp mu divergence from the oracle; rounding both s and
         # h to the repo-wide 6dp grain stabilizes it (the oracle
-        # compares ROUND(s,6) > ROUND(h,6) identically).
-        pdf["alarm"] = [round(v, 6) > round(h, 6) for v in out]
+        # compares ROUND(s,6) > ROUND(h,6) identically). Rounding is
+        # HALF-AWAY-FROM-ZERO over the double's exact decimal
+        # expansion — Decimal(float).quantize(HALF_UP) — matching SQL
+        # ROUND semantics; Python's builtin round() is half-to-even
+        # and would diverge on an exact .5 boundary (ADVICE r7).
+        rh = _round6_half_up
+        pdf["alarm"] = [rh(v) > rh(h) for v in out]
         return pdf[["day", "x", "cusum", "alarm"]]
 
     return (

@@ -168,11 +168,16 @@ def training_mix_epochs(
     # (ADVICE r6): tot_w = 0 would otherwise flow NULL / div-by-zero
     # into target_tokens/epochs silently. raise_error keeps the guard
     # lazy (no driver-side action during construction) and surfaces a
-    # clear message at execution time.
+    # clear message at execution time. An EMPTY documents table is NOT
+    # that error (ADVICE r7): SUM over zero rows is NULL, not 0, so
+    # route NULL to a NULL total — the crossJoin below then yields the
+    # empty frame an empty input always produced — and reserve the
+    # raise for "rows exist but every weight resolved to 0".
     tot_w = avail.select(w_col.alias("_w")).agg(
         F.sum("_w").alias("_tw_raw")
     ).select(
         F.when(F.col("_tw_raw") > 0, F.col("_tw_raw"))
+        .when(F.col("_tw_raw").isNull(), F.lit(None).cast("double"))
         .otherwise(
             F.raise_error(
                 F.lit(

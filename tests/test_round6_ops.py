@@ -81,6 +81,29 @@ def test_training_mix_epochs_weighted(spark):
     assert abs(out["s2"]["epochs"] - 25.0 / 2) < 1e-6
 
 
+def test_training_mix_epochs_empty_vs_zero_weight(spark):
+    """ADVICE r7: an EMPTY documents table returns an empty frame (as
+    it always did), while a weights dict matching no observed source
+    still fails fast with the zero-weight message."""
+    import pytest
+
+    from dumbo_spark.operators.packing import training_mix_epochs
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    assert training_mix_epochs(empty, budget_tokens=100).count() == 0
+    assert (
+        training_mix_epochs(
+            empty, budget_tokens=100, weights={"nope": 1.0}
+        ).count()
+        == 0
+    )
+    rows = [(1, "a b", "en", "s1", 3)]
+    df = spark.createDataFrame(rows, schema)
+    with pytest.raises(Exception, match="weights match no observed source"):
+        training_mix_epochs(df, budget_tokens=100, weights={"nope": 1.0}).collect()
+
+
 def test_linenumber_density_check_classes(spark):
     from dumbo_spark.operators.dq import linenumber_density_check
 
