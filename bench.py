@@ -255,6 +255,8 @@ HEADLINE = [
     "bm25_topk",
     "cusum_drift",
     "calibration_bins",
+    "dpp_partitioned_join",
+    "dedup_incremental_pruned",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

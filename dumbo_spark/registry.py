@@ -606,6 +606,55 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dpp_partitioned_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
+      ON d.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a Hive-partitioned layout
+    (sources/bucketed.py::write_partitioned): orders written
+    partitioned by o_orderpriority, then joined to a selective dim the
+    optimizer only resolves at runtime — DPP injects the dim's
+    surviving keys into the fact scan's PartitionFilters
+    (``dynamicpruning#`` subquery, asserted in tests/test_plans.py),
+    so 3 of 5 partition directories are never opened. The
+    directory-skipping twin of bucketed_colocated_join's
+    shuffle-elimination."""
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.sources.bucketed import write_partitioned
+    from dumbo_spark.streaming.runners import _scratch_dir
+
+    base = _scratch_dir(prefix="dumbo_spark_dpp_")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, "o_orderpriority", f"{base}/orders_part")
+    fact = spark.read.parquet(f"{base}/orders_part")
+    dim = (
+        orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
 # ═══ M3: order / rank (L5-L7 + gap row) ═════════════════════════════════
 
 
@@ -1630,6 +1679,42 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest-of-corpus fingerprint table — O(|batch|) marginal cost."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.incremental_dedup(
+        corpus=docs.where(F.col("source") != "src0"),
+        batch=docs.where(F.col("source") == "src0"),
+    )
+
+
+@register(
+    "dedup_incremental_pruned",
+    # Same oracle as dedup_incremental: the Bloom-style bucket prune is
+    # semantics-preserving (equal hashes share a bucket; false
+    # positives die in the exact anti-join), so the admitted set is
+    # identical by construction — and the shared oracle proves it.
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))
+               AS norm_hash
+      FROM documents),
+    batch AS (
+      SELECT norm_hash,
+             MIN(doc_id) AS admit_id,
+             COUNT(*) AS n_in_batch
+      FROM fp WHERE source = 'src0' GROUP BY norm_hash)
+    SELECT b.norm_hash, b.admit_id, b.n_in_batch
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM fp c
+                      WHERE c.source <> 'src0' AND c.norm_hash = b.norm_hash)
+    """,
+)
+def q_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup with the Bloom-style pre-shuffle prune
+    (dedup.incremental_dedup_pruned): the batch's bounded bucket set
+    broadcasts to a left-semi join that drops non-colliding corpus
+    fingerprints BEFORE the anti-join shuffle — O(|batch| +
+    |corpus|·fp_rate) shuffle volume instead of O(|corpus|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup_pruned(
         corpus=docs.where(F.col("source") != "src0"),
         batch=docs.where(F.col("source") == "src0"),
     )
@@ -7523,6 +7608,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_topk",
     "cusum_drift",
     "calibration_bins",
+    # round-8 additions (no external row yet)
+    "dpp_partitioned_join",
+    "dedup_incremental_pruned",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
     "bottomk_per_group",
@@ -7554,11 +7642,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "salted_topk_per_group",
     "local_supplier_volume",
     "promo_revenue",
-    "large_orders",
-    "nation_trade_volume",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage, then the r6/r7-green refresh
     # backlog (kept for deterministic ordering; all have rows >= r6)
+    "large_orders",
+    "nation_trade_volume",
     "product_profit",
     "order_count_distribution",
     "bpe_merge_candidates",

@@ -85,3 +85,17 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned(df: DataFrame, key: str, path: str) -> None:
+    """Hive-style directory partitioning: one subdirectory per value of
+    ``key`` (``path/key=value/part-*.parquet``). The third layout
+    contract next to hash bucketing (equi-join co-location) and range
+    sorting (ordered access): partition-key predicates — INCLUDING ones
+    Spark only learns at runtime from a joined dim's surviving keys,
+    i.e. DYNAMIC PARTITION PRUNING — skip whole directories before any
+    file is opened. At 100 TB, a fact partitioned by day joined to a
+    dim filtered to one week reads 7 directories, not 3 650; the
+    ``dynamicpruning#`` subquery in the scan's PartitionFilters is
+    asserted in tests/test_plans.py."""
+    df.write.mode("overwrite").partitionBy(key).parquet(path)

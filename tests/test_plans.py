@@ -393,3 +393,34 @@ def test_round6_ops_plan_shapes(spark, sf_dir):
     assert s["python_evals"] == 0
     assert "CartesianProduct" not in s["plan"]
     assert "BroadcastNestedLoopJoin" not in s["plan"]
+
+
+def test_dpp_partition_filters_injected(spark, sf_dir):
+    """The partitioned-layout join must carry a runtime dynamicpruning
+    subquery in the fact scan's PartitionFilters — the directory-skip
+    that makes a day-partitioned 100 TB fact readable by dim filter."""
+    from dumbo_spark.registry import QUERIES
+
+    df = QUERIES["dpp_partitioned_join"].fn(spark, sf_dir)
+    s = physical_summary(df)
+    assert "dynamicpruning" in s["plan"], "DPP subquery missing from scan"
+    assert s["python_evals"] == 0
+
+
+def test_incremental_dedup_prune_is_broadcast_semi(spark, sf_dir):
+    """The Bloom-style prune must plan as a BROADCAST left-semi on the
+    bucket key (bounded build side) feeding the exact left-anti — the
+    shape whose shuffle volume is O(batch), not O(corpus)."""
+    from dumbo_spark.operators.dedup import incremental_dedup_pruned
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = incremental_dedup_pruned(
+        corpus=docs.where(F.col("source") != "src0"),
+        batch=docs.where(F.col("source") == "src0"),
+    )
+    s = physical_summary(df)
+    assert "LeftSemi" in s["plan"], "prune semi-join missing"
+    assert "LeftAnti" in s["plan"], "exact anti-join missing"
+    assert s["broadcast_joins"] >= 1, "bucket set must broadcast"
+    assert s["python_evals"] == 0
