@@ -257,6 +257,7 @@ HEADLINE = [
     "calibration_bins",
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
+    "dedup_substring",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

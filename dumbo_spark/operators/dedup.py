@@ -970,6 +970,84 @@ def incremental_dedup_pruned(
     return batch_first.join(corpus_pruned, "norm_hash", "left_anti")
 
 
+def substring_dup_pairs(
+    documents: DataFrame,
+    window_tokens: int = 20,
+    stride: int = 1,
+    max_df: int = 50,
+) -> DataFrame:
+    """EXACT SUBSTRING-level duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" method,
+    token-window form): two documents are substring-dups when they
+    share a verbatim ``window_tokens``-token span, even if the rest of
+    the documents differ completely — the duplication mode that
+    document-level Jaccard/MinHash/SimHash all under-detect (a long
+    quote inside otherwise-novel text moves doc-level Jaccard barely
+    at all).
+
+    Plan: token windows at EVERY position (stride=1 default —
+    O(len) windows, the same row budget as the repo's other n-gram
+    operators) → md5 window fingerprints → distinct (doc, window) →
+    document-frequency band ``2 ≤ df ≤ max_df`` → equi-self-join
+    WITHIN window groups → per-pair shared-window count. The df cap is
+    the posting-list lesson: a window shared by thousands of docs is
+    boilerplate (licence headers, navigation chrome), pairing it is
+    O(df²) noise — the cap bounds every join group AND the skew of the
+    window key in one stroke. Everything is JVM-side column work; the
+    token array is materialized in its own projection before the
+    window transform (the O(len²) inline-tokens trap,
+    ngram_novelty_rate lesson).
+
+    ``stride > 1`` subsamples positions for cheapness but FORFEITS the
+    detection guarantee: both docs sample span-relative offsets modulo
+    the stride, so a shared span whose start positions differ by a
+    non-multiple of the stride produces NO common window however long
+    the span is (winnowing exists to fix exactly this; stride=1 needs
+    no fix). Only stride=1 gives the exact Lee-et-al. semantics —
+    every shared ``window_tokens``-token span is caught.
+
+    At 100 TB: total windows ≈ corpus_tokens, shuffled once on the
+    16-byte hash; join groups are ≤ max_df rows. No pairwise scan
+    anywhere.
+
+    Output: (doc_a, doc_b, n_shared_windows), doc_a < doc_b.
+    """
+    w = window_tokens
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= w
+    )
+    pos = F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1), F.lit(stride))
+    uw = (
+        toked.select("doc_id", "toks", F.explode(pos).alias("p"))
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), w))).alias(
+                "wh"
+            ),
+        )
+        .distinct()
+    )
+    banded = uw.join(
+        uw.groupBy("wh")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("wh"),
+        "wh",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 def cluster_size_histogram(components: DataFrame) -> DataFrame:
     """Duplicate-cluster size distribution: how many clusters have 2,
     3, ... members — the dedup triage view (a fat head of giant

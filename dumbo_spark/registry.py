@@ -1685,6 +1685,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents),
+    w AS (
+      SELECT doc_id, md5(array_to_string(toks[p : p + 19], ' ')) AS wh
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19, 1))
+                       AS p) s
+      WHERE len(toks) >= 20),
+    uw AS (SELECT DISTINCT doc_id, wh FROM w),
+    band AS (SELECT wh FROM uw GROUP BY wh HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_windows
+    FROM uw a
+    JOIN band USING (wh)
+    JOIN uw b ON b.wh = a.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dup pairs (dedup.substring_dup_pairs):
+    verbatim 20-token spans shared across documents via every-position
+    window fingerprints with a document-frequency band — the Lee et
+    al. 2022 dedup mode that document-level Jaccard under-detects."""
+    return dedup.substring_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_incremental_pruned",
     # Same oracle as dedup_incremental: the Bloom-style bucket prune is
     # semantics-preserving (equal hashes share a bucket; false
@@ -7611,6 +7642,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-8 additions (no external row yet)
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
+    "dedup_substring",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
     "bottomk_per_group",
@@ -7641,8 +7673,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "percent_rank_by_segment",
     "salted_topk_per_group",
     "local_supplier_volume",
-    "promo_revenue",
     # ── end of the 50-name driver window ──
+    "promo_revenue",
     # overflow: remaining r2-vintage, then the r6/r7-green refresh
     # backlog (kept for deterministic ordering; all have rows >= r6)
     "large_orders",
