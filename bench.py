@@ -258,6 +258,7 @@ HEADLINE = [
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
     "dedup_substring",
+    "streaming_attribution_semi",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -4976,6 +4976,32 @@ def q_streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_attribution_semi",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS click_us
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    """,
+)
+def q_streaming_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join (streaming/runners.py::
+    streaming_attribution_semi): attributed clicks emitted once each —
+    the existence-only member that completes the streaming join-type
+    matrix (inner / left outer / full outer / left semi); settled
+    availableNow output equals the batch EXISTS oracle bit-for-bit."""
+    from dumbo_spark.streaming.runners import streaming_attribution_semi
+
+    return streaming_attribution_semi(spark, sf_dir)
+
+
+@register(
     "streaming_attribution_dedup",
     oracle="""
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
@@ -7643,6 +7669,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
     "dedup_substring",
+    "streaming_attribution_semi",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
     "bottomk_per_group",
@@ -7672,8 +7699,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ntile_quartiles_by_segment",
     "percent_rank_by_segment",
     "salted_topk_per_group",
-    "local_supplier_volume",
     # ── end of the 50-name driver window ──
+    "local_supplier_volume",
     "promo_revenue",
     # overflow: remaining r2-vintage, then the r6/r7-green refresh
     # backlog (kept for deterministic ordering; all have rows >= r6)

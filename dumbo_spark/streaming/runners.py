@@ -485,6 +485,53 @@ def streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
 
 
+def streaming_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join (windows.py::
+    click_purchase_stream_semi_join): attributed clicks emitted once
+    each — the existence-only member of the join matrix, over the same
+    replay construction as streaming_attribution_outer (chronological
+    halves + two sentinel files per side; sentinels guarantee settling
+    whichever emission policy the semi join uses, match-eager or
+    watermark-delayed). Sentinels filter out on ``click_id >= 0``."""
+    from datetime import timedelta
+
+    from dumbo_spark.streaming.windows import click_purchase_stream_semi_join
+
+    ev = load_table(spark, sf_dir, "events")
+    b = _sentinel_safe_bounds(ev)
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    base = _scratch_dir(prefix="dumbo_spark_attrs_")
+    sides = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = os.path.join(base, side)
+        os.makedirs(d)
+        part = ev.where(F.col("event_type") == etype)
+        for i, half in enumerate(
+            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
+        ):
+            half.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"half{i}.parquet")
+            )
+        for k, days in ((2, 30), (3, 60)):
+            sent = (
+                ev.limit(1)
+                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
+                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"half{k}_sentinel.parquet")
+            )
+        sides[side] = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+    joined = click_purchase_stream_semi_join(sides["clicks"], sides["purchases"])
+    out = _run_to_memory(joined, "q_streaming_attr_semi_sink", mode="append")
+    return out.where(F.col("click_id") >= 0)
+
+
 def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-burst detection as a TRUE stream: the error-filtered event
     stream through ``session_window`` (30-minute gap) with a HAVING-≥2

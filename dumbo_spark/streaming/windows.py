@@ -300,3 +300,44 @@ def click_purchase_stream_full_join(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+def click_purchase_stream_semi_join(
+    clicks: DataFrame, purchases: DataFrame,
+    watermark: str = "2 hours", within_minutes: int = 30,
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — "which clicks
+    converted": each attributed click emits ONCE however many
+    qualifying purchases follow it, and unmatched clicks silently
+    expire with the watermark. Completes the streaming join-type
+    matrix (inner → left outer → full outer → left semi); the
+    existence-only shape is what funnel/conversion pipelines actually
+    consume, and emitting the click instead of the (click × purchase)
+    product keeps the sink rate bounded by the CLICK stream even when
+    a user buys many times inside the window.
+
+    Same bounded state as the other forms (rate × (delay + window)).
+    Batch twin: LEFT SEMI with the identical interval condition /
+    SQL EXISTS — the oracle in registry.py.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "left_semi").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
