@@ -258,6 +258,7 @@ HEADLINE = [
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
     "dedup_substring",
+    "dedup_winnowed",
     "streaming_attribution_semi",
 ]
 

@@ -1048,6 +1048,90 @@ def substring_dup_pairs(
     )
 
 
+def winnowed_dup_pairs(
+    documents: DataFrame,
+    gram_tokens: int = 8,
+    winnow_k: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """Substring-dup pairs via WINNOWING fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): per
+    document, hash every ``gram_tokens``-token gram, then keep only
+    the MINIMUM hash of each ``winnow_k``-length window of consecutive
+    gram hashes. The min-selection is alignment-ROBUST — both copies
+    of a shared span contain the same gram hashes in the same order,
+    so they select the same minima wherever the span starts — which is
+    exactly what fixed-stride subsampling cannot guarantee (see
+    :func:`substring_dup_pairs`'s stride caveat). Guarantee: every
+    shared span of at least ``gram_tokens + winnow_k - 1`` tokens
+    yields at least one common fingerprint; density is ~2/(winnow_k+1)
+    of the gram count (measured 0.39 at the 8/4 default — the
+    theoretical 0.4), so the index is ~2.5× smaller than
+    every-position fingerprints at a slightly coarser span guarantee
+    (11 tokens here vs 20 exact).
+
+    Plan: materialized token array → per-position gram md5 → sliding
+    window MIN over gram order WITHIN each document (partitioned by
+    doc_id — bounded by document length, never data-sized) → distinct
+    (doc, fingerprint) → df band ``2 ≤ df ≤ max_df`` (boilerplate cap
+    + join-group bound, as in :func:`substring_dup_pairs`) →
+    equi-self-join per fingerprint. At 100 TB the fingerprint table is
+    ~2/(k+1) · corpus_tokens rows, shuffled once on the hash.
+
+    Output: (doc_a, doc_b, n_shared_fps), doc_a < doc_b.
+    """
+    w, k = gram_tokens, winnow_k
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= w + k - 1
+    )
+    pos = F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1))
+    grams = toked.select(
+        "doc_id",
+        (F.size("toks") - F.lit(w - 1)).alias("n_grams"),
+        "toks",
+        F.explode(pos).alias("p"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), w))).alias("gh"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, k - 1)
+    uf = (
+        grams.select(
+            "doc_id",
+            "p",
+            "n_grams",
+            F.min("gh").over(win).alias("fp"),
+        )
+        # the last k-1 positions see truncated windows; drop them so
+        # every fingerprint is the min of a FULL k-window (matches the
+        # oracle's p <= n_grams - (k-1) cut)
+        .where(F.col("p") <= F.col("n_grams") - F.lit(k - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    banded = uf.join(
+        uf.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp"),
+        "fp",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+
+
 def cluster_size_histogram(components: DataFrame) -> DataFrame:
     """Duplicate-cluster size distribution: how many clusters have 2,
     3, ... members — the dedup triage view (a fat head of giant

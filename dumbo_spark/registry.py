@@ -1716,6 +1716,43 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnowed",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, p, md5(array_to_string(toks[p : p + 7], ' ')) AS gh
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7, 1))
+                       AS p) s
+      WHERE len(toks) >= 11),
+    wn AS (
+      SELECT doc_id, p,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM g),
+    uf AS (SELECT DISTINCT doc_id, fp FROM wn WHERE p <= n_grams - 3),
+    band AS (SELECT fp FROM uf GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
+    FROM uf a
+    JOIN band USING (fp)
+    JOIN uf b ON b.fp = a.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint substring dedup (dedup.winnowed_dup_pairs,
+    MOSS algorithm): min-hash of each 4-window of consecutive 8-token
+    gram hashes — alignment-robust span detection at ~0.4x the
+    fingerprint density of every-position windows; any shared span of
+    >= 11 tokens is caught."""
+    return dedup.winnowed_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_incremental_pruned",
     # Same oracle as dedup_incremental: the Bloom-style bucket prune is
     # semantics-preserving (equal hashes share a bucket; false
@@ -7669,6 +7706,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
     "dedup_substring",
+    "dedup_winnowed",
     "streaming_attribution_semi",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
@@ -7698,8 +7736,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_quartiles",
     "ntile_quartiles_by_segment",
     "percent_rank_by_segment",
-    "salted_topk_per_group",
     # ── end of the 50-name driver window ──
+    "salted_topk_per_group",
     "local_supplier_volume",
     "promo_revenue",
     # overflow: remaining r2-vintage, then the r6/r7-green refresh

@@ -102,3 +102,68 @@ def test_streaming_attribution_semi_matches_batch_exists(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_winnowed_dup_pairs_alignment_robust(spark):
+    """The winnowing guarantee: a shared >= (w + k - 1)-token span is
+    caught REGARDLESS of where it starts in each doc — including
+    offsets that fixed-stride sampling would miss (prefix lengths
+    differing by a non-multiple of the stride)."""
+    from dumbo_spark.operators.dedup import winnowed_dup_pairs
+
+    span = " ".join(f"tok{i}" for i in range(11))  # w + k - 1 = 11
+    rows = [
+        (1, "a b c " + span + " tail words here", "en", "a", 0),
+        # prefix of 7 tokens → offsets differ by 4 (not a multiple of
+        # typical strides), winnowing must still pair them
+        (2, "p q r s t u v " + span, "en", "b", 0),
+        (3, " ".join(f"zzz{i}" for i in range(30)), "en", "a", 0),
+    ]
+    out = winnowed_dup_pairs(
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_a"], out[0]["doc_b"]) == (1, 2)
+    assert out[0]["n_shared_fps"] >= 1
+
+
+def test_winnowed_fingerprint_density(spark, sf_dir):
+    """Winnowing density ~2/(k+1) of the gram count (0.4 at k=4): the
+    index is genuinely smaller than every-position fingerprints."""
+    from dumbo_spark.functions.text import tokens
+    from dumbo_spark.operators.dedup import winnowed_dup_pairs  # noqa: F401
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, k = 8, 4
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= w + k - 1
+    )
+    grams = toked.select(
+        "doc_id",
+        (F.size("toks") - F.lit(w - 1)).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1))).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), w))).alias("gh"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, k - 1)
+    per_doc = (
+        grams.select("doc_id", "n_grams", "p", F.min("gh").over(win).alias("fp"))
+        .where(F.col("p") <= F.col("n_grams") - F.lit(k - 1))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("ng"),
+            F.countDistinct("fp").alias("nf"),
+        )
+        .agg(F.sum("ng").alias("ng"), F.sum("nf").alias("nf"))
+        .collect()[0]
+    )
+    density = per_doc["nf"] / per_doc["ng"]
+    assert 0.25 <= density <= 0.55, f"density {density} far from 2/(k+1)=0.4"
