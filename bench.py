@@ -255,11 +255,14 @@ HEADLINE = [
     "bm25_topk",
     "cusum_drift",
     "calibration_bins",
+    # round-8 additions (streaming_attribution_semi excluded like the
+    # other attribution replays: the 15s it costs is sentinel-replay
+    # file writes, not operator throughput; correctness is covered by
+    # the driver harness + tests)
     "dpp_partitioned_join",
     "dedup_incremental_pruned",
     "dedup_substring",
     "dedup_winnowed",
-    "streaming_attribution_semi",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
