@@ -7675,8 +7675,13 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly (a) the 20 round-6 additions that have never had an external
 # driver row (19 oracle-backed + rows-only knn_cosine_pq), then (b) the
 # 11 remaining r1-vintage refresh names whose only external row predates
-# the r3 fixture regeneration, then (c) 19 r2-vintage refreshes. A green
+# the r3 fixture regeneration, then (c) r2-vintage refreshes. A green
 # r8 run leaves ZERO oracle-backed queries without an external row.
+# Round-8 additions (dpp_partitioned_join, dedup_incremental_pruned,
+# dedup_substring, dedup_winnowed, streaming_attribution_semi) join
+# the never-sampled block, displacing the five youngest r2-vintage
+# refreshes into the overflow. Final head-50: 20 r6 never-sampled +
+# 5 r8 additions + 11 r1-vintage + 14 r2-vintage refreshes.
 # Locally, tests/test_differential.py still checks every query
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
