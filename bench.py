@@ -263,6 +263,7 @@ HEADLINE = [
     "dedup_incremental_pruned",
     "dedup_substring",
     "dedup_winnowed",
+    "gopher_quality_screen",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -150,6 +150,84 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality_screen(
+    documents: DataFrame,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document GOPHER-style quality rules (Rae et al. 2021,
+    "Scaling Language Models: … Gopher", Appendix A1.1 — the rule set
+    most LLM corpus pipelines descend from), each rule a flag column
+    plus the conjunctive pass:
+
+    - ``words_ok``     — word count within [min_words, max_words]
+    - ``word_len_ok``  — mean word length within [3, 10] (gibberish /
+      symbol-soup screen)
+    - ``alpha_ok``     — ≥ 80% of words contain an alphabetic char
+      (strips markup/number dumps)
+    - ``stopword_ok``  — ≥ 2 stopwords present (the "is this prose at
+      all" test)
+    - ``gopher_pass``  — all of the above
+
+    Everything is exact integer/ratio arithmetic over the materialized
+    token array — one projection, no shuffle, no UDF; at 100 TB this
+    is a map-only pass whose output feeds the curation census
+    (rejected-by-rule counts) and the admit filter. Emitting flags
+    instead of dropping rows keeps the screen auditable — the census
+    of WHY documents fail is the artifact reviewers ask for.
+
+    Output: (doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+    words_ok, word_len_ok, alpha_ok, stopword_ok, gopher_pass).
+    """
+    toks = F.col("toks")
+    per = documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).alias("_len_sum"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("_n_alpha"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).alias(
+            "n_stopwords"
+        ),
+    ).where(F.col("n_words") > 0)
+    mean_len = F.round(F.col("_len_sum") / F.col("n_words").cast("double"), 4)
+    alpha_frac = F.round(
+        F.col("_n_alpha") / F.col("n_words").cast("double"), 4
+    )
+    flagged = per.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        "n_stopwords",
+    ).select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "words_ok"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("word_len_ok"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("alpha_ok"),
+        (F.col("n_stopwords") >= min_stopwords).alias("stopword_ok"),
+    )
+    return flagged.select(
+        "*",
+        (
+            F.col("words_ok")
+            & F.col("word_len_ok")
+            & F.col("alpha_ok")
+            & F.col("stopword_ok")
+        ).alias("gopher_pass"),
+    )
+
+
 def token_doc_freq(documents: DataFrame) -> DataFrame:
     """Document frequency + IDF per token — the tf-idf building block
     (north-star text analysis; dumbo users hand-rolled this as two

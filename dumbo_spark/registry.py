@@ -1753,6 +1753,47 @@ def q_dedup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_screen",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                   / len(toks), 4) AS mean_word_len,
+             ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(toks), 4) AS alpha_frac,
+             CAST(len(list_filter(toks, x -> x IN
+                  ('the','and','of','to','in','is','it','a'))) AS INTEGER)
+               AS n_stopwords
+      FROM d WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           mean_word_len, alpha_frac, n_stopwords,
+           n_words BETWEEN 10 AND 100000 AS words_ok,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
+           alpha_frac >= 0.8 AS alpha_ok,
+           n_stopwords >= 2 AS stopword_ok,
+           (n_words BETWEEN 10 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_frac >= 0.8
+             AND n_stopwords >= 2 AS gopher_pass
+    FROM m
+    """,
+)
+def q_gopher_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality screen (textstats.gopher_quality_screen):
+    word-count / mean-word-length / alpha-fraction / stopword-presence
+    flags per document plus the conjunctive pass — the Rae et al. 2021
+    rule set as an auditable map-only pass."""
+    return textstats.gopher_quality_screen(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_incremental_pruned",
     # Same oracle as dedup_incremental: the Bloom-style bucket prune is
     # semantics-preserving (equal hashes share a bucket; false
@@ -7712,6 +7753,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_pruned",
     "dedup_substring",
     "dedup_winnowed",
+    "gopher_quality_screen",
     "streaming_attribution_semi",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
@@ -7740,8 +7782,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "moving_avg",
     "bucketed_quartiles",
     "ntile_quartiles_by_segment",
-    "percent_rank_by_segment",
     # ── end of the 50-name driver window ──
+    "percent_rank_by_segment",
     "salted_topk_per_group",
     "local_supplier_volume",
     "promo_revenue",

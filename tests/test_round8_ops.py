@@ -167,3 +167,43 @@ def test_winnowed_fingerprint_density(spark, sf_dir):
     )
     density = per_doc["nf"] / per_doc["ng"]
     assert 0.25 <= density <= 0.55, f"density {density} far from 2/(k+1)=0.4"
+
+
+def test_gopher_quality_screen_rules(spark):
+    """Hand-built docs exercising each rule independently."""
+    from dumbo_spark.operators.textstats import gopher_quality_screen
+
+    good = (
+        "the quick brown foxes jumped over the lazy sleeping dogs and "
+        "everyone watched in quiet amazement"
+    )
+    rows = [
+        (1, good, "en", "a", 0),                                   # passes all
+        (2, "the of in", "en", "a", 0),                            # too few words
+        (3, "the a " + " ".join(["x"] * 20), "en", "a", 0),        # mean len < 3
+        (4, "the a " + " ".join(["12345"] * 20), "en", "a", 0),    # alpha frac low
+        (5, " ".join(f"zq{i}wordish" for i in range(20)), "en", "a", 0),  # no stopwords
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_screen(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        ).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["words_ok"] and not out[2]["gopher_pass"]
+    assert not out[3]["word_len_ok"] and not out[3]["gopher_pass"]
+    assert not out[4]["alpha_ok"] and not out[4]["gopher_pass"]
+    assert not out[5]["stopword_ok"] and not out[5]["gopher_pass"]
+
+
+def test_gopher_quality_screen_no_shuffle(spark, sf_dir):
+    from dumbo_spark.operators.textstats import gopher_quality_screen
+    from dumbo_spark.plans.explain import physical_summary
+
+    s = physical_summary(gopher_quality_screen(load_table(spark, sf_dir, "documents")))
+    assert s["exchanges"] == 0, "the screen must be a map-only pass"
+    assert s["python_evals"] == 0
