@@ -218,6 +218,13 @@ def main() -> None:
         "bm25_topk",
         "cusum_drift",
         "calibration_bins",
+        # round-8 additions (replicated docs are exact dups — worst
+        # case fan-out for the substring/winnowing window families)
+        "dedup_substring",
+        "dedup_winnowed",
+        "dedup_incremental_pruned",
+        "dpp_partitioned_join",
+        "gopher_quality_screen",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
