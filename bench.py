@@ -264,6 +264,7 @@ HEADLINE = [
     "dedup_substring",
     "dedup_winnowed",
     "gopher_quality_screen",
+    "copurchase_ktruss",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

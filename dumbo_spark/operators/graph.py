@@ -379,6 +379,105 @@ def copurchase_components(
     )
 
 
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an oriented (src < dst) edge
+    list: enumerate each triangle once via the ordered wedge join
+    (w1=(a,b), w2=(a,c) with b < c, closed by (b,c)), then credit all
+    three member edges. Support(e) = #triangles containing e =
+    |common neighbors of its endpoints| — the k-truss peeling
+    quantity. Same degree-ordered enumeration cost profile as the
+    triangle census; output is triangle-bounded."""
+    w1, w2, cl = edges.alias("w1"), edges.alias("w2"), edges.alias("cl")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w2.src") == F.col("w1.src"))
+            & (F.col("w1.dst") < F.col("w2.dst")),
+        )
+        .join(
+            cl,
+            (F.col("cl.src") == F.col("w1.dst"))
+            & (F.col("cl.dst") == F.col("w2.dst")),
+        )
+        .select(
+            F.col("w1.src").alias("a"),
+            F.col("w1.dst").alias("b"),
+            F.col("w2.dst").alias("c"),
+        )
+    )
+    member = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("es"), F.col("b").alias("ed")),
+                F.struct(F.col("a").alias("es"), F.col("c").alias("ed")),
+                F.struct(F.col("b").alias("es"), F.col("c").alias("ed")),
+            )
+        ).alias("m")
+    ).select(F.col("m.es").alias("es"), F.col("m.ed").alias("ed"))
+    return member.groupBy("es", "ed").agg(F.count("*").alias("supp"))
+
+
+def ktruss_edges(
+    lineitem: DataFrame,
+    k: int = 3,
+    max_iter: int = 8,
+    min_cooccur: int = 2,
+    max_basket: int = 20,
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): iteratively remove edges
+    that sit in fewer than ``k-2`` triangles until a fixpoint; return
+    the surviving edges with their in-truss support. The EDGE-level
+    cohesion mate to :func:`kcore_nodes`' node-level peel — a k-truss
+    is strictly denser than a (k-1)-core, which is why truss is the
+    community-detection pre-filter of choice on co-occurrence graphs
+    (every surviving edge is embedded in triangles, so singleton
+    "bridges" between communities are gone).
+
+    Scale shape per round: one ordered-wedge triangle enumeration
+    (the copurchase_triangles plan, triangle-bounded) + a left join
+    back to the edge list; lineage truncated per round via
+    localCheckpoint like the other iterative operators. Edges only
+    shrink, so convergence is monotone; the oracle replays EXACTLY
+    ``max_iter`` peels (post-fixpoint rounds are no-ops), so engine
+    and SQL agree whether or not the fixpoint arrives early.
+
+    Output: (part_a, part_b, support) — surviving oriented edges and
+    their final triangle counts.
+    """
+    edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        supp = _edge_support(edges)
+        kept = (
+            edges.join(
+                supp,
+                (edges["src"] == supp["es"]) & (edges["dst"] == supp["ed"]),
+                "left",
+            )
+            .where(F.coalesce(F.col("supp"), F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_kept = kept.count()
+        edges = kept
+        if n_kept == n_edges:
+            break
+        n_edges = n_kept
+    final_supp = _edge_support(edges)
+    return (
+        edges.join(
+            final_supp,
+            (edges["src"] == final_supp["es"]) & (edges["dst"] == final_supp["ed"]),
+            "left",
+        )
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.coalesce(F.col("supp"), F.lit(0)).cast("int").alias("support"),
+        )
+    )
+
+
 def clustering_coefficient(
     lineitem: DataFrame, min_cooccur: int = 2, max_basket: int = 20
 ) -> DataFrame:

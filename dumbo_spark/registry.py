@@ -4742,6 +4742,64 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_ktruss",
+    # Exactly max_iter = 8 peels on both sides: the Spark loop breaks
+    # early at the fixpoint, the SQL runs all 8 (no-ops once stable),
+    # so the final edge sets agree unconditionally — the kcore /
+    # pagerank iteration-counter trick applied to EDGE peeling. The
+    # recursive working table holds only the previous round's rows, so
+    # the triangle joins inside the recursive term need no it-equality
+    # predicates.
+    oracle="""
+    WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
+           HAVING COUNT(*) <= 20),
+    p2 AS (SELECT po.l_orderkey, po.l_partkey
+           FROM po JOIN ok USING (l_orderkey)),
+    e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           FROM p2 a JOIN p2 b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tr(it, src, dst) AS (
+      SELECT 0, src, dst FROM e0
+      UNION ALL
+      SELECT it + 1, src, dst FROM (
+        SELECT e.it, e.src, e.dst, COALESCE(s.supp, 0) AS supp
+        FROM tr e
+        LEFT JOIN (
+          SELECT u.es, u.ed, COUNT(*) AS supp
+          FROM (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+                FROM tr w1
+                JOIN tr w2 ON w2.src = w1.src AND w1.dst < w2.dst
+                JOIN tr cl ON cl.src = w1.dst AND cl.dst = w2.dst) t,
+               LATERAL (VALUES (t.a, t.b), (t.a, t.c), (t.b, t.c)) u(es, ed)
+          GROUP BY u.es, u.ed) s
+          ON s.es = e.src AND s.ed = e.dst
+        WHERE e.it < 8) z
+      WHERE supp >= 1),
+    fin AS (SELECT src, dst FROM tr WHERE it = 8),
+    fsupp AS (
+      SELECT u.es, u.ed, COUNT(*) AS supp
+      FROM (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+            FROM fin w1
+            JOIN fin w2 ON w2.src = w1.src AND w1.dst < w2.dst
+            JOIN fin cl ON cl.src = w1.dst AND cl.dst = w2.dst) t,
+           LATERAL (VALUES (t.a, t.b), (t.a, t.c), (t.b, t.c)) u(es, ed)
+      GROUP BY u.es, u.ed)
+    SELECT f.src AS part_a, f.dst AS part_b,
+           CAST(COALESCE(s.supp, 0) AS INTEGER) AS support
+    FROM fin f LEFT JOIN fsupp s ON s.es = f.src AND s.ed = f.dst
+    """,
+)
+def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (graph.ktruss_edges, k=3): iterative
+    edge peel by triangle support to a fixpoint — the edge-level
+    cohesion member of the iterative-graph family (CC, PageRank,
+    k-core, now truss), with a full recursive-CTE value oracle."""
+    return graph.ktruss_edges(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "posting_lists",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
@@ -7754,6 +7812,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_substring",
     "dedup_winnowed",
     "gopher_quality_screen",
+    "copurchase_ktruss",
     "streaming_attribution_semi",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
@@ -7781,8 +7840,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lag_lead_delta",
     "moving_avg",
     "bucketed_quartiles",
-    "ntile_quartiles_by_segment",
     # ── end of the 50-name driver window ──
+    "ntile_quartiles_by_segment",
     "percent_rank_by_segment",
     "salted_topk_per_group",
     "local_supplier_volume",

@@ -207,3 +207,34 @@ def test_gopher_quality_screen_no_shuffle(spark, sf_dir):
     s = physical_summary(gopher_quality_screen(load_table(spark, sf_dir, "documents")))
     assert s["exchanges"] == 0, "the screen must be a map-only pass"
     assert s["python_evals"] == 0
+
+
+def test_ktruss_hand_graph(spark):
+    """K4 plus a pendant edge: the K4 survives the 3-truss (every edge
+    in 2 triangles); the pendant edge (zero triangles) peels off."""
+    from dumbo_spark.operators.graph import ktruss_edges
+
+    rows = []
+    # two orders containing parts 1..4 -> all 6 pairs co-occur twice (K4)
+    for o in (101, 102):
+        rows += [(o, p) for p in (1, 2, 3, 4)]
+    # pendant: part 5 with part 1 only, in two orders
+    for o in (103, 104):
+        rows += [(o, p) for p in (1, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r["part_a"], r["part_b"]): r["support"] for r in ktruss_edges(li).collect()}
+    assert set(out) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(s == 2 for s in out.values())
+
+
+def test_ktruss_4truss_drops_single_triangle(spark):
+    """A lone triangle survives the 3-truss but not the 4-truss (each
+    edge sits in only one triangle, needs two)."""
+    from dumbo_spark.operators.graph import ktruss_edges
+
+    rows = []
+    for o in (201, 202):
+        rows += [(o, p) for p in (1, 2, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    assert ktruss_edges(li, k=3).count() == 3
+    assert ktruss_edges(li, k=4).count() == 0

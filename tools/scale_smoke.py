@@ -225,6 +225,7 @@ def main() -> None:
         "dedup_incremental_pruned",
         "dpp_partitioned_join",
         "gopher_quality_screen",
+        "copurchase_ktruss",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
