@@ -265,6 +265,7 @@ HEADLINE = [
     "dedup_winnowed",
     "gopher_quality_screen",
     "copurchase_ktruss",
+    "dsir_importance_weights",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

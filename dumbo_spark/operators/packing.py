@@ -206,3 +206,88 @@ def training_mix_epochs(
             ).alias("epochs"),
         )
     )
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed n-gram profile looks
+    like a TARGET distribution (here: the ``target_source`` slice)
+    relative to the raw corpus — the principled replacement for
+    hand-tuned source mixing when you have a small high-quality target
+    and a huge raw pool.
+
+    Exactness discipline: the only floating-point operation is ONE
+    natural log per occupied bucket, taken of an exact integer ratio
+    ``((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B))`` (add-one smoothing folded
+    into a single division) and immediately fixed-pointed to integer
+    MICRO-units. Per-document aggregation is then a plain integer sum
+    — order-independent, partition-independent, and cross-engine
+    exact, unlike a per-doc sum of raw doubles. Buckets are the
+    engine-neutral md5 convention (operators/sampling.py), so DuckDB
+    recomputes identical features.
+
+    Scale: one gram explode (O(corpus tokens)), two bucket-level
+    partial aggs (≤ n_buckets rows each — broadcast-sized), one
+    broadcast join back, one per-doc integer sum. No shuffle is
+    corpus-sized except the gram → bucket partial agg's map-side
+    combine output.
+
+    Output: (doc_id, n_grams, log_weight_micro) — docs with ≥ 1 bigram;
+    positive log_weight_micro ⇒ more target-like than the raw pool.
+    """
+    from dumbo_spark.functions.text import ngrams
+
+    b = n_buckets
+    grams = documents.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(ngrams(F.col("toks"), 2)).alias("gram"),
+    ).select(
+        "doc_id", "source", _md5_bucket(F.col("gram"), b).alias("bucket")
+    )
+    raw = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        grams.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = grams.agg(
+        F.count("*").alias("nr"),
+        F.count(F.when(F.col("source") == target_source, 1)).alias("nt"),
+    )
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nr") + F.lit(b))
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("nt") + F.lit(b))).cast(
+                        "double"
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lr_micro").alias("log_weight_micro"),
+        )
+    )

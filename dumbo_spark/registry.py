@@ -1753,6 +1753,47 @@ def q_dedup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {DUCK_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             CAST({sampling.sql_md5_bucket('gram', 256)} AS INTEGER) AS bucket
+      FROM (SELECT doc_id, source,
+                   unnest(CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END) AS gram
+            FROM toks)),
+    raw AS (SELECT bucket, COUNT(*) AS cr FROM g GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM g
+            WHERE source = 'src0' GROUP BY bucket),
+    tot AS (SELECT COUNT(*) AS nr,
+                   COUNT(*) FILTER (WHERE source = 'src0') AS nt FROM g),
+    r AS (SELECT raw.bucket,
+                 CAST(ROUND(ln(CAST((COALESCE(ct, 0) + 1) * (nr + 256)
+                                    AS DOUBLE)
+                               / CAST((cr + 1) * (nt + 256) AS DOUBLE))
+                            * 1e6) AS BIGINT) AS lr_micro
+          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(r.lr_micro) AS BIGINT) AS log_weight_micro
+    FROM g JOIN r ON r.bucket = g.bucket
+    GROUP BY g.doc_id
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights
+    (packing.dsir_importance_weights, Xie et al. 2023): per-document
+    target-vs-raw log-likelihood ratio over engine-neutral md5 gram
+    buckets, fixed-pointed to integer micro-units per bucket so the
+    per-doc aggregation is an exact integer sum."""
+    return packing.dsir_importance_weights(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "gopher_quality_screen",
     oracle="""
     WITH d AS (
@@ -7813,6 +7854,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_winnowed",
     "gopher_quality_screen",
     "copurchase_ktruss",
+    "dsir_importance_weights",
     "streaming_attribution_semi",
     # (b) r1-vintage refresh: only external row predates the r3 fixture
     # regeneration
@@ -7839,8 +7881,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_counts",
     "lag_lead_delta",
     "moving_avg",
-    "bucketed_quartiles",
     # ── end of the 50-name driver window ──
+    "bucketed_quartiles",
     "ntile_quartiles_by_segment",
     "percent_rank_by_segment",
     "salted_topk_per_group",

@@ -238,3 +238,39 @@ def test_ktruss_4truss_drops_single_triangle(spark):
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     assert ktruss_edges(li, k=3).count() == 3
     assert ktruss_edges(li, k=4).count() == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-style bigrams must outscore docs of
+    raw-only bigrams; weights are exact integers (micro-units)."""
+    from dumbo_spark.operators.packing import dsir_importance_weights
+
+    target_text = "alpha beta gamma delta " * 5
+    other_text = "omega psi chi phi " * 5
+    rows = (
+        [(i, target_text, "en", "src0", 0) for i in range(1, 4)]
+        + [(10, target_text, "en", "raw", 0)]   # target-LIKE doc in raw pool
+        + [(11 + j, other_text, "en", "raw", 0) for j in range(3)]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        ).collect()
+    }
+    # the target-like raw doc scores strictly above the raw-only docs
+    assert out[10]["log_weight_micro"] > out[11]["log_weight_micro"]
+    # determinism across runs (integer arithmetic end-to-end)
+    again = {
+        r["doc_id"]: r["log_weight_micro"]
+        for r in dsir_importance_weights(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        ).collect()
+    }
+    assert again == {k: v["log_weight_micro"] for k, v in out.items()}

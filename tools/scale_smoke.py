@@ -226,6 +226,7 @@ def main() -> None:
         "dpp_partitioned_join",
         "gopher_quality_screen",
         "copurchase_ktruss",
+        "dsir_importance_weights",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
