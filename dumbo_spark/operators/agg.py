@@ -476,8 +476,16 @@ def _weighted_cum_sweep(lineitem: DataFrame) -> DataFrame:
         F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
     ]
-    r = li.repartitionByRange(parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins ONE realization of the range shuffle before
+    # the offsets/data branch split — without it the two branches can
+    # each sample their own boundaries when pruning defeats
+    # ReuseExchange, and the offsets silently describe the wrong
+    # partitions (the round-9 global_rank fix; full mechanism in
+    # topk.global_rank).
+    r = (
+        li.repartitionByRange(parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     pc = r.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_w"))
     w_off = (
@@ -543,8 +551,13 @@ def grouped_exact_percentiles(
         F.col("_v").asc(),
         *[F.col(c).asc() for c in tiebreak_cols],
     ]
-    r = base.repartitionByRange(parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint: pin one realization of the range shuffle before
+    # the offsets/data branch split (round-9 global_rank fix — see
+    # topk.global_rank for the full dual-exchange mechanism).
+    r = (
+        base.repartitionByRange(parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     pc = r.groupBy("_pid", group_col).agg(F.count("*").alias("_c"))
     w_off = (

@@ -1496,8 +1496,14 @@ def interval_coverage_daily(
 
 def _round6_half_up(v: float) -> float:
     """SQL-ROUND twin for driver-side compares: 6dp half-away-from-zero
-    over the double's exact decimal expansion (what Spark's F.round and
-    DuckDB ROUND both do), unlike builtin round()'s half-to-even."""
+    over the double's exact decimal expansion — matching DuckDB ROUND
+    closely enough for the oracle compares, unlike builtin round()'s
+    half-to-even. Precisely (ADVICE r8): the three engines' semantics
+    differ only at measure-zero representation boundaries — Spark's
+    F.round rounds the double's SHORTEST decimal repr (BigDecimal via
+    Double.toString), DuckDB rounds a scaled double, and this rounds
+    the exact binary expansion — so a double just below x.xxxxx5 whose
+    shortest repr ends in 5 can disagree across all three."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))

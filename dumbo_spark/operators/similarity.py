@@ -855,7 +855,15 @@ def _pq_codebooks(
     argmin (lowest-index tie-break, which numpy argmin already gives).
     With identical rounded inputs on both sides, the only remaining
     float divergence is summation order — ulps, which the rounding
-    steps absorb — so the SQL replica reproduces codes bit-for-bit.
+    steps absorb — so the SQL replica reproduces the codes in practice.
+    CAVEAT (ADVICE r8): the two rounding steps themselves are not
+    tie-break-identical — numpy's np.round is half-to-even while
+    DuckDB's ROUND is half-away-from-zero — so an exactly-representable
+    decimal midpoint at the 6dp/9dp boundary (possible after a fixture
+    regeneration) could flip one assignment and cascade through the
+    Lloyd iterations into a cross-engine hash mismatch. If a
+    fixture-regen ever surfaces one, align the modes (shared half-even
+    on both sides: DuckDB has ROUND_EVEN) rather than chasing ulps.
 
     Returns a (m, ksub, dsub) numpy array.
     """

@@ -1686,11 +1686,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_substring",
-    oracle="""
+    # ADVICE r8: tokenize with the shared DUCK_TOKENS fragment (exact
+    # match for tokens() — drops empty tokens) instead of the
+    # trim/regexp_replace variant, which returns [''] for empty or
+    # punctuation-only text; the len filter happened to hide it here.
+    oracle=f"""
     WITH d AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')),
-                          ' ') AS toks
+      SELECT doc_id, {DUCK_TOKENS} AS toks
       FROM documents),
     w AS (
       SELECT doc_id, md5(array_to_string(toks[p : p + 19], ' ')) AS wh
@@ -1717,11 +1719,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_winnowed",
-    oracle="""
+    # ADVICE r8: shared DUCK_TOKENS fragment (see dedup_substring).
+    oracle=f"""
     WITH d AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')),
-                          ' ') AS toks
+      SELECT doc_id, {DUCK_TOKENS} AS toks
       FROM documents),
     g AS (
       SELECT doc_id, p, md5(array_to_string(toks[p : p + 7], ' ')) AS gh
@@ -1795,11 +1796,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gopher_quality_screen",
-    oracle="""
+    # ADVICE r8: shared DUCK_TOKENS fragment — the trim/regexp_replace
+    # variant keeps empty/punct-only docs as [''] (n_words=1) while the
+    # engine's tokens() yields [] and drops them via n_words > 0.
+    oracle=f"""
     WITH d AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')),
-                          ' ') AS toks
+      SELECT doc_id, {DUCK_TOKENS} AS toks
       FROM documents),
     m AS (
       SELECT doc_id,
@@ -7809,141 +7811,92 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness harness walks ``queries()`` in dict order and
 # caps its sample at 50 names with NO cross-round cursor (observed in
-# r02-r07: each round re-reads the head 50; r7 proved it by re-sampling
-# r6's identical set when the r6 additions were queued at positions
-# 81-99). Round-8 rotation (VERDICT r7 item #1): the FIRST 50 slots are
-# exactly (a) the 20 round-6 additions that have never had an external
-# driver row (19 oracle-backed + rows-only knn_cosine_pq), then (b) the
-# 11 remaining r1-vintage refresh names whose only external row predates
-# the r3 fixture regeneration, then (c) r2-vintage refreshes. A green
-# r8 run leaves ZERO oracle-backed queries without an external row.
-# Round-8 additions (dpp_partitioned_join, dedup_incremental_pruned,
-# dedup_substring, dedup_winnowed, streaming_attribution_semi) join
-# the never-sampled block, displacing the five youngest r2-vintage
-# refreshes into the overflow. Final head-50: 20 r6 never-sampled +
-# 5 r8 additions + 11 r1-vintage + 14 r2-vintage refreshes.
-# Locally, tests/test_differential.py still checks every query
-# regardless of order.
+# r02-r08: each round re-reads the head 50). Round-9 rotation (VERDICT
+# r8 items #3/#5): the FIRST 50 slots are exactly (a) the full 19-query
+# hazard class that rides the three range-partitioned rank sites fixed
+# this round (topk.global_rank, agg._weighted_cum_sweep,
+# agg.grouped_exact_percentiles) — the 2 queries that FAILED externally
+# in r8 plus the 17 that passed only by incidental exchange reuse — so
+# CORRECTNESS_r09 re-verifies the whole class on the fixed machinery;
+# then (b) the round-9 additions (never externally sampled); then (c)
+# the 7 r1-vintage refreshes whose only external row predates the r3
+# fixture regeneration; then (d) the oldest r2-vintage refreshes
+# (external row vintage recomputed from CORRECTNESS_r0*.json this
+# round) to fill 50. Locally, tests/test_differential.py still checks
+# every query regardless of order, and
+# tests/test_round9_rank_machinery.py re-runs the hazard class at the
+# driver's sf0.01.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) 20 round-6 additions, never externally sampled (r6 queued
-    # them at tail positions the 50-name window never reached)
-    "streaming_attribution_dedup",
-    "streaming_attribution_full",
-    "simhash_recall_checked",
-    "semantic_dedup_checked",
-    "training_mix_epochs",
-    "linenumber_density_check",
-    "interval_coverage_daily",
+    # (a) the 19-query rank-machinery hazard class, post-fix re-verify
     "auc_roc_exact",
-    "theil_sen_trend",
-    "clustering_coefficient",
-    "ngram_novelty_rate",
-    "diversified_topk",
-    "knn_cosine_pq",
-    "pq_recall_checked",
-    "knn_euclid",
-    "rank_fusion_rrf",
-    "dataset_manifest",
-    "bm25_topk",
-    "cusum_drift",
     "calibration_bins",
-    # round-8 additions (no external row yet)
-    "dpp_partitioned_join",
-    "dedup_incremental_pruned",
-    "dedup_substring",
-    "dedup_winnowed",
-    "gopher_quality_screen",
-    "copurchase_ktruss",
-    "dsir_importance_weights",
-    "streaming_attribution_semi",
-    # (b) r1-vintage refresh: only external row predates the r3 fixture
-    # regeneration
-    "bottomk_per_group",
-    "join_anti",
-    "join_broadcast_dim",
-    "events_tumbling_1h",
-    "events_sessionized",
-    "trailing_window_totals",
-    "dedup_normalized",
-    "group_percentiles",
-    "hourly_active_users",
-    "pivot_status",
-    "token_doc_freq",
-    # (c) r2-vintage refresh queue (oldest first)
-    "pricing_summary",
-    "top_revenue_nations",
-    "segment_top_customers",
-    "order_priority_counts",
-    "shipping_priority",
-    "returned_items",
-    "orders_above_avg",
-    "join_full_outer",
-    "grouping_sets_counts",
-    "lag_lead_delta",
-    "moving_avg",
-    # ── end of the 50-name driver window ──
+    "theil_sen_trend",
+    "decile_lift_table",
+    "gini_revenue",
+    "top_percent_customers",
+    "source_quality_matrix",
+    "quantile_transform",
+    "vocab_coverage",
+    "zipf_fit",
+    "vocab_indexer",
+    "ntile_quartiles",
     "bucketed_quartiles",
+    "percent_rank_balance",
+    "diversified_topk",
+    "weighted_median_price",
+    "weighted_price_quartiles",
+    "bucketed_group_percentiles",
+    "daily_value_percentiles",
+    # (b) round-9 additions (never externally sampled) — inserted here
+    # as they land
+    # (c) r1-vintage refreshes (oldest external rows in the registry)
+    "dedup_clusters",
+    "dedup_fuzzy",
+    "dedup_fuzzy_verified",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    # (d) r2-vintage refreshes (judge-named first, then the rest of the
+    # r2 cohort oldest-first by name)
+    "compat_wordcount",
+    "multimodal_features",
+    "salted_topk_per_group",
     "ntile_quartiles_by_segment",
     "percent_rank_by_segment",
-    "salted_topk_per_group",
     "local_supplier_volume",
     "promo_revenue",
-    # overflow: remaining r2-vintage, then the r6/r7-green refresh
-    # backlog (kept for deterministic ordering; all have rows >= r6)
     "large_orders",
     "nation_trade_volume",
     "product_profit",
     "order_count_distribution",
-    "bpe_merge_candidates",
-    "brand_cross_shopping",
-    "bucketed_group_percentiles",
-    "churn_risk_buckets",
-    "copurchase_components",
-    "corpus_source_concentration",
-    "daily_value_percentiles",
-    "dedup_recall_checked",
-    "dedup_report",
-    "distinctive_tokens_by_lang",
-    "doclen_percentiles_by_lang",
-    "embedding_norm_stats",
-    "error_rate_by_hour",
-    "event_mix_weekly_drift",
-    "knn_recall_checked",
-    "monthly_new_vs_returning_revenue",
-    "monthly_revenue_yoy",
-    "near_dup_rate_by_source",
-    "order_cadence",
-    "order_size_value_correlation",
-    "order_total_consistency",
-    "pagerank_checked",
-    "pca_top_component",
-    "pii_screen",
-    "price_dispersion_parts",
-    "quantile_transform",
-    "referential_integrity",
-    "region_revenue_rollup",
-    "return_rate_by_basket_size",
-    "seasonal_anomalies",
-    "session_conversion_rate",
-    "streaming_hourly_distinct_checked",
-    "streaming_sliding_1h_30m",
-    "tenure_value_buckets",
-    "top_percent_customers",
-    "transition_dwell_times",
-    "user_active_days_histogram",
-    "vocab_indexer",
-    "weekday_weekend_mix",
-    "weighted_median_price",
-    "weighted_price_quartiles",
-    "zipf_fit",
-    "copurchase_kcore",
-    "dedup_exact",
-    "dedup_jaccard",
-    "topk_per_group",
-    "knn_cosine",
-    "events_by_day",
-    "topk_global",
-    "window_rank",
+    "approx_percentiles",
+    "asof_last_click",
+    "benchmark_contamination",
+    "bpe_token_count",
+    "cheapest_part_per_brand",
+    "click_attribution",
+    "corpus_clean",
+    "dedup_by_source",
+    "disjunctive_revenue",
+    "embedding_centroids",
+    "events_cascade_rollup",
+    "events_range_join",
+    "events_session_window",
+    # ── end of the 50-name driver window ──
+    # overflow: remaining r2-vintage for deterministic ordering; all
+    # later-vintage names fall back to registration order via
+    # _ordered_names()
+    "events_sliding_1h_30m",
+    "idle_rich_customers",
+    "price_histogram",
+    "repetition_score",
+    "small_quantity_revenue",
+    "split_train_test",
+    "stratified_sample",
+    "streaming_dedup_keys",
+    "streaming_running_totals",
+    "supplier_part_variety",
 )
 
 
