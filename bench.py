@@ -266,6 +266,12 @@ HEADLINE = [
     "gopher_quality_screen",
     "copurchase_ktruss",
     "dsir_importance_weights",
+    # round-9 additions
+    "gopher_repetition_screen",
+    "stupid_backoff_scores",
+    "kn_continuation_counts",
+    "perplexity_tercile_mix",
+    "source_temperature_mix",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

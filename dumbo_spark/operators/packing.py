@@ -291,3 +291,49 @@ def dsir_importance_weights(
             F.sum("lr_micro").alias("log_weight_micro"),
         )
     )
+
+
+def source_temperature_mix(documents: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Temperature-based source sampling weights (the mT5 / XLM-R
+    alpha-sampling recipe, Xue et al. 2021 §3.1): raise each source's
+    natural token share to ``alpha`` and renormalize, so low-resource
+    sources are oversampled and the head source is damped — the
+    standard knob for balancing a multi-source training mix.
+
+    Per source: docs, tokens, natural share ``p_i = n_i / N``,
+    temperature share ``q_i = p_i^α / Σ_j p_j^α`` (6dp), and the
+    oversample factor ``q_i / p_i`` (4dp — > 1 means the source is
+    sampled above its natural rate).
+
+    Plan shape: one token-count aggregation keyed by source (partial
+    agg — the only pass over the data), then two broadcast scalar
+    joins over the sources-sized frame. The normalizer sums
+    ``|sources|`` doubles — identical inputs across engines; 6dp
+    rounding absorbs summation-order ulps.
+    """
+    per = (
+        documents.select("source", F.size(tokens("text")).alias("_n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_tot")
+    )
+    z = p.agg(F.sum(F.pow(F.col("_p"), F.lit(alpha))).alias("_z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("_p", 6).alias("p_natural"),
+            F.round(F.pow(F.col("_p"), F.lit(alpha)) / F.col("_z"), 6).alias(
+                "p_temperature"
+            ),
+            F.round(
+                F.pow(F.col("_p"), F.lit(alpha)) / F.col("_z") / F.col("_p"), 4
+            ).alias("oversample_factor"),
+        )
+        .orderBy("source")
+    )

@@ -1186,3 +1186,284 @@ def bm25_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ── round-9 additions ───────────────────────────────────────────────────
+
+
+def gopher_repetition_screen(documents: DataFrame) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1): the
+    character-fraction repetition metrics that complement
+    :func:`repetition_score`'s occurrence-fraction — boilerplate is
+    often a few LONG repeated phrases, which char fractions catch and
+    occurrence fractions understate.
+
+    Per document:
+    - ``top2_char_frac`` / ``top3_char_frac`` — fraction of token
+      characters contained in the single most frequent word 2-/3-gram
+      (count × gram chars ÷ total token chars); threshold 0.20 / 0.18.
+    - ``dup5_char_frac`` — fraction of token characters inside
+      DUPLICATED 5-grams (all occurrences of grams with count ≥ 2);
+      threshold 0.15.
+    Gram chars = sum of word lengths (``length(gram) − (n−1)``
+    separators); total chars = sum of token lengths, so fractions are
+    separator-free and a doc of one repeated word scores ~1.0. Ties on
+    the top gram break to the lexicographically smallest gram
+    (deterministic cross-engine).
+
+    Plan shape: three explode → ``groupBy(doc_id, gram)`` partial aggs
+    (keys are (doc, gram) — skew-free), a per-doc top-1 window over the
+    per-doc DISTINCT-gram counts (bounded by a doc's vocabulary, never
+    the corpus), and broadcast-joinable per-doc frames. Short docs
+    (< n tokens) have no grams: their fractions are 0.0 and they pass.
+    """
+    base = documents.select("doc_id", tokens("text").alias("_t"))
+    chars = base.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("_t", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        .cast("bigint")  # align with the oracle's BIGINT count convention
+        .alias("n_chars_tok"),
+    )
+
+    def _gram_counts(n: int) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(ngrams(F.col("_t"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .withColumn("gchars", F.length("g") - F.lit(n - 1))
+        )
+
+    def _top1(n: int, out: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())
+        return (
+            _gram_counts(n)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", (F.col("c") * F.col("gchars")).alias(out))
+        )
+
+    dup5 = (
+        _gram_counts(5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.col("gchars")).otherwise(0)
+            ).alias("_dup5_chars")
+        )
+    )
+    # overlapping gram occurrences count shared characters repeatedly
+    # (a doc of one repeated word has 19 overlapping top-2-grams over
+    # 20 tokens), so the raw ratio can exceed 1 — cap at 1.0 to keep
+    # the "fraction" contract honest (the standard RedPajama/NeMo
+    # implementation choice)
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("n_chars_tok") > 0,
+        F.least(
+            F.round(F.coalesce(c, F.lit(0)) / F.col("n_chars_tok"), 4), F.lit(1.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    out = (
+        chars.join(_top1(2, "_top2_chars"), "doc_id", "left")
+        .join(_top1(3, "_top3_chars"), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_tok",
+            frac(F.col("_top2_chars")).alias("top2_char_frac"),
+            frac(F.col("_top3_chars")).alias("top3_char_frac"),
+            frac(F.col("_dup5_chars")).alias("dup5_char_frac"),
+        )
+    )
+    return out.select(
+        "*",
+        (F.col("top2_char_frac") <= 0.20).alias("top2_ok"),
+        (F.col("top3_char_frac") <= 0.18).alias("top3_ok"),
+        (F.col("dup5_char_frac") <= 0.15).alias("dup5_ok"),
+        (
+            (F.col("top2_char_frac") <= 0.20)
+            & (F.col("top3_char_frac") <= 0.18)
+            & (F.col("dup5_char_frac") <= 0.15)
+        ).alias("repetition_pass"),
+    )
+
+
+def stupid_backoff_scores(documents: DataFrame, alpha: float = 0.4) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — THE canonical
+    web-scale distributed n-gram recipe: no normalization, no
+    discounting, just counts and a fixed backoff factor, specifically
+    so the whole thing is groupBys and joins).
+
+    Train/score split by doc parity (even doc_ids train the counts,
+    odd doc_ids are scored) so backoff actually fires — scoring a
+    corpus with its own counts never backs off. Per trigram position
+    in a scored doc:
+
+        S(w3|w1 w2) = c3(w1w2w3)/c2(w1w2)            if c3 > 0
+                    = α · c2(w2w3)/c1(w2)            elif c2(w2w3) > 0
+                    = α² · c1(w3)/N                  elif w3 in train
+                    = α³ / N                         (OOV floor)
+
+    with α=0.4. Output per scored doc: ``n_trigrams`` and the mean
+    log10 score (4dp, the :func:`doc_perplexity` rounding discipline —
+    every S is a ratio of exact integers times an exact power of 0.4,
+    identical across engines).
+
+    Plan shape: three train count tables keyed by gram (partial-agg,
+    Zipf-bounded — AQE broadcasts the small ones), the scored trigram
+    stream left-joins them on gram keys, N is a broadcast scalar. This
+    IS the Brants et al. architecture re-expressed in DataFrames.
+    """
+    toks = documents.select("doc_id", tokens("text").alias("_t"))
+    train = toks.where(F.col("doc_id") % 2 == 0)
+    score = toks.where(F.col("doc_id") % 2 == 1)
+
+    def _counts(df: DataFrame, n: int, cname: str) -> DataFrame:
+        grams = (
+            df.select(F.explode(ngrams(F.col("_t"), n)).alias("g"))
+            if n > 1
+            else df.select(F.explode("_t").alias("g"))
+        )
+        return grams.groupBy("g").agg(F.count("*").alias(cname))
+
+    c3 = _counts(train, 3, "c3")
+    c2 = _counts(train, 2, "c2")
+    c1 = _counts(train, 1, "c1")
+    n_train = train.agg(F.sum(F.size("_t")).alias("_n"))
+
+    t = F.col("_t")
+    occ = (
+        score.where(F.size(t) >= 3)
+        .select("doc_id", t.alias("_t"), F.explode(F.sequence(F.lit(0), F.size(t) - 3)).alias("i"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.get(t, F.col("i")), F.get(t, F.col("i") + 1), F.get(t, F.col("i") + 2)).alias("tri"),
+            F.concat_ws(" ", F.get(t, F.col("i")), F.get(t, F.col("i") + 1)).alias("b12"),
+            F.concat_ws(" ", F.get(t, F.col("i") + 1), F.get(t, F.col("i") + 2)).alias("b23"),
+            F.get(t, F.col("i") + 1).alias("w2"),
+            F.get(t, F.col("i") + 2).alias("w3"),
+        )
+    )
+    j = (
+        occ.join(c3.withColumnRenamed("g", "tri"), "tri", "left")
+        .join(c2.withColumnRenamed("g", "b12").withColumnRenamed("c2", "c2p"), "b12", "left")
+        .join(c2.withColumnRenamed("g", "b23").withColumnRenamed("c2", "c2s"), "b23", "left")
+        .join(c1.withColumnRenamed("g", "w2").withColumnRenamed("c1", "c1w2"), "w2", "left")
+        .join(c1.withColumnRenamed("g", "w3").withColumnRenamed("c1", "c1w3"), "w3", "left")
+        .crossJoin(F.broadcast(n_train))
+    )
+    # c3 non-null implies c2p non-null (same train corpus); likewise
+    # c2s implies c1w2 — the CASE arms never divide by null
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2p"))
+        .when(F.col("c2s").isNotNull(), F.lit(alpha) * F.col("c2s") / F.col("c1w2"))
+        .when(F.col("c1w3").isNotNull(), F.lit(alpha * alpha) * F.col("c1w3") / F.col("_n"))
+        .otherwise(F.lit(alpha**3) / F.col("_n"))
+    )
+    return (
+        j.select("doc_id", F.log10(s).alias("_lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg("_lp"), 4).alias("mean_log10_s"),
+        )
+    )
+
+
+def kn_continuation_counts(documents: DataFrame) -> DataFrame:
+    """Kneser-Ney continuation statistics per token (Kneser & Ney 1995
+    — the insight behind every modern n-gram smoother): how many
+    DISTINCT left contexts a word follows, not how often it occurs.
+    "francisco" is frequent but only ever follows "san" — continuation
+    count 1 — so KN gives it almost no unigram backoff mass.
+
+    Per corpus token: total occurrences, distinct left contexts
+    (``N1+(·w)``), distinct right continuations (``N1+(w·)``), and the
+    KN continuation probability ``N1+(·w) / |distinct bigram types|``
+    (6dp). Doc-initial-only / doc-final-only tokens have 0 left/right
+    contexts (bigrams do not cross document boundaries).
+
+    Plan shape: one distinct-bigram aggregation keyed by (v, w) — the
+    heavy stage, partial-agg, skew-free keys — then two vocab-bounded
+    counts over it; output is vocabulary-sized, never corpus-sized.
+    """
+    toks = documents.select(tokens("text").alias("_t"))
+    uni = toks.select(F.explode("_t").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c_total")
+    )
+    pairs = (
+        toks.select(F.explode(ngrams(F.col("_t"), 2)).alias("g"))
+        .select(
+            F.split_part("g", F.lit(" "), F.lit(1)).alias("v"),
+            F.split_part("g", F.lit(" "), F.lit(2)).alias("w"),
+        )
+        .distinct()
+    )
+    n_types = pairs.agg(F.count("*").alias("_nt"))
+    left = pairs.groupBy("w").agg(F.count("*").alias("n_left_contexts"))
+    right = pairs.groupBy("v").agg(F.count("*").alias("n_right_contexts"))
+    return (
+        uni.join(left.withColumnRenamed("w", "tok"), "tok", "left")
+        .join(right.withColumnRenamed("v", "tok"), "tok", "left")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "tok",
+            "c_total",
+            F.coalesce("n_left_contexts", F.lit(0)).alias("n_left_contexts"),
+            F.coalesce("n_right_contexts", F.lit(0)).alias("n_right_contexts"),
+            F.round(
+                F.coalesce("n_left_contexts", F.lit(0)) / F.col("_nt"), 6
+            ).alias("cont_prob"),
+        )
+    )
+
+
+def perplexity_tercile_mix(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head / middle / tail TERCILES of LM perplexity and
+    profile each source's mix — the standard crawl-quality triage
+    (CCNet keeps "head", inspects "middle", drops "tail").
+
+    Perplexity comes from :func:`doc_perplexity` (the corpus's own
+    add-one bigram LM); terciles from topk.global_ntile — the
+    range-partitioned exact NTILE, NOT a single-task global window.
+    The downstream aggregate keeps source AND ppl alongside the bucket,
+    which is precisely the pruning-divergent consumer shape that broke
+    the pre-round-9 rank machinery: this query is a permanent live
+    guard on that fix. Docs with < 2 tokens have no bigrams and are
+    excluded (no perplexity is defined for them).
+
+    Output: (source, ppl_bucket, n_docs, avg_ppl), one row per
+    source × occupied bucket.
+    """
+    from dumbo_spark.operators.topk import global_ntile
+
+    ppl = doc_perplexity(documents)
+    binned = global_ntile(ppl, [F.col("ppl").asc(), F.col("doc_id").asc()], 3)
+    lab = (
+        F.when(F.col("ntile") == 1, "head")
+        .when(F.col("ntile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        binned.join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source", lab.alias("ppl_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # the 4dp ppl values are exact decimals: SUM them as
+            # DECIMAL (order-independent) and divide ONCE, with NO
+            # final rounding — a float AVG's summation order differs
+            # across engines, and rounding the mean is structurally
+            # unsafe here (a 4dp-exact sum over n=10 docs lands on
+            # exact .00005 midpoints where Spark's shortest-repr
+            # HALF_UP and DuckDB's scaled-double round disagree —
+            # observed at sf0.001). The unrounded quotient of identical
+            # exact-cast doubles is bit-identical IEEE-754 on both.
+            (
+                F.sum(F.col("ppl").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("avg_ppl"),
+        )
+    )

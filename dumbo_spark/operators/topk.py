@@ -192,6 +192,17 @@ def shuffle_partitions(df: DataFrame) -> int:
         return max(df.rdd.getNumPartitions(), 1)
 
 
+def _ranged_frame(df: DataFrame, sort_exprs: list, parts: int) -> DataFrame:
+    """The pre-checkpoint ranged frame behind :func:`global_rank`:
+    range-repartitioned on the sort key with the physical partition id
+    materialized as ``_pid``. Split out so plan tests can assert the
+    range exchange, which the checkpoint barrier hides from the public
+    function's ``explain`` output."""
+    return df.repartitionByRange(parts, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
 def global_rank(
     df: DataFrame, sort_exprs: list, num_partitions: int | None = None
 ) -> DataFrame:
@@ -234,11 +245,7 @@ def global_rank(
     # scale prefer reliable checkpoints (spark.checkpoint.dir) if
     # executor loss must be survivable; correctness must never depend
     # on incidental exchange reuse.
-    r = (
-        df.repartitionByRange(parts, *sort_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    r = _ranged_frame(df, sort_exprs, parts).localCheckpoint(eager=False)
     wp = Window.partitionBy("_pid").orderBy(*sort_exprs)
     r = r.withColumn("_rn", F.row_number().over(wp))
     woff = Window.orderBy("_pid")

@@ -7807,6 +7807,240 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "gopher_repetition_screen",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    chars AS (SELECT doc_id,
+                     CAST(COALESCE(list_sum(list_transform(t, x -> length(x))),
+                                   0) AS BIGINT) AS n_chars_tok
+              FROM d),
+    g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS g FROM d),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 1 AS gchars
+           FROM g2 GROUP BY doc_id, g),
+    t2 AS (SELECT doc_id, c * gchars AS topchars FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, g ASC) AS rn FROM c2) WHERE rn = 1),
+    g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t)-1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS g FROM d),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 2 AS gchars
+           FROM g3 GROUP BY doc_id, g),
+    t3 AS (SELECT doc_id, c * gchars AS topchars FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, g ASC) AS rn FROM c3) WHERE rn = 1),
+    g5 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+             THEN list_transform(range(1, len(t)-3),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])
+             ELSE [] END) AS g FROM d),
+    c5 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 4 AS gchars
+           FROM g5 GROUP BY doc_id, g),
+    d5 AS (SELECT doc_id,
+                  SUM(CASE WHEN c >= 2 THEN c * gchars ELSE 0 END) AS dupchars
+           FROM c5 GROUP BY doc_id),
+    m AS (
+      SELECT chars.doc_id, n_chars_tok,
+             CASE WHEN n_chars_tok > 0 THEN LEAST(
+               ROUND(CAST(COALESCE(t2.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
+               1.0) ELSE 0.0 END AS top2_char_frac,
+             CASE WHEN n_chars_tok > 0 THEN LEAST(
+               ROUND(CAST(COALESCE(t3.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
+               1.0) ELSE 0.0 END AS top3_char_frac,
+             CASE WHEN n_chars_tok > 0 THEN LEAST(
+               ROUND(CAST(COALESCE(d5.dupchars, 0) AS DOUBLE) / n_chars_tok, 4),
+               1.0) ELSE 0.0 END AS dup5_char_frac
+      FROM chars LEFT JOIN t2 ON chars.doc_id = t2.doc_id
+      LEFT JOIN t3 ON chars.doc_id = t3.doc_id
+      LEFT JOIN d5 ON chars.doc_id = d5.doc_id)
+    SELECT doc_id, n_chars_tok, top2_char_frac, top3_char_frac,
+           dup5_char_frac,
+           top2_char_frac <= 0.20 AS top2_ok,
+           top3_char_frac <= 0.18 AS top3_ok,
+           dup5_char_frac <= 0.15 AS dup5_ok,
+           top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+             AND dup5_char_frac <= 0.15 AS repetition_pass
+    FROM m
+    """,
+)
+def q_gopher_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (textstats.gopher_repetition_screen,
+    Rae et al. 2021 Table A1): top-2/3-gram and duplicated-5-gram
+    character fractions with pass flags — the char-fraction complement
+    to repetition_score's occurrence fraction."""
+    return textstats.gopher_repetition_screen(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "stupid_backoff_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    sc AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    tri AS (SELECT unnest(CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END) AS g FROM tr),
+    big AS (SELECT unnest(CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])
+              ELSE [] END) AS g FROM tr),
+    uni AS (SELECT unnest(t) AS g FROM tr),
+    c3 AS (SELECT g, COUNT(*) AS c3 FROM tri GROUP BY g),
+    c2 AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY g),
+    c1 AS (SELECT g, COUNT(*) AS c1 FROM uni GROUP BY g),
+    n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tr),
+    occ AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+            FROM sc, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) s
+            WHERE len(t) >= 3),
+    j AS (SELECT occ.doc_id,
+            -- literal backoff constants are Python float repr of
+            -- 0.4**2 and 0.4**3 so both engines see identical doubles
+            CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / cp.c2
+                 WHEN cs.c2 IS NOT NULL THEN 0.4 * cs.c2 / u2.c1
+                 WHEN u3.c1 IS NOT NULL
+                   THEN 0.16000000000000003 * u3.c1 / n.n
+                 ELSE 0.06400000000000002 / n.n END AS s
+          FROM occ
+          LEFT JOIN c3 ON c3.g = occ.w1 || ' ' || occ.w2 || ' ' || occ.w3
+          LEFT JOIN c2 cp ON cp.g = occ.w1 || ' ' || occ.w2
+          LEFT JOIN c2 cs ON cs.g = occ.w2 || ' ' || occ.w3
+          LEFT JOIN c1 u2 ON u2.g = occ.w2
+          LEFT JOIN c1 u3 ON u3.g = occ.w3
+          CROSS JOIN n)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(log10(s)), 4) AS mean_log10_s
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (textstats.stupid_backoff_scores,
+    Brants et al. 2007): even-doc counts score odd docs through the
+    count/backoff CASE — the canonical web-scale distributed n-gram LM
+    re-expressed as gram-keyed joins."""
+    return textstats.stupid_backoff_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "kn_continuation_counts",
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKENS} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_total
+           FROM uni GROUP BY tok),
+    pairs AS (SELECT DISTINCT string_split(g, ' ')[1] AS v,
+                              string_split(g, ' ')[2] AS w
+              FROM (SELECT unnest(CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g
+                    FROM toks)),
+    nt AS (SELECT COUNT(*) AS nt FROM pairs),
+    lc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_left_contexts
+           FROM pairs GROUP BY w),
+    rc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_right_contexts
+           FROM pairs GROUP BY v)
+    SELECT cu.tok, cu.c_total,
+           COALESCE(lc.n_left_contexts, 0) AS n_left_contexts,
+           COALESCE(rc.n_right_contexts, 0) AS n_right_contexts,
+           ROUND(CAST(COALESCE(lc.n_left_contexts, 0) AS DOUBLE) / nt.nt, 6)
+             AS cont_prob
+    FROM cu LEFT JOIN lc ON lc.w = cu.tok
+    LEFT JOIN rc ON rc.v = cu.tok CROSS JOIN nt
+    """,
+)
+def q_kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation statistics per token
+    (textstats.kn_continuation_counts): distinct left/right contexts
+    and the KN continuation probability — one distinct-bigram agg plus
+    vocab-bounded counts."""
+    return textstats.kn_continuation_counts(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "perplexity_tercile_mix",
+    # reuses doc_perplexity's bigram-LM CTE verbatim so the two oracles
+    # can never drift apart, then buckets with SQL NTILE(3) — the exact
+    # semantics topk.global_ntile implements
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    bi AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS bigram
+           FROM toks),
+    uni AS (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY bigram),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
+    s AS (SELECT bi.doc_id,
+                 log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
+          FROM bi JOIN c2 USING (bigram)
+          JOIN c1 ON c1.tok = string_split(bi.bigram, ' ')[1]
+          CROSS JOIN v),
+    ppl AS (SELECT doc_id, ROUND(pow(2.0, -AVG(lp)), 4) AS ppl
+            FROM s GROUP BY doc_id),
+    binned AS (SELECT doc_id, ppl,
+                      NTILE(3) OVER (ORDER BY ppl, doc_id) AS b FROM ppl)
+    SELECT d.source,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           -- decimal SUM then one UNROUNDED divide: order-independent
+           -- and bit-identical to the Spark side (rounding the mean is
+           -- structurally unsafe — 4dp sums over small n hit exact
+           -- .00005 midpoints where the engines' round modes disagree)
+           CAST(SUM(CAST(binned.ppl AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS avg_ppl
+    FROM binned JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_perplexity_tercile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per source
+    (textstats.perplexity_tercile_mix): bigram-LM perplexity bucketed
+    by the range-partitioned exact NTILE — a permanent live guard on
+    the round-9 rank-machinery fix (its downstream aggregate keeps
+    source and ppl, the pruning-divergent consumer shape)."""
+    return textstats.perplexity_tercile_mix(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "source_temperature_mix",
+    oracle=f"""
+    WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS tot FROM per),
+    p AS (SELECT per.*, CAST(n_tokens AS DOUBLE) / tot.tot AS p FROM per
+          CROSS JOIN tot),
+    z AS (SELECT SUM(pow(p, 0.3)) AS z FROM p)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p, 6) AS p_natural,
+           ROUND(pow(p, 0.3) / z.z, 6) AS p_temperature,
+           ROUND(pow(p, 0.3) / z.z / p, 4) AS oversample_factor
+    FROM p CROSS JOIN z ORDER BY source
+    """,
+)
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-temperature source sampling weights
+    (packing.source_temperature_mix, the mT5/XLM-R recipe): natural vs
+    temperature token shares and oversample factors per source — one
+    partial-agg pass plus broadcast scalars."""
+    return packing.source_temperature_mix(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -7847,8 +8081,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled) — inserted here
-    # as they land
+    # (b) round-9 additions (never externally sampled)
+    "gopher_repetition_screen",
+    "stupid_backoff_scores",
+    "kn_continuation_counts",
+    "perplexity_tercile_mix",
+    "source_temperature_mix",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -7878,15 +8116,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "click_attribution",
     "corpus_clean",
     "dedup_by_source",
+    # ── end of the 50-name driver window ──
+    # overflow: remaining r2-vintage for deterministic ordering; all
+    # later-vintage names fall back to registration order via
+    # _ordered_names()
     "disjunctive_revenue",
     "embedding_centroids",
     "events_cascade_rollup",
     "events_range_join",
     "events_session_window",
-    # ── end of the 50-name driver window ──
-    # overflow: remaining r2-vintage for deterministic ordering; all
-    # later-vintage names fall back to registration order via
-    # _ordered_names()
     "events_sliding_1h_30m",
     "idle_rich_customers",
     "price_histogram",

@@ -344,9 +344,19 @@ def test_global_window_family_range_partitioned(spark, sf_dir):
     empty-partitionBy window (single-task total sort) — the last
     perf-weak family, retired in round 6 (VERDICT r5 item 3)."""
     customer = load_table(spark, sf_dir, "customer")
+    # round 9: the public plan now starts at the localCheckpoint
+    # barrier (the dual-exchange correctness fix pins one realization
+    # of the range shuffle), so the range exchange is asserted on the
+    # pre-checkpoint frame and the barrier on the public plan
+    from pyspark.sql import functions as F
+
+    ranged = topk._ranged_frame(
+        customer, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], 8
+    )
+    assert "rangepartitioning" in physical_summary(ranged)["plan"].lower()
     for df in (topk.ntile_quartiles(customer), topk.percent_rank_balance(customer)):
         plan = physical_summary(df)["plan"]
-        assert "rangepartitioning" in plan.lower()
+        assert "existingrdd" in plan.lower(), "checkpoint barrier expected"
         # a global-window sort shows up as Window [...] ordered by the
         # sort key with an empty partition spec; the rewrite windows
         # only by _pid
@@ -372,7 +382,11 @@ def test_round6_ops_plan_shapes(spark, sf_dir):
 
     s = physical_summary(auc_roc_exact(load_table(spark, sf_dir, "orders")))
     assert s["python_evals"] == 0
-    assert "rangepartitioning" in s["plan"].lower(), "exact rank must range-partition"
+    # round 9: the rank machinery's range exchange sits behind the
+    # localCheckpoint barrier (dual-exchange correctness fix); the
+    # barrier plus the _pid window is the scale-safe signature now
+    assert "existingrdd" in s["plan"].lower(), "checkpoint barrier expected"
+    assert "_pid" in s["plan"]
 
     s = physical_summary(theil_sen_trend(load_table(spark, sf_dir, "orders")))
     assert s["python_evals"] == 0

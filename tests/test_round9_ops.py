@@ -1,0 +1,212 @@
+"""Round-9 operator tests: Gopher repetition char-fractions, stupid
+backoff (Brants et al. 2007), Kneser-Ney continuation counts, CCNet
+perplexity terciles, mT5 temperature mix. Differential coverage is in
+test_differential.py (auto-parametrized over the registry); these are
+semantic edge cases + scale-posture plan assertions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dumbo_spark.operators import packing, textstats
+from dumbo_spark.plans.explain import physical_summary
+from dumbo_spark.sources.catalog import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ── gopher_repetition_screen ────────────────────────────────────────────
+
+
+def test_repetition_one_repeated_word_scores_one(spark):
+    d = _docs(spark, [(1, "spam " * 20, "s")])
+    row = textstats.gopher_repetition_screen(d).collect()[0]
+    # every 2-gram is "spam spam": top2 covers all chars
+    assert row["top2_char_frac"] == 1.0
+    assert row["top3_char_frac"] == 1.0
+    assert row["dup5_char_frac"] == 1.0
+    assert not row["repetition_pass"]
+
+
+def test_repetition_all_distinct_tokens(spark):
+    d = _docs(spark, [(1, "a bb ccc dddd eeeee ffffff ggggggg", "s")])
+    row = textstats.gopher_repetition_screen(d).collect()[0]
+    assert row["dup5_char_frac"] == 0.0  # no duplicated 5-gram
+    assert row["dup5_ok"]
+    # top 2-gram is the lexicographically smallest among count-1 ties:
+    # "a bb" = 3 of 28 total token chars (separator-free)
+    assert row["top2_char_frac"] == round(3 / 28, 4)
+    # NOTE a 7-token doc legitimately fails the top-3 threshold (its
+    # single most frequent 3-gram necessarily covers > 18% of chars) —
+    # the Gopher rules are calibrated for real document lengths
+
+
+def test_repetition_short_and_empty_docs(spark):
+    d = _docs(spark, [(1, "one", "s"), (2, "", "s"), (3, "a b", "s")])
+    rows = {r["doc_id"]: r for r in textstats.gopher_repetition_screen(d).collect()}
+    assert rows[2]["n_chars_tok"] == 0 and rows[2]["repetition_pass"]
+    assert rows[1]["top2_char_frac"] == 0.0  # < 2 tokens: no 2-grams
+    assert rows[1]["repetition_pass"]
+    assert rows[3]["dup5_char_frac"] == 0.0
+    # doc 3 "a b": its only 2-gram covers ALL chars → top2 fails, as
+    # the char-fraction definition demands for degenerate tiny docs
+    assert rows[3]["top2_char_frac"] == 1.0 and not rows[3]["repetition_pass"]
+
+
+# ── stupid_backoff_scores ───────────────────────────────────────────────
+
+
+def test_stupid_backoff_seen_trigram_scores_mle(spark):
+    # train doc (even id) contains "a b c" once; scored doc (odd id) is
+    # the same trigram → S = c3/c2 = 1/1, log10 = 0
+    d = _docs(spark, [(0, "a b c", "s"), (1, "a b c", "s")])
+    row = textstats.stupid_backoff_scores(d).collect()[0]
+    assert row["doc_id"] == 1 and row["n_trigrams"] == 1
+    assert row["mean_log10_s"] == 0.0
+
+
+def test_stupid_backoff_oov_floor(spark):
+    # scored trigram of tokens never seen in train → α³/N = 0.064/3
+    d = _docs(spark, [(0, "a b c", "s"), (1, "x y z", "s")])
+    row = textstats.stupid_backoff_scores(d).collect()[0]
+    assert row["mean_log10_s"] == round(math.log10(0.4**3 / 3), 4)
+
+
+def test_stupid_backoff_bigram_backoff(spark):
+    # train: "a b" and "b c" bigrams but never "a b c" as a trigram
+    # (separate docs); scored "a b c": c3 miss, backoff to
+    # α·c2("b c")/c1("b") = 0.4·1/2 ("b" occurs in both train docs)
+    d = _docs(spark, [(0, "a b", "s"), (2, "b c", "s"), (1, "a b c", "s")])
+    row = textstats.stupid_backoff_scores(d).collect()[0]
+    assert row["mean_log10_s"] == round(math.log10(0.4 * 1 / 2), 4)
+
+
+# ── kn_continuation_counts ──────────────────────────────────────────────
+
+
+def test_kn_francisco_effect(spark):
+    # "francisco" frequent but only ever follows "san" → continuation
+    # count 1; "paris" appears twice after distinct contexts → 2
+    d = _docs(
+        spark,
+        [
+            (1, "san francisco san francisco san francisco", "s"),
+            (2, "in paris to paris", "s"),
+        ],
+    )
+    rows = {r["tok"]: r for r in textstats.kn_continuation_counts(d).collect()}
+    assert rows["francisco"]["c_total"] == 3
+    assert rows["francisco"]["n_left_contexts"] == 1
+    assert rows["paris"]["n_left_contexts"] == 2
+    # doc-initial-only token: no left context (bigrams don't cross docs)
+    assert rows["san"]["n_left_contexts"] == 1  # follows "francisco"
+    assert rows["in"]["n_left_contexts"] == 0
+
+
+def test_kn_cont_prob_normalizes_over_bigram_types(spark):
+    d = _docs(spark, [(1, "a b a c", "s")])
+    rows = {r["tok"]: r for r in textstats.kn_continuation_counts(d).collect()}
+    # bigram types: (a,b),(b,a),(a,c) → 3; left contexts: b←a, a←b, c←a
+    assert rows["b"]["cont_prob"] == round(1 / 3, 6)
+    total = sum(r["n_left_contexts"] for r in rows.values())
+    assert total == 3
+
+
+# ── perplexity_tercile_mix ──────────────────────────────────────────────
+
+
+def test_tercile_mix_counts_and_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.perplexity_tercile_mix(docs).collect()
+    n = sum(r["n_docs"] for r in out)
+    scored = textstats.doc_perplexity(docs).count()
+    assert n == scored  # every scored doc lands in exactly one bucket
+    buckets = {r["ppl_bucket"] for r in out}
+    assert buckets == {"head", "middle", "tail"}
+    # head has lower mean ppl than tail for every source present in both
+    per = {(r["source"], r["ppl_bucket"]): r["avg_ppl"] for r in out}
+    shared = {s for s, b in per if b == "head"} & {s for s, b in per if b == "tail"}
+    assert shared, "fixture should populate head and tail for some source"
+    # global invariant: the mean over head buckets < mean over tail
+    head = [v for (s, b), v in per.items() if b == "head"]
+    tail = [v for (s, b), v in per.items() if b == "tail"]
+    assert max(head) < min(tail) or sum(head) / len(head) < sum(tail) / len(tail)
+
+
+def test_tercile_sizes_are_exact(spark, sf_dir):
+    """NTILE(3) bucket sizes must differ by at most 1 — the permanent
+    live guard on the round-9 rank-machinery fix (this consumer keeps
+    extra columns, the pruning-divergent shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.perplexity_tercile_mix(docs).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + r["n_docs"]
+    assert len(sizes) == 3
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+# ── source_temperature_mix ──────────────────────────────────────────────
+
+
+def test_temperature_mix_dampens_head_boosts_tail(spark):
+    d = _docs(
+        spark,
+        [(i, "w " * 100, "big") for i in range(9)] + [(9, "w " * 10, "small")],
+    )
+    rows = {r["source"]: r for r in packing.source_temperature_mix(d).collect()}
+    assert rows["big"]["oversample_factor"] < 1.0
+    assert rows["small"]["oversample_factor"] > 1.0
+    # temperature shares still sum to 1
+    assert abs(sum(r["p_temperature"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    d = _docs(spark, [(1, "a b c", "x"), (2, "d e", "y")])
+    rows = packing.source_temperature_mix(d, alpha=1.0).collect()
+    for r in rows:
+        assert r["p_natural"] == r["p_temperature"]
+        assert r["oversample_factor"] == 1.0
+
+
+# ── scale posture ───────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda d: textstats.gopher_repetition_screen(d),
+        lambda d: textstats.stupid_backoff_scores(d),
+        lambda d: textstats.kn_continuation_counts(d),
+        lambda d: packing.source_temperature_mix(d),
+    ],
+)
+def test_round9_ops_stay_jvm_side(spark, sf_dir, build):
+    s = physical_summary(build(load_table(spark, sf_dir, "documents")))
+    assert s["python_evals"] == 0, "hot path must stay in codegen"
+
+
+def test_tercile_mix_rides_fixed_rank_machinery(spark, sf_dir):
+    s = physical_summary(
+        textstats.perplexity_tercile_mix(load_table(spark, sf_dir, "documents"))
+    )
+    assert s["python_evals"] == 0
+    # the checkpoint barrier + _pid window is the post-round-9 signature
+    assert "existingrdd" in s["plan"].lower()
+    assert "_pid" in s["plan"]
+
+
+def test_repetition_screen_no_global_window(spark, sf_dir):
+    s = physical_summary(
+        textstats.gopher_repetition_screen(load_table(spark, sf_dir, "documents"))
+    )
+    # the top-1 windows partition by doc_id — no empty partition spec
+    # (a single-task global sort would be a 100 TB scale killer)
+    import re
+
+    assert not re.search(r"Window .*partitionBy=\[\]", s["plan"])
