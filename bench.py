@@ -272,6 +272,7 @@ HEADLINE = [
     "kn_continuation_counts",
     "perplexity_tercile_mix",
     "source_temperature_mix",
+    "knn_cosine_ivfpq",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -836,6 +836,32 @@ def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _det_kmeans(x, k: int, n_iter: int = 10):
+    """Deterministic fixed-iteration Lloyd k-means over a (n, d) numpy
+    array — the shared trainer behind :func:`_pq_codebooks` (per-block
+    residual books) and :func:`_ivfpq_index` (coarse quantizer).
+
+    Determinism discipline (see `_pq_codebooks` for the full
+    cross-engine rationale): evenly-strided integer init over the
+    row-ordered input, 6dp centroid rounding after init and after
+    every mean update, 9dp distance rounding before the lowest-index
+    argmin, empty clusters keep their previous centroid. No RNG.
+    """
+    import numpy as np
+
+    n = x.shape[0]
+    idx = [(i * (n - 1)) // (k - 1) for i in range(k)]
+    cent = np.round(x[idx].copy(), 6)
+    for _ in range(n_iter):
+        d2 = np.round(((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 9)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = np.round(x[mask].mean(axis=0), 6)
+    return cent
+
+
 def _pq_codebooks(
     embeddings: DataFrame, m: int, ksub: int, sample: int, n_iter: int = 10
 ):
@@ -887,23 +913,11 @@ def _pq_codebooks(
     n, d = x.shape
     dsub = d // m
     books = np.empty((m, ksub, dsub))
-    # integer-arithmetic stride (exactly reproducible in SQL as
-    # (i*(n-1)) // (ksub-1), unlike float linspace truncation)
-    idx = [(i * (n - 1)) // (ksub - 1) for i in range(ksub)]
     for b in range(m):
-        xb = x[:, b * dsub : (b + 1) * dsub]
-        # evenly strided init over the id-ordered sample: spread, stable
-        cent = np.round(xb[idx].copy(), 6)
-        for _ in range(n_iter):
-            d2 = np.round(
-                ((xb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 9
-            )
-            assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = np.round(xb[mask].mean(axis=0), 6)
-        books[b] = cent
+        # per-block deterministic Lloyd: evenly strided integer init
+        # over the id-ordered sample (exactly reproducible in SQL as
+        # (i*(n-1)) // (ksub-1), unlike float linspace truncation)
+        books[b] = _det_kmeans(x[:, b * dsub : (b + 1) * dsub], ksub, n_iter)
     return books
 
 
@@ -1064,6 +1078,217 @@ def pq_recall_checked(
             "pq_recall_ok"
         ),
     )
+
+
+def _ivfpq_index(
+    embeddings: DataFrame,
+    n_cells: int,
+    m: int,
+    ksub: int,
+    sample: int,
+    n_iter: int = 10,
+):
+    """Train the IVFADC index (Jégou et al., TPAMI 2011 §IV) on the
+    deterministic driver-side sample (vec_id < ``sample``): a coarse
+    quantizer of ``n_cells`` full-dimension centroids, then ``m``
+    per-block codebooks over the RESIDUALS (vector minus its coarse
+    centroid) — residual PQ is what separates IVFADC from flat PQ and
+    is why its ADC error is lower at the same code size: residual
+    magnitudes are a fraction of vector magnitudes.
+
+    Both trainers are :func:`_det_kmeans`, so the whole index follows
+    the 6dp/9dp cross-engine rounding discipline and a SQL oracle can
+    replay coarse centroids, codebooks, cell assignments, and codes
+    (unlike :func:`knn_cosine_ivf`, whose Spark ML KMeans is only
+    run-stable, not SQL-reproducible).
+
+    Returns (coarse: (n_cells, d), books: (m, ksub, d//m)).
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.where(F.col("vec_id") < sample)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    if not rows:
+        # empty-input contract (mirrors _pq_codebooks' ADVICE r6 guard)
+        raise ValueError(
+            "ivfpq index training: embeddings has no rows with vec_id < "
+            f"{sample} — cannot train on an empty sample"
+        )
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    coarse = _det_kmeans(x, n_cells, n_iter)
+    d2 = np.round(((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2), 9)
+    resid = x - coarse[d2.argmin(axis=1)]
+    dsub = x.shape[1] // m
+    books = np.empty((m, ksub, dsub))
+    for b in range(m):
+        books[b] = _det_kmeans(resid[:, b * dsub : (b + 1) * dsub], ksub, n_iter)
+    return coarse, books
+
+
+def ivfpq_codes(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    ksub: int = 32,
+    sample: int = 2048,
+    index=None,
+) -> DataFrame:
+    """IVFADC inverted-list entries: each vector's coarse cell plus its
+    ``m`` residual sub-codes. One Arrow-batched numpy pass against the
+    broadcast (coarse, books) index — the corpus never shuffles, same
+    vectorized-UDF site class as :func:`pq_codes`. At 100 TB the
+    ``cell`` column is the partition key of the materialized index
+    (probing = partition-pruned scan) and ``codes`` is its 10-byte
+    payload.
+
+    Output: (vec_id, cell: int, codes: array<int> of length m).
+    """
+    import numpy as np
+    import pandas as pd
+
+    coarse, books = (
+        index if index is not None
+        else _ivfpq_index(embeddings, n_cells, m, ksub, sample)
+    )
+    dsub = books.shape[2]
+
+    def assign_batches(batches):
+        for pdf in batches:
+            xm = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # same 9dp-rounded lowest-index argmin as training
+            d2 = np.round(
+                ((xm[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2), 9
+            )
+            cell = d2.argmin(axis=1)
+            resid = xm - coarse[cell]
+            codes = np.empty((len(xm), m), dtype=np.int32)
+            for b in range(m):
+                rb = resid[:, b * dsub : (b + 1) * dsub]
+                db = np.round(
+                    ((rb[:, None, :] - books[b][None, :, :]) ** 2).sum(axis=2),
+                    9,
+                )
+                codes[:, b] = db.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id long, cell int, codes array<int>"
+    )
+
+
+def knn_cosine_ivfpq(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    m: int = 16,
+    ksub: int = 32,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVFADC ANN top-k (Jégou et al., TPAMI 2011): coarse cell pruning
+    *composed with* residual-PQ asymmetric distances — the pairing that
+    powers billion-vector FAISS-style serving. Each query probes its
+    ``n_probe`` most-cosine-similar cells, and within a probed cell the
+    approximate dot product is reconstructed JVM-side as
+
+        q·x  ≈  q·c(cell)  +  q·residual  =  qc_dot + Σ_b tabs[b][code_b]
+
+    i.e. one precomputed query-centroid dot plus ``m`` table lookups
+    (zip_with over codes × the query's per-cell broadcast table) — no
+    corpus-side float math at query time. vs flat :func:`knn_cosine_pq`
+    this scans only ~n_probe/n_cells of the codes; vs
+    :func:`knn_cosine_ivf` the probed members are ADC lookups over
+    10-byte codes instead of exact 256-byte-vector dot products.
+
+    The probe fan-out ships one (query × probed-cell) row carrying the
+    lookup table — n_queries × n_probe rows of m×ksub doubles,
+    broadcast: bytes, independent of corpus size. Ranking is on the
+    6dp-rounded norm-corrected ADC score with an id tie-break; the
+    deterministic index (:func:`_ivfpq_index`) makes the whole ranking
+    SQL-replayable, so this is oracle-backed where plain IVF can only
+    ever be rows-only.
+    """
+    import numpy as np
+
+    index = _ivfpq_index(embeddings, n_cells, m, ksub, 2048)
+    coarse, books = index
+    dsub = books.shape[2]
+    coded = ivfpq_codes(embeddings, n_cells, m, ksub, index=index)
+    norms = embeddings.select("vec_id", _norm(F.col("embedding")).alias("_nrm"))
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    q_data = []
+    for row in q_rows:
+        qv = np.asarray(row["embedding"], dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        # residual lookup tables are cell-independent (residuals are
+        # coded against per-block books shared across cells), so one
+        # m×ksub table serves every probed cell of this query
+        tabs = [
+            [
+                float(np.dot(qv[b * dsub : (b + 1) * dsub], books[b][c]))
+                for c in range(ksub)
+            ]
+            for b in range(m)
+        ]
+        csims = [
+            (
+                c,
+                round(
+                    float(np.dot(qv, coarse[c]))
+                    / (qn * float(np.linalg.norm(coarse[c]))),
+                    9,
+                ),
+            )
+            for c in range(len(coarse))
+        ]
+        csims.sort(key=lambda t: (-t[1], t[0]))
+        for c, _ in csims[:n_probe]:
+            q_data.append(
+                (row["vec_id"], qn, int(c), float(np.dot(qv, coarse[c])), tabs)
+            )
+    queries = spark.createDataFrame(
+        q_data,
+        "query_id long, q_nrm double, cell int, qc_dot double,"
+        " tabs array<array<double>>",
+    )
+    joined = coded.join(F.broadcast(queries), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc_resid = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tabs"),
+            lambda c, t: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.join(norms, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            (F.col("qc_dot") + adc_resid) / (F.col("q_nrm") * F.col("_nrm")), 6
+        ).alias("adc_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
 def knn_euclid(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:

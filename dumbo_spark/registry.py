@@ -4522,6 +4522,178 @@ def q_pq_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_recall_checked(load_table(spark, sf_dir, "embeddings"))
 
 
+# SQL replica of the deterministic IVFADC pipeline (round 9): extends
+# _PQ_CORE_SQL's replay with the coarse quantizer (ckm: 16 full-dim
+# centroids, same strided-init/6dp/9dp Lloyd), RESIDUAL codebooks (rkm
+# trains on e - coarse[cell]), cell assignment for corpus and queries,
+# and the qc_dot + ADC-residual score. The feeder CTEs are declared
+# MATERIALIZED: without the hint DuckDB re-inlines them into each
+# recursive iteration of rkm, re-running the entire coarse k-means per
+# Lloyd step (measured: >5 min vs ~16s at the registered geometry).
+_IVFPQ_CORE_SQL = """
+WITH RECURSIVE
+emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+samp AS MATERIALIZED (
+  SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ridx
+  FROM emb WHERE vec_id < 2048),
+sn AS (SELECT COUNT(*) AS ns FROM samp),
+blocks AS MATERIALIZED (
+  SELECT CAST(b AS INTEGER) AS b FROM generate_series(0, 15) t(b)),
+ckm AS (
+  SELECT 0 AS it, CAST(c.c AS INTEGER) AS c,
+         list_transform(s.e, x -> round(x, 6)) AS cent
+  FROM generate_series(0, 15) c(c)
+  CROSS JOIN sn
+  JOIN samp s ON s.ridx = (c.c * (ns - 1)) // 15
+  UNION ALL
+  SELECT it + 1, c,
+         CASE WHEN COUNT(*) FILTER (WHERE rnk = 1) > 0
+              THEN LIST_VALUE(
+                {cent64})
+              ELSE ANY_VALUE(cent) END
+  FROM (
+    SELECT k.it, k.c, k.cent, s.ridx, s.e,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.ridx
+             ORDER BY round(list_sum(list_transform(list_zip(s.e, k.cent),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), k.c) AS rnk
+    FROM ckm k, samp s
+    WHERE k.it < 10)
+  GROUP BY it, c),
+coarse AS MATERIALIZED (SELECT c, cent FROM ckm WHERE it = 10),
+sassign AS MATERIALIZED (
+  SELECT ridx, c AS cell FROM (
+    SELECT s.ridx, co.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.ridx
+             ORDER BY round(list_sum(list_transform(list_zip(s.e, co.cent),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), co.c) AS rnk
+    FROM samp s, coarse co)
+  WHERE rnk = 1),
+rsamp AS MATERIALIZED (
+  SELECT s.ridx,
+         list_transform(list_zip(s.e, co.cent), p -> p[1] - p[2]) AS re
+  FROM samp s JOIN sassign a ON a.ridx = s.ridx
+  JOIN coarse co ON co.c = a.cell),
+rsub AS MATERIALIZED (
+  SELECT r.ridx, b.b, r.re[b.b*4+1 : b.b*4+4] AS sv FROM rsamp r, blocks b),
+rkm AS (
+  SELECT 0 AS it, b.b, CAST(c.c AS INTEGER) AS c,
+         list_transform(s.sv, x -> round(x, 6)) AS cent
+  FROM blocks b
+  CROSS JOIN generate_series(0, 31) c(c)
+  CROSS JOIN sn
+  JOIN rsub s ON s.b = b.b AND s.ridx = (c.c * (ns - 1)) // 31
+  UNION ALL
+  SELECT it + 1, b, c,
+         CASE WHEN COUNT(*) FILTER (WHERE rnk = 1) > 0
+              THEN LIST_VALUE(
+                ROUND(AVG(sv[1]) FILTER (WHERE rnk = 1), 6),
+                ROUND(AVG(sv[2]) FILTER (WHERE rnk = 1), 6),
+                ROUND(AVG(sv[3]) FILTER (WHERE rnk = 1), 6),
+                ROUND(AVG(sv[4]) FILTER (WHERE rnk = 1), 6))
+              ELSE ANY_VALUE(cent) END
+  FROM (
+    SELECT k.it, k.b, k.c, k.cent, s.ridx, s.sv,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.ridx, k.b
+             ORDER BY round(list_sum(list_transform(list_zip(s.sv, k.cent),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), k.c) AS rnk
+    FROM rkm k JOIN rsub s ON s.b = k.b
+    WHERE k.it < 10)
+  GROUP BY it, b, c),
+rbooks AS MATERIALIZED (SELECT b, c, cent FROM rkm WHERE it = 10),
+cellof AS MATERIALIZED (
+  SELECT vec_id, c AS cell FROM (
+    SELECT m.vec_id, co.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY round(list_sum(list_transform(list_zip(m.e, co.cent),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), co.c) AS rnk
+    FROM emb m, coarse co)
+  WHERE rnk = 1),
+cres AS MATERIALIZED (
+  SELECT m.vec_id, cl.cell,
+         list_transform(list_zip(m.e, co.cent), p -> p[1] - p[2]) AS re
+  FROM emb m JOIN cellof cl USING (vec_id)
+  JOIN coarse co ON co.c = cl.cell),
+crsub AS MATERIALIZED (
+  SELECT c2.vec_id, b.b, c2.re[b.b*4+1 : b.b*4+4] AS sv FROM cres c2, blocks b),
+coded AS MATERIALIZED (
+  SELECT vec_id, b, c FROM (
+    SELECT cs.vec_id, cs.b, bk.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY cs.vec_id, cs.b
+             ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cent),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), bk.c) AS rnk
+    FROM crsub cs JOIN rbooks bk ON bk.b = cs.b)
+  WHERE rnk = 1),
+nrms AS MATERIALIZED (
+  SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM emb),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qn
+  FROM emb WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, cell, qc_dot FROM (
+    SELECT q.query_id, co.c AS cell,
+           list_dot_product(q.qe, co.cent) AS qc_dot,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qe, co.cent)
+                    / (q.qn * sqrt(list_dot_product(co.cent, co.cent))),
+                    9) DESC, co.c) AS pr
+    FROM q, coarse co)
+  WHERE pr <= 4),
+itabs AS (SELECT q.query_id, bk.b, bk.c,
+                 list_dot_product(q.qe[bk.b*4+1 : bk.b*4+4], bk.cent) AS tv
+          FROM q, rbooks bk),
+adcsum AS (SELECT t.query_id, cd.vec_id AS neighbor_id, SUM(t.tv) AS s
+           FROM coded cd JOIN itabs t ON t.b = cd.b AND t.c = cd.c
+           GROUP BY 1, 2),
+ivfscored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id,
+         round((p.qc_dot + a.s) / (q.qn * n.nrm), 6) AS adc_sim
+  FROM probes p
+  JOIN cellof cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+  JOIN adcsum a ON a.query_id = p.query_id AND a.neighbor_id = cl.vec_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN nrms n ON n.vec_id = cl.vec_id),
+ivftop AS (
+  SELECT query_id, neighbor_id, adc_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+  FROM ivfscored QUALIFY rn <= 5)
+""".format(
+    # the coarse centroid mean-update, one ROUND(AVG(e[i]) ...) per
+    # dimension — generated because DuckDB LIST_VALUE takes positional
+    # args and the fixtures are 64-dim
+    cent64=",\n                ".join(
+        f"ROUND(AVG(e[{i}]) FILTER (WHERE rnk = 1), 6)" for i in range(1, 65)
+    )
+)
+
+
+@register(
+    "knn_cosine_ivfpq",
+    oracle=_IVFPQ_CORE_SQL
+    + """
+    SELECT query_id, neighbor_id, adc_sim, rn FROM ivftop
+    """,
+)
+def q_knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN top-k (similarity.knn_cosine_ivfpq): coarse cell
+    pruning composed with residual-PQ asymmetric distances — the
+    FAISS-style billion-vector pairing; each query scans ~n_probe/
+    n_cells of the corpus as 10-byte codes, scored as one
+    query-centroid dot plus m JVM-side table lookups. The
+    deterministic index makes the FULL ranking oracle-backed — the
+    recursive-CTE replica replays coarse k-means, residual codebooks,
+    cell assignment, coding, and the norm-corrected ADC score — where
+    the Spark-ML-KMeans `knn_cosine_ivf` can only ever be rows-only."""
+    return similarity.knn_cosine_ivfpq(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "semantic_dedup_checked",
     oracle="""
@@ -8081,12 +8253,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled)
+    # (b) round-9 additions (never externally sampled): 6 names —
+    # 5 n-gram-LM/corpus-mix ops + knn_cosine_ivfpq
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
     "perplexity_tercile_mix",
     "source_temperature_mix",
+    "knn_cosine_ivfpq",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8115,11 +8289,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cheapest_part_per_brand",
     "click_attribution",
     "corpus_clean",
-    "dedup_by_source",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
-    # _ordered_names()
+    # _ordered_names(). (dedup_by_source was the 50th slot until
+    # knn_cosine_ivfpq displaced it — its r8 external row is fresh.)
+    "dedup_by_source",
     "disjunctive_revenue",
     "embedding_centroids",
     "events_cascade_rollup",

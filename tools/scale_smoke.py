@@ -227,6 +227,16 @@ def main() -> None:
         "gopher_quality_screen",
         "copurchase_ktruss",
         "dsir_importance_weights",
+        # round-9 additions (the LM count tables are Zipf-bounded, so
+        # exact-dup replicas grow only the scored occurrence stream;
+        # embeddings stays the fixed 500-row fixture, so the IVFPQ
+        # smoke exercises the coding/scoring passes, not corpus growth)
+        "gopher_repetition_screen",
+        "stupid_backoff_scores",
+        "kn_continuation_counts",
+        "perplexity_tercile_mix",
+        "source_temperature_mix",
+        "knn_cosine_ivfpq",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
