@@ -273,6 +273,7 @@ HEADLINE = [
     "perplexity_tercile_mix",
     "source_temperature_mix",
     "knn_cosine_ivfpq",
+    "ivfpq_recall_checked",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

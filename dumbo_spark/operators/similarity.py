@@ -1291,6 +1291,51 @@ def knn_cosine_ivfpq(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+def ivfpq_recall_checked(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    bound: float = 0.2,
+) -> DataFrame:
+    """IVFADC recall vs exact brute-force top-k with the hit count as a
+    first-class column — completes the ANN ``_checked`` matrix (LSH,
+    IVF, PQ, IVFPQ). Like :func:`pq_recall_checked`, the oracle
+    recomputes ``n_hits`` EXACTLY by replaying the deterministic index
+    in SQL, so a drift anywhere in the coarse/residual/ADC path flips
+    the hash, not just the gate boolean.
+
+    Recall ceiling: measured 14/40 = 0.35 at the 16-cell/4-probe 16×32
+    geometry on the near-isotropic fixtures — below flat PQ's 0.55
+    because cell pruning also discards true neighbors that land in
+    unprobed cells, and random data gives the coarse quantizer no
+    cluster structure to exploit. The 0.2 gate sits ~6 pairs below the
+    ceiling: loose enough for fixture regeneration, tight enough to
+    fail a broken probe or residual-coding path (which craters to ~0).
+
+    Output: (n_queries, n_exact_pairs, n_hits, ivfpq_recall_ok) — one
+    row.
+    """
+    ex = knn_cosine(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    ann = knn_cosine_ivfpq(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    nq = ex.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_pairs"),
+    )
+    hits = ex.join(ann, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("_hits")
+    )
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        "n_exact_pairs",
+        F.col("_hits").alias("n_hits"),
+        (F.col("_hits") >= F.lit(bound) * F.col("n_exact_pairs")).alias(
+            "ivfpq_recall_ok"
+        ),
+    )
+
+
 def knn_euclid(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     """Exact EUCLIDEAN top-k — the second retrieval ranking next to
     cosine (they disagree whenever vector norms vary: cosine ignores

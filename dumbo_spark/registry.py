@@ -4695,6 +4695,49 @@ def q_knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivfpq_recall_checked",
+    # n_hits recomputed EXACTLY: IVFADC top-k from the deterministic
+    # SQL replica, exact top-k from the same brute-force pair
+    # definition the other _checked siblings use, n_hits = join count.
+    oracle=_IVFPQ_CORE_SQL
+    + """,
+    cand AS (
+      SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e2.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e2.embedding AS DOUBLE[]),
+                                              CAST(e2.embedding AS DOUBLE[])))),
+                   6) AS cs
+      FROM embeddings q JOIN embeddings e2 ON e2.vec_id <> q.vec_id
+      WHERE q.vec_id < 8),
+    extop AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cs DESC, neighbor_id ASC) AS r
+      FROM cand QUALIFY r <= 5),
+    ecnt AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                    CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM extop),
+    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM extop e JOIN ivftop p USING (query_id, neighbor_id))
+    SELECT n_queries, n_exact_pairs, n_hits,
+           n_hits >= 0.2 * n_exact_pairs AS ivfpq_recall_ok
+    FROM ecnt, hits
+    """,
+)
+def q_ivfpq_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC recall vs exact top-k with the hit count
+    oracle-recomputed exactly (similarity.ivfpq_recall_checked):
+    measured 14/40 = 0.35 at the 16-cell/4-probe geometry (cell
+    pruning costs recall on clusterless random fixtures), gated at
+    0.2 — completes the ANN `_checked` matrix (LSH, IVF, PQ, IVFPQ)."""
+    return similarity.ivfpq_recall_checked(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
     "semantic_dedup_checked",
     oracle="""
     WITH RECURSIVE p AS (
@@ -8253,14 +8296,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 6 names —
-    # 5 n-gram-LM/corpus-mix ops + knn_cosine_ivfpq
+    # (b) round-9 additions (never externally sampled): 7 names —
+    # 5 n-gram-LM/corpus-mix ops + the IVFADC pair
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
     "perplexity_tercile_mix",
     "source_temperature_mix",
     "knn_cosine_ivfpq",
+    "ivfpq_recall_checked",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8288,12 +8332,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_token_count",
     "cheapest_part_per_brand",
     "click_attribution",
-    "corpus_clean",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
     # _ordered_names(). (dedup_by_source was the 50th slot until
-    # knn_cosine_ivfpq displaced it — its r8 external row is fresh.)
+    # knn_cosine_ivfpq displaced it — its r8 external row is fresh;
+    # corpus_clean likewise for ivfpq_recall_checked.)
+    "corpus_clean",
     "dedup_by_source",
     "disjunctive_revenue",
     "embedding_centroids",

@@ -282,3 +282,13 @@ def test_ivfpq_scoring_is_broadcast_jvm_lookups(spark, sf_dir):
     # coded corpus; the only Python eval is the Arrow coding pass
     assert "broadcast" in s["plan"].lower()
     assert s["python_evals"] <= 1
+
+
+def test_ivfpq_recall_gate_passes_on_fixtures(spark, sf_dir):
+    from dumbo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = similarity.ivfpq_recall_checked(emb).collect()[0]
+    assert row["n_queries"] == 8 and row["n_exact_pairs"] == 40
+    assert row["ivfpq_recall_ok"]
+    assert row["n_hits"] >= 8  # 0.2 gate at 40 pairs

@@ -237,6 +237,7 @@ def main() -> None:
         "perplexity_tercile_mix",
         "source_temperature_mix",
         "knn_cosine_ivfpq",
+        "ivfpq_recall_checked",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
