@@ -274,6 +274,7 @@ HEADLINE = [
     "source_temperature_mix",
     "knn_cosine_ivfpq",
     "ivfpq_recall_checked",
+    "greedy_pack_bins",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

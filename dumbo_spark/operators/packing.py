@@ -82,6 +82,66 @@ def sequence_packing(
     )
 
 
+def greedy_pack_bins(
+    documents: DataFrame, budget: int = 256, buckets: int = 8
+) -> DataFrame:
+    """First-fit WHOLE-document packing census: walk each (source,
+    bucket) stream in the deterministic permutation and place each
+    document into the current bin unless it would overflow ``budget``
+    tokens, then open a new bin. The no-splitting variant of
+    :func:`sequence_packing` — what SFT/instruction-tuning batch prep
+    uses when examples must stay intact (T5's "packing", Raffel et al.
+    2020 §3.1.2) — and a genuinely different computation class: bin
+    boundaries depend on the running remainder, a sequential FOLD that
+    no prefix-sum window can express (splitting at fixed boundaries
+    can; first-fit cannot, because a doc that overflows resets the
+    accumulator to its own length, not to cum % budget).
+
+    Execution: one ``applyInPandas`` fold per (source, bucket) group —
+    the documented Arrow-batched stateful-fold site class (like the
+    streaming stateful ops), NOT a row-at-a-time UDF. Every task holds
+    exactly one bucket of one source (corpus/(sources·B) docs — raise
+    ``buckets`` with the corpus, same shard story as
+    :func:`sequence_packing`); the per-group Python loop is over the
+    already-Arrow-materialized token counts, no per-row serialization.
+    The oracle replays the fold as a recursive CTE.
+
+    Oversized documents (n_tokens > budget) occupy a bin alone
+    (negative slack) — first-fit never splits. Zero-token documents
+    join the current bin.
+
+    Output: (source, bucket, bin_id, n_docs, bin_tokens, bin_slack)
+    where bin_slack = budget − bin_tokens.
+    """
+    import pandas as pd
+
+    docs = _doc_perm(documents, buckets)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["_k", "doc_id"]).reset_index(drop=True)
+        bin_ids = []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = n
+            else:
+                fill += n
+            bin_ids.append(bin_id)
+        pdf["bin_id"] = bin_ids
+        return pdf[["source", "bucket", "bin_id", "n_tokens"]]
+
+    placed = docs.groupBy("source", "bucket").applyInPandas(
+        pack, "source string, bucket int, bin_id long, n_tokens int"
+    )
+    return placed.groupBy("source", "bucket", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        (F.lit(budget) - F.sum("n_tokens")).cast("bigint").alias("bin_slack"),
+    )
+
+
 def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 8) -> DataFrame:
     """Exact per-source token budget: walk each source's documents in
     the deterministic permutation and keep every document that STARTS

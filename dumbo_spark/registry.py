@@ -5715,6 +5715,54 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "greedy_pack_bins",
+    # The first-fit fold replayed as a recursive CTE: one step per
+    # document position per (source, bucket) group, carrying (bin_id,
+    # fill). `o` is MATERIALIZED so the tokenization pass isn't
+    # re-inlined into every recursion step.
+    oracle=f"""
+    WITH RECURSIVE o AS MATERIALIZED (
+      SELECT source, bucket, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                ORDER BY k, doc_id) AS rn
+      FROM (
+        SELECT doc_id, source,
+               CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER)
+                 AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents)),
+    walk(source, bucket, rn, n_tokens, bin_id, fill) AS (
+      SELECT source, bucket, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT n.source, n.bucket, n.rn, n.n_tokens,
+             CASE WHEN w.fill > 0 AND w.fill + n.n_tokens > 256
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.fill > 0 AND w.fill + n.n_tokens > 256
+                  THEN n.n_tokens ELSE w.fill + n.n_tokens END
+      FROM walk w
+      JOIN o n ON n.source = w.source AND n.bucket = w.bucket
+              AND n.rn = w.rn + 1)
+    SELECT source, bucket, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(256 - SUM(n_tokens) AS BIGINT) AS bin_slack
+    FROM walk GROUP BY source, bucket, bin_id
+    """,
+)
+def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit whole-document packing census (packing.
+    greedy_pack_bins): the no-splitting variant of sequence_packing —
+    a sequential fold per (source, md5-bucket) stream that prefix-sum
+    windows cannot express, run as one Arrow-batched applyInPandas
+    fold per bucket and oracle-replayed as a recursive CTE."""
+    return packing.greedy_pack_bins(
+        load_table(spark, sf_dir, "documents"), budget=256, buckets=8
+    )
+
+
+@register(
     "token_budget_sample",
     oracle=f"""
     WITH d AS (
@@ -8296,8 +8344,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 7 names —
-    # 5 n-gram-LM/corpus-mix ops + the IVFADC pair
+    # (b) round-9 additions (never externally sampled): 8 names —
+    # 5 n-gram-LM/corpus-mix ops + the IVFADC pair + first-fit packing
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8305,6 +8353,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "source_temperature_mix",
     "knn_cosine_ivfpq",
     "ivfpq_recall_checked",
+    "greedy_pack_bins",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8331,13 +8380,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "benchmark_contamination",
     "bpe_token_count",
     "cheapest_part_per_brand",
-    "click_attribution",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
     # _ordered_names(). (dedup_by_source was the 50th slot until
     # knn_cosine_ivfpq displaced it — its r8 external row is fresh;
-    # corpus_clean likewise for ivfpq_recall_checked.)
+    # corpus_clean likewise for ivfpq_recall_checked, click_attribution
+    # for greedy_pack_bins.)
+    "click_attribution",
     "corpus_clean",
     "dedup_by_source",
     "disjunctive_revenue",

@@ -292,3 +292,71 @@ def test_ivfpq_recall_gate_passes_on_fixtures(spark, sf_dir):
     assert row["n_queries"] == 8 and row["n_exact_pairs"] == 40
     assert row["ivfpq_recall_ok"]
     assert row["n_hits"] >= 8  # 0.2 gate at 40 pairs
+
+
+# ── greedy_pack_bins (first-fit whole-document packing) ─────────────────
+
+
+def test_greedy_pack_never_overflows_except_oversized_singletons(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = packing.greedy_pack_bins(docs, budget=256, buckets=8).collect()
+    for r in rows:
+        # a bin over budget must be a single oversized document
+        assert r["bin_tokens"] <= 256 or r["n_docs"] == 1
+        assert r["bin_slack"] == 256 - r["bin_tokens"]
+
+
+def test_greedy_pack_conserves_tokens_and_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from dumbo_spark.operators.packing import _doc_perm
+
+    got = packing.greedy_pack_bins(docs, budget=256, buckets=8).agg(
+        F.sum("n_docs").alias("d"), F.sum("bin_tokens").alias("t")
+    ).collect()[0]
+    want = _doc_perm(docs, 8).agg(
+        F.count("*").alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert (got["d"], got["t"]) == (want["d"], want["t"])
+
+
+def test_greedy_pack_first_fit_fold_semantics(spark):
+    # stream of known sizes in one group: 100, 100, 100, 300, 50, 0, 200
+    # with budget 256 → bins [100+100], [100], [300], [50+0+200]
+    docs = _docs(
+        spark,
+        [(i, "w " * n, "s") for i, n in enumerate([100, 100, 100, 300, 50, 0, 200])],
+    )
+    # pin the permutation to doc_id order by monkey-packing via buckets=1
+    # and replacing the md5 key sort with known ids is NOT possible from
+    # outside — instead recompute the expected fold over the ACTUAL
+    # permutation order, then compare
+    from dumbo_spark.operators.packing import _doc_perm
+
+    perm = (
+        _doc_perm(docs, 1)
+        .orderBy("_k", "doc_id")
+        .select("doc_id", "n_tokens")
+        .collect()
+    )
+    bins, bin_id, fill = {}, 0, 0
+    for r in perm:
+        n = r["n_tokens"]
+        if fill > 0 and fill + n > 256:
+            bin_id += 1
+            fill = n
+        else:
+            fill += n
+        bins.setdefault(bin_id, [0, 0])
+        bins[bin_id][0] += 1
+        bins[bin_id][1] += n
+    got = {
+        r["bin_id"]: (r["n_docs"], r["bin_tokens"])
+        for r in packing.greedy_pack_bins(docs, budget=256, buckets=1).collect()
+    }
+    assert got == {b: tuple(v) for b, v in bins.items()}
+    # the 300-token doc is alone in its bin with negative slack
+    oversized = [
+        r for r in packing.greedy_pack_bins(docs, budget=256, buckets=1).collect()
+        if r["bin_tokens"] > 256
+    ]
+    assert len(oversized) == 1 and oversized[0]["n_docs"] == 1

@@ -238,6 +238,7 @@ def main() -> None:
         "source_temperature_mix",
         "knn_cosine_ivfpq",
         "ivfpq_recall_checked",
+        "greedy_pack_bins",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
