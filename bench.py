@@ -275,6 +275,7 @@ HEADLINE = [
     "knn_cosine_ivfpq",
     "ivfpq_recall_checked",
     "greedy_pack_bins",
+    "bpe_learn_merges",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

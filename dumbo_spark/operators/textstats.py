@@ -927,6 +927,89 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def bpe_learn_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Distributed BPE TRAINING (Sennrich et al. 2016): learn the first
+    ``n_merges`` byte-pair merges by iterating argmax-pair → apply-merge
+    over the corpus VOCABULARY — the full greedy loop, where
+    :func:`bpe_merge_candidates` is only round one's statistic. This is
+    how HuggingFace/SentencePiece-style trainers scale: after the one
+    corpus-sized wordcount, every round touches |vocab| rows, so 100 TB
+    of text costs the same training loop as 100 GB once the word
+    frequency table is built.
+
+    Round structure (all JVM-side):
+    - pair counts: explode adjacent symbol pairs per vocabulary word
+      (weighted by word frequency), partial-agg to (a, b, count);
+    - argmax: one driver-side row per round — (count DESC, a ASC,
+      b ASC) tie-break, deterministic and oracle-replayable;
+    - apply: left-to-right non-overlapping merge of (a, b) in every
+      word's symbol array via ``F.aggregate`` — a Catalyst fold, no
+      Python ("aaa" + merge(a,a) → [aa, a], exactly BPE's scan order);
+    - per-round ``localCheckpoint`` truncates the fold lineage (the
+      iterative-operator discipline from graph.py — without it round k
+      recomputes all k−1 prior folds from the parquet scan).
+
+    The oracle replays every round: the same pair-count/argmax CTEs
+    plus a recursive CTE that folds each word position-by-position
+    (depth = longest word, all words advance in parallel per step).
+
+    Output: (merge_rank, left_sym, right_sym, pair_count) — the
+    learned merge table, ``n_merges`` rows.
+    """
+    wc = wordcount(documents)
+    v = wc.select("cnt", F.split("word", "").alias("syms")).localCheckpoint(
+        eager=False
+    )
+    merges = []
+    for r in range(n_merges):
+        # len-1 words carry no pairs; the size guard also keeps
+        # sequence(1, size-1) from producing Spark's DESCENDING [1, 0]
+        pairs = v.where(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)-1), "
+                    "i -> struct(element_at(syms, i) AS a,"
+                    " element_at(syms, i+1) AS b))"
+                )
+            ).alias("p"),
+        ).select("cnt", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # degenerate corpus: nothing left to merge
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((r + 1, a, b, c))
+        merged = a + b
+        v = v.select(
+            "cnt",
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=False)
+    return documents.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
 def vocab_indexer(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
     """Frequency-ordered vocabulary index: dense ids 1..N for the top
     ``vocab_size`` words by (count DESC, word ASC) — the

@@ -4056,6 +4056,74 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled SQL replica of textstats.bpe_learn_merges: per round, a
+    pair-count CTE (unnest over symbol positions), a LIMIT-1 argmax
+    with the (count DESC, a, b) tie-break, and a recursive CTE that
+    folds the merge through every word position-by-position (depth =
+    longest word; all words advance in parallel each step) — the same
+    left-to-right non-overlapping scan as the engine's F.aggregate
+    fold. Feeder CTEs are MATERIALIZED so the vocabulary isn't
+    re-tokenized inside each recursion (the IVFPQ lesson)."""
+    parts = [
+        f"""
+    WITH RECURSIVE
+    wc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({DUCK_TOKENS}) AS word FROM documents) GROUP BY word),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt, string_split(word, '') AS syms FROM wc)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS pair_count
+      FROM (
+        SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM v{r} WHERE len(syms) >= 2)
+      GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM p{r}
+      ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
+    f{r}(word, cnt, pos, acc) AS (
+      SELECT word, cnt, 0, CAST([] AS VARCHAR[]) FROM v{r}
+      UNION ALL
+      SELECT f.word, f.cnt, f.pos + 1,
+             CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a
+                       AND v.syms[f.pos + 1] = m.b
+                  THEN list_append(f.acc[1 : len(f.acc) - 1], m.a || m.b)
+                  ELSE list_append(f.acc, v.syms[f.pos + 1]) END
+      FROM f{r} f
+      JOIN v{r} v USING (word)
+      CROSS JOIN m{r} m
+      WHERE f.pos < len(v.syms)),
+    v{r + 1} AS MATERIALIZED (
+      SELECT f.word, f.cnt, f.acc AS syms
+      FROM f{r} f JOIN v{r} v USING (word)
+      WHERE f.pos = len(v.syms))"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
+        # SUM(BIGINT) is HUGEINT in DuckDB — cast back for hash parity
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle_sql(6))
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training loop (textstats.bpe_learn_merges): the
+    first 6 greedy merges learned by iterating vocabulary-sized
+    pair-count → argmax → Catalyst-fold merge application, with
+    per-round lineage truncation — the full Sennrich et al. 2016
+    trainer where bpe_merge_candidates is only round one."""
+    return textstats.bpe_learn_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=6
+    )
+
+
 @register(
     "pca_top_component",
     oracle="""
@@ -8344,8 +8412,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 8 names —
-    # 5 n-gram-LM/corpus-mix ops + the IVFADC pair + first-fit packing
+    # (b) round-9 additions (never externally sampled): 9 names —
+    # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
+    # the BPE training loop
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8354,6 +8423,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_cosine_ivfpq",
     "ivfpq_recall_checked",
     "greedy_pack_bins",
+    "bpe_learn_merges",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8379,14 +8449,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_last_click",
     "benchmark_contamination",
     "bpe_token_count",
-    "cheapest_part_per_brand",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
     # _ordered_names(). (dedup_by_source was the 50th slot until
     # knn_cosine_ivfpq displaced it — its r8 external row is fresh;
     # corpus_clean likewise for ivfpq_recall_checked, click_attribution
-    # for greedy_pack_bins.)
+    # for greedy_pack_bins, cheapest_part_per_brand for
+    # bpe_learn_merges.)
+    "cheapest_part_per_brand",
     "click_attribution",
     "corpus_clean",
     "dedup_by_source",

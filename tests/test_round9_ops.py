@@ -360,3 +360,46 @@ def test_greedy_pack_first_fit_fold_semantics(spark):
         if r["bin_tokens"] > 256
     ]
     assert len(oversized) == 1 and oversized[0]["n_docs"] == 1
+
+
+# ── bpe_learn_merges (distributed BPE training loop) ────────────────────
+
+
+def test_bpe_ltr_overlap_scan(spark):
+    # "aaa" x2: round 1 merges (a,a) — LTR non-overlapping gives
+    # [aa, a], NOT [a, aa]; round 2 must therefore merge (aa, a)
+    d = _docs(spark, [(1, "aaa aaa", "s")])
+    rows = textstats.bpe_learn_merges(d, n_merges=2).collect()
+    assert [(r["merge_rank"], r["left_sym"], r["right_sym"]) for r in rows] == [
+        (1, "a", "a"),
+        (2, "aa", "a"),
+    ]
+    assert rows[0]["pair_count"] == 4  # 2 positions x word freq 2
+
+
+def test_bpe_tie_breaks_lexicographic(spark):
+    # "ab" and "ba" both appear twice: pair counts tie at 2 → (a,b) wins
+    d = _docs(spark, [(1, "ab ab ba ba", "s")])
+    rows = textstats.bpe_learn_merges(d, n_merges=1).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("a", "b")
+
+
+def test_bpe_stops_when_nothing_left_to_merge(spark):
+    # single-char vocabulary: no pairs at all → 0 merges, not a crash
+    d = _docs(spark, [(1, "a b c a b", "s")])
+    assert textstats.bpe_learn_merges(d, n_merges=3).count() == 0
+
+
+def test_bpe_merge_frequency_monotone_on_fixtures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        textstats.bpe_learn_merges(docs, n_merges=4).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert len(rows) == 4
+    # greedy BPE within a round picks the max — counts can rise after a
+    # merge creates a new symbol, but round 1 must dominate round 2's
+    # count only if round 2's pair existed in round 1; the universally
+    # safe invariant is positivity + rank integrity
+    assert all(r["pair_count"] > 0 for r in rows)
+    assert [r["merge_rank"] for r in rows] == [1, 2, 3, 4]

@@ -239,6 +239,7 @@ def main() -> None:
         "knn_cosine_ivfpq",
         "ivfpq_recall_checked",
         "greedy_pack_bins",
+        "bpe_learn_merges",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
