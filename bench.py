@@ -276,6 +276,7 @@ HEADLINE = [
     "ivfpq_recall_checked",
     "greedy_pack_bins",
     "bpe_learn_merges",
+    "padding_waste_census",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -142,6 +142,80 @@ def greedy_pack_bins(
     )
 
 
+def padding_waste_census(
+    documents: DataFrame, batch_size: int = 32, buckets: int = 8
+) -> DataFrame:
+    """Dynamic-batching efficiency census: bucket documents by
+    power-of-two token-length class, form deterministic batches of
+    ``batch_size`` within each (length-class, md5-shard) stream, and
+    measure the padding waste of pad-to-batch-max — the statistic that
+    decides whether a serving/training stack needs length-bucketed
+    batching (the waste of naive random batches) or can skip it.
+
+    Length classes use INTEGER-exact log2: class = number of binary
+    digits of n_tokens (``conv(n, 10, 2)`` string length; DuckDB
+    ``bin(n)``) — floor(log2 n)+1 without float log2, whose exactness
+    at powers of two is not portable across engines. Class b covers
+    lengths [2^(b−1), 2^b − 1]; zero-token docs land in class 1
+    alongside length-1 docs (bin(0) = '0').
+
+    Batching is per (class, md5-shard): the shard bounds every window
+    task at corpus/(classes·B·shards) like the packing ops, and
+    mirrors how a data-parallel loader actually batches (each worker
+    owns a shard; no global queue). Waste per batch =
+    rows·max_len − Σlen; the census aggregates to one row per class.
+
+    Output: (len_class, seq_lo, seq_hi, n_docs, n_batches,
+    total_tokens, padded_tokens, waste_pct).
+    """
+    docs = _doc_perm(documents, buckets).withColumn(
+        "len_class", F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2))
+    )
+    w = Window.partitionBy("len_class", "bucket").orderBy("_k", "doc_id")
+    batched = docs.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    per_batch = batched.groupBy("len_class", "bucket", "batch_idx").agg(
+        F.count("*").alias("_rows"),
+        F.max("n_tokens").alias("_max"),
+        F.sum("n_tokens").alias("_sum"),
+    )
+    pad = F.col("_rows") * F.col("_max")
+    return (
+        per_batch.groupBy("len_class")
+        .agg(
+            F.sum("_rows").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum("_sum").cast("bigint").alias("total_tokens"),
+            F.sum(pad).cast("bigint").alias("padded_tokens"),
+        )
+        .select(
+            "len_class",
+            F.expr(
+                "CAST(IF(len_class > 1, shiftleft(1, len_class - 1), 0)"
+                " AS BIGINT)"
+            ).alias("seq_lo"),
+            F.expr(
+                "CAST(shiftleft(1, len_class) - 1 AS BIGINT)"
+            ).alias("seq_hi"),
+            "n_docs",
+            "n_batches",
+            "total_tokens",
+            "padded_tokens",
+            F.when(
+                F.col("padded_tokens") > 0,
+                F.round(
+                    (F.col("padded_tokens") - F.col("total_tokens"))
+                    / F.col("padded_tokens"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("waste_pct"),
+        )
+    )
+
+
 def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 8) -> DataFrame:
     """Exact per-source token budget: walk each source's documents in
     the deterministic permutation and keep every document that STARTS

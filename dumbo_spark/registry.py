@@ -5831,6 +5831,55 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "padding_waste_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER)
+               AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    c AS (
+      SELECT *, CAST(length(bin(n_tokens)) AS INTEGER) AS len_class,
+             ROW_NUMBER() OVER (PARTITION BY length(bin(n_tokens)), bucket
+                                ORDER BY k, doc_id) AS rn
+      FROM d),
+    pb AS (
+      SELECT len_class, bucket, (rn - 1) // 32 AS batch_idx,
+             COUNT(*) AS n_rows, MAX(n_tokens) AS mx, SUM(n_tokens) AS sm
+      FROM c GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT len_class,
+             CAST(SUM(n_rows) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(sm) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_rows * mx) AS BIGINT) AS padded_tokens
+      FROM pb GROUP BY 1)
+    SELECT len_class,
+           CAST(CASE WHEN len_class > 1 THEN 1 << (len_class - 1)
+                     ELSE 0 END AS BIGINT) AS seq_lo,
+           CAST((1 << len_class) - 1 AS BIGINT) AS seq_hi,
+           n_docs, n_batches, total_tokens, padded_tokens,
+           CASE WHEN padded_tokens > 0
+                THEN ROUND((padded_tokens - total_tokens)
+                           / CAST(padded_tokens AS DOUBLE), 4)
+                ELSE 0.0 END AS waste_pct
+    FROM agg
+    """,
+)
+def q_padding_waste_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching padding-waste census (packing.
+    padding_waste_census): power-of-two length classes via
+    integer-exact log2 (binary-digit count, no float log2), batches of
+    32 per (class, md5-shard) stream, pad-to-batch-max waste per
+    class — the measurement behind length-bucketed batching."""
+    return packing.padding_waste_census(
+        load_table(spark, sf_dir, "documents"), batch_size=32, buckets=8
+    )
+
+
+@register(
     "token_budget_sample",
     oracle=f"""
     WITH d AS (
@@ -8412,9 +8461,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 9 names —
+    # (b) round-9 additions (never externally sampled): 10 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
-    # the BPE training loop
+    # the BPE training loop, the batch-shaping census
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8424,6 +8473,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_recall_checked",
     "greedy_pack_bins",
     "bpe_learn_merges",
+    "padding_waste_census",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8448,7 +8498,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_percentiles",
     "asof_last_click",
     "benchmark_contamination",
-    "bpe_token_count",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8456,7 +8505,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # knn_cosine_ivfpq displaced it — its r8 external row is fresh;
     # corpus_clean likewise for ivfpq_recall_checked, click_attribution
     # for greedy_pack_bins, cheapest_part_per_brand for
-    # bpe_learn_merges.)
+    # bpe_learn_merges, bpe_token_count for padding_waste_census.)
+    "bpe_token_count",
     "cheapest_part_per_brand",
     "click_attribution",
     "corpus_clean",

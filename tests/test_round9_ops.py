@@ -403,3 +403,42 @@ def test_bpe_merge_frequency_monotone_on_fixtures(spark, sf_dir):
     # safe invariant is positivity + rank integrity
     assert all(r["pair_count"] > 0 for r in rows)
     assert [r["merge_rank"] for r in rows] == [1, 2, 3, 4]
+
+
+# ── padding_waste_census (length-bucketed dynamic batching) ─────────────
+
+
+def test_padding_waste_identical_lengths_is_zero(spark):
+    # all docs same token count → pad-to-batch-max wastes nothing
+    d = _docs(spark, [(i, "a b c d", "s") for i in range(10)])
+    rows = packing.padding_waste_census(d, batch_size=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["len_class"] == 3 and (r["seq_lo"], r["seq_hi"]) == (4, 7)
+    assert r["waste_pct"] == 0.0 and r["padded_tokens"] == r["total_tokens"]
+    assert r["n_docs"] == 10
+
+
+def test_padding_waste_mixed_lengths_within_class(spark):
+    # lengths 4 and 7 share class 3 ([4, 7]); one shard-batch of both
+    # pads the 4 up to 7
+    d = _docs(spark, [(1, "a b c d", "s"), (2, "a b c d e f g", "s")])
+    rows = packing.padding_waste_census(d, batch_size=32, buckets=1).collect()
+    r = rows[0]
+    assert r["n_batches"] == 1 and r["total_tokens"] == 11
+    assert r["padded_tokens"] == 14  # 2 rows x max 7
+    assert r["waste_pct"] == round(3 / 14, 4)
+
+
+def test_padding_waste_class_boundaries_are_exact(spark):
+    # 8 tokens is class 4 (seq_lo 8), 7 tokens class 3 — the integer
+    # log2 must not wobble at the power-of-two boundary
+    d = _docs(
+        spark,
+        [(1, " ".join(["w"] * 7), "s"), (2, " ".join(["w"] * 8), "s")],
+    )
+    got = {
+        r["len_class"]: (r["seq_lo"], r["seq_hi"])
+        for r in packing.padding_waste_census(d).collect()
+    }
+    assert got == {3: (4, 7), 4: (8, 15)}

@@ -240,6 +240,7 @@ def main() -> None:
         "ivfpq_recall_checked",
         "greedy_pack_bins",
         "bpe_learn_merges",
+        "padding_waste_census",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
