@@ -277,6 +277,7 @@ HEADLINE = [
     "greedy_pack_bins",
     "bpe_learn_merges",
     "padding_waste_census",
+    "bpe_compression_stats",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -927,7 +927,7 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
-def bpe_learn_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+def _bpe_train(documents: DataFrame, n_merges: int = 6):
     """Distributed BPE TRAINING (Sennrich et al. 2016): learn the first
     ``n_merges`` byte-pair merges by iterating argmax-pair → apply-merge
     over the corpus VOCABULARY — the full greedy loop, where
@@ -953,8 +953,10 @@ def bpe_learn_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     plus a recursive CTE that folds each word position-by-position
     (depth = longest word, all words advance in parallel per step).
 
-    Output: (merge_rank, left_sym, right_sym, pair_count) — the
-    learned merge table, ``n_merges`` rows.
+    Returns (merges, v): the learned merge list of (rank, a, b, count)
+    tuples (≤ ``n_merges``) and the post-merge vocabulary DataFrame
+    (cnt, syms) — :func:`bpe_learn_merges` publishes the former,
+    :func:`bpe_compression_stats` aggregates the latter.
     """
     wc = wordcount(documents)
     v = wc.select("cnt", F.split("word", "").alias("syms")).localCheckpoint(
@@ -1004,9 +1006,53 @@ def bpe_learn_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
         ).localCheckpoint(eager=False)
+    return merges, v
+
+
+def bpe_learn_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Public wrapper over :func:`_bpe_train`: the learned merge table
+    (merge_rank, left_sym, right_sym, pair_count), ``n_merges`` rows —
+    full semantics and the scale argument in the trainer's docstring."""
+    merges, _ = _bpe_train(documents, n_merges)
     return documents.sparkSession.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_compression_stats(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """What the learned merges BUY: corpus symbol counts before vs
+    after applying the ``n_merges`` trained merges, frequency-weighted
+    — the tokens-per-document-saved readout a tokenizer-training run
+    is judged by (more merges → fewer symbols → shorter sequences →
+    cheaper training steps). Same |vocab|-sized loop as
+    :func:`bpe_learn_merges`; both aggregates are over the vocabulary
+    table, so the readout is corpus-scale-free after the one wordcount
+    pass.
+
+    Output (one row): (n_merges, total_words, init_symbols,
+    final_symbols, compression_pct).
+    """
+    merges, v = _bpe_train(documents, n_merges)
+    sym_cnt = (F.size("syms") * F.col("cnt")).cast("bigint")
+    wc = wordcount(documents)
+    init = wc.agg(
+        F.sum("cnt").cast("bigint").alias("total_words"),
+        F.sum(F.length("word") * F.col("cnt")).cast("bigint").alias(
+            "init_symbols"
+        ),
+    )
+    final = v.agg(F.sum(sym_cnt).alias("final_symbols"))
+    return init.crossJoin(final).select(
+        F.lit(len(merges)).alias("n_merges"),
+        "total_words",
+        "init_symbols",
+        "final_symbols",
+        F.round(
+            (F.col("init_symbols") - F.col("final_symbols"))
+            / F.col("init_symbols").cast("double"),
+            4,
+        ).alias("compression_pct"),
     )
 
 

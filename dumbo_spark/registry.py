@@ -4056,7 +4056,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle_sql(n_merges: int = 6) -> str:
+def _bpe_oracle_sql(n_merges: int = 6, select: str | None = None) -> str:
     """Unrolled SQL replica of textstats.bpe_learn_merges: per round, a
     pair-count CTE (unnest over symbol positions), a LIMIT-1 argmax
     with the (count DESC, a, b) tie-break, and a recursive CTE that
@@ -4103,7 +4103,7 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
       FROM f{r} f JOIN v{r} v USING (word)
       WHERE f.pos = len(v.syms))"""
         )
-    sel = "\n    UNION ALL\n    ".join(
+    sel = select or "\n    UNION ALL\n    ".join(
         f"SELECT {r + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
         # SUM(BIGINT) is HUGEINT in DuckDB — cast back for hash parity
         f" CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
@@ -4120,6 +4120,31 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round lineage truncation — the full Sennrich et al. 2016
     trainer where bpe_merge_candidates is only round one."""
     return textstats.bpe_learn_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=6
+    )
+
+
+@register(
+    "bpe_compression_stats",
+    oracle=_bpe_oracle_sql(
+        6,
+        select="""SELECT 6 AS n_merges, i.total_words, i.init_symbols,
+           f.final_symbols,
+           ROUND((i.init_symbols - f.final_symbols)
+                 / CAST(i.init_symbols AS DOUBLE), 4) AS compression_pct
+    FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS total_words,
+                 CAST(SUM(len(syms) * cnt) AS BIGINT) AS init_symbols
+          FROM v0) i,
+         (SELECT CAST(SUM(len(syms) * cnt) AS BIGINT) AS final_symbols
+          FROM v6) f""",
+    ),
+)
+def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus symbol counts before vs after the 6 trained BPE merges
+    (textstats.bpe_compression_stats): the frequency-weighted
+    tokens-saved readout of the training loop — vocabulary-sized
+    aggregates on both ends, replayed by the same unrolled oracle."""
+    return textstats.bpe_compression_stats(
         load_table(spark, sf_dir, "documents"), n_merges=6
     )
 
@@ -8461,9 +8486,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 10 names —
+    # (b) round-9 additions (never externally sampled): 11 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
-    # the BPE training loop, the batch-shaping census
+    # the BPE trainer pair, the batch-shaping census
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8474,6 +8499,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "greedy_pack_bins",
     "bpe_learn_merges",
     "padding_waste_census",
+    "bpe_compression_stats",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8497,7 +8523,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "order_count_distribution",
     "approx_percentiles",
     "asof_last_click",
-    "benchmark_contamination",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8505,7 +8530,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # knn_cosine_ivfpq displaced it — its r8 external row is fresh;
     # corpus_clean likewise for ivfpq_recall_checked, click_attribution
     # for greedy_pack_bins, cheapest_part_per_brand for
-    # bpe_learn_merges, bpe_token_count for padding_waste_census.)
+    # bpe_learn_merges, bpe_token_count for padding_waste_census,
+    # benchmark_contamination for bpe_compression_stats.)
+    "benchmark_contamination",
     "bpe_token_count",
     "cheapest_part_per_brand",
     "click_attribution",

@@ -442,3 +442,13 @@ def test_padding_waste_class_boundaries_are_exact(spark):
         for r in packing.padding_waste_census(d).collect()
     }
     assert got == {3: (4, 7), 4: (8, 15)}
+
+
+def test_bpe_compression_counts_on_known_corpus(spark):
+    # vocab {ab:2, cd:1}: merges (a,b) then (c,d); init symbols =
+    # 2*2 + 2*1 = 6, final = 2*1 + 1*1 = 3 → 50% compression
+    d = _docs(spark, [(1, "ab ab cd", "s")])
+    r = textstats.bpe_compression_stats(d, n_merges=2).collect()[0]
+    assert (r["n_merges"], r["total_words"]) == (2, 3)
+    assert (r["init_symbols"], r["final_symbols"]) == (6, 3)
+    assert r["compression_pct"] == 0.5

@@ -241,6 +241,7 @@ def main() -> None:
         "greedy_pack_bins",
         "bpe_learn_merges",
         "padding_waste_census",
+        "bpe_compression_stats",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
