@@ -278,6 +278,7 @@ HEADLINE = [
     "bpe_learn_merges",
     "padding_waste_census",
     "bpe_compression_stats",
+    "cms_hitters_checked",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -603,6 +603,94 @@ def heavy_hitter_tokens(documents: DataFrame, k: int = 500) -> DataFrame:
     )
 
 
+def cms_hitters_checked(
+    documents: DataFrame, depth: int = 4, width: int = 64, k: int = 20
+) -> DataFrame:
+    """Count-min sketch of token frequencies, verified against exact
+    counts (Cormode & Muthukrishnan 2005). :func:`heavy_hitter_tokens`
+    argues (correctly) that IN-ENGINE exact counts beat a sketch —
+    this operator is about the sketch as an ARTIFACT: a depth×width
+    integer table (here 4×64 longs — 2 KB) that any other system can
+    probe for any token's frequency within εN, and that merges across
+    shards/days by cell-wise addition, which a vocabulary-sized exact
+    table does not. The `_checked` contract: estimates for the top-k
+    exact hitters are recomputed and the CMS overestimate THEOREM
+    (estimate ≥ exact, always — min of sums that each include the true
+    count) is emitted per row; a hash/bucket bug shows up as a
+    violated theorem or a drifted estimate, both hash-visible.
+
+    Determinism: row-i bucket = md5("i:word") through the shared
+    4-hex-digit parse (sampling._md5_bucket) — integer arithmetic,
+    engine-exact. Built from the VOCABULARY table (sum of counts per
+    bucket ≡ streaming increments), so the sketch build is one
+    vocab-sized pass per row after the corpus-sized wordcount.
+
+    Output: top-k rows (word, exact_cnt, cms_estimate,
+    overestimate_ok), plus the sketch epsilon context columns
+    (err_bound = ⌈eN/width⌉, within_bound — holds w.h.p., reported
+    not asserted).
+    """
+    import math
+    from functools import reduce as _reduce
+
+    wc = wordcount(documents)
+
+    def bucket_of(i: int, col: F.Column) -> F.Column:
+        from dumbo_spark.operators.sampling import _md5_bucket
+
+        return _md5_bucket(
+            F.concat_ws(":", F.lit(str(i)), col), width
+        )
+
+    rows = [
+        wc.select(
+            F.lit(i).alias("row_i"),
+            bucket_of(i, F.col("word")).alias("bucket"),
+            "cnt",
+        )
+        for i in range(depth)
+    ]
+    sketch = (
+        _reduce(DataFrame.unionByName, rows)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("bucket_cnt"))
+    )
+    top = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(k)
+    probes = top.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket_of(i, F.col("word")).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("word", "cnt", "p.row_i", "p.bucket")
+    total = wc.agg(F.sum("cnt").alias("_n"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("bucket_cnt").alias("cms_estimate"))
+    )
+    e_over_w = math.e / width
+    return est.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.col("cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("cnt")).alias("overestimate_ok"),
+        F.ceil(F.lit(e_over_w) * F.col("_n")).cast("bigint").alias("err_bound"),
+        (
+            F.col("cms_estimate") - F.col("cnt")
+            <= F.ceil(F.lit(e_over_w) * F.col("_n"))
+        ).alias("within_bound"),
+    )
+
+
 def token_source_mi(
     documents: DataFrame, k: int = 5, min_count: int = 10
 ) -> DataFrame:

@@ -6054,6 +6054,55 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_hitters_checked",
+    # err_bound embeds repr(e/64) so both engines parse the identical
+    # double literal; everything else is integer arithmetic
+    oracle=f"""
+    WITH wc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+      GROUP BY word),
+    rows_i AS (SELECT CAST(i AS INTEGER) AS row_i FROM (VALUES (0), (1),
+               (2), (3)) t(i)),
+    sk AS (
+      SELECT row_i,
+             {sampling.sql_md5_bucket("CAST(row_i AS VARCHAR) || ':' || word", 64)}
+               AS bucket,
+             SUM(cnt) AS bucket_cnt
+      FROM wc, rows_i GROUP BY 1, 2),
+    top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word ASC LIMIT 20),
+    pr AS (
+      SELECT word, cnt, row_i,
+             {sampling.sql_md5_bucket("CAST(row_i AS VARCHAR) || ':' || word", 64)}
+               AS bucket
+      FROM top, rows_i),
+    est AS (
+      SELECT p.word, p.cnt, MIN(s.bucket_cnt) AS cms_estimate
+      FROM pr p JOIN sk s USING (row_i, bucket)
+      GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _n FROM wc)
+    SELECT word, cnt AS exact_cnt,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= cnt AS overestimate_ok,
+           CAST(CEIL({repr(__import__('math').e / 64)} * _n) AS BIGINT)
+             AS err_bound,
+           cms_estimate - cnt
+             <= CEIL({repr(__import__('math').e / 64)} * _n) AS within_bound
+    FROM est, n
+    """,
+)
+def q_cms_hitters_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with its overestimate theorem checked
+    (textstats.cms_hitters_checked): a 4×64-cell mergeable frequency
+    sketch built from the vocabulary table, probed for the top-20
+    exact hitters — completes the sketch matrix (HLL, approx-quantile,
+    MinHash, SimHash, CMS), each with an exact `_checked` twin."""
+    return textstats.cms_hitters_checked(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "revenue_share_parts",
     oracle="""
     WITH per AS (
@@ -8486,9 +8535,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 11 names —
+    # (b) round-9 additions (never externally sampled): 12 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
-    # the BPE trainer pair, the batch-shaping census
+    # the BPE trainer pair, the batch-shaping census, the CMS sketch
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8500,6 +8549,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_learn_merges",
     "padding_waste_census",
     "bpe_compression_stats",
+    "cms_hitters_checked",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8522,7 +8572,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "product_profit",
     "order_count_distribution",
     "approx_percentiles",
-    "asof_last_click",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8531,7 +8580,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # corpus_clean likewise for ivfpq_recall_checked, click_attribution
     # for greedy_pack_bins, cheapest_part_per_brand for
     # bpe_learn_merges, bpe_token_count for padding_waste_census,
-    # benchmark_contamination for bpe_compression_stats.)
+    # benchmark_contamination for bpe_compression_stats,
+    # asof_last_click for cms_hitters_checked.)
+    "asof_last_click",
     "benchmark_contamination",
     "bpe_token_count",
     "cheapest_part_per_brand",

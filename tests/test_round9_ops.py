@@ -452,3 +452,25 @@ def test_bpe_compression_counts_on_known_corpus(spark):
     assert (r["n_merges"], r["total_words"]) == (2, 3)
     assert (r["init_symbols"], r["final_symbols"]) == (6, 3)
     assert r["compression_pct"] == 0.5
+
+
+# ── cms_hitters_checked (count-min sketch + theorem check) ──────────────
+
+
+def test_cms_overestimate_theorem_holds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = textstats.cms_hitters_checked(docs).collect()
+    assert len(rows) == 20
+    # estimate >= exact is a theorem (min of sums each containing the
+    # true count), not a probabilistic bound — must hold for every row
+    assert all(r["overestimate_ok"] for r in rows)
+    assert all(r["cms_estimate"] >= r["exact_cnt"] for r in rows)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # 3 distinct words in 64 buckets x4 rows: min over rows recovers
+    # exact counts unless all 4 rows collide (md5 makes that absurd)
+    d = _docs(spark, [(1, "alpha alpha beta gamma", "s")])
+    rows = textstats.cms_hitters_checked(d, k=3).collect()
+    got = {r["word"]: (r["exact_cnt"], r["cms_estimate"]) for r in rows}
+    assert got == {"alpha": (2, 2), "beta": (1, 1), "gamma": (1, 1)}

@@ -242,6 +242,7 @@ def main() -> None:
         "bpe_learn_merges",
         "padding_waste_census",
         "bpe_compression_stats",
+        "cms_hitters_checked",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
