@@ -279,6 +279,7 @@ HEADLINE = [
     "padding_waste_census",
     "bpe_compression_stats",
     "cms_hitters_checked",
+    "filter_funnel_report",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

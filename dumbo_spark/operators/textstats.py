@@ -603,6 +603,90 @@ def heavy_hitter_tokens(documents: DataFrame, k: int = 500) -> DataFrame:
     )
 
 
+def filter_funnel_report(documents: DataFrame) -> DataFrame:
+    """Curation-funnel attrition report: run the standard quality
+    chain — nonempty → word count → mean word length → alpha fraction
+    → stopword presence → repetition — in order and report, per rule,
+    how many documents reach it, pass it, and fail it. The
+    observability artifact every corpus-curation review asks for
+    (pipelines tune thresholds from the marginal attrition, not the
+    final yield): a rule that kills 40% of the crawl deserves a look
+    regardless of the end-to-end pass rate.
+
+    Composes :func:`gopher_quality_screen` and
+    :func:`gopher_repetition_screen` (both map-only flag passes; this
+    adds two doc-keyed joins and a 1-row aggregate — at 100 TB the
+    joins co-partition on doc_id and the report is 6 rows). Documents
+    the quality screen drops (zero tokens) fail the `nonempty` rule,
+    anchored on the full documents table so nothing silently exits the
+    funnel.
+
+    Output: 6 rows (rule_order, rule, n_input, n_pass, n_fail,
+    pass_pct).
+    """
+    q = gopher_quality_screen(documents).select(
+        "doc_id", "words_ok", "word_len_ok", "alpha_ok", "stopword_ok"
+    )
+    rep = gopher_repetition_screen(documents).select(
+        "doc_id", "repetition_pass"
+    )
+    j = (
+        documents.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+    )
+    flag = lambda c: F.coalesce(F.col(c), F.lit(False))  # noqa: E731
+    c0 = F.col("words_ok").isNotNull()
+    c1 = c0 & flag("words_ok")
+    c2 = c1 & flag("word_len_ok")
+    c3 = c2 & flag("alpha_ok")
+    c4 = c3 & flag("stopword_ok")
+    c5 = c4 & flag("repetition_pass")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(c.cast("long")).alias(f"s{i}")
+            for i, c in enumerate([c0, c1, c2, c3, c4, c5])
+        ],
+    )
+    rules = [
+        "nonempty",
+        "word_count",
+        "mean_word_len",
+        "alpha_frac",
+        "stopwords",
+        "repetition",
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("rule_order"),
+                F.lit(r).alias("rule"),
+                F.col("n" if i == 0 else f"s{i - 1}").alias("n_input"),
+                F.col(f"s{i}").alias("n_pass"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .select(
+            "rule_order",
+            "rule",
+            F.col("n_input").cast("bigint").alias("n_input"),
+            F.col("n_pass").cast("bigint").alias("n_pass"),
+            (F.col("n_input") - F.col("n_pass")).cast("bigint").alias("n_fail"),
+            F.when(
+                F.col("n_input") > 0,
+                F.round(F.col("n_pass") / F.col("n_input").cast("double"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pass_pct"),
+        )
+    )
+
+
 def cms_hitters_checked(
     documents: DataFrame, depth: int = 4, width: int = 64, k: int = 20
 ) -> DataFrame:

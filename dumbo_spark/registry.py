@@ -1794,12 +1794,10 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "gopher_quality_screen",
-    # ADVICE r8: shared DUCK_TOKENS fragment — the trim/regexp_replace
-    # variant keeps empty/punct-only docs as [''] (n_words=1) while the
-    # engine's tokens() yields [] and drops them via n_words > 0.
-    oracle=f"""
+# Shared Gopher-screen SQL replicas (round 9): the funnel report
+# embeds both as derived tables, so the flag definitions have one
+# source of truth per screen.
+_GOPHER_QUALITY_SQL = f"""
     WITH d AS (
       SELECT doc_id, {DUCK_TOKENS} AS toks
       FROM documents),
@@ -1826,7 +1824,73 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND alpha_frac >= 0.8
              AND n_stopwords >= 2 AS gopher_pass
     FROM m
-    """,
+    """
+
+
+_GOPHER_REP_SQL = f"""
+    WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+    chars AS (SELECT doc_id,
+                     CAST(COALESCE(list_sum(list_transform(t, x -> length(x))),
+                                   0) AS BIGINT) AS n_chars_tok
+              FROM d),
+    g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS g FROM d),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 1 AS gchars
+           FROM g2 GROUP BY doc_id, g),
+    t2 AS (SELECT doc_id, c * gchars AS topchars FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, g ASC) AS rn FROM c2) WHERE rn = 1),
+    g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t)-1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS g FROM d),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 2 AS gchars
+           FROM g3 GROUP BY doc_id, g),
+    t3 AS (SELECT doc_id, c * gchars AS topchars FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, g ASC) AS rn FROM c3) WHERE rn = 1),
+    g5 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+             THEN list_transform(range(1, len(t)-3),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])
+             ELSE [] END) AS g FROM d),
+    c5 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 4 AS gchars
+           FROM g5 GROUP BY doc_id, g),
+    d5 AS (SELECT doc_id,
+                  SUM(CASE WHEN c >= 2 THEN c * gchars ELSE 0 END) AS dupchars
+           FROM c5 GROUP BY doc_id),
+    m AS (
+      SELECT chars.doc_id, n_chars_tok,
+             CASE WHEN n_chars_tok > 0 THEN LEAST(
+               ROUND(CAST(COALESCE(t2.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
+               1.0) ELSE 0.0 END AS top2_char_frac,
+             CASE WHEN n_chars_tok > 0 THEN LEAST(
+               ROUND(CAST(COALESCE(t3.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
+               1.0) ELSE 0.0 END AS top3_char_frac,
+             CASE WHEN n_chars_tok > 0 THEN LEAST(
+               ROUND(CAST(COALESCE(d5.dupchars, 0) AS DOUBLE) / n_chars_tok, 4),
+               1.0) ELSE 0.0 END AS dup5_char_frac
+      FROM chars LEFT JOIN t2 ON chars.doc_id = t2.doc_id
+      LEFT JOIN t3 ON chars.doc_id = t3.doc_id
+      LEFT JOIN d5 ON chars.doc_id = d5.doc_id)
+    SELECT doc_id, n_chars_tok, top2_char_frac, top3_char_frac,
+           dup5_char_frac,
+           top2_char_frac <= 0.20 AS top2_ok,
+           top3_char_frac <= 0.18 AS top3_ok,
+           dup5_char_frac <= 0.15 AS dup5_ok,
+           top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+             AND dup5_char_frac <= 0.15 AS repetition_pass
+    FROM m
+    """
+
+
+@register(
+    "gopher_quality_screen",
+    # ADVICE r8: shared DUCK_TOKENS fragment — the trim/regexp_replace
+    # variant keeps empty/punct-only docs as [''] (n_words=1) while the
+    # engine's tokens() yields [] and drops them via n_words > 0.
+    oracle=_GOPHER_QUALITY_SQL,
 )
 def q_gopher_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality screen (textstats.gopher_quality_screen):
@@ -1834,6 +1898,68 @@ def q_gopher_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags per document plus the conjunctive pass — the Rae et al. 2021
     rule set as an auditable map-only pass."""
     return textstats.gopher_quality_screen(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "filter_funnel_report",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, words_ok, word_len_ok, alpha_ok,
+                      stopword_ok FROM ({_GOPHER_QUALITY_SQL})),
+    rep AS (SELECT doc_id, repetition_pass FROM ({_GOPHER_REP_SQL})),
+    fl AS (
+      SELECT q.doc_id IS NOT NULL AS c0,
+             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE) AS c1,
+             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
+               AND COALESCE(q.word_len_ok, FALSE) AS c2,
+             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
+               AND COALESCE(q.word_len_ok, FALSE)
+               AND COALESCE(q.alpha_ok, FALSE) AS c3,
+             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
+               AND COALESCE(q.word_len_ok, FALSE)
+               AND COALESCE(q.alpha_ok, FALSE)
+               AND COALESCE(q.stopword_ok, FALSE) AS c4,
+             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
+               AND COALESCE(q.word_len_ok, FALSE)
+               AND COALESCE(q.alpha_ok, FALSE)
+               AND COALESCE(q.stopword_ok, FALSE)
+               AND COALESCE(rep.repetition_pass, FALSE) AS c5
+      FROM documents b
+      LEFT JOIN q ON q.doc_id = b.doc_id
+      LEFT JOIN rep ON rep.doc_id = b.doc_id),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+             CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+      FROM fl),
+    u AS (
+      SELECT 1 AS rule_order, 'nonempty' AS rule, n AS n_input,
+             s0 AS n_pass FROM a
+      UNION ALL SELECT 2, 'word_count', s0, s1 FROM a
+      UNION ALL SELECT 3, 'mean_word_len', s1, s2 FROM a
+      UNION ALL SELECT 4, 'alpha_frac', s2, s3 FROM a
+      UNION ALL SELECT 5, 'stopwords', s3, s4 FROM a
+      UNION ALL SELECT 6, 'repetition', s4, s5 FROM a)
+    SELECT rule_order, rule, n_input, n_pass,
+           n_input - n_pass AS n_fail,
+           CASE WHEN n_input > 0
+                THEN ROUND(n_pass / CAST(n_input AS DOUBLE), 4)
+                ELSE 0.0 END AS pass_pct
+    FROM u
+    """,
+)
+def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition report (textstats.
+    filter_funnel_report): the six-rule quality chain applied in order
+    with per-rule reached/passed/failed counts — the observability
+    artifact threshold tuning runs on, anchored on the full documents
+    table so zero-token docs fail `nonempty` instead of vanishing."""
+    return textstats.filter_funnel_report(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 @register(
@@ -8263,62 +8389,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gopher_repetition_screen",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    chars AS (SELECT doc_id,
-                     CAST(COALESCE(list_sum(list_transform(t, x -> length(x))),
-                                   0) AS BIGINT) AS n_chars_tok
-              FROM d),
-    g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-             ELSE [] END) AS g FROM d),
-    c2 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 1 AS gchars
-           FROM g2 GROUP BY doc_id, g),
-    t2 AS (SELECT doc_id, c * gchars AS topchars FROM
-           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                      ORDER BY c DESC, g ASC) AS rn FROM c2) WHERE rn = 1),
-    g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t)-1),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [] END) AS g FROM d),
-    c3 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 2 AS gchars
-           FROM g3 GROUP BY doc_id, g),
-    t3 AS (SELECT doc_id, c * gchars AS topchars FROM
-           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                      ORDER BY c DESC, g ASC) AS rn FROM c3) WHERE rn = 1),
-    g5 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
-             THEN list_transform(range(1, len(t)-3),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                       t[i+3] || ' ' || t[i+4])
-             ELSE [] END) AS g FROM d),
-    c5 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 4 AS gchars
-           FROM g5 GROUP BY doc_id, g),
-    d5 AS (SELECT doc_id,
-                  SUM(CASE WHEN c >= 2 THEN c * gchars ELSE 0 END) AS dupchars
-           FROM c5 GROUP BY doc_id),
-    m AS (
-      SELECT chars.doc_id, n_chars_tok,
-             CASE WHEN n_chars_tok > 0 THEN LEAST(
-               ROUND(CAST(COALESCE(t2.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
-               1.0) ELSE 0.0 END AS top2_char_frac,
-             CASE WHEN n_chars_tok > 0 THEN LEAST(
-               ROUND(CAST(COALESCE(t3.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
-               1.0) ELSE 0.0 END AS top3_char_frac,
-             CASE WHEN n_chars_tok > 0 THEN LEAST(
-               ROUND(CAST(COALESCE(d5.dupchars, 0) AS DOUBLE) / n_chars_tok, 4),
-               1.0) ELSE 0.0 END AS dup5_char_frac
-      FROM chars LEFT JOIN t2 ON chars.doc_id = t2.doc_id
-      LEFT JOIN t3 ON chars.doc_id = t3.doc_id
-      LEFT JOIN d5 ON chars.doc_id = d5.doc_id)
-    SELECT doc_id, n_chars_tok, top2_char_frac, top3_char_frac,
-           dup5_char_frac,
-           top2_char_frac <= 0.20 AS top2_ok,
-           top3_char_frac <= 0.18 AS top3_ok,
-           dup5_char_frac <= 0.15 AS dup5_ok,
-           top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
-             AND dup5_char_frac <= 0.15 AS repetition_pass
-    FROM m
-    """,
+    oracle=_GOPHER_REP_SQL,
 )
 def q_gopher_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (textstats.gopher_repetition_screen,
@@ -8535,9 +8606,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 12 names —
+    # (b) round-9 additions (never externally sampled): 13 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
-    # the BPE trainer pair, the batch-shaping census, the CMS sketch
+    # the BPE trainer pair, the batch-shaping census, the CMS sketch,
+    # the curation funnel
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8550,6 +8622,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "padding_waste_census",
     "bpe_compression_stats",
     "cms_hitters_checked",
+    "filter_funnel_report",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8571,7 +8644,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_volume",
     "product_profit",
     "order_count_distribution",
-    "approx_percentiles",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8581,7 +8653,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # for greedy_pack_bins, cheapest_part_per_brand for
     # bpe_learn_merges, bpe_token_count for padding_waste_census,
     # benchmark_contamination for bpe_compression_stats,
-    # asof_last_click for cms_hitters_checked.)
+    # asof_last_click for cms_hitters_checked, approx_percentiles for
+    # filter_funnel_report.)
+    "approx_percentiles",
     "asof_last_click",
     "benchmark_contamination",
     "bpe_token_count",

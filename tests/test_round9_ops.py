@@ -474,3 +474,33 @@ def test_cms_exact_when_no_collisions(spark):
     rows = textstats.cms_hitters_checked(d, k=3).collect()
     got = {r["word"]: (r["exact_cnt"], r["cms_estimate"]) for r in rows}
     assert got == {"alpha": (2, 2), "beta": (1, 1), "gamma": (1, 1)}
+
+
+# ── filter_funnel_report (curation funnel attrition) ────────────────────
+
+
+def test_funnel_conservation_and_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        textstats.filter_funnel_report(docs).collect(),
+        key=lambda r: r["rule_order"],
+    )
+    assert [r["rule"] for r in rows] == [
+        "nonempty", "word_count", "mean_word_len",
+        "alpha_frac", "stopwords", "repetition",
+    ]
+    assert rows[0]["n_input"] == docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        # each rule's input is exactly the previous rule's survivors
+        assert cur["n_input"] == prev["n_pass"]
+    for r in rows:
+        assert r["n_fail"] == r["n_input"] - r["n_pass"] >= 0
+
+
+def test_funnel_empty_doc_fails_nonempty(spark):
+    d = _docs(spark, [(1, "", "s"),
+                      (2, "the cat and the dog sat on the mat and the cat "
+                          "ran to the dog while the mat sat still", "s")])
+    rows = {r["rule"]: r for r in textstats.filter_funnel_report(d).collect()}
+    assert rows["nonempty"]["n_input"] == 2
+    assert rows["nonempty"]["n_fail"] == 1  # the zero-token doc

@@ -243,6 +243,7 @@ def main() -> None:
         "padding_waste_census",
         "bpe_compression_stats",
         "cms_hitters_checked",
+        "filter_funnel_report",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
