@@ -280,6 +280,8 @@ HEADLINE = [
     "bpe_compression_stats",
     "cms_hitters_checked",
     "filter_funnel_report",
+    "matryoshka_fidelity",
+    "interleaved_mix_head",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -260,6 +260,70 @@ def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 
     )
 
 
+def interleaved_mix_head(
+    documents: DataFrame, head: int = 24, buckets: int = 8
+) -> DataFrame:
+    """Deterministic maximally-interleaved training order: round-robin
+    across sources in the fixed permutation — position =
+    (rank_within_source − 1) · n_sources + source_index. The mixture
+    ORDERING step after the mixture WEIGHTS are decided
+    (:func:`source_temperature_mix` / :func:`training_mix_epochs`
+    choose how much of each source; this decides the sequence, so no
+    training window sees a long single-source run — the batch-diversity
+    property curriculum studies control for).
+
+    rank_within_source uses the two-phase bucket prefix sum (module
+    docstring): per-(source, bucket) counts → running offsets on the
+    tiny frame → broadcast back — no task ever orders more than one
+    bucket, where a naive Window.partitionBy(source) would put each
+    whole source in one task. The position formula needs no shuffle at
+    all once ranks exist: it is pure arithmetic on (rank, source_index,
+    n_sources), the property that makes the interleave embarrassingly
+    parallel at 100 TB. Positions are globally unique by construction;
+    after a source exhausts, its residues simply stop appearing.
+
+    Output: the first ``head`` rows of the order — (position, doc_id,
+    source).
+    """
+    docs = _doc_perm(documents, buckets)
+    counts = docs.groupBy("source", "bucket").agg(F.count("*").alias("_bc"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+    ).select("source", "bucket", "_off")
+    srcs = (
+        documents.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
+    n_src = srcs.agg(F.count("*").alias("_ns"))
+    w_in = Window.partitionBy("source", "bucket").orderBy("_k", "doc_id")
+    ranked = (
+        docs.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w_in))
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_src))
+    )
+    return (
+        ranked.select(
+            ((F.col("_rn") - 1) * F.col("_ns") + F.col("src_idx"))
+            .cast("bigint")
+            .alias("position"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("position")
+        .limit(head)
+    )
+
+
 def training_mix_epochs(
     documents: DataFrame,
     budget_tokens: int = 2_000_000,

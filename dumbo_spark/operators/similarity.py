@@ -1291,6 +1291,87 @@ def knn_cosine_ivfpq(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+def _topk_at_dim(emb: DataFrame, n_queries: int, k: int, dim) -> DataFrame:
+    """Cosine top-k using only the first ``dim`` dimensions (None =
+    full vector): the :func:`knn_cosine` plan over ``slice(embedding,
+    1, dim)``. Shared by :func:`matryoshka_fidelity`."""
+    vec = (
+        F.col("embedding")
+        if dim is None
+        else F.slice(F.col("embedding"), 1, dim)
+    )
+    base = emb.select("vec_id", vec.alias("v"))
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("q_v"), F.col("v")) / (
+        _norm(F.col("q_v")) * _norm(F.col("v"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def matryoshka_fidelity(
+    embeddings: DataFrame,
+    dims: tuple = (8, 16, 32),
+    n_queries: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka-truncation retrieval fidelity (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): how much of the full-vector
+    top-k survives when cosine runs on only the first 8/16/32 of 64
+    dimensions — the measurement behind serving embeddings at a
+    fraction of their stored width (adaptive retrieval: shortlist at
+    low dim, re-rank at full). On MRL-trained embeddings overlap stays
+    high at small prefixes; on non-MRL embeddings (these near-isotropic
+    fixtures) it decays toward k·dim/64 — either way the table is what
+    a serving-cost decision reads.
+
+    Each truncated search is the same broadcast-queries streaming-
+    corpus plan as :func:`knn_cosine`, with the prefix slice pushed
+    into the projection (the corpus is read once per dim; at 100 TB
+    you'd materialize the prefix columns instead — same plan shape).
+
+    Output: one row per dim — (dim, n_exact_pairs, n_hits,
+    overlap_pct).
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    full = _topk_at_dim(emb, n_queries, k, None)
+    out = None
+    for d in dims:
+        trunc = _topk_at_dim(emb, n_queries, k, d)
+        row = (
+            full.agg(F.count("*").alias("n_exact_pairs"))
+            .crossJoin(
+                full.join(trunc, ["query_id", "neighbor_id"]).agg(
+                    F.count("*").alias("n_hits")
+                )
+            )
+            .select(
+                F.lit(d).alias("dim"),
+                "n_exact_pairs",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.col("n_exact_pairs").cast("double"), 4
+                ).alias("overlap_pct"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def ivfpq_recall_checked(
     embeddings: DataFrame,
     n_queries: int = 8,

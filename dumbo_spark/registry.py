@@ -4914,6 +4914,61 @@ def q_knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matryoshka_fidelity",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    dims AS (SELECT CAST(d AS INTEGER) AS dim
+             FROM (VALUES (8), (16), (32)) t(d)),
+    full_sc AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cs
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, neighbor_id ASC) AS rn
+        FROM full_sc) WHERE rn <= 5),
+    tr_sc AS (
+      SELECT d.dim, q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv[1 : d.dim], e.v[1 : d.dim])
+                   / (sqrt(list_dot_product(q.qv[1 : d.dim],
+                                            q.qv[1 : d.dim]))
+                      * sqrt(list_dot_product(e.v[1 : d.dim],
+                                              e.v[1 : d.dim]))), 6) AS cs
+      FROM dims d, q JOIN e ON e.vec_id <> q.query_id),
+    tr_top AS (
+      SELECT dim, query_id, neighbor_id FROM (
+        SELECT dim, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                   ORDER BY cs DESC, neighbor_id ASC) AS rn
+        FROM tr_sc) WHERE rn <= 5),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM full_top),
+    h AS (SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM tr_top t JOIN full_top f
+            ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+          GROUP BY t.dim)
+    SELECT d.dim, n.n_exact_pairs, COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0)
+                 / CAST(n.n_exact_pairs AS DOUBLE), 4) AS overlap_pct
+    FROM dims d CROSS JOIN n LEFT JOIN h ON h.dim = d.dim
+    """,
+)
+def q_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval fidelity (similarity.
+    matryoshka_fidelity): top-5 overlap between full-width cosine and
+    8/16/32-dim prefix cosine — the adaptive-retrieval serving-cost
+    table, each search the broadcast-queries streaming-corpus plan."""
+    return similarity.matryoshka_fidelity(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
     "ivfpq_recall_checked",
     # n_hits recomputed EXACTLY: IVFADC top-k from the deterministic
     # SQL replica, exact top-k from the same brute-force pair
@@ -5978,6 +6033,39 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per bucket and oracle-replayed as a recursive CTE."""
     return packing.greedy_pack_bins(
         load_table(spark, sf_dir, "documents"), budget=256, buckets=8
+    )
+
+
+@register(
+    "interleaved_mix_head",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER)
+               AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    s AS (SELECT source,
+                 ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+          FROM (SELECT DISTINCT source FROM documents)),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY bucket, k, doc_id) AS rn
+          FROM d)
+    SELECT CAST((r.rn - 1) * ns.c + s.src_idx AS BIGINT) AS position,
+           r.doc_id, r.source
+    FROM r JOIN s USING (source) CROSS JOIN ns
+    ORDER BY position LIMIT 24
+    """,
+)
+def q_interleaved_mix_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleave (packing.
+    interleaved_mix_head): position = (rank−1)·n_sources + src_idx
+    over the fixed permutation, ranks from the two-phase bucket prefix
+    sum — the mixture-ordering step; first 24 positions shown."""
+    return packing.interleaved_mix_head(
+        load_table(spark, sf_dir, "documents"), head=24, buckets=8
     )
 
 
@@ -8606,10 +8694,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 13 names —
+    # (b) round-9 additions (never externally sampled): 15 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
     # the BPE trainer pair, the batch-shaping census, the CMS sketch,
-    # the curation funnel
+    # the curation funnel, matryoshka fidelity, the mix interleave
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8623,6 +8711,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_compression_stats",
     "cms_hitters_checked",
     "filter_funnel_report",
+    "matryoshka_fidelity",
+    "interleaved_mix_head",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8642,8 +8732,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue",
     "large_orders",
     "nation_trade_volume",
-    "product_profit",
-    "order_count_distribution",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8654,8 +8742,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # bpe_learn_merges, bpe_token_count for padding_waste_census,
     # benchmark_contamination for bpe_compression_stats,
     # asof_last_click for cms_hitters_checked, approx_percentiles for
-    # filter_funnel_report.)
+    # filter_funnel_report, product_profit and order_count_distribution
+    # for matryoshka_fidelity and interleaved_mix_head — (d) is the
+    # displacement buffer for this round's 15 (b) additions.)
     "approx_percentiles",
+    "order_count_distribution",
+    "product_profit",
     "asof_last_click",
     "benchmark_contamination",
     "bpe_token_count",

@@ -504,3 +504,49 @@ def test_funnel_empty_doc_fails_nonempty(spark):
     rows = {r["rule"]: r for r in textstats.filter_funnel_report(d).collect()}
     assert rows["nonempty"]["n_input"] == 2
     assert rows["nonempty"]["n_fail"] == 1  # the zero-token doc
+
+
+# ── matryoshka_fidelity + interleaved_mix_head ──────────────────────────
+
+
+def test_matryoshka_full_dim_is_identity(spark, sf_dir):
+    from dumbo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r["dim"]: r for r in
+            similarity.matryoshka_fidelity(emb, dims=(64,)).collect()}
+    # truncating to the full width must reproduce the exact top-k
+    assert rows[64]["n_hits"] == rows[64]["n_exact_pairs"]
+    assert rows[64]["overlap_pct"] == 1.0
+
+
+def test_matryoshka_overlap_tends_up_with_dim(spark, sf_dir):
+    from dumbo_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r["dim"]: r["n_hits"] for r in
+            similarity.matryoshka_fidelity(emb).collect()}
+    assert set(rows) == {8, 16, 32}
+    # random projections aren't strictly monotone, but the 32-dim half
+    # must beat the 8-dim prefix on any non-adversarial fixture
+    assert rows[32] >= rows[8]
+
+
+def test_interleave_positions_round_robin(spark):
+    # 2 sources x 3 docs: positions must alternate a,b,a,b,a,b
+    d = _docs(
+        spark,
+        [(i, f"doc {i}", "a") for i in range(3)]
+        + [(10 + i, f"doc {10+i}", "b") for i in range(3)],
+    )
+    rows = packing.interleaved_mix_head(d, head=6).collect()
+    assert [r["position"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert [r["source"] for r in rows] == ["a", "b", "a", "b", "a", "b"]
+
+
+def test_interleave_positions_unique_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = packing.interleaved_mix_head(docs).collect()
+    b = packing.interleaved_mix_head(docs).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len({r["position"] for r in a}) == len(a) == 24

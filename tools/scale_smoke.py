@@ -244,6 +244,8 @@ def main() -> None:
         "bpe_compression_stats",
         "cms_hitters_checked",
         "filter_funnel_report",
+        "matryoshka_fidelity",
+        "interleaved_mix_head",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
