@@ -282,6 +282,7 @@ HEADLINE = [
     "filter_funnel_report",
     "matryoshka_fidelity",
     "interleaved_mix_head",
+    "passage_chunks",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -260,6 +260,56 @@ def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 
     )
 
 
+def passage_chunks(
+    documents: DataFrame, size: int = 64, stride: int = 32
+) -> DataFrame:
+    """RAG-style overlapping-chunk census: fixed ``size``-token windows
+    every ``stride`` tokens per document — the chunking shape decision
+    (size vs stride vs overlap inflation) behind every embedding/
+    retrieval index build. Chunk starts at 0, stride, 2·stride, …
+    while start < n_tokens; the last chunk is short.
+
+    Everything is CLOSED-FORM integer arithmetic on the per-doc token
+    count — n_chunks = 1 + ⌈max(n−size, 0) / stride⌉, chunk_tokens =
+    full chunks · size + the ragged tail — so the census is one
+    map-only projection + one aggregate: no explode, no per-chunk rows
+    (an explode would multiply a 100 TB corpus by ~n/stride for a
+    number the arithmetic already knows). The inflation factor
+    (chunk_tokens / n_tokens) is the index-storage multiplier the
+    size/stride choice costs.
+
+    Output: one row per source — (source, n_docs, total_tokens,
+    total_chunks, chunk_tokens, inflation).
+    """
+    n = F.col("n_tokens")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride))
+    )
+    # tokens covered by all chunks, counting overlap: every chunk is
+    # `size` long except the last, which is n - stride*(n_chunks-1)
+    chunk_toks = F.when(n <= 0, F.lit(0)).otherwise(
+        (n_chunks - 1) * F.lit(size) + (n - F.lit(stride) * (n_chunks - 1))
+    )
+    per = _doc_perm(documents, 1).select(
+        "source",
+        n.alias("n"),
+        n_chunks.alias("nc"),
+        chunk_toks.alias("ct"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum("nc").cast("bigint").alias("total_chunks"),
+        F.sum("ct").cast("bigint").alias("chunk_tokens"),
+        F.when(
+            F.sum("n") > 0,
+            F.round(F.sum("ct") / F.sum("n").cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("inflation"),
+    )
+
+
 def interleaved_mix_head(
     documents: DataFrame, head: int = 24, buckets: int = 8
 ) -> DataFrame:

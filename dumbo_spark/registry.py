@@ -6037,6 +6037,43 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "passage_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n
+      FROM documents),
+    c AS (
+      SELECT source, n,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE 1 + CAST(CEIL(GREATEST(n - 64, 0) / 32.0) AS BIGINT)
+             END AS nc
+      FROM d),
+    e AS (
+      SELECT source, n, nc,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE (nc - 1) * 64 + (n - 32 * (nc - 1)) END AS ct
+      FROM c)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) AS BIGINT) AS total_chunks,
+           CAST(SUM(ct) AS BIGINT) AS chunk_tokens,
+           CASE WHEN SUM(n) > 0
+                THEN ROUND(SUM(ct) / CAST(SUM(n) AS DOUBLE), 4)
+                ELSE 0.0 END AS inflation
+    FROM e GROUP BY source
+    """,
+)
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking census (packing.passage_chunks): 64-token windows
+    at stride 32, chunk counts and overlap-inflation per source in
+    closed-form integer arithmetic — map-only, no per-chunk explode."""
+    return packing.passage_chunks(
+        load_table(spark, sf_dir, "documents"), size=64, stride=32
+    )
+
+
+@register(
     "interleaved_mix_head",
     oracle=f"""
     WITH d AS (
@@ -8694,10 +8731,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 15 names —
+    # (b) round-9 additions (never externally sampled): 16 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
     # the BPE trainer pair, the batch-shaping census, the CMS sketch,
-    # the curation funnel, matryoshka fidelity, the mix interleave
+    # the curation funnel, matryoshka fidelity, the mix interleave,
+    # the RAG chunk census
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8713,6 +8751,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_funnel_report",
     "matryoshka_fidelity",
     "interleaved_mix_head",
+    "passage_chunks",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8731,7 +8770,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "local_supplier_volume",
     "promo_revenue",
     "large_orders",
-    "nation_trade_volume",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8744,8 +8782,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # asof_last_click for cms_hitters_checked, approx_percentiles for
     # filter_funnel_report, product_profit and order_count_distribution
     # for matryoshka_fidelity and interleaved_mix_head — (d) is the
-    # displacement buffer for this round's 15 (b) additions.)
+    # displacement buffer for this round's 16 (b) additions;
+    # nation_trade_volume displaced by passage_chunks.)
     "approx_percentiles",
+    "nation_trade_volume",
     "order_count_distribution",
     "product_profit",
     "asof_last_click",

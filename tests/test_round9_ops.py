@@ -550,3 +550,22 @@ def test_interleave_positions_unique_and_deterministic(spark, sf_dir):
     b = packing.interleaved_mix_head(docs).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len({r["position"] for r in a}) == len(a) == 24
+
+
+def test_passage_chunks_closed_form_vs_enumeration(spark):
+    # brute-force the chunk enumeration for assorted lengths and
+    # compare to the closed form
+    lens = [0, 1, 31, 32, 33, 63, 64, 65, 70, 100, 129]
+    d = _docs(spark, [(i, " ".join(["w"] * n), f"s{i}") for i, n in enumerate(lens)])
+    got = {r["source"]: (r["total_chunks"], r["chunk_tokens"])
+           for r in packing.passage_chunks(d).collect()}
+    for i, n in enumerate(lens):
+        # standard stride enumeration: stop once a window reaches the
+        # end (no chunk starts inside an already-complete window)
+        chunks, s = [], 0
+        while n > 0:
+            chunks.append(min(64, n - s))
+            if s + 64 >= n:
+                break
+            s += 32
+        assert got[f"s{i}"] == (len(chunks), sum(chunks)), (n, got[f"s{i}"])

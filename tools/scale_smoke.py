@@ -246,6 +246,7 @@ def main() -> None:
         "filter_funnel_report",
         "matryoshka_fidelity",
         "interleaved_mix_head",
+        "passage_chunks",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
