@@ -569,3 +569,30 @@ def test_passage_chunks_closed_form_vs_enumeration(spark):
                 break
             s += 32
         assert got[f"s{i}"] == (len(chunks), sum(chunks)), (n, got[f"s{i}"])
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda d: packing.padding_waste_census(d),
+        lambda d: packing.interleaved_mix_head(d),
+        lambda d: packing.passage_chunks(d),
+        lambda d: textstats.cms_hitters_checked(d),
+        lambda d: textstats.filter_funnel_report(d),
+    ],
+)
+def test_round9_batch2_ops_stay_jvm_side(spark, sf_dir, build):
+    from dumbo_spark.plans.explain import physical_summary
+
+    s = physical_summary(build(load_table(spark, sf_dir, "documents")))
+    assert s["python_evals"] == 0, "hot path must stay in codegen"
+
+
+def test_greedy_pack_is_single_arrow_fold(spark, sf_dir):
+    from dumbo_spark.plans.explain import physical_summary
+
+    s = physical_summary(
+        packing.greedy_pack_bins(load_table(spark, sf_dir, "documents"))
+    )
+    # exactly one Python boundary: the per-bucket applyInPandas fold
+    assert s["python_evals"] == 1
