@@ -1348,16 +1348,20 @@ def matryoshka_fidelity(
     overlap_pct).
     """
     emb = embeddings.select("vec_id", "embedding")
-    full = _topk_at_dim(emb, n_queries, k, None)
+    # the full-width top-k is consumed 2× per dim branch (count + hits
+    # join); localCheckpoint pins the tiny k·n_queries-row result so
+    # the corpus isn't re-scanned per consumer — total scans drop from
+    # ~3·|dims| to |dims|+1
+    full = _topk_at_dim(emb, n_queries, k, None).localCheckpoint(eager=False)
     out = None
     for d in dims:
         trunc = _topk_at_dim(emb, n_queries, k, d)
         row = (
             full.agg(F.count("*").alias("n_exact_pairs"))
             .crossJoin(
-                full.join(trunc, ["query_id", "neighbor_id"]).agg(
-                    F.count("*").alias("n_hits")
-                )
+                full.join(
+                    F.broadcast(trunc), ["query_id", "neighbor_id"]
+                ).agg(F.count("*").alias("n_hits"))
             )
             .select(
                 F.lit(d).alias("dim"),
