@@ -717,7 +717,10 @@ def cms_hitters_checked(
     import math
     from functools import reduce as _reduce
 
-    wc = wordcount(documents)
+    # the vocabulary feeds 6 consumers (4 sketch rows, the top-k cut,
+    # the total); localCheckpoint pins the vocab-sized frame so the
+    # corpus-sized tokenize+count runs once, not per consumer
+    wc = wordcount(documents).localCheckpoint(eager=False)
 
     def bucket_of(i: int, col: F.Column) -> F.Column:
         from dumbo_spark.operators.sampling import _md5_bucket
