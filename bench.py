@@ -283,6 +283,7 @@ HEADLINE = [
     "matryoshka_fidelity",
     "interleaved_mix_head",
     "passage_chunks",
+    "ewma_event_volume",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

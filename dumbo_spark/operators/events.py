@@ -1187,6 +1187,70 @@ def value_drift_psi(
     )
 
 
+def ewma_event_volume(events: DataFrame) -> DataFrame:
+    """EWMA (α = 1/4) of daily event counts per type — the classic
+    exponential-smoothing volume baseline CUSUM/KS screens sit next
+    to — computed with EXACT integer arithmetic instead of the usual
+    float recurrence (the repo's recency_weighted_value discipline):
+
+        s_1 = x_1;  s_t = 3/4·s_{t−1} + 1/4·x_t
+        ⇒  4^{t−1}·s_t = 3^{t−1}·x_1 + Σ_{i=2..t} 3^{t−i}·4^{i−2}·x_i
+
+    Every scaled weight 3^a·2^{2b} is an exactly-representable double
+    (3^a ≤ 3^33 < 2^53; powers of two are free), cast to DECIMAL(38,0)
+    where the weighted sum is exact and ORDER-INDEPENDENT — a float
+    recurrence would make the result depend on aggregation order and
+    engine libm, which is exactly what breaks oracle hashing. The only
+    floating step is the final S_t / 4^{t−1} (one nearest-double
+    conversion + a power-of-two divide), rounded to 6dp.
+
+    The day index is the per-type observation sequence (row_number
+    over day): the window is bounded by CALENDAR DAYS per type, never
+    by corpus size, and the (i ≤ t) self-join is |types|·T²/2 rows —
+    bytes. DECIMAL(38,0) headroom: T = 30 days → max weight 4^28 ≈
+    7·10^16, so daily counts up to ~10^21 fit; a longer horizon wants
+    a sliding restart (the EWMA forgets beyond ~40 days at α = 1/4
+    anyway — weights < 10^-5).
+
+    Output: (event_type, day, n_events, ewma) per observed day.
+    """
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w))
+    a = idx.select(
+        "event_type",
+        F.col("day").alias("day_t"),
+        "t",
+        F.col("n").alias("x_t"),
+    )
+    b = idx.select(
+        "event_type", F.col("t").alias("i"), F.col("n").alias("x_i")
+    )
+    coef = F.when(
+        F.col("i") == 1, F.pow(F.lit(3.0), F.col("t") - 1)
+    ).otherwise(
+        F.pow(F.lit(3.0), F.col("t") - F.col("i"))
+        * F.pow(F.lit(4.0), F.col("i") - 2)
+    )
+    term = coef.cast("decimal(38,0)") * F.col("x_i").cast("decimal(38,0)")
+    scaled = (
+        a.join(b, "event_type")
+        .where(F.col("i") <= F.col("t"))
+        .groupBy("event_type", "day_t", "t", "x_t")
+        .agg(F.sum(term).alias("_s"))
+    )
+    return scaled.select(
+        "event_type",
+        F.col("day_t").alias("day"),
+        F.col("x_t").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("_s").cast("double") / F.pow(F.lit(4.0), F.col("t") - 1), 6
+        ).alias("ewma"),
+    )
+
+
 def seasonal_anomalies(events: DataFrame, z_threshold: float = 2.5) -> DataFrame:
     """Seasonality-adjusted daily anomaly screen: a plain z-score over
     daily totals (:func:`value_anomalies`' shape) flags every weekend

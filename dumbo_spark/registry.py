@@ -718,6 +718,40 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_event_volume",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY day) AS t
+      FROM daily),
+    scaled AS (
+      SELECT a.event_type, a.day AS day_t, a.t, a.n AS x_t,
+             SUM(CAST(CASE WHEN b.t = 1 THEN POWER(3, a.t - 1)
+                           ELSE POWER(3, a.t - b.t) * POWER(4, b.t - 2)
+                      END AS DECIMAL(38,0))
+                 * CAST(b.n AS DECIMAL(38,0))) AS s
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.t <= a.t
+      GROUP BY 1, 2, 3, 4)
+    SELECT event_type, day_t AS day, x_t AS n_events,
+           ROUND(CAST(s AS DOUBLE) / POWER(4, t - 1), 6) AS ewma
+    FROM scaled
+    """,
+)
+def q_ewma_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic EWMA of daily event volume per type
+    (events.ewma_event_volume): the float recurrence replaced by
+    integer-scaled 3^k·4^m weights summed in DECIMAL — order-
+    independent and engine-exact; one nearest-double divide at the
+    end. Calendar-bounded self-join, never corpus-sized."""
+    return events.ewma_event_volume(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_by_day",
     oracle="""
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
@@ -8731,11 +8765,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 16 names —
+    # (b) round-9 additions (never externally sampled): 17 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
     # the BPE trainer pair, the batch-shaping census, the CMS sketch,
     # the curation funnel, matryoshka fidelity, the mix interleave,
-    # the RAG chunk census
+    # the RAG chunk census, the exact EWMA
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8752,6 +8786,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "matryoshka_fidelity",
     "interleaved_mix_head",
     "passage_chunks",
+    "ewma_event_volume",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8769,7 +8804,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "percent_rank_by_segment",
     "local_supplier_volume",
     "promo_revenue",
-    "large_orders",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8783,8 +8817,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # filter_funnel_report, product_profit and order_count_distribution
     # for matryoshka_fidelity and interleaved_mix_head — (d) is the
     # displacement buffer for this round's 16 (b) additions;
-    # nation_trade_volume displaced by passage_chunks.)
+    # nation_trade_volume displaced by passage_chunks, large_orders by
+    # ewma_event_volume.)
     "approx_percentiles",
+    "large_orders",
     "nation_trade_volume",
     "order_count_distribution",
     "product_profit",

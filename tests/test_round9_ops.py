@@ -596,3 +596,54 @@ def test_greedy_pack_is_single_arrow_fold(spark, sf_dir):
     )
     # exactly one Python boundary: the per-bucket applyInPandas fold
     assert s["python_evals"] == 1
+
+
+# ── ewma_event_volume (exact-arithmetic exponential smoothing) ──────────
+
+
+def test_ewma_matches_float_recurrence(spark):
+    import datetime
+
+    rows = []
+    counts = [8, 4, 12, 4, 20, 1, 7]
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from dumbo_spark.operators import events as E
+
+    got = {r["day"]: (r["n_events"], r["ewma"])
+           for r in E.ewma_event_volume(ev).collect()}
+    s = None
+    for d, c in enumerate(counts):
+        s = c if s is None else 0.75 * s + 0.25 * c
+        day = f"2024-01-{1 + d:02d}"
+        assert got[day][0] == c
+        # output is rounded to 6dp; the underlying sum is exact
+        assert got[day][1] == round(s, 6), (day, got[day], s)
+
+
+def test_ewma_smooths_toward_baseline(spark, sf_dir):
+    from dumbo_spark.operators import events as E
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = E.ewma_event_volume(ev).collect()
+    # variance of the smoothed series must be below the raw series'
+    import statistics
+
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["day"], r["n_events"], r["ewma"]))
+    for t, xs in by_type.items():
+        xs.sort()
+        raw = [x for _, x, _ in xs]
+        sm = [e for _, _, e in xs]
+        if len(raw) > 2 and statistics.pvariance(raw) > 0:
+            assert statistics.pvariance(sm) <= statistics.pvariance(raw)

@@ -247,6 +247,7 @@ def main() -> None:
         "matryoshka_fidelity",
         "interleaved_mix_head",
         "passage_chunks",
+        "ewma_event_volume",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
