@@ -106,9 +106,11 @@ def greedy_pack_bins(
     already-Arrow-materialized token counts, no per-row serialization.
     The oracle replays the fold as a recursive CTE.
 
-    Oversized documents (n_tokens > budget) occupy a bin alone
-    (negative slack) — first-fit never splits. Zero-token documents
-    join the current bin.
+    Oversized documents (n_tokens > budget) ALWAYS occupy a bin alone
+    (negative slack) — first-fit never splits, and the new-bin test
+    counts documents rather than fill so zero-token neighbors can't
+    share an overflow bin. Zero-token documents otherwise join the
+    current bin.
 
     Output: (source, bucket, bin_id, n_docs, bin_tokens, bin_slack)
     where bin_slack = budget − bin_tokens.
@@ -120,14 +122,21 @@ def greedy_pack_bins(
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["_k", "doc_id"]).reset_index(drop=True)
         bin_ids = []
-        bin_id, fill = 0, 0
+        bin_id, fill, in_bin = 0, 0, 0
         for n in pdf["n_tokens"]:
             n = int(n)
-            if fill > 0 and fill + n > budget:
+            # new-bin condition counts DOCS, not fill: a bin holding
+            # only zero-token docs is non-empty, so an oversized doc
+            # still opens its own bin (hypothesis-found edge: the
+            # fill>0 variant let [0-token, oversized] share a bin,
+            # breaking the "overflow bin = lone oversized doc"
+            # invariant)
+            if in_bin > 0 and fill + n > budget:
                 bin_id += 1
-                fill = n
+                fill, in_bin = n, 1
             else:
                 fill += n
+                in_bin += 1
             bin_ids.append(bin_id)
         pdf["bin_id"] = bin_ids
         return pdf[["source", "bucket", "bin_id", "n_tokens"]]

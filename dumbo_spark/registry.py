@@ -6040,15 +6040,18 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS bucket,
                md5(CAST(doc_id AS VARCHAR)) AS k
         FROM documents)),
-    walk(source, bucket, rn, n_tokens, bin_id, fill) AS (
-      SELECT source, bucket, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+    walk(source, bucket, rn, n_tokens, bin_id, fill, in_bin) AS (
+      SELECT source, bucket, rn, n_tokens, CAST(0 AS BIGINT), n_tokens,
+             CAST(1 AS BIGINT)
       FROM o WHERE rn = 1
       UNION ALL
       SELECT n.source, n.bucket, n.rn, n.n_tokens,
-             CASE WHEN w.fill > 0 AND w.fill + n.n_tokens > 256
+             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > 256
                   THEN w.bin_id + 1 ELSE w.bin_id END,
-             CASE WHEN w.fill > 0 AND w.fill + n.n_tokens > 256
-                  THEN n.n_tokens ELSE w.fill + n.n_tokens END
+             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > 256
+                  THEN n.n_tokens ELSE w.fill + n.n_tokens END,
+             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > 256
+                  THEN 1 ELSE w.in_bin + 1 END
       FROM walk w
       JOIN o n ON n.source = w.source AND n.bucket = w.bucket
               AND n.rn = w.rn + 1)
