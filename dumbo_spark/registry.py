@@ -6022,13 +6022,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "greedy_pack_bins",
-    # The first-fit fold replayed as a recursive CTE: one step per
-    # document position per (source, bucket) group, carrying (bin_id,
-    # fill). `o` is MATERIALIZED so the tokenization pass isn't
-    # re-inlined into every recursion step.
-    oracle=f"""
+# Shared first-fit fold oracle (round 9): the batch operator and its
+# streaming twin settle to the identical bin census, so both
+# registrations hash against this one recursive-CTE replay.
+_GREEDY_PACK_SQL = f"""
     WITH RECURSIVE o AS MATERIALIZED (
       SELECT source, bucket, n_tokens,
              ROW_NUMBER() OVER (PARTITION BY source, bucket
@@ -6060,7 +6057,16 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(256 - SUM(n_tokens) AS BIGINT) AS bin_slack
     FROM walk GROUP BY source, bucket, bin_id
-    """,
+    """
+
+
+@register(
+    "greedy_pack_bins",
+    # The first-fit fold replayed as a recursive CTE: one step per
+    # document position per (source, bucket) group, carrying (bin_id,
+    # fill). `o` is MATERIALIZED so the tokenization pass isn't
+    # re-inlined into every recursion step.
+    oracle=_GREEDY_PACK_SQL,
 )
 def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit whole-document packing census (packing.
@@ -6071,6 +6077,18 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.greedy_pack_bins(
         load_table(spark, sf_dir, "documents"), budget=256, buckets=8
     )
+
+
+@register("streaming_greedy_packing", oracle=_GREEDY_PACK_SQL)
+def q_streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming first-fit packing
+    (streaming/runners.streaming_greedy_packing): the fold's open-bin
+    state carried across three rank-range micro-batches via
+    applyInPandasWithState; settled bins equal the batch operator and
+    share its recursive-CTE oracle."""
+    from dumbo_spark.streaming import runners
+
+    return runners.streaming_greedy_packing(spark, sf_dir)
 
 
 @register(
@@ -8768,11 +8786,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_price_quartiles",
     "bucketed_group_percentiles",
     "daily_value_percentiles",
-    # (b) round-9 additions (never externally sampled): 17 names —
+    # (b) round-9 additions (never externally sampled): 18 names —
     # 5 n-gram-LM/corpus-mix ops, the IVFADC pair, first-fit packing,
     # the BPE trainer pair, the batch-shaping census, the CMS sketch,
     # the curation funnel, matryoshka fidelity, the mix interleave,
-    # the RAG chunk census, the exact EWMA
+    # the RAG chunk census, the exact EWMA, the streaming packing twin
     "gopher_repetition_screen",
     "stupid_backoff_scores",
     "kn_continuation_counts",
@@ -8790,6 +8808,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "interleaved_mix_head",
     "passage_chunks",
     "ewma_event_volume",
+    "streaming_greedy_packing",
     # (c) r1-vintage refreshes (oldest external rows in the registry)
     "dedup_clusters",
     "dedup_fuzzy",
@@ -8806,7 +8825,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ntile_quartiles_by_segment",
     "percent_rank_by_segment",
     "local_supplier_volume",
-    "promo_revenue",
     # ── end of the 50-name driver window ──
     # overflow: remaining r2-vintage for deterministic ordering; all
     # later-vintage names fall back to registration order via
@@ -8824,6 +8842,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ewma_event_volume.)
     "approx_percentiles",
     "large_orders",
+    "promo_revenue",
     "nation_trade_volume",
     "order_count_distribution",
     "product_profit",

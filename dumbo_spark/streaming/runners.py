@@ -819,3 +819,51 @@ def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(stream, "q_streaming_sliding_sink", mode="complete")
+
+
+def streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming run of the first-fit packing fold
+    (stateful.greedy_packing_stream): the pre-tokenized permutation
+    frame is split into three RANK-RANGE slices per (source, bucket)
+    stream — each micro-batch delivers the next contiguous chunk of
+    every stream in order, so the cross-batch state (the open bin)
+    must be carried correctly for the settled answer to be right.
+    Settled per-bin value = max over that bin's emissions (n_docs and
+    bin_tokens grow monotonically within a bin); the result equals the
+    batch operator bit-for-bit and shares its recursive-CTE oracle.
+    """
+    from dumbo_spark.operators.packing import _doc_perm
+    from dumbo_spark.streaming.stateful import greedy_packing_stream
+
+    docs = _doc_perm(load_table(spark, sf_dir, "documents"), 8)
+    w = Window.partitionBy("source", "bucket").orderBy("_k", "doc_id")
+    cnt = Window.partitionBy("source", "bucket")
+    sliced = docs.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_slice",
+        F.floor((F.col("_rn") - 1) * 3 / F.count("*").over(cnt)).cast("int"),
+    )
+    src = os.path.join(_scratch_dir(prefix="dumbo_spark_pack_"), "src")
+    os.makedirs(src)
+    # one file per rank-range slice (coalesce(1)) → one micro-batch per
+    # slice with maxFilesPerTrigger=1; slice file names sort in replay
+    # order, preserving each stream's permutation order across batches
+    for i in range(3):
+        sliced.where(F.col("_slice") == i).select(
+            "source", "bucket", "_k", "doc_id", "n_tokens"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"slice{i}.parquet")
+        )
+    schema = "source string, bucket int, _k string, doc_id long, n_tokens int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    emissions = _run_to_memory(
+        greedy_packing_stream(stream), "q_streaming_pack_sink", mode="append"
+    )
+    return emissions.groupBy("source", "bucket", "bin_id").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.max("bin_tokens").cast("bigint").alias("bin_tokens"),
+        (F.lit(256) - F.max("bin_tokens")).cast("bigint").alias("bin_slack"),
+    )

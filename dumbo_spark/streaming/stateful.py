@@ -110,3 +110,70 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PACK_OUTPUT_SCHEMA = (
+    "source string, bucket int, bin_id long, n_docs long, bin_tokens long"
+)
+PACK_STATE_SCHEMA = "bin_id long, fill long, in_bin long"
+
+
+def _update_packing(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # ORDER-SENSITIVE like _update_transitions: the first-fit fold is a
+    # sequential recurrence, so micro-batches must deliver each
+    # (source, bucket) stream's documents in permutation order (the
+    # runner feeds rank-range slices; a production source is a
+    # per-key-ordered log). State = the OPEN bin only: (bin_id, fill,
+    # docs in bin) — O(sources·buckets), independent of stream length.
+    bin_id, fill, in_bin = state.get if state.exists else (0, 0, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["_k", "doc_id"])
+    if len(pdf) == 0:
+        return
+    rows: list[tuple[int, int, int]] = []
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        # same doc-count new-bin test as packing.greedy_pack_bins (a
+        # bin of zero-token docs is non-empty)
+        if in_bin > 0 and fill + n > 256:
+            rows.append((bin_id, in_bin, fill))  # closed: final stats
+            bin_id += 1
+            fill, in_bin = n, 1
+        else:
+            fill += n
+            in_bin += 1
+    state.update((bin_id, fill, in_bin))
+    rows.append((bin_id, in_bin, fill))  # open bin: snapshot (grows)
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(rows),
+            "bucket": [key[1]] * len(rows),
+            "bin_id": [r[0] for r in rows],
+            "n_docs": [r[1] for r in rows],
+            "bin_tokens": [r[2] for r in rows],
+        }
+    )
+
+
+def greedy_packing_stream(docs: DataFrame) -> DataFrame:
+    """Streaming first-fit whole-document packing — the continuous twin
+    of packing.greedy_pack_bins: documents arrive per (source,
+    md5-bucket) stream in permutation order and fold into 256-token
+    bins across micro-batches. Emits every bin CLOSED in a batch with
+    its final stats plus the trailing open bin's snapshot; since
+    (n_docs, bin_tokens) grow monotonically within a bin, the settled
+    value per bin is the max over its emissions — which is how the
+    runner reduces the append-mode output to the batch answer.
+    """
+    return (
+        docs.select("source", "bucket", "_k", "doc_id", "n_tokens")
+        .groupBy("source", "bucket")
+        .applyInPandasWithState(
+            _update_packing,
+            outputStructType=PACK_OUTPUT_SCHEMA,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

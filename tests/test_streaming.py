@@ -371,3 +371,29 @@ def test_attribution_replay_resumes_from_checkpoint(spark, sf_dir):
         )
 
     assert rows(got) == rows(want)
+
+
+def test_streaming_greedy_packing_carries_open_bin_state(spark, sf_dir):
+    """The settled streaming census equals the batch fold bit-for-bit,
+    AND the replay genuinely exercises cross-batch state: with three
+    rank-range micro-batches per stream, some bins must span a batch
+    boundary (emitted more than once: open-bin snapshot then final)."""
+    from dumbo_spark.operators.packing import greedy_pack_bins
+    from dumbo_spark.sources.catalog import load_table
+    from dumbo_spark.streaming.runners import streaming_greedy_packing
+
+    got = {
+        (r["source"], r["bucket"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in streaming_greedy_packing(spark, sf_dir).collect()
+    }
+    want = {
+        (r["source"], r["bucket"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in greedy_pack_bins(
+            load_table(spark, sf_dir, "documents"), budget=256, buckets=8
+        ).collect()
+    }
+    assert got == want
+    # the memory sink still holds the raw emissions: more emissions
+    # than settled bins proves open bins crossed micro-batches
+    raw = spark.table("q_streaming_pack_sink").count()
+    assert raw > len(got)
