@@ -1187,33 +1187,61 @@ def value_drift_psi(
     )
 
 
-def ewma_event_volume(events: DataFrame) -> DataFrame:
+#: Exactness horizon for :func:`ewma_event_volume`: the scaled weights
+#: 3^a·4^b are exact doubles only while 3^a ≤ 2^53, i.e. a ≤ 33 — a
+#: window of at most 34 observations. Values above 34 would silently
+#: reintroduce libm-dependent coefficients (the r9 ADVICE finding).
+EWMA_EXACT_HORIZON = 34
+
+
+def ewma_event_volume(
+    events: DataFrame, horizon: int = EWMA_EXACT_HORIZON
+) -> DataFrame:
     """EWMA (α = 1/4) of daily event counts per type — the classic
     exponential-smoothing volume baseline CUSUM/KS screens sit next
     to — computed with EXACT integer arithmetic instead of the usual
-    float recurrence (the repo's recency_weighted_value discipline):
+    float recurrence (the repo's recency_weighted_value discipline).
 
+    Unbounded, the recurrence is
         s_1 = x_1;  s_t = 3/4·s_{t−1} + 1/4·x_t
         ⇒  4^{t−1}·s_t = 3^{t−1}·x_1 + Σ_{i=2..t} 3^{t−i}·4^{i−2}·x_i
+    but 3^{t−1} stops being an exact double at t = 35 (3^34 > 2^53), so
+    past ``horizon`` observations the operator switches to the SLIDING
+    RESTART the round-9 review asked for: with r = max(1, t−horizon+1),
+
+        s_t = recurrence over x_r..x_t with s_r = x_r
+        ⇒  4^{t−r}·s_t = 3^{t−r}·x_r + Σ_{i=r+1..t} 3^{t−i}·4^{i−r−1}·x_i
+
+    For t ≤ horizon this is literally the original formula (r = 1), so
+    short series — including every current fixture, 30 days/type — are
+    bit-identical to the pre-guard operator. For longer series the
+    truncation error vs the infinite recurrence is ≤ (3/4)^(horizon−1)
+    ≈ 7·10⁻⁵ relative — below the EWMA's own forgetting at α = 1/4 —
+    and, crucially, BOTH engines compute the same truncated rational
+    exactly, which is what oracle hashing needs. ``horizon`` > 34
+    raises: exactness is the operator's contract.
 
     Every scaled weight 3^a·2^{2b} is an exactly-representable double
-    (3^a ≤ 3^33 < 2^53; powers of two are free), cast to DECIMAL(38,0)
-    where the weighted sum is exact and ORDER-INDEPENDENT — a float
-    recurrence would make the result depend on aggregation order and
-    engine libm, which is exactly what breaks oracle hashing. The only
-    floating step is the final S_t / 4^{t−1} (one nearest-double
-    conversion + a power-of-two divide), rounded to 6dp.
+    (a ≤ horizon−1 ≤ 33 so 3^a < 2^53; powers of two are free), cast
+    to DECIMAL(38,0) where the weighted sum is exact and
+    ORDER-INDEPENDENT — a float recurrence would make the result
+    depend on aggregation order and engine libm, which is exactly what
+    breaks oracle hashing. The only floating step is the final
+    S_t / 4^{t−r} (one nearest-double conversion + a power-of-two
+    divide), rounded to 6dp.
 
     The day index is the per-type observation sequence (row_number
-    over day): the window is bounded by CALENDAR DAYS per type, never
-    by corpus size, and the (i ≤ t) self-join is |types|·T²/2 rows —
-    bytes. DECIMAL(38,0) headroom: T = 30 days → max weight 4^28 ≈
-    7·10^16, so daily counts up to ~10^21 fit; a longer horizon wants
-    a sliding restart (the EWMA forgets beyond ~40 days at α = 1/4
-    anyway — weights < 10^-5).
+    over day): the self-join is now bounded at |types|·T·horizon rows
+    — bytes at any corpus size. DECIMAL(38,0) headroom: max weight
+    4^33 ≈ 7·10^19, so daily counts up to ~10^18 fit.
 
     Output: (event_type, day, n_events, ewma) per observed day.
     """
+    if not 1 <= horizon <= EWMA_EXACT_HORIZON:
+        raise ValueError(
+            f"ewma_event_volume horizon must be in [1, {EWMA_EXACT_HORIZON}] "
+            f"(3^{horizon - 1} is not an exact double past that), got {horizon}"
+        )
     daily = events.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
     ).agg(F.count("*").alias("n"))
@@ -1228,25 +1256,32 @@ def ewma_event_volume(events: DataFrame) -> DataFrame:
     b = idx.select(
         "event_type", F.col("t").alias("i"), F.col("n").alias("x_i")
     )
+    # restart index r = max(1, t - horizon + 1); for t <= horizon this
+    # degenerates to r = 1 and the original full-history coefficients
+    r = F.greatest(F.lit(1), F.col("t") - F.lit(horizon - 1))
     coef = F.when(
-        F.col("i") == 1, F.pow(F.lit(3.0), F.col("t") - 1)
+        F.col("i") == r, F.pow(F.lit(3.0), F.col("t") - F.col("i"))
     ).otherwise(
         F.pow(F.lit(3.0), F.col("t") - F.col("i"))
-        * F.pow(F.lit(4.0), F.col("i") - 2)
+        * F.pow(F.lit(4.0), F.col("i") - r - 1)
     )
     term = coef.cast("decimal(38,0)") * F.col("x_i").cast("decimal(38,0)")
     scaled = (
         a.join(b, "event_type")
-        .where(F.col("i") <= F.col("t"))
+        .where(
+            (F.col("i") <= F.col("t"))
+            & (F.col("i") >= F.col("t") - F.lit(horizon - 1))
+        )
         .groupBy("event_type", "day_t", "t", "x_t")
         .agg(F.sum(term).alias("_s"))
     )
+    span = F.least(F.col("t") - 1, F.lit(horizon - 1))
     return scaled.select(
         "event_type",
         F.col("day_t").alias("day"),
         F.col("x_t").cast("bigint").alias("n_events"),
         F.round(
-            F.col("_s").cast("double") / F.pow(F.lit(4.0), F.col("t") - 1), 6
+            F.col("_s").cast("double") / F.pow(F.lit(4.0), span), 6
         ).alias("ewma"),
     )
 

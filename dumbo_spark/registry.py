@@ -730,15 +730,18 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily),
     scaled AS (
       SELECT a.event_type, a.day AS day_t, a.t, a.n AS x_t,
-             SUM(CAST(CASE WHEN b.t = 1 THEN POWER(3, a.t - 1)
-                           ELSE POWER(3, a.t - b.t) * POWER(4, b.t - 2)
+             SUM(CAST(CASE WHEN b.t = GREATEST(1, a.t - 33)
+                           THEN POWER(3, a.t - b.t)
+                           ELSE POWER(3, a.t - b.t)
+                                * POWER(4, b.t - GREATEST(1, a.t - 33) - 1)
                       END AS DECIMAL(38,0))
                  * CAST(b.n AS DECIMAL(38,0))) AS s
       FROM idx a JOIN idx b
-        ON b.event_type = a.event_type AND b.t <= a.t
+        ON b.event_type = a.event_type
+       AND b.t <= a.t AND b.t >= a.t - 33
       GROUP BY 1, 2, 3, 4)
     SELECT event_type, day_t AS day, x_t AS n_events,
-           ROUND(CAST(s AS DOUBLE) / POWER(4, t - 1), 6) AS ewma
+           ROUND(CAST(s AS DOUBLE) / POWER(4, LEAST(t - 1, 33)), 6) AS ewma
     FROM scaled
     """,
 )
@@ -747,7 +750,10 @@ def q_ewma_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events.ewma_event_volume): the float recurrence replaced by
     integer-scaled 3^k·4^m weights summed in DECIMAL — order-
     independent and engine-exact; one nearest-double divide at the
-    end. Calendar-bounded self-join, never corpus-sized."""
+    end. Round-10 sliding restart (ADVICE r9): the window restarts at
+    r = max(1, t-33) so every coefficient stays an exact double at ANY
+    series length; identical to the r9 formula for T ≤ 34 (fixtures:
+    30 days/type). Horizon-bounded self-join, never corpus-sized."""
     return events.ewma_event_volume(load_table(spark, sf_dir, "events"))
 
 
