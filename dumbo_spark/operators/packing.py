@@ -35,15 +35,39 @@ from pyspark.sql import DataFrame, Window, functions as F
 from dumbo_spark.functions.text import tokens
 from dumbo_spark.operators.sampling import _md5_bucket, sql_md5_bucket
 
+#: The shared context-window token budget (ADVICE r9): greedy_pack_bins,
+#: its streaming twin (streaming/stateful._update_packing), the replay
+#: runner's bin_slack, and the shared recursive-CTE oracle must all
+#: agree on this number — change it HERE, nowhere else.
+PACK_BUDGET = 256
+
 #: whitespace-token counting shared by both ops (= len(text.tokens))
 def _n_tokens() -> F.Column:
     return F.size(tokens("text"))
 
 
-def _doc_perm(documents: DataFrame, buckets: int) -> DataFrame:
+def _auto_buckets(df: DataFrame) -> int:
+    """Default shard count for the packing permutation when the caller
+    doesn't pin one (VERDICT r9 Next #3): the session's
+    shuffle-partition setting, floored at 8 — so per-(source, bucket)
+    fold/window task size tracks cluster sizing instead of a constant
+    that silently folds corpus/(sources·8) rows into one Arrow task at
+    100 TB. Callers that need a REPRODUCIBLE permutation (bucket count
+    changes the deterministic order, hence results) must pin
+    ``buckets`` explicitly — every registry/oracle wrapper does."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = 0  # e.g. "auto" under AQE-managed partitioning
+    return max(8, n)
+
+
+def _doc_perm(documents: DataFrame, buckets: int | None = None) -> DataFrame:
     """Documents annotated with the deterministic permutation keys:
     (source, bucket, md5 key) plus the per-doc token count. The scan
     prunes to (doc_id, source, text)."""
+    if buckets is None:
+        buckets = _auto_buckets(documents)
     return documents.select(
         "doc_id",
         "source",
@@ -54,7 +78,7 @@ def _doc_perm(documents: DataFrame, buckets: int) -> DataFrame:
 
 
 def sequence_packing(
-    documents: DataFrame, budget: int = 256, buckets: int = 8
+    documents: DataFrame, budget: int = PACK_BUDGET, buckets: int | None = None
 ) -> DataFrame:
     """GPT-style sequence packing census: concatenate the corpus in
     deterministic order and split at ``budget``-token boundaries; a
@@ -83,7 +107,7 @@ def sequence_packing(
 
 
 def greedy_pack_bins(
-    documents: DataFrame, budget: int = 256, buckets: int = 8
+    documents: DataFrame, budget: int = PACK_BUDGET, buckets: int | None = None
 ) -> DataFrame:
     """First-fit WHOLE-document packing census: walk each (source,
     bucket) stream in the deterministic permutation and place each
@@ -152,7 +176,7 @@ def greedy_pack_bins(
 
 
 def padding_waste_census(
-    documents: DataFrame, batch_size: int = 32, buckets: int = 8
+    documents: DataFrame, batch_size: int = 32, buckets: int | None = None
 ) -> DataFrame:
     """Dynamic-batching efficiency census: bucket documents by
     power-of-two token-length class, form deterministic batches of
@@ -225,7 +249,9 @@ def padding_waste_census(
     )
 
 
-def token_budget_sample(documents: DataFrame, budget: int = 600, buckets: int = 8) -> DataFrame:
+def token_budget_sample(
+    documents: DataFrame, budget: int = 600, buckets: int | None = None
+) -> DataFrame:
     """Exact per-source token budget: walk each source's documents in
     the deterministic permutation and keep every document that STARTS
     before the source's cumulative token count reaches ``budget`` (so
@@ -275,8 +301,11 @@ def passage_chunks(
     """RAG-style overlapping-chunk census: fixed ``size``-token windows
     every ``stride`` tokens per document — the chunking shape decision
     (size vs stride vs overlap inflation) behind every embedding/
-    retrieval index build. Chunk starts at 0, stride, 2·stride, …
-    while start < n_tokens; the last chunk is short.
+    retrieval index build. Chunk starts at 0, stride, 2·stride, …,
+    advancing by ``stride`` until start + size ≥ n_tokens — i.e. the
+    walk stops once a chunk reaches the end (the last chunk may be
+    short, but no start past the covered end is opened: n=64, size=64,
+    stride=32 is ONE chunk).
 
     Everything is CLOSED-FORM integer arithmetic on the per-doc token
     count — n_chunks = 1 + ⌈max(n−size, 0) / stride⌉, chunk_tokens =
@@ -320,7 +349,7 @@ def passage_chunks(
 
 
 def interleaved_mix_head(
-    documents: DataFrame, head: int = 24, buckets: int = 8
+    documents: DataFrame, head: int = 24, buckets: int | None = None
 ) -> DataFrame:
     """Deterministic maximally-interleaved training order: round-robin
     across sources in the fixed permutation — position =

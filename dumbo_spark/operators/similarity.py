@@ -850,6 +850,15 @@ def _det_kmeans(x, k: int, n_iter: int = 10):
     import numpy as np
 
     n = x.shape[0]
+    # shared-helper guards (ADVICE r9): the strided init divides by
+    # k-1, so k=1 would ZeroDivisionError and n < k would duplicate
+    # init centroids — fail loudly like _ivfpq_index's sample guard
+    if k < 2:
+        raise ValueError(f"_det_kmeans needs k >= 2, got k={k}")
+    if n < k:
+        raise ValueError(
+            f"_det_kmeans needs at least k={k} input rows, got n={n}"
+        )
     idx = [(i * (n - 1)) // (k - 1) for i in range(k)]
     cent = np.round(x[idx].copy(), 6)
     for _ in range(n_iter):

@@ -6049,11 +6049,11 @@ _GREEDY_PACK_SQL = f"""
       FROM o WHERE rn = 1
       UNION ALL
       SELECT n.source, n.bucket, n.rn, n.n_tokens,
-             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > 256
+             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > {packing.PACK_BUDGET}
                   THEN w.bin_id + 1 ELSE w.bin_id END,
-             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > 256
+             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > {packing.PACK_BUDGET}
                   THEN n.n_tokens ELSE w.fill + n.n_tokens END,
-             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > 256
+             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > {packing.PACK_BUDGET}
                   THEN 1 ELSE w.in_bin + 1 END
       FROM walk w
       JOIN o n ON n.source = w.source AND n.bucket = w.bucket
@@ -6061,7 +6061,7 @@ _GREEDY_PACK_SQL = f"""
     SELECT source, bucket, bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-           CAST(256 - SUM(n_tokens) AS BIGINT) AS bin_slack
+           CAST({packing.PACK_BUDGET} - SUM(n_tokens) AS BIGINT) AS bin_slack
     FROM walk GROUP BY source, bucket, bin_id
     """
 
@@ -6081,7 +6081,9 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows cannot express, run as one Arrow-batched applyInPandas
     fold per bucket and oracle-replayed as a recursive CTE."""
     return packing.greedy_pack_bins(
-        load_table(spark, sf_dir, "documents"), budget=256, buckets=8
+        load_table(spark, sf_dir, "documents"),
+        budget=packing.PACK_BUDGET,
+        buckets=8,
     )
 
 

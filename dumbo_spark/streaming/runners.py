@@ -845,14 +845,23 @@ def streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(_scratch_dir(prefix="dumbo_spark_pack_"), "src")
     os.makedirs(src)
     # one file per rank-range slice (coalesce(1)) → one micro-batch per
-    # slice with maxFilesPerTrigger=1; slice file names sort in replay
-    # order, preserving each stream's permutation order across batches
+    # slice with maxFilesPerTrigger=1. FileStreamSource replays new
+    # files oldest-MTIME-first, NOT by name (ADVICE r9) — three fast
+    # consecutive writes can land on the same timestamp and reorder the
+    # order-sensitive fold's micro-batches, so each slice's files are
+    # stamped with strictly increasing mtimes after writing.
+    import time as _time
+
+    base = _time.time() - 3600
     for i in range(3):
+        slice_dir = os.path.join(src, f"slice{i}.parquet")
         sliced.where(F.col("_slice") == i).select(
             "source", "bucket", "_k", "doc_id", "n_tokens"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, f"slice{i}.parquet")
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        stamp = base + 60 * i
+        for root, _dirs, files in os.walk(slice_dir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
     schema = "source string, bucket int, _k string, doc_id long, n_tokens int"
     stream = (
         spark.readStream.schema(schema)
@@ -862,8 +871,12 @@ def streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     emissions = _run_to_memory(
         greedy_packing_stream(stream), "q_streaming_pack_sink", mode="append"
     )
+    from dumbo_spark.operators.packing import PACK_BUDGET
+
     return emissions.groupBy("source", "bucket", "bin_id").agg(
         F.max("n_docs").cast("bigint").alias("n_docs"),
         F.max("bin_tokens").cast("bigint").alias("bin_tokens"),
-        (F.lit(256) - F.max("bin_tokens")).cast("bigint").alias("bin_slack"),
+        (F.lit(PACK_BUDGET) - F.max("bin_tokens"))
+        .cast("bigint")
+        .alias("bin_slack"),
     )

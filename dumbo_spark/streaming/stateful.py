@@ -127,6 +127,8 @@ def _update_packing(
     # runner feeds rank-range slices; a production source is a
     # per-key-ordered log). State = the OPEN bin only: (bin_id, fill,
     # docs in bin) — O(sources·buckets), independent of stream length.
+    from dumbo_spark.operators.packing import PACK_BUDGET
+
     bin_id, fill, in_bin = state.get if state.exists else (0, 0, 0)
     pdf = pd.concat(list(pdfs)).sort_values(["_k", "doc_id"])
     if len(pdf) == 0:
@@ -135,8 +137,10 @@ def _update_packing(
     for n in pdf["n_tokens"]:
         n = int(n)
         # same doc-count new-bin test as packing.greedy_pack_bins (a
-        # bin of zero-token docs is non-empty)
-        if in_bin > 0 and fill + n > 256:
+        # bin of zero-token docs is non-empty); the budget is the
+        # SHARED constant so batch twin, stream, and oracle can't
+        # desynchronize (ADVICE r9)
+        if in_bin > 0 and fill + n > PACK_BUDGET:
             rows.append((bin_id, in_bin, fill))  # closed: final stats
             bin_id += 1
             fill, in_bin = n, 1
