@@ -25,6 +25,21 @@ def _externally_sampled() -> set[str]:
     return seen
 
 
+def _latest_vintage() -> dict[str, int]:
+    """name -> the latest round whose CORRECTNESS file sampled it."""
+    import re
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        try:
+            for name in json.load(open(path)):
+                latest[name] = max(latest.get(name, 0), rnd)
+        except Exception:
+            pass
+    return latest
+
+
 def test_priority_names_unique_and_registered():
     pri = registry._DRIVER_PRIORITY
     assert len(pri) == len(set(pri)), "duplicate names in _DRIVER_PRIORITY"
@@ -40,6 +55,27 @@ def test_never_sampled_queries_fit_in_the_driver_window():
         "queries with no external correctness row are OUTSIDE the head-50 "
         f"driver window and will never be sampled: {outside}"
     )
+
+
+def test_head_window_is_vintage_sorted_among_sampled_names():
+    # VERDICT r9 Next #2: once every query has been sampled, the window
+    # must refresh the OLDEST external rows first — so no sampled name
+    # outside the head-50 may have a strictly older latest-vintage than
+    # any sampled name inside it (ties across the boundary are fine;
+    # never-sampled names are covered by the test above and are exempt
+    # here because they outrank every vintage).
+    latest = _latest_vintage()
+    head = set(registry._ordered_names()[:50])
+    inside = [latest[n] for n in head if n in latest]
+    outside = [
+        latest[n] for n in registry.QUERIES if n not in head and n in latest
+    ]
+    if inside and outside:
+        assert max(inside) <= min(outside), (
+            "head-50 holds a sampled query with vintage "
+            f"{max(inside)} while an older vintage {min(outside)} "
+            "query sits outside the driver window"
+        )
 
 
 def test_window_is_exactly_the_first_fifty_priority_names():
