@@ -216,7 +216,15 @@ def run_differential(spark, sf_dir: str, name: str) -> DiffResult:
     return compare_frames(name, spark_pdf, duck_pdf)
 
 
-WINDOW_FNS = ("row_number", "rank", "dense_rank", "lag", "lead", "running_sum")
+WINDOW_FNS = (
+    "row_number",
+    "rank",
+    "dense_rank",
+    "lag",
+    "lead",
+    "running_sum",
+    "ntile4",
+)
 
 #: per-table unique tie-break keys: appended to ORDER BY for the
 #: row-identity window functions so outputs are total-order stable
@@ -257,6 +265,12 @@ def compile_window_spec_spark(spark, sf_dir: str, spec: dict):
         col = F.lag(F.col(oc), 1).over(w)
     elif fn == "lead":
         col = F.lead(F.col(oc), 1).over(w)
+    elif fn == "ntile4":
+        # NTILE is total-order-sensitive, so it takes the tie-broken
+        # window (like the row-identity functions) — without the
+        # tie-break, tied rows could land in different buckets per
+        # engine (round-10 fuzz-vocabulary addition, VERDICT r9 #5)
+        col = F.ntile(4).over(w)
     else:  # running_sum
         col = (
             F.sum(dmoney(oc))
@@ -285,6 +299,8 @@ def compile_window_spec_sql(spec: dict) -> str:
         expr = f"lag({oc}) OVER ({part}{order_tb})"
     elif fn == "lead":
         expr = f"lead({oc}) OVER ({part}{order_tb})"
+    elif fn == "ntile4":
+        expr = f"CAST(ntile(4) OVER ({part}{order_tb}) AS INTEGER)"
     else:
         expr = (
             f"CAST(SUM(CAST({oc} AS DECIMAL(18,2))) OVER ({part}{order_tb} "

@@ -156,7 +156,7 @@ def test_random_setop_specs_match_duckdb(spark, sf_dir, spec):
 
 
 @st.composite
-def window_spec(draw):
+def topk_window_spec(draw):
     return {
         "part": draw(st.sampled_from(["o_orderstatus", "o_orderpriority"])),
         "fn": draw(st.sampled_from(["row_number", "rank", "dense_rank"])),
@@ -170,8 +170,11 @@ def window_spec(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(spec=window_spec())
-def test_random_window_specs_match_duckdb(spark, sf_dir, spec):
+@given(spec=topk_window_spec())
+def test_random_topk_window_specs_match_duckdb(spark, sf_dir, spec):
+    # r10 note: this test and its strategy were silently SHADOWED by
+    # the same-named window fuzz below from r9 until this rename —
+    # the top-k-filtered variant never ran
     from pyspark.sql import Window, functions as F
 
     from dumbo_spark.sources.catalog import load_table
@@ -325,4 +328,110 @@ def test_random_window_specs_match_duckdb(spark, sf_dir, spec):
     from dumbo_spark.testing import run_window_spec_differential
 
     res = run_window_spec_differential(spark, sf_dir, spec)
+    assert res.ok, res.report()
+
+
+# ── fuzzed rank machinery at the gate scale (VERDICT r9 Next #5) ────────
+#
+# The r8 rank-machinery bug (repartitionByRange consumed twice with
+# diverging column pruning) only manifests at row counts large enough
+# for independent boundary samplings to diverge — 15k, the
+# test_round9_rank_machinery scale. These specs fuzz the EXACT hazard
+# shape over generated 15k-row frames with varying tie density, bucket
+# count, and sort direction, comparing the repo's range-partitioned
+# global_ntile/global_rank against DuckDB over the identical data
+# (Spark generates, DuckDB receives the materialized frame — both
+# engines see the same rows by construction).
+
+
+@st.composite
+def rank_machinery_spec(draw):
+    return {
+        # score modulus controls tie density: 7 → ~2100 rows per tied
+        # score value, 999983 → essentially unique
+        "mod": draw(st.sampled_from([7, 97, 9973, 999983])),
+        "k": draw(st.integers(min_value=2, max_value=16)),
+        "fn": draw(st.sampled_from(["ntile", "rank"])),
+        "desc": draw(st.booleans()),
+    }
+
+
+_GATE_N = 15000
+
+
+def _gate_frame(spark, mod):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(_GATE_N)
+        .withColumn("score", (F.xxhash64("id") % mod).cast("double"))
+        .withColumn("y", (F.xxhash64("id", F.lit(1)) % 2 == 0).cast("int"))
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=rank_machinery_spec())
+def test_fuzzed_rank_machinery_at_gate_scale(spark, spec):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.operators.topk import global_ntile, global_rank
+    from dumbo_spark.testing import compare_frames
+
+    df = _gate_frame(spark, spec["mod"])
+    base_pdf = df.toPandas()
+    d = "DESC" if spec["desc"] else "ASC"
+    score = F.col("score").desc() if spec["desc"] else F.col("score").asc()
+    order = [score, F.col("id").asc()]
+
+    if spec["fn"] == "ntile":
+        # the calibration_bins hazard shape: ntile consumed by an
+        # aggregate keeping EXTRA columns (exact-decimal score sum,
+        # label sum) — the pruning divergence that defeated
+        # ReuseExchange pre-fix
+        got = (
+            global_ntile(df, order, spec["k"])
+            .groupBy("ntile")
+            .agg(
+                F.count("*").alias("c"),
+                dsum("score", "score_sum"),
+                F.sum("y").cast("bigint").alias("y_sum"),
+            )
+            .toPandas()
+        )
+        sql = f"""
+        SELECT ntile, COUNT(*) AS c,
+               CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS score_sum,
+               CAST(SUM(y) AS BIGINT) AS y_sum
+        FROM (SELECT *, CAST(NTILE({spec['k']}) OVER
+                 (ORDER BY score {d}, id ASC) AS INTEGER) AS ntile
+              FROM base)
+        GROUP BY ntile
+        """
+    else:
+        # the auc_roc_exact hazard shape: the global rank kept next to
+        # the full row — must be a permutation AND per-row identical
+        got = (
+            global_rank(df, order)
+            .select("id", "score", "y", F.col("_rank").cast("bigint").alias("r"))
+            .toPandas()
+        )
+        sql = f"""
+        SELECT id, score, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY score {d}, id ASC)
+                    AS BIGINT) AS r
+        FROM base
+        """
+    con = duckdb.connect()
+    try:
+        con.register("base", base_pdf)
+        duck_pdf = con.execute(sql).fetch_df()
+    finally:
+        con.close()
+    res = compare_frames(f"rankfuzz:{spec}", got, duck_pdf)
     assert res.ok, res.report()
