@@ -288,6 +288,46 @@ HEADLINE = [
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
 
+# Named exclusions with specific reasons; every other registered query
+# not in HEADLINE falls into the generic sub-second-core class. The
+# manifest below is GENERATED from HEADLINE + the registry each run
+# (VERDICT r9 Next #6) so the headline's composition is auditable in
+# BENCH.json and cannot drift silently.
+EXCLUDE_REASONS = {
+    "semantic_dedup_checked": (
+        "audit-twin: documented O(n^2) brute-force verification twin "
+        "(54s at sf0.1) — verification-scale by design"
+    ),
+    "bucketed_colocated_join": (
+        "table-write: times bucketed-table WRITES, not operator "
+        "throughput"
+    ),
+}
+_REPLAY_REASON = (
+    "replay-runner: times sentinel-file replay writes plus stream "
+    "settle, not operator throughput; correctness covered by the "
+    "driver harness and tests"
+)
+_CORE_REASON = (
+    "sub-second-core: fast core operator; excluded from the stdout "
+    "headline for driver-buffer signal-to-noise, still covered by the "
+    "correctness harness"
+)
+
+
+def build_manifest(registered: set[str]) -> dict:
+    """The included/excluded split with per-name exclusion reasons."""
+    included = [n for n in HEADLINE if n in registered]
+    excluded = {}
+    for n in sorted(registered - set(included)):
+        if n in EXCLUDE_REASONS:
+            excluded[n] = EXCLUDE_REASONS[n]
+        elif n.startswith("streaming_"):
+            excluded[n] = _REPLAY_REASON
+        else:
+            excluded[n] = _CORE_REASON
+    return {"included": included, "excluded": excluded}
+
 
 def emit_line(timings: dict[str, float], sf: str) -> str:
     """Build the one-line JSON payload, guaranteed under MAX_LINE.
@@ -354,6 +394,26 @@ def main() -> None:
 
     print(emit_line(timings, sf))
     spark.stop()
+    # Write the FULL record (untruncated per-query map + the generated
+    # included/excluded manifest) to BENCH.json so the one-line stdout
+    # contract stays small while the headline's composition stays
+    # auditable (VERDICT r9 Next #6).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        record = {
+            "metric": f"total wall-clock, {len(timings)} queries, sf{sf}",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": dict(sorted(timings.items())),
+            "sf": float(sf),
+        }
+        record.update(build_manifest(set(QUERIES)))
+        tmp = os.path.join(here, "BENCH.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(tmp, os.path.join(here, "BENCH.json"))
+    except Exception as exc:  # the stdout line is the driver contract —
+        print(f"BENCH.json write failed: {exc!r}", file=sys.stderr)
     # Refresh the external-evidence matrix as a bench side effect: the
     # driver runs bench every round AFTER the correctness harness, so
     # this picks up the newest CORRECTNESS_r*.json instead of shipping

@@ -24,6 +24,24 @@ def test_emitted_line_fits_driver_buffer():
     assert parsed["sf"] == 0.1
 
 
+def test_manifest_partitions_the_registry_with_reasons():
+    # VERDICT r9 #6: the headline's composition must be auditable —
+    # included + excluded must exactly partition the registry, every
+    # exclusion must carry a reason, and the known deliberate
+    # exclusions must keep their specific reasons
+    m = bench.build_manifest(set(QUERIES))
+    included, excluded = set(m["included"]), m["excluded"]
+    assert included | set(excluded) == set(QUERIES)
+    assert not included & set(excluded)
+    assert all(isinstance(r, str) and r for r in excluded.values())
+    assert "audit-twin" in excluded["semantic_dedup_checked"]
+    assert all(
+        "replay-runner" in excluded[n]
+        for n in excluded
+        if n.startswith("streaming_")
+    )
+
+
 def test_emit_line_truncates_to_slowest_when_oversized():
     # 400 long-named queries cannot fit; the slowest must survive
     timings = {f"extremely_long_query_name_{i:03d}": float(i) for i in range(400)}
