@@ -284,6 +284,12 @@ HEADLINE = [
     "interleaved_mix_head",
     "passage_chunks",
     "ewma_event_volume",
+    # round-10 additions
+    "source_divergence_matrix",
+    "ngram_coverage_curve",
+    "token_position_stats",
+    "stratified_kfold_assign",
+    "dsir_topk_selection",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

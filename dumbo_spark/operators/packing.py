@@ -623,3 +623,33 @@ def source_temperature_mix(documents: DataFrame, alpha: float = 0.3) -> DataFram
         )
         .orderBy("source")
     )
+
+
+def dsir_topk_selection(documents: DataFrame, k: int = 50) -> DataFrame:
+    """The selection head of DSIR importance resampling: rank every
+    document by its :func:`dsir_importance_weights` log-ratio and keep
+    the top ``k`` — the deterministic "select the most target-like
+    slice of the raw pool" step that turns the weights into an actual
+    training subset (Xie et al. 2023 sample stochastically; the
+    deterministic top-k is the reproducible/oracle-checkable variant
+    and the common production shortcut).
+
+    Scale: the weights are one gram pass + bounded bucket aggregates
+    (see dsir_importance_weights); the cut is orderBy+limit —
+    TakeOrderedAndProject, a per-task k-row heap merged on the driver,
+    NO global sort. The rank column is a window over the k-row
+    result — bounded by construction.
+
+    Output: (sel_rank, doc_id, n_grams, log_weight_micro), sel_rank
+    1..k by (log_weight_micro DESC, doc_id ASC).
+    """
+    weights = dsir_importance_weights(documents)
+    order = [F.col("log_weight_micro").desc(), F.col("doc_id").asc()]
+    head = weights.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return head.select(
+        F.row_number().over(w).cast("int").alias("sel_rank"),
+        "doc_id",
+        "n_grams",
+        "log_weight_micro",
+    )

@@ -400,3 +400,50 @@ def quantile_transform(documents: DataFrame) -> DataFrame:
             F.col("_rank").cast("double") / F.col("_n").cast("double"), 6
         ).alias("pctl"),
     )
+
+
+def stratified_kfold_assign(
+    documents: DataFrame, k: int = 5, strata: str = "source", buckets: int = 8
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each stratum,
+    documents are ranked in the fixed md5 permutation and dealt
+    round-robin to folds — every fold gets an equal share of every
+    stratum (±1), reproducibly across runs, partitionings, and engines.
+    The cross-validation / eval-split staple, stratified so no fold is
+    starved of a rare source.
+
+    Ranks come from the two-phase bucket prefix sum (the
+    operators/packing.py module discipline): per-(stratum, md5-bucket)
+    counts → running offsets on that tiny frame → broadcast back →
+    row_number WITHIN each bucket plus the offset. No task ever orders
+    more than one bucket of one stratum, where a naive
+    ``Window.partitionBy(stratum)`` would put each whole stratum in one
+    task — correct at sf0.01, dead at 100 TB.
+
+    Output: (doc_id, stratum, fold) for every document; fold ∈ [0, k).
+    """
+    docs = documents.select(
+        "doc_id",
+        F.col(strata).alias("stratum"),
+        _md5_bucket(F.col("doc_id"), buckets).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("_k"),
+    )
+    counts = docs.groupBy("stratum", "bucket").agg(F.count("*").alias("_bc"))
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+    ).select("stratum", "bucket", "_off")
+    w_in = Window.partitionBy("stratum", "bucket").orderBy("_k", "doc_id")
+    return (
+        docs.join(F.broadcast(offsets), ["stratum", "bucket"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w_in))
+        .select(
+            "doc_id",
+            "stratum",
+            ((F.col("_rn") - 1) % k).cast("int").alias("fold"),
+        )
+    )

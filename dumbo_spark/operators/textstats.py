@@ -1771,3 +1771,223 @@ def perplexity_tercile_mix(documents: DataFrame) -> DataFrame:
             ).alias("avg_ppl"),
         )
     )
+
+
+def source_divergence_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (nats) between per-source
+    unigram token distributions — the domain-distance matrix behind
+    mixture design and domain-shift screening (the quantity DSIR /
+    DoReMi-style domain weighting reasons about; cf.
+    :func:`dumbo_spark.operators.packing.dsir_importance_weights`).
+
+    Exactness discipline (the DSIR convention): the only floating-point
+    work is per shared token — p, q, and m = (p+q)/2 are single
+    divisions of exact integers, the two logs are taken of those, and
+    the token's JS contribution is immediately fixed-pointed to integer
+    NANO-units. Per-pair aggregation is then an exact integer sum
+    (order-independent, cross-engine). Tokens present in only ONE side
+    contribute 0.5·ln2·mass in closed form — computed from the exact
+    integer shared-count sums, never from a float residual — so no
+    full-outer join is needed: the pair join is INNER on token.
+
+    Scale: one corpus pass builds (source, token) counts (partial agg,
+    vocab·|sources| rows); totals broadcast; the token-keyed self-join
+    is vocab·|sources|² worst case — bounded by vocabulary, never by
+    corpus (for web-scale vocabularies, md5-bucket the tokens first,
+    exactly like DSIR's 256-bucket hashing).
+
+    Output: (src_a, src_b, shared_tokens, js_divergence) per unordered
+    source pair, 6dp nats; 0 = identical distributions, ln2 ≈ 0.6931 =
+    disjoint support.
+    """
+    counts = (
+        documents.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    a = (
+        counts.join(totals, "source")
+        .select(
+            F.col("source").alias("src_a"),
+            "token",
+            F.col("c").alias("ca"),
+            F.col("n").alias("na"),
+        )
+    )
+    b = (
+        counts.join(totals, "source")
+        .select(
+            F.col("source").alias("src_b"),
+            "token",
+            F.col("c").alias("cb"),
+            F.col("n").alias("nb"),
+        )
+    )
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    m = (p + q) / F.lit(2.0)
+    contrib_nano = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) * F.lit(0.5) * F.lit(1e9)
+    ).cast("long")
+    shared = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_tokens"),
+            F.sum(contrib_nano).alias("_shared_nano"),
+            F.sum("ca").alias("_sca"),
+            F.sum("cb").alias("_scb"),
+        )
+    )
+    # the pair UNIVERSE comes from the tiny totals frame, not the
+    # shared join — a pair with zero shared tokens (disjoint vocab)
+    # must still appear, with JS exactly ln 2
+    universe = (
+        totals.select(F.col("source").alias("src_a"), F.col("n").alias("_na"))
+        .join(
+            totals.select(
+                F.col("source").alias("src_b"), F.col("n").alias("_nb")
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    pairs = universe.join(F.broadcast(shared), ["src_a", "src_b"], "left")
+    import math
+
+    only_mass = (
+        (F.col("_na") - F.coalesce(F.col("_sca"), F.lit(0))) / F.col("_na")
+        + (F.col("_nb") - F.coalesce(F.col("_scb"), F.lit(0))) / F.col("_nb")
+    )
+    js = (
+        F.coalesce(F.col("_shared_nano"), F.lit(0)) / F.lit(1e9)
+        + F.lit(0.5 * math.log(2.0)) * only_mass
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.coalesce(F.col("shared_tokens"), F.lit(0)).cast("bigint").alias(
+            "shared_tokens"
+        ),
+        F.round(js, 6).alias("js_divergence"),
+    )
+
+
+def ngram_coverage_curve(
+    documents: DataFrame, n: int = 3, ks: tuple[int, ...] = (10, 100, 1000)
+) -> DataFrame:
+    """Head-coverage curve of the corpus n-gram distribution: what
+    fraction of all n-gram OCCURRENCES the top-k most frequent n-gram
+    TYPES cover, at each k — the measurement behind vocabulary/phrase-
+    table truncation and cache sizing (the Zipf-fit's actionable twin:
+    zipf_fit estimates the exponent, this reads the curve directly).
+
+    Scale shape: n-gram counts are one corpus pass (partial agg,
+    gram-type-bounded); the head is cut with orderBy+limit —
+    TakeOrderedAndProject, a per-task heap of max(ks) rows, NO global
+    sort — and the cumulative walk is a window over that max(ks)-row
+    driver-bounded frame (documented bounded unpartitioned window).
+    Coverage ratios are exact integer quotients divided once.
+
+    Output: one row per k — (k, head_types, covered_occurrences,
+    total_occurrences, coverage 6dp). head_types < k when the corpus
+    has fewer distinct n-grams than k.
+    """
+    grams = (
+        documents.select(tokens("text").alias("toks"))
+        .select(F.explode(ngrams(F.col("toks"), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+    )
+    total = grams.agg(F.sum("c").alias("total"))
+    head = grams.orderBy(F.col("c").desc(), F.col("gram").asc()).limit(max(ks))
+    w = Window.orderBy(F.col("c").desc(), F.col("gram").asc())
+    ranked = (
+        head.select("gram", "c", F.row_number().over(w).alias("r"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("gram")
+    )
+    ks_df = ranked.sparkSession.createDataFrame(
+        [(k,) for k in ks], "k int"
+    )
+    return (
+        ranked.join(F.broadcast(ks_df), F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("head_types"),
+            F.max("cum").cast("bigint").alias("covered_occurrences"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "head_types",
+            "covered_occurrences",
+            F.col("total").cast("bigint").alias("total_occurrences"),
+            F.round(
+                F.col("covered_occurrences") / F.col("total").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+def token_position_stats(documents: DataFrame, top: int = 20) -> DataFrame:
+    """Positional distribution of the most frequent tokens: where in a
+    document does each token tend to appear? Tokens concentrated at
+    fixed positions (mean near 0 or 1000 with low spread) are
+    boilerplate/header/footer candidates — the positional screen the
+    dedup ladder's content screens don't see (cf. Lee et al. 2022's
+    boilerplate discussion).
+
+    Positions are normalized to integer PERMILLE via exact integer
+    division: pos_mil = (1000·i) div (n−1) for an i-th token (0-based)
+    of an n-token document (single-token docs sit at 500 by
+    convention) — no floats anywhere in the per-token path, so both
+    engines bucket identically. Moments are DECIMAL(38,0) sums of
+    pos_mil and pos_mil² (exact, order-independent; BIGINT sums of the
+    squares would overflow near 10¹⁸ occurrences); the one float step
+    is the final mean/variance arithmetic on the exact sums.
+
+    Scale: posexplode is the corpus-sized pass; the aggregate is
+    vocab-bounded; the final top-``top`` cut is orderBy+limit
+    (TakeOrderedAndProject).
+
+    Output: top tokens by occurrence — (token, n_occurrences,
+    mean_pos_mil 2dp, stddev_pos_mil 2dp).
+    """
+    placed = documents.select(
+        F.posexplode(tokens("text")).alias("i", "token"),
+        F.size(tokens("text")).alias("n"),
+    ).select(
+        "token",
+        F.when(F.col("n") <= 1, F.lit(500))
+        .otherwise(F.expr("(1000 * i) div (n - 1)"))
+        .cast("long")
+        .alias("pos_mil"),
+    )
+    stats = placed.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.sum(F.col("pos_mil").cast("decimal(38,0)")).alias("_s1"),
+        F.sum((F.col("pos_mil") * F.col("pos_mil")).cast("decimal(38,0)")).alias(
+            "_s2"
+        ),
+    )
+    mean = F.col("_s1").cast("double") / F.col("n_occurrences")
+    var = (
+        F.col("_s2").cast("double") / F.col("n_occurrences") - mean * mean
+    )
+    return (
+        stats.select(
+            "token",
+            "n_occurrences",
+            F.round(mean, 2).alias("mean_pos_mil"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 2).alias(
+                "stddev_pos_mil"
+            ),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top)
+    )

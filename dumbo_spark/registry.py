@@ -1793,9 +1793,9 @@ def q_dedup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowed_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
+# Shared DSIR-weight SQL (round 10): dsir_importance_weights returns it
+# whole; dsir_topk_selection wraps it with the deterministic rank cut.
+_DSIR_SQL = f"""
     WITH toks AS (SELECT doc_id, source, {DUCK_TOKENS} AS t FROM documents),
     g AS (
       SELECT doc_id, source,
@@ -1821,8 +1821,10 @@ def q_dedup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(r.lr_micro) AS BIGINT) AS log_weight_micro
     FROM g JOIN r ON r.bucket = g.bucket
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+@register("dsir_importance_weights", oracle=_DSIR_SQL)
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-bigram importance weights
     (packing.dsir_importance_weights, Xie et al. 2023): per-document
@@ -3070,11 +3072,20 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_pagerank")  # rows-only: iterative float fixpoint, not SQL-expressible
+@register("doc_pagerank")  # rows-only BY DESIGN — adjudicated r10:
+# VERDICT r9 #8 suggested promoting this to pagerank_checked's
+# iteration-counter recursive-CTE oracle, but the blocker is the EDGE
+# SET, not the iteration: these edges come from the production LSH
+# pipeline (minhash = xxhash64, no DuckDB equivalent), so a full
+# oracle would require swapping to the PPJoin pair set — which IS
+# pagerank_checked. The pair is deliberate: pagerank_checked proves
+# the iteration numerics against SQL; doc_pagerank proves the same
+# operator composes with the probabilistic production graph.
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the verified near-dup graph (dedup.pagerank) —
     centrality within duplicate clusters; numeric fixpoint pinned by
-    tests/test_extensions.py::test_pagerank_star_and_pair."""
+    tests/test_extensions.py::test_pagerank_star_and_pair; full-value
+    oracle sibling: pagerank_checked (deterministic PPJoin edges)."""
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup.dedup_fuzzy_verified(docs).select("doc_a", "doc_b")
     return dedup.pagerank(edges, max_iter=10)
@@ -8754,6 +8765,185 @@ def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ═══ Round-10 additions: corpus-distribution analytics + selection ═════
+
+
+@register(
+    "source_divergence_matrix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, tok AS token, COUNT(*) AS c
+      FROM (SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY 1),
+    j AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.c AS ca, ta.n AS na, b.c AS cb, tb.n AS nb
+      FROM counts a
+      JOIN counts b ON b.token = a.token AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source),
+    agg AS (
+      SELECT src_a, src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_tokens,
+             SUM(CAST(ROUND((
+                   (ca / CAST(na AS DOUBLE))
+                     * ln((ca / CAST(na AS DOUBLE))
+                          / (((ca / CAST(na AS DOUBLE))
+                              + (cb / CAST(nb AS DOUBLE))) / 2))
+                 + (cb / CAST(nb AS DOUBLE))
+                     * ln((cb / CAST(nb AS DOUBLE))
+                          / (((ca / CAST(na AS DOUBLE))
+                              + (cb / CAST(nb AS DOUBLE))) / 2))
+                 ) * 0.5 * 1e9) AS BIGINT)) AS shared_nano,
+             SUM(ca) AS sca, SUM(cb) AS scb
+      FROM j GROUP BY 1, 2),
+    universe AS (
+      SELECT ta.source AS src_a, ta.n AS na, tb.source AS src_b, tb.n AS nb
+      FROM totals ta JOIN totals tb ON ta.source < tb.source)
+    SELECT u.src_a, u.src_b,
+           CAST(COALESCE(shared_tokens, 0) AS BIGINT) AS shared_tokens,
+           ROUND(COALESCE(shared_nano, 0) / 1e9
+                 + 0.5 * ln(2)
+                   * ((na - COALESCE(sca, 0)) / CAST(na AS DOUBLE)
+                      + (nb - COALESCE(scb, 0)) / CAST(nb AS DOUBLE)),
+                 6) AS js_divergence
+    FROM universe u LEFT JOIN agg
+      ON agg.src_a = u.src_a AND agg.src_b = u.src_b
+    """,
+)
+def q_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (textstats.source_divergence_matrix) — the
+    domain-distance matrix behind mixture design. DSIR's exactness
+    discipline: per-token contributions fixed-pointed to integer
+    nano-units, pair aggregation an exact integer sum; one-sided mass
+    in closed form from exact shared-count sums (inner join only)."""
+    return textstats.source_divergence_matrix(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "ngram_coverage_curve",
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKENS} AS ts FROM documents),
+    grams AS (
+      SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram,
+             COUNT(*) AS c
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE len(ts) >= 3
+      GROUP BY 1),
+    total AS (SELECT SUM(c) AS total FROM grams),
+    ranked AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, gram ASC) AS r,
+             SUM(c) OVER (ORDER BY c DESC, gram ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM grams),
+    ks AS (SELECT * FROM (VALUES (10), (100), (1000)) v(k))
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS head_types,
+           CAST(MAX(cum) AS BIGINT) AS covered_occurrences,
+           (SELECT CAST(total AS BIGINT) FROM total) AS total_occurrences,
+           ROUND(MAX(cum) / (SELECT CAST(total AS DOUBLE) FROM total), 6)
+             AS coverage
+    FROM ranked JOIN ks ON r <= k
+    GROUP BY k
+    """,
+)
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram head-coverage curve (textstats.ngram_coverage_curve):
+    the fraction of n-gram occurrences covered by the top-10/100/1000
+    types — vocabulary/cache truncation design. The head cut is
+    TakeOrderedAndProject (per-task heap, no global sort); the
+    cumulative walk is a window over the bounded head frame."""
+    return textstats.ngram_coverage_curve(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "token_position_stats",
+    oracle=f"""
+    WITH placed AS (
+      SELECT t[i] AS token,
+             CASE WHEN len(t) <= 1 THEN 500
+                  ELSE (1000 * (i - 1)) // (len(t) - 1) END AS pos_mil
+      FROM (SELECT {DUCK_TOKENS} AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)),
+    stats AS (
+      SELECT token, COUNT(*) AS n_occurrences,
+             SUM(CAST(pos_mil AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(pos_mil * pos_mil AS DECIMAL(38,0))) AS s2
+      FROM placed GROUP BY 1)
+    SELECT token,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           ROUND(CAST(s1 AS DOUBLE) / n_occurrences, 2) AS mean_pos_mil,
+           ROUND(sqrt(GREATEST(
+                 CAST(s2 AS DOUBLE) / n_occurrences
+                 - (CAST(s1 AS DOUBLE) / n_occurrences)
+                   * (CAST(s1 AS DOUBLE) / n_occurrences), 0.0)), 2)
+             AS stddev_pos_mil
+    FROM stats
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_token_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token distribution (textstats.token_position_stats):
+    integer-permille positions via exact integer division (no floats
+    in the per-token path), DECIMAL(38,0) moment sums, top-20 by
+    occurrence — the boilerplate/header screen content dedup misses."""
+    return textstats.token_position_stats(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "stratified_kfold_assign",
+    oracle=f"""
+    SELECT doc_id, source AS stratum,
+           CAST((ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY {sampling.sql_md5_bucket('doc_id', 8)},
+                          md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+                AS INTEGER) AS fold
+    FROM documents
+    """,
+)
+def q_stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 5-fold assignment
+    (sampling.stratified_kfold_assign): round-robin deal over the fixed
+    md5 permutation within each source stratum, ranks from the
+    two-phase bucket prefix sum (no whole-stratum window task). The
+    oracle's single per-stratum window is the semantic spec."""
+    return sampling.stratified_kfold_assign(
+        load_table(spark, sf_dir, "documents"), k=5, buckets=8
+    )
+
+
+@register(
+    "dsir_topk_selection",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY log_weight_micro DESC,
+                                     doc_id ASC) AS INTEGER) AS sel_rank,
+             doc_id, n_grams, log_weight_micro
+      FROM ({_DSIR_SQL}) w)
+    WHERE sel_rank <= 50
+    """,
+)
+def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection head (packing.dsir_topk_selection): top-50 most
+    target-like documents by the importance log-ratio, deterministic
+    (weight DESC, doc_id ASC) — TakeOrderedAndProject cut over the
+    shared weight computation; oracle wraps the shared DSIR SQL."""
+    return packing.dsir_topk_selection(
+        load_table(spark, sf_dir, "documents"), k=50
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -8774,7 +8964,11 @@ def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) round-10 additions (never externally sampled) — keep FIRST
-    # (none yet this round)
+    "source_divergence_matrix",
+    "ngram_coverage_curve",
+    "token_position_stats",
+    "stratified_kfold_assign",
+    "dsir_topk_selection",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -8824,16 +9018,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_predicate",
     "fuzzy_join_sources",
     "group_multi_sum",
+    # ── end of the 50-name driver window ──
+    # overflow: the remaining 30 r3-vintage names in vintage-then-name
+    # order (the last five of the r3 block above were displaced by the
+    # five round-10 additions and lead round 11's window), so rounds
+    # 11+ inherit a deterministic continuation; all later-vintage names
+    # fall back to registration order via _ordered_names().
     "group_stats",
     "group_sum",
     "input_file_tag",
     "intersect_keys",
     "jaccard_clusters",
-    # ── end of the 50-name driver window ──
-    # overflow: the remaining 25 r3-vintage names in vintage-then-name
-    # order, so rounds 11+ inherit a deterministic continuation; all
-    # later-vintage names fall back to registration order via
-    # _ordered_names().
     "join_inner",
     "join_left",
     "lang_id",
