@@ -248,6 +248,14 @@ def main() -> None:
         "interleaved_mix_head",
         "passage_chunks",
         "ewma_event_volume",
+        # round-10 additions (divergence/coverage/position are
+        # vocab-bounded aggregates over exact-dup replicas; kfold and
+        # the DSIR head ride the two-phase rank and gram-bucket paths)
+        "source_divergence_matrix",
+        "ngram_coverage_curve",
+        "token_position_stats",
+        "stratified_kfold_assign",
+        "dsir_topk_selection",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
