@@ -290,6 +290,8 @@ HEADLINE = [
     "token_position_stats",
     "stratified_kfold_assign",
     "dsir_topk_selection",
+    "ks_drift_exact",
+    "mannwhitney_value_shift",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1681,3 +1681,157 @@ def cusum_drift(
         )
         .orderBy("day")
     )
+
+
+def ks_drift_exact(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic per event type,
+    before vs after ``split_ts`` — the unbucketed upgrade of
+    :func:`value_drift_screen` (which compares CDFs only at fixed
+    bucket edges and can miss drift inside a bucket). Same relation as
+    approx_percentiles vs the exact percentile family.
+
+    Exact-integer discipline: at each DISTINCT value, the CDF gap is
+    |cumA·nB − cumB·nA| / (nA·nB) — the numerator is computed in
+    DECIMAL(38,0) (cum·n products overflow BIGINT near 10¹⁰ events)
+    and maximized exactly; the single float step is the final
+    division, identical in both engines, rounded to 6dp.
+
+    Scale: the per-(type, value) count is a partial agg (the only
+    corpus-sized pass); the cumulative window runs over DISTINCT
+    VALUES per type — bounded by the value domain (2dp money: ≤ a few
+    100k rows per type), never by event volume — the same
+    bounded-window argument as value_drift_screen's histogram.
+
+    Output: (event_type, n_before, n_after, ks_stat).
+    """
+    tagged = events.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit(split_ts).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("before"),
+    )
+    per_v = tagged.groupBy("event_type", "value").agg(
+        F.sum("before").alias("ca"),
+        F.sum(F.lit(1) - F.col("before")).alias("cb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = per_v.select(
+        "event_type",
+        F.sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cuma"
+        ),
+        F.sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cumb"
+        ),
+    )
+    totals = per_v.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    num = F.abs(
+        F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+    )
+    return (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("bigint").alias("n_before"),
+            F.max("nb").cast("bigint").alias("n_after"),
+            F.max(num).alias("_ks_num"),
+        )
+        .select(
+            "event_type",
+            "n_before",
+            "n_after",
+            F.when(
+                (F.col("n_before") > 0) & (F.col("n_after") > 0),
+                F.round(
+                    F.col("_ks_num").cast("double")
+                    / (
+                        F.col("n_before").cast("double")
+                        * F.col("n_after").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def mannwhitney_value_shift(
+    events: DataFrame, split_ts: str = "2024-01-16"
+) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test statistic per event type, before
+    vs after ``split_ts`` — the rank-based location-shift complement to
+    the KS screen's shape test: U answers "do after-values tend to be
+    LARGER?", robust to outliers where a t-test is not. Reported with
+    the common-language effect size CLES = U/(nA·nB) = P(before >
+    after) + ½P(tie) (Vargha–Delaney A).
+
+    Exact-integer discipline: midranks over ties are half-integers, so
+    the pipeline carries DOUBLED rank sums — for a distinct value
+    spanning combined ranks [r+1, r+c], 2·midrank = 2r + c + 1 —
+    giving 2·R_A as an exact DECIMAL(38,0) sum and
+    2·U_A = 2·R_A − nA(nA+1) exactly. U is presented as the exact
+    half-integer double (x.0 / x.5 — no rounding needed), CLES as one
+    6dp-rounded division.
+
+    Scale shape: identical to :func:`ks_drift_exact` — one partial agg
+    per (type, value), a window over the value-domain-bounded distinct
+    frame, broadcast totals.
+
+    Output: (event_type, n_before, n_after, u_stat, cles).
+    """
+    tagged = events.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit(split_ts).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("before"),
+    )
+    per_v = tagged.groupBy("event_type", "value").agg(
+        F.sum("before").alias("ca"),
+        F.sum(F.lit(1) - F.col("before")).alias("cb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    prev = F.coalesce(
+        F.sum(F.col("ca") + F.col("cb")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    midrank2 = F.lit(2) * prev + (F.col("ca") + F.col("cb")) + F.lit(1)
+    contrib = F.col("ca").cast("decimal(38,0)") * midrank2.cast(
+        "decimal(38,0)"
+    )
+    per_type = per_v.select("event_type", "ca", "cb", contrib.alias("_c")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("ca").cast("bigint").alias("n_before"),
+        F.sum("cb").cast("bigint").alias("n_after"),
+        F.sum("_c").alias("_r2a"),
+    )
+    u2 = (
+        F.col("_r2a")
+        - F.col("n_before").cast("decimal(38,0)")
+        * (F.col("n_before") + 1).cast("decimal(38,0)")
+    )
+    return per_type.select(
+        "event_type",
+        "n_before",
+        "n_after",
+        (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        F.when(
+            (F.col("n_before") > 0) & (F.col("n_after") > 0),
+            F.round(
+                u2.cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_before").cast("double")
+                    * F.col("n_after").cast("double")
+                ),
+                6,
+            ),
+        ).alias("cles"),
+    )

@@ -8944,6 +8944,98 @@ def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ks_drift_exact",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS before
+      FROM events),
+    per_v AS (
+      SELECT event_type, value,
+             SUM(before) AS ca, SUM(1 - before) AS cb
+      FROM tagged GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type,
+             SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+      FROM per_v
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING)),
+    tot AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+            FROM per_v GROUP BY 1),
+    m AS (
+      SELECT c.event_type, MAX(na) AS na, MAX(nb) AS nb,
+             MAX(ABS(CAST(cuma AS HUGEINT) * nb
+                     - CAST(cumb AS HUGEINT) * na)) AS ks_num
+      FROM cum c JOIN tot USING (event_type) GROUP BY 1)
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_before,
+           CAST(nb AS BIGINT) AS n_after,
+           CASE WHEN na > 0 AND nb > 0
+                THEN ROUND(CAST(ks_num AS DOUBLE)
+                           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+           END AS ks_stat
+    FROM m
+    """,
+)
+def q_ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample KS drift statistic per event type
+    (events.ks_drift_exact) — the unbucketed upgrade of
+    value_drift_screen: DECIMAL(38,0) CDF-gap numerators maximized
+    exactly over the value-domain-bounded distinct frame, one float
+    division at the end."""
+    return events.ks_drift_exact(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "mannwhitney_value_shift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS before
+      FROM events),
+    per_v AS (
+      SELECT event_type, value,
+             SUM(before) AS ca, SUM(1 - before) AS cb
+      FROM tagged GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, ca, cb,
+             CAST(ca AS HUGEINT)
+               * (2 * COALESCE(SUM(ca + cb) OVER (
+                      PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (ca + cb) + 1) AS c
+      FROM per_v),
+    per_type AS (
+      SELECT event_type,
+             CAST(SUM(ca) AS BIGINT) AS n_before,
+             CAST(SUM(cb) AS BIGINT) AS n_after,
+             SUM(c) AS r2a
+      FROM ranked GROUP BY 1)
+    SELECT event_type, n_before, n_after,
+           CAST(r2a - CAST(n_before AS HUGEINT) * (n_before + 1) AS DOUBLE)
+             / 2.0 AS u_stat,
+           CASE WHEN n_before > 0 AND n_after > 0
+                THEN ROUND(CAST(r2a - CAST(n_before AS HUGEINT)
+                                      * (n_before + 1) AS DOUBLE)
+                           / (2.0 * CAST(n_before AS DOUBLE)
+                              * CAST(n_after AS DOUBLE)), 6)
+           END AS cles
+    FROM per_type
+    """,
+)
+def q_mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location-shift test per event type
+    (events.mannwhitney_value_shift): doubled midrank sums carried as
+    exact DECIMAL(38,0) integers (ties are half-integer midranks), U
+    presented as the exact half-integer double, CLES (Vargha-Delaney
+    A) as one 6dp division — the rank-based complement to the exact
+    KS shape test."""
+    return events.mannwhitney_value_shift(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -8969,6 +9061,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_position_stats",
     "stratified_kfold_assign",
     "dsir_topk_selection",
+    "ks_drift_exact",
+    "mannwhitney_value_shift",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -9016,14 +9110,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_gap_stats",
     "except_keys",
     "filter_predicate",
-    "fuzzy_join_sources",
-    "group_multi_sum",
     # ── end of the 50-name driver window ──
-    # overflow: the remaining 30 r3-vintage names in vintage-then-name
-    # order (the last five of the r3 block above were displaced by the
-    # five round-10 additions and lead round 11's window), so rounds
+    # overflow: the remaining 32 r3-vintage names in vintage-then-name
+    # order (the last seven of the r3 block above were displaced by the
+    # seven round-10 additions and lead round 11's window), so rounds
     # 11+ inherit a deterministic continuation; all later-vintage names
     # fall back to registration order via _ordered_names().
+    "fuzzy_join_sources",
+    "group_multi_sum",
     "group_stats",
     "group_sum",
     "input_file_tag",

@@ -181,3 +181,83 @@ def test_dsir_selection_is_the_exact_weight_head(spark, sf_dir):
     )
     want = [doc for _key, doc in sorted(full, reverse=True)[:20]]
     assert [r["doc_id"] for r in sel] == want
+
+
+# ── ks_drift_exact + mannwhitney_value_shift ────────────────────────────
+
+
+def _split_events(spark, before_vals, after_vals, event_type="t"):
+    import datetime
+
+    rows = []
+    eid = 0
+    for v in before_vals:
+        rows.append((eid, datetime.datetime(2024, 1, 10), 1, event_type, float(v), "{}"))
+        eid += 1
+    for v in after_vals:
+        rows.append((eid, datetime.datetime(2024, 1, 20), 1, event_type, float(v), "{}"))
+        eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_ks_exact_matches_brute_force_reference(spark):
+    from dumbo_spark.operators import events as E
+
+    a = [1, 1, 2, 3, 5, 8, 8, 9]
+    b = [2, 2, 3, 4, 4, 7, 9, 9, 10]
+    row = E.ks_drift_exact(_split_events(spark, a, b)).collect()[0]
+    # brute force: max |F_A(x) - F_B(x)| over all observed values
+    xs = sorted(set(a) | set(b))
+    ks = max(
+        abs(
+            sum(1 for v in a if v <= x) / len(a)
+            - sum(1 for v in b if v <= x) / len(b)
+        )
+        for x in xs
+    )
+    assert (row["n_before"], row["n_after"]) == (len(a), len(b))
+    assert abs(row["ks_stat"] - ks) < 1e-9
+
+
+def test_ks_exact_detects_inside_bucket_shift(spark):
+    from dumbo_spark.operators import events as E
+
+    # identical 10.0-wide histogram buckets, different within-bucket
+    # values: the bucketed screen (value_drift_screen) reports 0 here;
+    # the exact statistic must not
+    a, b = [1.0, 2.0, 3.0], [7.0, 8.0, 9.0]
+    exact = E.ks_drift_exact(_split_events(spark, a, b)).collect()[0]
+    assert exact["ks_stat"] == 1.0
+    bucketed = E.value_drift_screen(_split_events(spark, a, b)).collect()[0]
+    assert bucketed["ks_stat"] == 0.0
+
+
+def test_mannwhitney_matches_brute_force_pair_count(spark):
+    from dumbo_spark.operators import events as E
+
+    a = [3, 3, 5, 1, 9, 9, 2]
+    b = [4, 3, 8, 8, 1, 6]
+    row = E.mannwhitney_value_shift(_split_events(spark, a, b)).collect()[0]
+    u = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    assert (row["n_before"], row["n_after"]) == (len(a), len(b))
+    assert row["u_stat"] == u
+    assert abs(row["cles"] - u / (len(a) * len(b))) < 1e-6
+
+
+def test_drift_tests_on_fixture_have_sane_ranges(spark, sf_dir):
+    from dumbo_spark.operators import events as E
+    from dumbo_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    for r in E.ks_drift_exact(ev).collect():
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert r["n_before"] > 0 and r["n_after"] > 0
+    for r in E.mannwhitney_value_shift(ev).collect():
+        assert 0.0 <= r["cles"] <= 1.0
+        assert 0.0 <= r["u_stat"] <= r["n_before"] * r["n_after"]

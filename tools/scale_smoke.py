@@ -256,6 +256,8 @@ def main() -> None:
         "token_position_stats",
         "stratified_kfold_assign",
         "dsir_topk_selection",
+        "ks_drift_exact",
+        "mannwhitney_value_shift",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
