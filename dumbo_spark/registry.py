@@ -9036,6 +9036,32 @@ def q_mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.mannwhitney_value_shift(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "streaming_p2_median",
+    # approx_distinct_checked pattern: the P2 marker recurrence is not
+    # SQL-replayable, so the oracle pins (count, exact median,
+    # accuracy-contract flag) and the estimate participates through
+    # the flag
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4)
+             AS exact_median,
+           TRUE AS within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_p2_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming P2 median estimator per event type
+    (streaming/runners.streaming_p2_median; Jain & Chlamtac 1985):
+    five-marker constant-memory state carried across three
+    chronological micro-batches via applyInPandasWithState; settled
+    estimate checked against the exact range-partitioned median."""
+    from dumbo_spark.streaming import runners
+
+    return runners.streaming_p2_median(spark, sf_dir)
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -9063,6 +9089,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_topk_selection",
     "ks_drift_exact",
     "mannwhitney_value_shift",
+    "streaming_p2_median",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -9109,13 +9136,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_quantize",
     "event_gap_stats",
     "except_keys",
-    "filter_predicate",
     # ── end of the 50-name driver window ──
     # overflow: the remaining 32 r3-vintage names in vintage-then-name
     # order (the last seven of the r3 block above were displaced by the
     # seven round-10 additions and lead round 11's window), so rounds
     # 11+ inherit a deterministic continuation; all later-vintage names
     # fall back to registration order via _ordered_names().
+    "filter_predicate",
     "fuzzy_join_sources",
     "group_multi_sum",
     "group_stats",

@@ -181,3 +181,135 @@ def greedy_packing_stream(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+P2_OUTPUT_SCHEMA = (
+    "event_type string, n_seen long, p2_estimate double"
+)
+# 5 marker heights + 5 marker positions + the desired-position
+# increments are derivable, so state is (n, q1..q5, pos1..pos5)
+P2_STATE_SCHEMA = (
+    "n long, q1 double, q2 double, q3 double, q4 double, q5 double,"
+    " n1 long, n2 long, n3 long, n4 long, n5 long"
+)
+
+
+def _p2_step(q: list, pos: list, n: int, x: float, p: float):
+    """One P² update (Jain & Chlamtac 1985, Algorithm after init):
+    pure-Python double arithmetic — deterministic given arrival order.
+    ``q`` = 5 marker heights, ``pos`` = 5 marker positions (1-based),
+    ``n`` = observations so far (>= 5). Returns updated (q, pos)."""
+    # cell of the new observation + extreme adjustment
+    if x < q[0]:
+        q[0] = x
+        k = 0
+    elif x >= q[4]:
+        q[4] = x
+        k = 3
+    else:
+        k = 0
+        while not (q[k] <= x < q[k + 1]):
+            k += 1
+    for i in range(k + 1, 5):
+        pos[i] += 1
+    n += 1
+    # desired positions for quantile p at count n
+    nd = [
+        1.0,
+        (n - 1) * p / 2.0 + 1.0,
+        (n - 1) * p + 1.0,
+        (n - 1) * (1.0 + p) / 2.0 + 1.0,
+        float(n),
+    ]
+    for i in (1, 2, 3):
+        d = nd[i] - pos[i]
+        if (d >= 1.0 and pos[i + 1] - pos[i] > 1) or (
+            d <= -1.0 and pos[i - 1] - pos[i] < -1
+        ):
+            s = 1 if d >= 0 else -1
+            # parabolic (P²) candidate
+            qp = q[i] + s / (pos[i + 1] - pos[i - 1]) * (
+                (pos[i] - pos[i - 1] + s)
+                * (q[i + 1] - q[i])
+                / (pos[i + 1] - pos[i])
+                + (pos[i + 1] - pos[i] - s)
+                * (q[i] - q[i - 1])
+                / (pos[i] - pos[i - 1])
+            )
+            if q[i - 1] < qp < q[i + 1]:
+                q[i] = qp
+            else:  # linear fallback
+                q[i] = q[i] + s * (q[i + s] - q[i]) / (pos[i + s] - pos[i])
+            pos[i] += s
+    return q, pos, n
+
+
+def _update_p2(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # ORDER-SENSITIVE like the packing fold: P² estimates depend on
+    # arrival order, so the runner feeds rank-range slices and rows are
+    # sorted within each batch — the estimate is then a pure function
+    # of the (ts, event_id) stream order and reproducible across runs.
+    P = 0.5
+    if state.exists:
+        st = state.get
+        n = int(st[0])
+        q = [float(v) for v in st[1:6]]
+        pos = [int(v) for v in st[6:11]]
+    else:
+        n, q, pos = 0, [], []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    if len(pdf) == 0:
+        return
+    for x in pdf["value"].astype("float64"):
+        x = float(x)
+        if n < 5:
+            q.append(x)
+            n += 1
+            if n == 5:
+                q.sort()
+                pos = [1, 2, 3, 4, 5]
+            continue
+        q, pos, n = _p2_step(q, pos, n, x, P)
+    # estimate: the middle marker once initialized; before 5 obs, the
+    # median of the held values (exact, tiny)
+    if n < 5:
+        held = sorted(q)
+        m = len(held)
+        est = (
+            held[m // 2]
+            if m % 2
+            else (held[m // 2 - 1] + held[m // 2]) / 2.0
+        )
+        state.update((n, *(held + [0.0] * (5 - m)), 0, 0, 0, 0, 0))
+    else:
+        est = q[2]
+        state.update((n, *q, *pos))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "p2_estimate": [est],
+        }
+    )
+
+
+def p2_quantile_stream(events: DataFrame) -> DataFrame:
+    """Streaming P² median estimator per event type — constant-memory
+    online quantiles (Jain & Chlamtac 1985): five markers per key,
+    parabolic updates, NO sample storage. The state-size story at
+    100 TB: O(types·5 doubles) regardless of stream length, where any
+    exact method needs the data. Emits (type, n_seen, estimate) per
+    micro-batch; the last emission is the settled estimate."""
+    return (
+        events.select("event_type", "ts_us", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_p2,
+            outputStructType=P2_OUTPUT_SCHEMA,
+            stateStructType=P2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
