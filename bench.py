@@ -292,6 +292,8 @@ HEADLINE = [
     "dsir_topk_selection",
     "ks_drift_exact",
     "mannwhitney_value_shift",
+    "min_cost_supplier",
+    "dominant_part_suppliers",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

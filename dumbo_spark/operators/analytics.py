@@ -1696,3 +1696,138 @@ def calibration_bins(orders: DataFrame, k: int = 10) -> DataFrame:
             ).alias("pos_rate"),
         )
     )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in the fixture, so
+    supply cost is the minimum OBSERVED unit price from lineitem):
+    for every size-``size`` part, the region's supplier(s) offering the
+    lowest unit cost — the correlated-scalar-subquery-min pattern
+    (WHERE cost = (SELECT MIN(cost) ... same part)) expressed as one
+    partial-agg min + an equi-join back, never a per-row subquery scan.
+
+    Determinism: unit cost is computed ENTIRELY in integers —
+    unit_cost_e4 = halfup(10⁴·price / qty) via the pure-integer
+    half-up identity (2a + b) div (2b) over exact cent counts — a
+    double ROUND(price/qty, 4) hit a representational midpoint at
+    sf0.001 where Spark's shortest-repr HALF_UP and DuckDB's
+    scaled-double round disagreed by one ulp-step (26.2412 vs
+    26.2413), which integer arithmetic cannot. ALL argmin suppliers
+    are kept (ties survive, as in SQL Q2).
+
+    Scale: lineitem is the only big input (one shuffle to the
+    (part, supp) min agg); part, supplier, nation⋈region broadcast.
+    Output: top 20 by (s_acctbal DESC, n_name, s_name, p_partkey).
+    """
+    region_suppliers = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.where(F.col("r_name") == region_name)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    sized_parts = part.where(F.col("p_size") == size).select(
+        "p_partkey", "p_name"
+    )
+    # _a = price in e4 units (cents*100 — exact: money has 2dp),
+    # _b = qty; half-up integer division: (2a + b) div (2b)
+    costs = (
+        lineitem.where(F.col("l_quantity") > 0)
+        .join(F.broadcast(sized_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(region_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .withColumn(
+            "_a", F.round(F.col("l_extendedprice") * 10000).cast("long")
+        )
+        .withColumn("_b", F.col("l_quantity").cast("long"))
+        .withColumn("_uc", F.expr("(2 * _a + _b) div (2 * _b)"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("_uc").cast("bigint").alias("unit_cost_e4"))
+    )
+    min_per_part = costs.groupBy("p_partkey").agg(
+        F.min("unit_cost_e4").alias("_min_cost")
+    )
+    return (
+        costs.join(F.broadcast(min_per_part), "p_partkey")
+        .where(F.col("unit_cost_e4") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "unit_cost_e4",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: availqty has no fixture source, so the
+    excess-stock predicate becomes shipped-share dominance): suppliers
+    who shipped MORE THAN 20% of some ``name_prefix`` part's total
+    volume — the nested IN (SELECT ... IN (SELECT ...)) chain
+    expressed as filter → per-(supp, part) partial agg → per-part
+    total join → threshold → DISTINCT semi-join back to supplier.
+
+    Determinism: the share predicate is DIVISIONLESS — 5·q_sp > q_p
+    over exact DECIMAL(18,2) quantity sums, so the threshold cut is
+    integer-exact in both engines (a float q/tot > 0.2 could disagree
+    at representation boundaries).
+
+    Scale: one lineitem shuffle on (suppkey, partkey); the part filter
+    broadcasts and prunes the scan; supplier⋈nation broadcasts.
+    Output: (s_name, n_name, n_dominated_parts) ordered by s_name.
+    """
+    from dumbo_spark.functions.numeric import dmoney
+
+    promo = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    sp = (
+        lineitem.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dmoney("l_quantity")).alias("_q"))
+    )
+    per_part = sp.groupBy("l_partkey").agg(F.sum("_q").alias("_tot"))
+    dominated = (
+        sp.join(F.broadcast(per_part), "l_partkey")
+        .where(F.col("_q") * 5 > F.col("_tot"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_dominated_parts"))
+    )
+    return (
+        supplier.join(
+            dominated, F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name", "n_dominated_parts")
+        .orderBy("s_name")
+    )

@@ -9062,6 +9062,84 @@ def q_streaming_p2_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runners.streaming_p2_median(spark, sf_dir)
 
 
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH region_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    costs AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             CAST(MIN((2 * CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+                       + CAST(l_quantity AS BIGINT))
+                      // (2 * CAST(l_quantity AS BIGINT)))
+                  AS BIGINT) AS unit_cost_e4
+      FROM lineitem
+      JOIN (SELECT p_partkey, p_name FROM part WHERE p_size = 15) p
+        ON l_partkey = p_partkey
+      JOIN region_supp ON l_suppkey = s_suppkey
+      WHERE l_quantity > 0
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    mn AS (SELECT p_partkey, MIN(unit_cost_e4) AS m FROM costs GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost_e4
+    FROM costs JOIN mn USING (p_partkey)
+    WHERE unit_cost_e4 = m
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (analytics.min_cost_supplier, adapted — supply
+    cost is the min OBSERVED lineitem unit price since the fixture has
+    no partsupp): correlated-min via partial agg + equi-join back,
+    all argmin ties kept, dims broadcast."""
+    return analytics.min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem JOIN promo ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, SUM(q) AS tot FROM sp GROUP BY 1),
+    dom AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+      FROM sp JOIN pt USING (l_partkey)
+      WHERE q * 5 > tot
+      GROUP BY 1)
+    SELECT s_name, n_name, n_dominated_parts
+    FROM supplier
+    JOIN dom ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (analytics.dominant_part_suppliers, adapted —
+    the availqty excess-stock predicate becomes shipped-share
+    dominance): nested-IN chain as filter -> partial aggs -> DIVISIONLESS
+    threshold (5q > tot over exact DECIMAL sums) -> semi-join back."""
+    return analytics.dominant_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -9090,6 +9168,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ks_drift_exact",
     "mannwhitney_value_shift",
     "streaming_p2_median",
+    "min_cost_supplier",
+    "dominant_part_suppliers",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -9134,14 +9214,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_pagerank",
     "doc_token_stats",
     "embedding_quantize",
-    "event_gap_stats",
-    "except_keys",
     # ── end of the 50-name driver window ──
     # overflow: the remaining 32 r3-vintage names in vintage-then-name
     # order (the last seven of the r3 block above were displaced by the
     # seven round-10 additions and lead round 11's window), so rounds
     # 11+ inherit a deterministic continuation; all later-vintage names
     # fall back to registration order via _ordered_names().
+    "event_gap_stats",
+    "except_keys",
     "filter_predicate",
     "fuzzy_join_sources",
     "group_multi_sum",

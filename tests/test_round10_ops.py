@@ -382,3 +382,91 @@ def test_streaming_p2_state_carry_is_bit_exact(spark, tmp_path):
     settled = max(emitted, key=lambda r: r["n_seen"])
     assert settled["n_seen"] == 200
     assert settled["p2_estimate"] == _p2_python_fold(vals)  # BIT-exact
+
+
+# ── TPC-H Q2 / Q20 shapes ───────────────────────────────────────────────
+
+
+def test_min_cost_supplier_is_the_true_argmin(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+    from dumbo_spark.sources.catalog import load_table
+
+    out = analytics.min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).collect()
+    assert len(out) <= 20
+    # brute-force reference over collected rows
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    part = {
+        r["p_partkey"]
+        for r in load_table(spark, sf_dir, "part").collect()
+        if r["p_size"] == 15
+    }
+    nation = {r["n_nationkey"]: (r["n_regionkey"], r["n_name"])
+              for r in load_table(spark, sf_dir, "nation").collect()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in load_table(spark, sf_dir, "region").collect()}
+    supp = {
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+        if region[nation[r["s_nationkey"]][0]] == "EUROPE"
+    }
+    best: dict = {}
+    for r in li:
+        if r["l_partkey"] in part and r["l_suppkey"] in supp and r["l_quantity"] > 0:
+            a = round(r["l_extendedprice"] * 10000)
+            b = int(r["l_quantity"])
+            uc = (2 * a + b) // (2 * b)
+            key = (r["l_partkey"], r["l_suppkey"])
+            best[key] = min(best.get(key, uc), uc)
+    per_part: dict = {}
+    for (p, s), uc in best.items():
+        per_part.setdefault(p, []).append(uc)
+    for row in out:
+        key = None
+        # every output row must be a true per-part minimum
+        p = row["p_partkey"]
+        assert row["unit_cost_e4"] == min(per_part[p]), (p, row)
+
+
+def test_dominant_part_suppliers_shares_exceed_the_cut(spark, sf_dir):
+    from dumbo_spark.operators import analytics
+    from dumbo_spark.sources.catalog import load_table
+
+    out = analytics.dominant_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    ).collect()
+    assert out  # non-empty at the default fixture scale
+    # brute-force share check
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    promo = {
+        r["p_partkey"]
+        for r in load_table(spark, sf_dir, "part").collect()
+        if r["p_name"].startswith("small")
+    }
+    sp: dict = {}
+    for r in li:
+        if r["l_partkey"] in promo:
+            k = (r["l_suppkey"], r["l_partkey"])
+            sp[k] = sp.get(k, 0) + round(r["l_quantity"] * 100)
+    tot: dict = {}
+    for (s, p), q in sp.items():
+        tot[p] = tot.get(p, 0) + q
+    dom: dict = {}
+    for (s, p), q in sp.items():
+        if q * 5 > tot[p]:
+            dom[s] = dom.get(s, 0) + 1
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    want = sorted((names[s], n) for s, n in dom.items())
+    got = sorted((r["s_name"], r["n_dominated_parts"]) for r in out)
+    assert got == want

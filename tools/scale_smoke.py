@@ -258,6 +258,8 @@ def main() -> None:
         "dsir_topk_selection",
         "ks_drift_exact",
         "mannwhitney_value_shift",
+        "min_cost_supplier",
+        "dominant_part_suppliers",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
