@@ -1800,10 +1800,15 @@ def source_divergence_matrix(documents: DataFrame) -> DataFrame:
     source pair, 6dp nats; 0 = identical distributions, ln2 ≈ 0.6931 =
     disjoint support.
     """
+    # persist the vocab-bounded counts frame: it feeds BOTH pair sides,
+    # the totals, and the pair universe — without it each branch
+    # re-runs the corpus token explode (the dedup_fuzzy bands.persist()
+    # precedent; the frame is vocab·|sources| rows, never corpus-sized)
     counts = (
         documents.select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
     a = (

@@ -218,3 +218,53 @@ def test_det_kmeans_rejects_degenerate_k_and_small_n():
         _det_kmeans(x, k=7)
     # sane call still works and returns k centroids
     assert _det_kmeans(x, k=2).shape == (2, 2)
+
+
+# ── source_divergence_matrix property (round-10 batch 2) ────────────────
+
+
+@settings(**_SETTINGS)
+@given(
+    docs_a=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=16), min_size=1, max_size=4
+    ),
+    docs_b=st.lists(
+        st.text(alphabet="bcd ", min_size=1, max_size=16), min_size=1, max_size=4
+    ),
+)
+def test_js_divergence_matches_python_reference(spark, docs_a, docs_b):
+    import math
+    import re
+
+    from dumbo_spark.operators import textstats
+
+    def toks(t):
+        return [w for w in re.split(r"\W+", t.lower()) if w]
+
+    ca: dict = {}
+    cb: dict = {}
+    for t in docs_a:
+        for w in toks(t):
+            ca[w] = ca.get(w, 0) + 1
+    for t in docs_b:
+        for w in toks(t):
+            cb[w] = cb.get(w, 0) + 1
+    if not ca or not cb:
+        return  # all-separator docs: a source with zero tokens has no
+        # distribution; the operator emits no row for it (no count row)
+    rows = [(i, t, "sa") for i, t in enumerate(docs_a)] + [
+        (1000 + i, t, "sb") for i, t in enumerate(docs_b)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textstats.source_divergence_matrix(d).collect()
+    assert len(out) == 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for w in set(ca) | set(cb):
+        p, q = ca.get(w, 0) / na, cb.get(w, 0) / nb
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log(p / m)
+        if q:
+            js += 0.5 * q * math.log(q / m)
+    assert abs(out[0]["js_divergence"] - js) < 1e-5, (out[0], js)
