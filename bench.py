@@ -294,6 +294,7 @@ HEADLINE = [
     "mannwhitney_value_shift",
     "min_cost_supplier",
     "dominant_part_suppliers",
+    "audio_window_energy",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -196,3 +196,102 @@ def frame_sample(documents: DataFrame, k: int = 4) -> DataFrame:
             "duration_ms",
         )
     )
+
+
+#: per-clip output of the audio window pass (fed to a JVM aggregate)
+AUDIO_CLIP_SCHEMA = (
+    "source string, n_windows long, energy_sum long, quiet_windows long"
+)
+
+#: windowing parameters of audio_window_energy: 25-byte windows every
+#: 10 bytes (the 25ms/10ms STFT convention at 1 byte = 1ms), quiet =
+#: mean byte value below 80 (word bytes are 97-122, spaces 32 — a
+#: space-heavy window reads as silence on the text stand-in payloads)
+AUDIO_WINDOW = 25
+AUDIO_STRIDE = 10
+AUDIO_QUIET_MEAN = 80
+
+
+def audio_window_energy(documents: DataFrame) -> DataFrame:
+    """Audio-shaped multimodal census: treat each payload as a PCM clip
+    (1 byte = 1 ms frame — the stand-in "decode", clearly marked like
+    decode_image's fallback), slide 25 ms windows every 10 ms, and
+    report per-source clip/window counts, mean window energy, and the
+    silence fraction — the windowed-energy screen (VAD-style) an audio
+    curation pipeline runs before transcription.
+
+    What is REAL here (the point of the multimodal family): the binary
+    payload column, the Arrow ``mapInPandas`` boundary, the
+    per-window numpy arithmetic, and the JVM-side aggregation. What is
+    a stand-in: the byte→sample mapping (a real pipeline swaps the
+    decode for soundfile/ffmpeg; the windowing and census are
+    unchanged). Because the stand-in is analytically defined over the
+    payload BYTES, the whole operator carries a full DuckDB oracle —
+    unlike typical stubbed decoders.
+
+    Windowing convention mirrors passage_chunks: window starts advance
+    by stride until start + window >= n (the last window may be
+    short); zero-byte payloads contribute a clip but no windows.
+
+    Output: (source, n_clips, n_windows, mean_energy 4dp,
+    silence_frac 4dp) per source.
+    """
+    from dumbo_spark.session import ensure_runtime_confs
+
+    with_payload = attach_binary(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    ensure_runtime_confs(with_payload.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"source": [], "n_windows": [], "energy_sum": [],
+                    "quiet_windows": []}
+            for src, payload in zip(pdf["source"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    nw, es, qw = 0, 0, 0
+                else:
+                    nw = 1 + max(0, -(-(n - AUDIO_WINDOW) // AUDIO_STRIDE)) \
+                        if n > AUDIO_WINDOW else 1
+                    es, qw = 0, 0
+                    csum = np.concatenate([[0], np.cumsum(b, dtype=np.int64)])
+                    for w in range(nw):
+                        lo = w * AUDIO_STRIDE
+                        hi = min(lo + AUDIO_WINDOW, n)
+                        e = int(csum[hi] - csum[lo])
+                        es += e
+                        if e < AUDIO_QUIET_MEAN * (hi - lo):
+                            qw += 1
+                rows["source"].append(src)
+                rows["n_windows"].append(nw)
+                rows["energy_sum"].append(es)
+                rows["quiet_windows"].append(qw)
+            yield pd.DataFrame(rows)
+
+    clips = with_payload.mapInPandas(fn, AUDIO_CLIP_SCHEMA)
+    return (
+        clips.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clips"),
+            F.sum("n_windows").cast("bigint").alias("n_windows"),
+            F.sum("energy_sum").alias("_es"),
+            F.sum("quiet_windows").alias("_qw"),
+        )
+        .select(
+            "source",
+            "n_clips",
+            "n_windows",
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.col("_es") / F.col("n_windows").cast("double"), 4),
+            ).alias("mean_energy"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.col("_qw") / F.col("n_windows").cast("double"), 4),
+            ).alias("silence_frac"),
+        )
+    )

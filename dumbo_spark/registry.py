@@ -9140,6 +9140,55 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_window_energy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, text AS t, length(text) AS n FROM documents),
+    c AS (
+      SELECT *, CASE WHEN n = 0 THEN 0
+                     WHEN n <= 25 THEN 1
+                     ELSE 1 + CAST(CEIL((n - 25) / 10.0) AS BIGINT)
+                END AS nw
+      FROM d),
+    win AS (
+      SELECT source, t, n,
+             (w - 1) * 10 AS lo, LEAST((w - 1) * 10 + 25, n) AS hi
+      FROM c, UNNEST(generate_series(1, nw)) AS u(w)),
+    we AS (
+      SELECT source, hi - lo AS wl,
+             list_sum(list_transform(generate_series(lo + 1, hi),
+                                     i -> ord(substr(t, i, 1)))) AS e
+      FROM win),
+    clip AS (SELECT source, COUNT(*) AS n_clips, SUM(nw) AS n_windows
+             FROM c GROUP BY 1),
+    agg AS (SELECT source, SUM(e) AS es,
+                   SUM(CASE WHEN e < 80 * wl THEN 1 ELSE 0 END) AS qw
+            FROM we GROUP BY 1)
+    SELECT clip.source,
+           CAST(n_clips AS BIGINT) AS n_clips,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CASE WHEN n_windows > 0
+                THEN ROUND(es / CAST(n_windows AS DOUBLE), 4)
+           END AS mean_energy,
+           CASE WHEN n_windows > 0
+                THEN ROUND(qw / CAST(n_windows AS DOUBLE), 4)
+           END AS silence_frac
+    FROM clip LEFT JOIN agg USING (source)
+    """,
+)
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal census (multimodal.audio_window_energy):
+    25ms/10ms windowed energy + silence fraction over binary payloads
+    via an Arrow mapInPandas pass (real plumbing, analytically-defined
+    stand-in decode — hence a FULL oracle, unlike typical stubs)."""
+    from dumbo_spark.operators import multimodal
+
+    return multimodal.audio_window_energy(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -9170,6 +9219,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_p2_median",
     "min_cost_supplier",
     "dominant_part_suppliers",
+    "audio_window_energy",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -9213,13 +9263,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "doc_pagerank",
     "doc_token_stats",
-    "embedding_quantize",
     # ── end of the 50-name driver window ──
     # overflow: the remaining 32 r3-vintage names in vintage-then-name
     # order (the last seven of the r3 block above were displaced by the
     # seven round-10 additions and lead round 11's window), so rounds
     # 11+ inherit a deterministic continuation; all later-vintage names
     # fall back to registration order via _ordered_names().
+    "embedding_quantize",
     "event_gap_stats",
     "except_keys",
     "filter_predicate",

@@ -470,3 +470,49 @@ def test_dominant_part_suppliers_shares_exceed_the_cut(spark, sf_dir):
     want = sorted((names[s], n) for s, n in dom.items())
     got = sorted((r["s_name"], r["n_dominated_parts"]) for r in out)
     assert got == want
+
+
+# ── audio_window_energy (audio-shaped multimodal census) ────────────────
+
+
+def test_audio_window_energy_matches_byte_reference(spark):
+    from dumbo_spark.operators import multimodal
+
+    texts = ["a", "b" * 25, "c" * 26, "hello world  pad pad pad pad pad!",
+             " " * 30]
+    d = _docs(spark, [(t, "s") for t in texts])
+    row = multimodal.audio_window_energy(d).collect()[0]
+
+    def windows(b):
+        n = len(b)
+        if n == 0:
+            return []
+        if n <= 25:
+            return [(0, n)]
+        nw = 1 + -(-(n - 25) // 10)
+        return [(w * 10, min(w * 10 + 25, n)) for w in range(nw)]
+
+    n_windows, es, qw = 0, 0, 0
+    for t in texts:
+        b = t.encode()
+        for lo, hi in windows(b):
+            e = sum(b[lo:hi])
+            es += e
+            qw += e < 80 * (hi - lo)
+            n_windows += 1
+    assert row["n_clips"] == len(texts)
+    assert row["n_windows"] == n_windows
+    assert row["mean_energy"] == round(es / n_windows, 4)
+    assert row["silence_frac"] == round(qw / n_windows, 4)
+    # the all-spaces clip must register as silence (mean byte 32 < 80)
+    assert qw >= 1
+
+
+def test_audio_window_counts_follow_the_chunk_convention(spark):
+    from dumbo_spark.operators import multimodal
+
+    # n=25 -> 1 window; n=26 -> 2; n=35 -> 2; n=36 -> 3
+    for n, want in ((25, 1), (26, 2), (35, 2), (36, 3)):
+        d = _docs(spark, [("x" * n, "s")])
+        row = multimodal.audio_window_energy(d).collect()[0]
+        assert row["n_windows"] == want, (n, row["n_windows"], want)

@@ -260,6 +260,7 @@ def main() -> None:
         "mannwhitney_value_shift",
         "min_cost_supplier",
         "dominant_part_suppliers",
+        "audio_window_energy",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
