@@ -1963,9 +1963,13 @@ def token_position_stats(documents: DataFrame, top: int = 20) -> DataFrame:
     Output: top tokens by occurrence — (token, n_occurrences,
     mean_pos_mil 2dp, stddev_pos_mil 2dp).
     """
-    placed = documents.select(
-        F.posexplode(tokens("text")).alias("i", "token"),
-        F.size(tokens("text")).alias("n"),
+    # tokenize ONCE through a named projection: inlining tokens("text")
+    # into both posexplode and size ran the regex split twice per doc
+    # (no CSE through the generator) — 7x slower at sf0.1 (4.97s vs
+    # 0.5s, round-10 bench finding)
+    placed = documents.select(tokens("text").alias("toks")).select(
+        F.posexplode("toks").alias("i", "token"),
+        F.size("toks").alias("n"),
     ).select(
         "token",
         F.when(F.col("n") <= 1, F.lit(500))
