@@ -295,6 +295,8 @@ HEADLINE = [
     "min_cost_supplier",
     "dominant_part_suppliers",
     "audio_window_energy",
+    "chi2_lang_source",
+    "error_rate_wilson",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1835,3 +1835,50 @@ def mannwhitney_value_shift(
             ),
         ).alias("cles"),
     )
+
+
+def error_rate_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
+    """Hourly error rate with a Wilson-score 95% interval — the
+    uncertainty-aware upgrade of :func:`error_rate_by_hour` (a 3am
+    hour with 40 events and one error should not alarm like a peak
+    hour with 40k and 1k; the Wilson interval says so, where a normal
+    approximation misbehaves at small n / extreme p).
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    Determinism: p = e/n is one division of exact integers; the
+    remaining arithmetic is a fixed expression over (p, n, z) written
+    identically in the oracle — correctly-rounded IEEE ops on
+    identical inputs, 4dp-rounded bounds (the repo's derived-ratio
+    convention). One conditional-aggregate scan to 24 rows.
+
+    Output: (hour_of_day, n_events, n_errors, error_rate 6dp,
+    wilson_lo 4dp, wilson_hi 4dp).
+    """
+    base = events.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_errors"
+        ),
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_errors").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return base.select(
+        "hour_of_day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+        F.round(p, 6).alias("error_rate"),
+        F.round(F.greatest((center - half) / denom, F.lit(0.0)), 4).alias(
+            "wilson_lo"
+        ),
+        F.round(F.least((center + half) / denom, F.lit(1.0)), 4).alias(
+            "wilson_hi"
+        ),
+    ).orderBy("hour_of_day")

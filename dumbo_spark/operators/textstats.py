@@ -2000,3 +2000,68 @@ def token_position_stats(documents: DataFrame, top: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(top)
     )
+
+
+def chi2_lang_source(documents: DataFrame) -> DataFrame:
+    """Chi-square independence test over the language × source
+    contingency table — the single-scalar hypothesis-test companion to
+    :func:`lang_source_contingency`'s per-cell Pearson residuals
+    ("is the language mix independent of source AT ALL" before asking
+    which cells deviate).
+
+    Unlike the residuals table (observed cells only), the statistic
+    needs STRUCTURAL ZEROS: a (lang, source) combination that never
+    occurs still contributes (0−E)²/E = E, so the cell universe is the
+    cross of the observed lang and source marginals (a broadcast
+    |langs|×|sources| frame) left-joined with the observed counts.
+
+    Exactness discipline (the JS-divergence convention): each cell's
+    contribution (O−E)²/E is computed from exact integer marginals and
+    immediately fixed-pointed to integer NANO-units; the sum over
+    cells is then an exact integer sum — order-independent,
+    cross-engine. dof = (R−1)(C−1) from the marginal cardinalities.
+
+    Output: one row — (n_langs, n_sources, dof, n_total, chi2 4dp).
+    """
+    # persist: cells feeds FOUR consumers (row/col marginals, total,
+    # and the observed left join) — unpersisted, each re-scans the
+    # corpus (the source_divergence_matrix lesson this same round)
+    cells = (
+        documents.groupBy("lang", "source")
+        .agg(F.count("*").alias("observed"))
+        .persist()
+    )
+    row = cells.groupBy("lang").agg(F.sum("observed").alias("n_lang"))
+    col = cells.groupBy("source").agg(F.sum("observed").alias("n_source"))
+    total = cells.agg(F.sum("observed").alias("n_total"))
+    full = (
+        row.crossJoin(F.broadcast(col))
+        .join(cells, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("o"),
+            "n_lang",
+            "n_source",
+            "n_total",
+        )
+    )
+    e = (
+        F.col("n_lang").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    o = F.col("o").cast("double")
+    contrib_nano = F.round((o - e) * (o - e) / e * F.lit(1e9)).cast("long")
+    return full.select(
+        contrib_nano.alias("_c"), "lang", "source", "n_total"
+    ).agg(
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("int").alias("dof"),
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.round(F.sum("_c") / F.lit(1e9), 4).alias("chi2"),
+    )

@@ -9189,6 +9189,98 @@ def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chi2_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS observed
+      FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, SUM(observed) AS n_lang FROM cells GROUP BY 1),
+    c AS (SELECT source, SUM(observed) AS n_source FROM cells GROUP BY 1),
+    t AS (SELECT SUM(observed) AS n_total FROM cells),
+    fl AS (
+      SELECT r.lang, c.source, COALESCE(observed, 0) AS o,
+             n_lang, n_source, n_total
+      FROM r CROSS JOIN c
+      LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+      CROSS JOIN t),
+    k AS (
+      SELECT CAST(ROUND((CAST(o AS DOUBLE)
+                         - CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                           / CAST(n_total AS DOUBLE))
+                        * (CAST(o AS DOUBLE)
+                           - CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                             / CAST(n_total AS DOUBLE))
+                        / (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                           / CAST(n_total AS DOUBLE))
+                        * 1e9) AS BIGINT) AS cn,
+             lang, source, n_total
+      FROM fl)
+    SELECT CAST(COUNT(DISTINCT lang) AS INTEGER) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS INTEGER) AS n_sources,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS INTEGER) AS dof,
+           CAST(MAX(n_total) AS BIGINT) AS n_total,
+           ROUND(SUM(cn) / 1e9, 4) AS chi2
+    FROM k
+    """,
+)
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over lang x source
+    (textstats.chi2_lang_source): structural-zero cells included via
+    the marginal cross, per-cell contributions fixed-pointed to
+    integer nano-units (order-independent exact sum), dof from the
+    marginal cardinalities."""
+    return textstats.chi2_lang_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "error_rate_wilson",
+    oracle="""
+    WITH base AS (
+      SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1)
+    SELECT hour_of_day, n_events, n_errors,
+           ROUND(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+             AS error_rate,
+           ROUND(GREATEST(
+             ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+              + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
+              - 1.96 * sqrt(
+                  (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                  * (1.0 - CAST(n_errors AS DOUBLE)
+                           / CAST(n_events AS DOUBLE))
+                  / CAST(n_events AS DOUBLE)
+                  + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)
+                              * CAST(n_events AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n_events AS DOUBLE)), 0.0), 4)
+             AS wilson_lo,
+           ROUND(LEAST(
+             ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+              + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
+              + 1.96 * sqrt(
+                  (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                  * (1.0 - CAST(n_errors AS DOUBLE)
+                           / CAST(n_events AS DOUBLE))
+                  / CAST(n_events AS DOUBLE)
+                  + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)
+                              * CAST(n_events AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n_events AS DOUBLE)), 1.0), 4)
+             AS wilson_hi
+    FROM base ORDER BY hour_of_day
+    """,
+)
+def q_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error rate with Wilson-score 95% bounds
+    (events.error_rate_wilson): the uncertainty-aware companion to
+    error_rate_by_hour; fixed closed-form expression over exact
+    integer counts, written identically in both engines."""
+    return events.error_rate_wilson(load_table(spark, sf_dir, "events"))
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -9220,6 +9312,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "min_cost_supplier",
     "dominant_part_suppliers",
     "audio_window_energy",
+    "chi2_lang_source",
+    "error_rate_wilson",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -9261,14 +9355,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cube_counts",
     "doc_chunks",
     "doc_fingerprint",
+    # ── end of the 50-name driver window ──
+    # overflow: the remaining r3-vintage names in vintage-then-name
+    # order (the tail of the r3 block above was displaced name-for-name
+    # by the 13 round-10 additions and leads round 11's window), so
+    # rounds 11+ inherit a deterministic continuation; all
+    # later-vintage names fall back to registration order via
+    # _ordered_names().
     "doc_pagerank",
     "doc_token_stats",
-    # ── end of the 50-name driver window ──
-    # overflow: the remaining 32 r3-vintage names in vintage-then-name
-    # order (the last seven of the r3 block above were displaced by the
-    # seven round-10 additions and lead round 11's window), so rounds
-    # 11+ inherit a deterministic continuation; all later-vintage names
-    # fall back to registration order via _ordered_names().
     "embedding_quantize",
     "event_gap_stats",
     "except_keys",

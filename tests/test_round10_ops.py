@@ -516,3 +516,68 @@ def test_audio_window_counts_follow_the_chunk_convention(spark):
         d = _docs(spark, [("x" * n, "s")])
         row = multimodal.audio_window_energy(d).collect()[0]
         assert row["n_windows"] == want, (n, row["n_windows"], want)
+
+
+# ── chi2_lang_source + error_rate_wilson (statistical eval pair) ────────
+
+
+def test_chi2_matches_python_reference_and_zero_for_independence(spark):
+    from dumbo_spark.operators import textstats
+
+    # perfectly independent 2x2 table: counts = rowshare * colshare * N
+    rows = []
+    i = 0
+    for lang, src, n in [("en", "a", 8), ("en", "b", 2), ("fr", "a", 4), ("fr", "b", 1)]:
+        for _ in range(n):
+            rows.append((i, "w", lang, src))
+            i += 1
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = textstats.chi2_lang_source(d).collect()[0]
+    # marginals: en=10, fr=5; a=12, b=3; N=15 -> E matches O exactly
+    assert (r["n_langs"], r["n_sources"], r["dof"], r["n_total"]) == (2, 2, 1, 15)
+    assert r["chi2"] == 0.0
+
+
+def test_chi2_includes_structural_zero_cells(spark):
+    from dumbo_spark.operators import textstats
+
+    # (fr, b) never occurs -> its cell still contributes E
+    rows = []
+    i = 0
+    for lang, src, n in [("en", "a", 5), ("en", "b", 5), ("fr", "a", 5)]:
+        for _ in range(n):
+            rows.append((i, "w", lang, src))
+            i += 1
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = textstats.chi2_lang_source(d).collect()[0]
+    # python reference with zero cells
+    obs = {("en", "a"): 5, ("en", "b"): 5, ("fr", "a"): 5, ("fr", "b"): 0}
+    rl = {"en": 10, "fr": 5}
+    cl = {"a": 10, "b": 5}
+    chi2 = sum(
+        (o - rl[l] * cl[s] / 15) ** 2 / (rl[l] * cl[s] / 15)
+        for (l, s), o in obs.items()
+    )
+    assert abs(r["chi2"] - chi2) < 1e-4
+    assert r["chi2"] > 0
+
+
+def test_wilson_bounds_bracket_the_rate_and_clip(spark, sf_dir):
+    import math
+
+    from dumbo_spark.operators import events as E
+    from dumbo_spark.sources.catalog import load_table
+
+    rows = E.error_rate_wilson(load_table(spark, sf_dir, "events")).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["error_rate"] + 1e-9
+        assert r["error_rate"] - 1e-9 <= r["wilson_hi"] <= 1.0
+        # python reference
+        n, e = r["n_events"], r["n_errors"]
+        p, z = e / n, 1.96
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert abs(r["wilson_lo"] - round(max((center - half) / denom, 0.0), 4)) < 1e-9
+        assert abs(r["wilson_hi"] - round(min((center + half) / denom, 1.0), 4)) < 1e-9

@@ -261,6 +261,8 @@ def main() -> None:
         "min_cost_supplier",
         "dominant_part_suppliers",
         "audio_window_energy",
+        "chi2_lang_source",
+        "error_rate_wilson",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
