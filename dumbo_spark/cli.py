@@ -69,6 +69,8 @@ def cmd_cat(args: argparse.Namespace) -> int:
         df = spark.read.option("sep", "\t" if p.endswith(".tsv") else ",").csv(p)
     elif p.endswith(".txt"):
         df = spark.read.text(p)
+    elif p.endswith(".orc"):
+        df = spark.read.orc(p)
     else:
         df = spark.read.parquet(p)
     for row in df.limit(args.n).collect():
@@ -142,6 +144,8 @@ def cmd_convert(args: argparse.Namespace) -> int:
         df = textio.read_text(spark, src)
     elif src.endswith(".csv"):
         df = textio.read_csv(spark, src)
+    elif src.endswith(".orc"):
+        df = textio.read_orc(spark, src)
     else:
         df = textio.read_parquet(spark, src)
     if args.to == "parquet":
@@ -150,6 +154,8 @@ def cmd_convert(args: argparse.Namespace) -> int:
         textio.write_jsonl(df, args.dst)
     elif args.to == "tsv":
         textio.write_tsv(df, args.dst)
+    elif args.to == "orc":
+        textio.write_orc(df, args.dst)
     else:
         raise SystemExit(f"unknown target format: {args.to}")
     return 0
@@ -281,7 +287,9 @@ def build_parser() -> argparse.ArgumentParser:
     cv = sub.add_parser("convert", help="convert between formats")
     cv.add_argument("src")
     cv.add_argument("dst")
-    cv.add_argument("--to", required=True, choices=["parquet", "jsonl", "tsv"])
+    cv.add_argument(
+        "--to", required=True, choices=["parquet", "jsonl", "tsv", "orc"]
+    )
     cv.add_argument(
         "--tb-schema",
         default="key string, value string",

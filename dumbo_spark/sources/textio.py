@@ -75,6 +75,21 @@ def write_parquet(df: DataFrame, path: str, compression: str = "snappy") -> None
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — the other mainstream columnar format (Hive-era
+    warehouses are full of it; a migration FROM a Hadoop stack, this
+    engine's whole premise, reads ORC before it writes parquet). Spark
+    ships the codec natively; predicate pushdown and column pruning
+    work exactly as for parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "snappy") -> None:
+    """ORC writer (overwrite), for pipelines whose downstream is a
+    Hive/Trino warehouse standardized on ORC."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     """Read parquet across SCHEMA-EVOLVED snapshots: columns added over
     time union into one schema, old files surface the new columns as

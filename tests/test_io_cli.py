@@ -242,3 +242,43 @@ def test_read_parquet_evolving_merges_added_columns(spark):
     assert set(got.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 3.5
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC joins the format surface (round 10): write the nation dim to
+    ORC, read it back byte-identically, and verify predicate pushdown
+    reaches the ORC scan like parquet."""
+    from dumbo_spark.sources import textio
+    from dumbo_spark.sources.catalog import load_table
+
+    src = load_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "nation.orc")
+    textio.write_orc(src, dst)
+    back = textio.read_orc(spark, dst)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.where("n_nationkey = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
+def test_cli_convert_to_and_from_orc(spark, sf_dir, tmp_path, monkeypatch):
+    import sys as _sys
+
+    from dumbo_spark import cli
+    from dumbo_spark.sources.catalog import load_table
+
+    orc_path = str(tmp_path / "region.orc")
+    pq_path = str(tmp_path / "region_back.parquet")
+    rc = cli.main(
+        ["convert", f"{sf_dir}/region.parquet", orc_path, "--to", "orc"]
+    )
+    assert rc == 0
+    rc = cli.main(["convert", orc_path, pq_path, "--to", "parquet"])
+    assert rc == 0
+    a = sorted(map(tuple, spark.read.parquet(pq_path).collect()))
+    b = sorted(map(tuple, load_table(spark, sf_dir, "region").collect()))
+    assert a == b
