@@ -297,6 +297,7 @@ HEADLINE = [
     "audio_window_energy",
     "chi2_lang_source",
     "error_rate_wilson",
+    "decontamination_census",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -2065,3 +2065,60 @@ def chi2_lang_source(documents: DataFrame) -> DataFrame:
         F.max("n_total").cast("bigint").alias("n_total"),
         F.round(F.sum("_c") / F.lit(1e9), 4).alias("chi2"),
     )
+
+
+def decontamination_census(
+    documents: DataFrame, n: int = 3, eval_mod: int = 20, threshold_pct: int = 10
+) -> DataFrame:
+    """The ACTING half of :func:`benchmark_contamination`: apply the
+    standard removal rule (drop corpus documents whose distinct-n-gram
+    overlap with the eval set exceeds ``threshold_pct``%) and report
+    what decontamination costs per source — the census a training run
+    publishes next to its eval suite ("we removed X% of source Y for
+    benchmark overlap").
+
+    The threshold cut is DIVISIONLESS — ``100·n_contaminated >
+    threshold_pct·n_grams`` over exact integer counts — so a document
+    sitting exactly on the boundary is classified identically in both
+    engines (a rounded-ratio compare would not be). Documents with no
+    n-grams (< n tokens) cannot be contaminated and are kept; eval
+    documents are the benchmark, not corpus, and are excluded from the
+    census entirely.
+
+    Plan: the per-doc scores reuse benchmark_contamination's broadcast
+    membership join (the corpus never shuffles); the census adds one
+    doc_id-keyed join back to (source, n_tokens) and a partial agg to
+    |sources| rows.
+
+    Output: (source, n_docs, n_dropped, kept_tokens, dropped_tokens,
+    drop_rate 4dp) per source.
+    """
+    scores = benchmark_contamination(documents, n=n, eval_mod=eval_mod)
+    corpus = documents.where(F.col("doc_id") % eval_mod != 0).select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    j = corpus.join(
+        scores.select("doc_id", "n_grams", "n_contaminated"), "doc_id", "left"
+    )
+    dropped = (
+        F.lit(100) * F.coalesce(F.col("n_contaminated"), F.lit(0))
+        > F.lit(threshold_pct) * F.coalesce(F.col("n_grams"), F.lit(0))
+    ).cast("int")
+    return (
+        j.withColumn("_d", dropped)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_d").cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("_d") == 0, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(F.col("_d") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_tokens"),
+        )
+        .withColumn(
+            "drop_rate",
+            F.round(F.col("n_dropped") / F.col("n_docs").cast("double"), 4),
+        )
+    )

@@ -5898,9 +5898,10 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "benchmark_contamination",
-    oracle=f"""
+# Shared contamination-score SQL (round 10): benchmark_contamination
+# returns it whole; decontamination_census wraps it with the removal
+# rule and per-source census.
+_CONTAM_SQL = f"""
     WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
     g AS (
       SELECT doc_id,
@@ -5922,8 +5923,10 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / COUNT(*), 4) AS contamination
     FROM corpus c LEFT JOIN eval_g e USING (gram)
     GROUP BY c.doc_id
-    """,
-)
+    """
+
+
+@register("benchmark_contamination", oracle=_CONTAM_SQL)
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.benchmark_contamination(
         load_table(spark, sf_dir, "documents"), n=3, eval_mod=20
@@ -9281,6 +9284,41 @@ def q_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.error_rate_wilson(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "decontamination_census",
+    oracle=f"""
+    WITH scores AS ({_CONTAM_SQL}),
+    corpus AS (
+      SELECT doc_id, source, len({DUCK_TOKENS}) AS n_tokens
+      FROM documents WHERE doc_id % 20 <> 0),
+    j AS (
+      SELECT c.source, c.n_tokens,
+             CASE WHEN 100 * COALESCE(s.n_contaminated, 0)
+                       > 10 * COALESCE(s.n_grams, 0)
+                  THEN 1 ELSE 0 END AS d
+      FROM corpus c LEFT JOIN scores s USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d = 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(CASE WHEN d = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS dropped_tokens,
+           ROUND(SUM(d) / CAST(COUNT(*) AS DOUBLE), 4) AS drop_rate
+    FROM j GROUP BY source
+    """,
+)
+def q_decontamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination removal census (textstats.decontamination_census):
+    the acting half of benchmark_contamination — drop corpus docs over
+    10% eval-gram overlap via a DIVISIONLESS integer threshold and
+    report per-source kept/dropped docs and tokens; oracle wraps the
+    shared contamination-score SQL."""
+    return textstats.decontamination_census(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 # ── public accessors (driver contract) ──────────────────────────────────
 
 # The driver's correctness harness walks ``queries()`` in dict order and
@@ -9314,6 +9352,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "audio_window_energy",
     "chi2_lang_source",
     "error_rate_wilson",
+    "decontamination_census",
     # (b) the 28 r2-vintage refreshes (oldest external rows)
     "approx_percentiles",
     "asof_last_click",
@@ -9354,7 +9393,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_source_overlap",
     "cube_counts",
     "doc_chunks",
-    "doc_fingerprint",
     # ── end of the 50-name driver window ──
     # overflow: the remaining r3-vintage names in vintage-then-name
     # order (the tail of the r3 block above was displaced name-for-name
@@ -9362,6 +9400,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rounds 11+ inherit a deterministic continuation; all
     # later-vintage names fall back to registration order via
     # _ordered_names().
+    "doc_fingerprint",
     "doc_pagerank",
     "doc_token_stats",
     "embedding_quantize",

@@ -581,3 +581,50 @@ def test_wilson_bounds_bracket_the_rate_and_clip(spark, sf_dir):
         half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
         assert abs(r["wilson_lo"] - round(max((center - half) / denom, 0.0), 4)) < 1e-9
         assert abs(r["wilson_hi"] - round(min((center + half) / denom, 1.0), 4)) < 1e-9
+
+
+# ── decontamination_census (the acting half of contamination) ───────────
+
+
+def test_decontamination_census_conserves_and_thresholds_exactly(spark, sf_dir):
+    from dumbo_spark.operators import textstats
+    from dumbo_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = textstats.decontamination_census(docs).collect()
+    # eval docs (doc_id % 20 == 0 — exactly source src0 in this
+    # fixture) are excluded from the census
+    assert all(r["source"] != "src0" for r in rows)
+    corpus_n = docs.where("doc_id % 20 != 0").count()
+    assert sum(r["n_docs"] for r in rows) == corpus_n
+    # per-doc reference: drop iff 100*cont > 10*grams (divisionless)
+    scores = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in textstats.benchmark_contamination(docs).collect()
+    }
+    by_src: dict = {}
+    for r in docs.select("doc_id", "source").collect():
+        if r["doc_id"] % 20 == 0:
+            continue
+        g, c = scores.get(r["doc_id"], (0, 0))
+        by_src.setdefault(r["source"], [0, 0])
+        by_src[r["source"]][0] += 1
+        by_src[r["source"]][1] += 100 * c > 10 * g
+    for r in rows:
+        assert (r["n_docs"], r["n_dropped"]) == tuple(by_src[r["source"]]), r
+        assert r["drop_rate"] == round(r["n_dropped"] / r["n_docs"], 4)
+
+
+def test_decontamination_boundary_doc_is_kept(spark):
+    from dumbo_spark.operators import textstats
+
+    # craft a corpus doc with EXACTLY 10% overlap: 10 distinct trigrams,
+    # 1 contaminated -> 100*1 == 10*10, NOT > -> kept
+    eval_doc = (0, "e1 e2 e3", "src_eval")  # doc_id 0 -> eval set
+    # corpus doc: 12 tokens -> 10 trigrams, first one == eval's trigram
+    corpus_doc = (1, "e1 e2 e3 w4 w5 w6 w7 w8 w9 w10 w11 w12", "s")
+    d = spark.createDataFrame(
+        [eval_doc, corpus_doc], "doc_id long, text string, source string"
+    )
+    r = {x["source"]: x for x in textstats.decontamination_census(d).collect()}
+    assert r["s"]["n_docs"] == 1 and r["s"]["n_dropped"] == 0

@@ -263,6 +263,7 @@ def main() -> None:
         "audio_window_energy",
         "chi2_lang_source",
         "error_rate_wilson",
+        "decontamination_census",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
