@@ -1803,7 +1803,12 @@ def source_divergence_matrix(documents: DataFrame) -> DataFrame:
     # persist the vocab-bounded counts frame: it feeds BOTH pair sides,
     # the totals, and the pair universe — without it each branch
     # re-runs the corpus token explode (the dedup_fuzzy bands.persist()
-    # precedent; the frame is vocab·|sources| rows, never corpus-sized)
+    # precedent; the frame is vocab·|sources| rows, never corpus-sized).
+    # Cache lifetime is CALLER-owned (repo convention for persisted
+    # shared subplans — the returned frame is lazy, so unpersisting
+    # here would defeat the share): bench.py clearCache()s between
+    # queries; long-lived sessions should do the same after
+    # materializing (ADVICE r10 low).
     counts = (
         documents.select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
@@ -1972,8 +1977,11 @@ def token_position_stats(documents: DataFrame, top: int = 20) -> DataFrame:
         F.size("toks").alias("n"),
     ).select(
         "token",
+        # cast i to bigint BEFORE multiplying: posexplode yields a
+        # 32-bit index, and 1000*i wraps int32 for documents beyond
+        # ~2.1M tokens (silent with ANSI off) — ADVICE r10
         F.when(F.col("n") <= 1, F.lit(500))
-        .otherwise(F.expr("(1000 * i) div (n - 1)"))
+        .otherwise(F.expr("(1000 * cast(i as bigint)) div (n - 1)"))
         .cast("long")
         .alias("pos_mil"),
     )
@@ -2025,7 +2033,10 @@ def chi2_lang_source(documents: DataFrame) -> DataFrame:
     """
     # persist: cells feeds FOUR consumers (row/col marginals, total,
     # and the observed left join) — unpersisted, each re-scans the
-    # corpus (the source_divergence_matrix lesson this same round)
+    # corpus (the source_divergence_matrix lesson this same round).
+    # Cache lifetime is CALLER-owned (see source_divergence_matrix):
+    # bench.py clearCache()s between queries; long-lived sessions
+    # should do the same after materializing (ADVICE r10 low).
     cells = (
         documents.groupBy("lang", "source")
         .agg(F.count("*").alias("observed"))

@@ -9147,7 +9147,18 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_window_energy",
     oracle="""
     WITH d AS (
-      SELECT doc_id, source, text AS t, length(text) AS n FROM documents),
+      -- the operator works on UTF-8 PAYLOAD BYTES (attach_binary);
+      -- this oracle walks CHARACTERS, which is only equivalent for
+      -- pure-ASCII text — assert that loudly (ADVICE r10 low) so a
+      -- fixture regeneration with non-ASCII fails instead of
+      -- silently diverging
+      SELECT doc_id, source, text AS t,
+             CASE WHEN length(text) = octet_length(encode(text))
+                  THEN length(text)
+                  ELSE CAST(error('audio_window_energy oracle requires '
+                                  'ASCII fixture text') AS BIGINT)
+             END AS n
+      FROM documents),
     c AS (
       SELECT *, CASE WHEN n = 0 THEN 0
                      WHEN n <= 25 THEN 1
@@ -9323,123 +9334,60 @@ def q_decontamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness harness walks ``queries()`` in dict order and
 # caps its sample at 50 names with NO cross-round cursor (observed in
-# r02-r09: each round re-reads the head 50). Round-10 rotation (VERDICT
-# r9 Next #2): with every registered query externally sampled at least
-# once and none failing, the head-50 now refreshes the OLDEST external
-# rows — vintages recomputed from CORRECTNESS_r0*.json this round give
-# 28 names whose latest external row is r2 and 47 whose latest is r3;
-# the window takes all 28 r2 + the alphabetically-first 22 r3, so the
-# external rows that predate seven rounds of machinery change (the
-# round-6 NTILE rewrite, the r9 rank fix, the fixture regenerations)
-# get re-verified on today's code. Any round-10 ADDITION must displace
-# the tail of the r3 block (never-sampled queries take precedence —
-# tests/test_driver_rotation.py enforces both invariants: never-sampled
-# inside the window, and no strictly-older sampled vintage outside it).
-# Locally, tests/test_differential.py still checks every query
-# regardless of order.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) round-10 additions (never externally sampled) — keep FIRST
-    "source_divergence_matrix",
-    "ngram_coverage_curve",
-    "token_position_stats",
-    "stratified_kfold_assign",
-    "dsir_topk_selection",
-    "ks_drift_exact",
-    "mannwhitney_value_shift",
-    "streaming_p2_median",
-    "min_cost_supplier",
-    "dominant_part_suppliers",
-    "audio_window_energy",
-    "chi2_lang_source",
-    "error_rate_wilson",
-    "decontamination_census",
-    # (b) the 28 r2-vintage refreshes (oldest external rows)
-    "approx_percentiles",
-    "asof_last_click",
-    "benchmark_contamination",
-    "bpe_token_count",
-    "cheapest_part_per_brand",
-    "click_attribution",
-    "corpus_clean",
-    "dedup_by_source",
-    "disjunctive_revenue",
-    "embedding_centroids",
-    "events_cascade_rollup",
-    "events_range_join",
-    "events_session_window",
-    "events_sliding_1h_30m",
-    "idle_rich_customers",
-    "large_orders",
-    "nation_trade_volume",
-    "order_count_distribution",
-    "price_histogram",
-    "product_profit",
-    "promo_revenue",
-    "repetition_score",
-    "small_quantity_revenue",
-    "split_train_test",
-    "stratified_sample",
-    "streaming_dedup_keys",
-    "streaming_running_totals",
-    "supplier_part_variety",
-    # (c) the alphabetically-first 22 of the 47 r3-vintage names —
-    # the displacement buffer for any round-10 additions (drop from
-    # the END of this block; the dropped names lead round 11's window)
-    "approx_count_distinct",
-    "asof_next_purchase",
-    "column_profile",
-    "conversion_funnel",
-    "count_distinct",
-    "cross_source_overlap",
-    "cube_counts",
-    "doc_chunks",
-    # ── end of the 50-name driver window ──
-    # overflow: the remaining r3-vintage names in vintage-then-name
-    # order (the tail of the r3 block above was displaced name-for-name
-    # by the 13 round-10 additions and leads round 11's window), so
-    # rounds 11+ inherit a deterministic continuation; all
-    # later-vintage names fall back to registration order via
-    # _ordered_names().
-    "doc_fingerprint",
-    "doc_pagerank",
-    "doc_token_stats",
-    "embedding_quantize",
-    "event_gap_stats",
-    "except_keys",
-    "filter_predicate",
-    "fuzzy_join_sources",
-    "group_multi_sum",
-    "group_stats",
-    "group_sum",
-    "input_file_tag",
-    "intersect_keys",
-    "jaccard_clusters",
-    "join_inner",
-    "join_left",
-    "lang_id",
-    "map_explode",
-    "map_project",
-    "market_share",
-    "multi_source_union",
-    "ngram_count",
-    "parse_props_json",
-    "quality_score",
-    "rollup_counts",
-    "sample_exact_n",
-    "sample_per_group",
-    "streaming_enriched_segments",
-    "streaming_sessionized",
-    "streaming_tumbling_1h",
-    "tagged_multicount",
-    "tfidf_top_terms",
-    "two_phase_agg",
-    "union_all",
-    "upsert_latest",
-    "user_retention",
-    "value_anomalies",
-    "waiting_suppliers",
-    "wordcount",
-)
+# r02-r10: each round re-reads the head 50). Rounds 10 and earlier kept
+# a HAND-FROZEN priority tuple here; the r10 driver sync then stamped
+# every head-50 name vintage 10 while r3-vintage names sat outside the
+# window, self-invalidating the frozen list the moment it was sampled
+# (VERDICT r10 "What's wrong" #1 — the only red test in the tree).
+# Round 11 makes the order DERIVED from the CORRECTNESS vintage map at
+# import time: never-sampled names first (they outrank every vintage),
+# then oldest latest-vintage, name as the tie-break. The rotation
+# invariants in tests/test_driver_rotation.py now hold by construction
+# at EVERY point of the round lifecycle — including immediately after
+# the driver syncs a fresh CORRECTNESS_r{N}.json, because re-importing
+# recomputes the window from the new vintages. Locally,
+# tests/test_differential.py still checks every query regardless of
+# order.
+
+
+def _correctness_vintages(repo_dir: str | None = None) -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r{N}.json sampled it."""
+    import glob
+    import json
+    import os
+    import re
+
+    if repo_dir is None:
+        repo_dir = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                names = json.load(fh)
+        except Exception:
+            continue
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _derive_driver_priority(
+    vintages: dict[str, int] | None = None,
+) -> tuple[str, ...]:
+    """Rotation order over all registered queries: never-sampled first
+    (vintage 0), then oldest latest-vintage, name as tie-break."""
+    if vintages is None:
+        vintages = _correctness_vintages()
+    return tuple(sorted(QUERIES, key=lambda n: (vintages.get(n, 0), n)))
+
+
+_DRIVER_PRIORITY: tuple[str, ...] = _derive_driver_priority()
 
 
 def _ordered_names() -> list[str]:

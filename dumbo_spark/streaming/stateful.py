@@ -255,8 +255,17 @@ def _update_p2(
     if state.exists:
         st = state.get
         n = int(st[0])
-        q = [float(v) for v in st[1:6]]
-        pos = [int(v) for v in st[6:11]]
+        if n >= 5:
+            q = [float(v) for v in st[1:6]]
+            pos = [int(v) for v in st[6:11]]
+        else:
+            # pre-init state holds only n real values; slots beyond n
+            # are 0.0 PADDING written below — restoring them as held
+            # observations would inject spurious zeros at the n==5
+            # sort (ADVICE r10 high: 3-row first batch gave est 30.44
+            # vs correct 34.01 with len(q)==7)
+            q = [float(v) for v in st[1 : 1 + n]]
+            pos = []
     else:
         n, q, pos = 0, [], []
     pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])

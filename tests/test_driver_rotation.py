@@ -84,3 +84,40 @@ def test_window_is_exactly_the_first_fifty_priority_names():
     # (and both tests above) would be reasoning about the wrong window
     head = registry._ordered_names()[:50]
     assert head == list(registry._DRIVER_PRIORITY[:50])
+
+
+def test_invariant_survives_a_simulated_driver_sync():
+    # VERDICT r10 Next #1: the r10 hand-frozen list self-invalidated the
+    # moment the driver synced CORRECTNESS_r10.json (the head-50 names
+    # jumped to vintage 10 while r3 names sat outside). The derived
+    # ordering must hold by construction through that event: simulate a
+    # new round's sync by stamping the CURRENT head-50 with vintage
+    # max+1, re-derive, and re-check both rotation invariants.
+    vintages = registry._correctness_vintages()
+    simulated = dict(vintages)
+    next_round = max(vintages.values(), default=0) + 1
+    for name in registry._ordered_names()[:50]:
+        simulated[name] = next_round
+
+    pri = registry._derive_driver_priority(simulated)
+    assert len(pri) == len(registry.QUERIES)
+    head = set(pri[:50])
+    # invariant 1: never-sampled names (under the simulated map) all fit
+    never = set(registry.QUERIES) - set(simulated)
+    assert never <= head or len(never) > 50
+    # invariant 2: no sampled name inside the window is strictly newer
+    # than a sampled name outside it
+    inside = [simulated[n] for n in head if n in simulated]
+    outside = [simulated[n] for n in pri[50:] if n in simulated]
+    if inside and outside:
+        assert max(inside) <= min(outside)
+
+
+def test_derived_order_is_deterministic_and_total():
+    # same vintage map -> same order; ties broken by name so the driver
+    # window is stable within a round
+    v = registry._correctness_vintages()
+    a = registry._derive_driver_priority(v)
+    b = registry._derive_driver_priority(dict(v))
+    assert a == b
+    assert sorted(a) == sorted(registry.QUERIES)

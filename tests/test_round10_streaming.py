@@ -84,6 +84,56 @@ def test_p2_marker_state_recovers_from_checkpoint(spark, tmp_path):
     assert settled["p2_estimate"] == _p2_python_fold(vals)
 
 
+def test_p2_short_first_batch_state_recovers(spark, tmp_path):
+    # ADVICE r10 high: when the FIRST micro-batch holds < 5 rows the
+    # state tuple pads q with 0.0 up to 5 slots; the restore used to
+    # read all 5 back, so the zeros became phantom observations (3-row
+    # first batch -> est 30.44 vs correct 34.01, len(q)==7). Pin the
+    # pre-init restore path: 3 rows, checkpoint, then the rest — the
+    # settled estimate must be BIT-exact vs the uninterrupted fold.
+    from dumbo_spark.streaming.stateful import p2_quantile_stream
+    from tests.test_round10_ops import _p2_python_fold
+
+    vals = [((i * 48271) % 997) / 10.0 + 20.0 for i in range(60)]
+    rows = [(i, "t", float(v), i * 1000) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts_us long"
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def write_slice(k, lo, hi):
+        d = os.path.join(src, f"slice{k}.parquet")
+        df.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        _stamp_replay_order(d, k)
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+
+    # run 1: only 3 observations — markers NOT yet initialized; the
+    # checkpointed state carries 3 real values + 2 padding zeros
+    write_slice(0, 0, 3)
+    emitted1 = _run_ckpt(
+        spark, p2_quantile_stream(stream()), out_dir, ckpt
+    ).collect()
+    assert max(r["n_seen"] for r in emitted1) == 3
+
+    write_slice(1, 3, 60)
+    emitted2 = _run_ckpt(
+        spark, p2_quantile_stream(stream()), out_dir, ckpt
+    ).collect()
+    settled = max(emitted2, key=lambda r: r["n_seen"])
+    assert settled["n_seen"] == 60
+    assert settled["p2_estimate"] == _p2_python_fold(vals)
+
+
 def test_packing_open_bin_state_recovers_from_checkpoint(spark, tmp_path):
     from dumbo_spark.operators.packing import greedy_pack_bins
     from dumbo_spark.streaming.stateful import greedy_packing_stream
