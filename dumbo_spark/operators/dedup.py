@@ -648,6 +648,118 @@ def cross_source_overlap(documents: DataFrame, prefix_tokens: int = 8) -> DataFr
     )
 
 
+def minhash_signatures_md5(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
+    """(doc_id, sig: array<string>[k]) MinHash signatures with an
+    ENGINE-NEUTRAL hash family: sig[i] = min over shingles of
+    md5('i:' || shingle) as lowercase hex — both Spark and DuckDB
+    produce identical md5 hex over identical UTF-8 bytes and sort hex
+    strings identically, so the whole LSH pipeline built on this is
+    SQL-oracle-checkable end to end (VERDICT r10 Next #3: the
+    xxhash64 family of :func:`minhash_signatures` has no DuckDB
+    equivalent; this is the md5 discipline sample_per_group
+    established, applied to the hash family itself).
+
+    Production trade-off, documented: k md5s per shingle cost more
+    than k seeded xxhash64s (md5 is ~10× the cycles of xxhash64 and
+    strings shuffle wider than longs), so at 100 TB the xxhash64
+    sibling remains the throughput path; the plan SHAPE — corpus-pass
+    explode, k partial-aggregating min()s, docs×k shuffle volume — is
+    identical, so this variant is both a usable operator and the
+    cross-engine proof of the pipeline's semantics.
+    """
+    shingled = documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(ngrams(F.col("toks"), n_shingle)).alias("shingle")
+    )
+    per_shingle = shingled.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")
+                )
+                for i in range(MINHASH_K)
+            ]
+        ).alias("hs"),
+    )
+    return per_shingle.groupBy("doc_id").agg(
+        F.array(*[F.min(F.col("hs")[i]) for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def _band_keys_md5(sig_df: DataFrame) -> DataFrame:
+    """Banded bucket keys for the md5 signature family: band t's key is
+    md5('t|' || the band's 4 signature components) — same banding
+    geometry as :func:`_band_keys`, engine-neutral key derivation."""
+    bands = []
+    for t in range(LSH_BANDS):
+        rows = [F.col("sig")[t * LSH_ROWS + r] for r in range(LSH_ROWS)]
+        bands.append(F.md5(F.concat(F.lit(f"{t}|"), *rows).cast("binary")))
+    return sig_df.select(
+        "doc_id", "sig", F.explode(F.array(*bands)).alias("band_key")
+    )
+
+
+def dedup_fuzzy_verified_md5(
+    documents: DataFrame, min_matches: int = 12, n_shingle: int = 3
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline on the ENGINE-NEUTRAL md5 hash
+    family, with INTEGER thresholds throughout so a SQL oracle can
+    reproduce the edge set exactly:
+
+    - candidates: banded equi-self-join (never a cross join), kept
+      when >= ``min_matches`` of the 32 signature components agree
+      (12/32 = 0.375, the 0.35 candidate threshold's integer form —
+      exact, no float rounding at the boundary);
+    - verification: exact shingle-set Jaccard >= 0.7 as the
+      divisionless integer comparison 10·|∩| >= 7·|∪| (the
+      pagerank_checked oracle discipline).
+
+    Returns (doc_a, doc_b) verified pairs. Same 100 TB shape as
+    :func:`dedup_fuzzy_verified`: exact verification touches only LSH
+    survivors.
+    """
+    bands = _band_keys_md5(minhash_signatures_md5(documents, n_shingle)).persist()
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(matches >= min_matches)
+        .select("doc_a", "doc_b")
+    )
+    shingle_sets = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", F.array_distinct(ngrams(F.col("toks"), n_shingle)).alias("ss")
+    )
+    sa = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ss").alias("set_a")
+    )
+    sb = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ss").alias("set_b")
+    )
+    c = F.size(F.array_intersect("set_a", "set_b"))
+    u = F.size("set_a") + F.size("set_b") - c
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.lit(10) * c >= F.lit(7) * u)
+        .select("doc_a", "doc_b")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     max_iter: int = 10,

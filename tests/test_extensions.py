@@ -67,6 +67,31 @@ def test_fuzzy_verified_exact_jaccard(spark):
     assert all(a == 0 and b == 1 for a, b in pairs)
 
 
+def test_fuzzy_verified_md5_finds_planted_dups(spark):
+    """The engine-neutral md5 MinHash pipeline (r11 doc_pagerank
+    promotion): planted near-dup found, unrelated docs not paired —
+    same contract as the xxhash64 family, different hash family."""
+    rows = [(0, BASE), (1, BASE.replace("garden", "forest"))]
+    rows += [
+        (i, f"noise doc {i} " + " ".join(f"w{i}x{j}" for j in range(25)))
+        for i in range(2, 10)
+    ]
+    got = dedup.dedup_fuzzy_verified_md5(_docs(spark, rows)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert pairs == {(0, 1)}
+
+
+def test_fuzzy_verified_md5_integer_threshold(spark):
+    """10·|∩| >= 7·|∪| boundary: identical docs (jaccard 1) pass; a
+    doc sharing well under 70% of shingles does not."""
+    low_overlap = BASE[: len(BASE) // 2] + " entirely different back half of content here now"
+    rows = [(0, BASE), (1, BASE), (2, low_overlap)]
+    got = dedup.dedup_fuzzy_verified_md5(_docs(spark, rows)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
 def test_simhash_near_dup_pairs(spark):
     rows = [(0, BASE), (1, BASE + " extra"), (2, "completely unrelated words about databases and storage engines and columnar formats and query optimizers for analytics")]
     found = dedup.dedup_simhash(_docs(spark, rows), max_hamming=10).collect()
