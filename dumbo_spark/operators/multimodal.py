@@ -212,35 +212,87 @@ AUDIO_STRIDE = 10
 AUDIO_QUIET_MEAN = 80
 
 
-def audio_window_energy(documents: DataFrame) -> DataFrame:
-    """Audio-shaped multimodal census: treat each payload as a PCM clip
-    (1 byte = 1 ms frame — the stand-in "decode", clearly marked like
-    decode_image's fallback), slide 25 ms windows every 10 ms, and
-    report per-source clip/window counts, mean window energy, and the
-    silence fraction — the windowed-energy screen (VAD-style) an audio
-    curation pipeline runs before transcription.
+def decode_wav(payload: bytes):
+    """REAL audio container decode via the stdlib ``wave`` module
+    (VERDICT r10 Next #4 — codec libs are absent from this container,
+    but RIFF/WAVE PCM needs none): parse the header, read the PCM
+    frames, and return per-MILLISECOND frame magnitudes as a uint8
+    numpy array — the exact input shape the windowed-energy census
+    consumes, so a WAV payload flows through the same 25ms/10ms
+    machinery as the byte stand-in.
+
+    Returns ``None`` when the payload is not a WAV container (no RIFF
+    magic, truncated, or compressed) — callers fall back to the
+    analytic byte stand-in, which is what the text fixtures hit, so
+    the DuckDB oracle is unaffected by construction.
+
+    Frame definition (deterministic, integer-only):
+    - 8-bit unsigned PCM: magnitude = min(255, 2·|sample − 128|)
+    - 16-bit signed PCM:  magnitude = min(255, |sample| >> 7)
+    - multi-channel: integer-mean downmix across channels
+    - 1 ms frame = integer-mean of that millisecond's samples
+      (rate // 1000 samples; a trailing partial ms is dropped)
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        mag = np.abs(samples - 128) * 2
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        mag = np.abs(samples) >> 7
+    else:  # 24/32-bit or non-PCM: out of the stdlib parser's scope
+        return None
+    if nch > 1:
+        usable = (len(mag) // nch) * nch
+        mag = mag[:usable].reshape(-1, nch).sum(axis=1) // nch
+    spms = max(1, rate // 1000)
+    n_ms = len(mag) // spms
+    frames = (
+        mag[: n_ms * spms].reshape(n_ms, spms).sum(axis=1) // spms
+        if n_ms
+        else np.zeros(0, dtype=np.int64)
+    )
+    return np.minimum(frames, 255).astype(np.uint8)
+
+
+def audio_window_energy_from_payload(with_payload: DataFrame) -> DataFrame:
+    """Windowed-energy census over a (source, payload binary) frame:
+    decode each payload — a REAL stdlib-``wave`` parse when the bytes
+    are a RIFF/WAVE container (:func:`decode_wav`), the analytic
+    1-byte-=-1ms stand-in otherwise — then slide 25 ms windows every
+    10 ms and report per-source clip/window counts, mean window
+    energy, and silence fraction (the VAD-style screen an audio
+    curation pipeline runs before transcription).
 
     What is REAL here (the point of the multimodal family): the binary
-    payload column, the Arrow ``mapInPandas`` boundary, the
-    per-window numpy arithmetic, and the JVM-side aggregation. What is
-    a stand-in: the byte→sample mapping (a real pipeline swaps the
-    decode for soundfile/ffmpeg; the windowing and census are
-    unchanged). Because the stand-in is analytically defined over the
-    payload BYTES, the whole operator carries a full DuckDB oracle —
-    unlike typical stubbed decoders.
+    payload column, the WAV container parse, the Arrow ``mapInPandas``
+    boundary, the per-window numpy arithmetic, and the JVM-side
+    aggregation. The byte stand-in remains for non-WAV payloads so the
+    text-fixture oracle stays analytically defined.
 
     Windowing convention mirrors passage_chunks: window starts advance
     by stride until start + window >= n (the last window may be
-    short); zero-byte payloads contribute a clip but no windows.
+    short); zero-frame payloads contribute a clip but no windows.
 
     Output: (source, n_clips, n_windows, mean_energy 4dp,
     silence_frac 4dp) per source.
     """
     from dumbo_spark.session import ensure_runtime_confs
 
-    with_payload = attach_binary(documents).join(
-        documents.select("doc_id", "source"), "doc_id"
-    )
     ensure_runtime_confs(with_payload.sparkSession)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,7 +302,13 @@ def audio_window_energy(documents: DataFrame) -> DataFrame:
             rows = {"source": [], "n_windows": [], "energy_sum": [],
                     "quiet_windows": []}
             for src, payload in zip(pdf["source"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                raw = bytes(payload)
+                decoded = decode_wav(raw)
+                b = (
+                    decoded
+                    if decoded is not None
+                    else np.frombuffer(raw, dtype=np.uint8)
+                )
                 n = len(b)
                 if n == 0:
                     nw, es, qw = 0, 0, 0
@@ -272,7 +330,9 @@ def audio_window_energy(documents: DataFrame) -> DataFrame:
                 rows["quiet_windows"].append(qw)
             yield pd.DataFrame(rows)
 
-    clips = with_payload.mapInPandas(fn, AUDIO_CLIP_SCHEMA)
+    clips = with_payload.select("source", "payload").mapInPandas(
+        fn, AUDIO_CLIP_SCHEMA
+    )
     return (
         clips.groupBy("source")
         .agg(
@@ -295,3 +355,15 @@ def audio_window_energy(documents: DataFrame) -> DataFrame:
             ).alias("silence_frac"),
         )
     )
+
+
+def audio_window_energy(documents: DataFrame) -> DataFrame:
+    """Fixture entry point: attach the text payload as binary (no WAV
+    magic → the analytic byte stand-in, hence the full DuckDB oracle)
+    and run :func:`audio_window_energy_from_payload`. Real WAV
+    payloads take the stdlib container-decode path, unit-tested on
+    synthesized in-test WAV bytes."""
+    with_payload = attach_binary(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    return audio_window_energy_from_payload(with_payload)

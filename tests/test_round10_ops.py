@@ -518,6 +518,85 @@ def test_audio_window_counts_follow_the_chunk_convention(spark):
         assert row["n_windows"] == want, (n, row["n_windows"], want)
 
 
+def _wav_bytes(samples, rate=8000, width=1, nch=1):
+    """Synthesize a real RIFF/WAVE container with the stdlib writer."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes(bytes(samples))
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_decode_wav_real_container_parse():
+    """decode_wav (r11, VERDICT r10 Next #4) parses a REAL WAV
+    container: 8-bit loud-then-silent 8 kHz mono decodes to the exact
+    per-ms magnitude frames the census consumes."""
+    from dumbo_spark.operators.multimodal import decode_wav
+
+    # 100 ms alternating 58/198 (|s-128|*2 = 140), then 150 ms of 128s
+    loud = [58, 198] * 400          # 800 samples = 100 ms at 8 kHz
+    quiet = [128] * 1200            # 1200 samples = 150 ms
+    frames = decode_wav(_wav_bytes(loud + quiet))
+    assert frames is not None and len(frames) == 250
+    assert all(int(v) == 140 for v in frames[:100])
+    assert all(int(v) == 0 for v in frames[100:])
+
+    # 16-bit signed: |s| >> 7, stereo downmix, trailing partial ms drop
+    s16 = [12800, -12800] * 800 + [0] * 8  # 100 ms stereo + partial
+    f16 = decode_wav(_wav_bytes(s16, width=2, nch=2))
+    assert f16 is not None and len(f16) == 100
+    assert all(int(v) == 100 for v in f16)  # 12800 >> 7 = 100
+
+    # non-WAV payloads fall back (None), including RIFF-prefix garbage
+    assert decode_wav(b"plain text payload") is None
+    assert decode_wav(b"RIFFxxxxWAVEgarbage-no-fmt-chunk") is None
+
+
+def test_audio_census_over_real_wav_payloads(spark):
+    """The full operator on WAV payloads: the container decode feeds
+    the same 25ms/10ms windowing; census matches a pure-python fold of
+    the decoded frames."""
+    from dumbo_spark.operators import multimodal
+    from dumbo_spark.operators.multimodal import decode_wav
+
+    clips = [
+        _wav_bytes([58, 198] * 400 + [128] * 1200),          # loud+silence
+        _wav_bytes([128] * 800),                             # pure silence
+        _wav_bytes([0, 255] * 1000),                         # loud 250ms
+    ]
+    d = spark.createDataFrame(
+        [(i, bytearray(c), "wav") for i, c in enumerate(clips)],
+        "doc_id long, payload binary, source string",
+    )
+    row = multimodal.audio_window_energy_from_payload(d).collect()[0]
+
+    n_windows, es, qw = 0, 0, 0
+    for c in clips:
+        b = decode_wav(c)
+        n = len(b)
+        nw = 1 if n <= 25 else 1 + -(-(n - 25) // 10)
+        for w in range(nw):
+            lo, hi = w * 10, min(w * 10 + 25, n)
+            e = int(sum(int(v) for v in b[lo:hi]))
+            es += e
+            qw += e < 80 * (hi - lo)
+            n_windows += 1
+    assert row["n_clips"] == 3
+    assert row["n_windows"] == n_windows
+    assert row["mean_energy"] == round(es / n_windows, 4)
+    assert row["silence_frac"] == round(qw / n_windows, 4)
+    assert 0 < row["silence_frac"] < 1  # both regimes present
+
+
 # ── chi2_lang_source + error_rate_wilson (statistical eval pair) ────────
 
 
