@@ -246,6 +246,113 @@ def test_random_join_specs_match_duckdb(spark, sf_dir, spec):
     assert res.ok, res.report()
 
 
+# ── fuzzed joins with NULLABLE keys + SKEW at the gate scale ─────────────
+#
+# VERDICT r10 Next #5: the fixture-key join fuzz above never exercises
+# NULL join keys or pathological key skew — the classic residual risk
+# (engines agree that NULL = NULL is no match, but NOT-IN-style oracles
+# and NaN-coerced materializations silently diverge). These specs
+# generate 15k-row left frames (the rank-gate scale) with controlled
+# null density and key-domain skew; keys are STRINGS so the
+# Spark→pandas→DuckDB materialization preserves NULL (a long key would
+# coerce to NaN, and DuckDB treats NaN = NaN as TRUE — a false
+# divergence of the harness, not the engines). Anti joins are checked
+# against NOT EXISTS, the form that shares Spark's anti-join NULL
+# semantics.
+
+
+@st.composite
+def null_skew_join_spec(draw):
+    return {
+        "how": draw(
+            st.sampled_from(
+                ["inner", "left", "right", "full", "left_semi", "left_anti"]
+            )
+        ),
+        # key domain size: 3 = ~5k rows per key (heavy skew), 1000 =
+        # mostly-unique right side
+        "domain": draw(st.sampled_from([3, 10, 1000])),
+        # id % mod == 0 -> NULL key; 0 disables nulls on that side
+        "null_mod_l": draw(st.sampled_from([0, 2, 7])),
+        "null_mod_r": draw(st.sampled_from([0, 2, 7])),
+        "n_right": draw(st.sampled_from([5, 200])),
+    }
+
+
+def _null_skew_frame(spark, n, domain, null_mod, salt, id_offset=0):
+    from pyspark.sql import functions as F
+
+    k = F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(domain)).cast("string")
+    if null_mod:
+        k = F.when(F.col("id") % null_mod != 0, k)  # else NULL
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("id"),
+        k.alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(salt + 1)), F.lit(100))).cast(
+            "double"
+        ).alias("v"),
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=null_skew_join_spec())
+def test_fuzzed_null_skew_joins_at_gate_scale(spark, spec):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.functions.numeric import dsum
+    from dumbo_spark.testing import compare_frames
+
+    left = _null_skew_frame(spark, _GATE_N, spec["domain"], spec["null_mod_l"], 3)
+    right = _null_skew_frame(
+        spark, spec["n_right"], spec["domain"], spec["null_mod_r"], 11,
+        id_offset=1_000_000,
+    ).select(F.col("id").alias("rid"), F.col("k").alias("rk"), F.col("v").alias("w"))
+    l_pdf, r_pdf = left.toPandas(), right.toPandas()
+
+    if spec["how"] in ("left_semi", "left_anti"):
+        got = left.join(right, left.k == right.rk, spec["how"]).toPandas()
+        pred = "EXISTS" if spec["how"] == "left_semi" else "NOT EXISTS"
+        sql = f"""
+        SELECT id, k, v FROM lframe l
+        WHERE {pred} (SELECT 1 FROM rframe r WHERE r.rk = l.k)
+        """
+    else:
+        jt = {
+            "inner": "JOIN", "left": "LEFT JOIN",
+            "right": "RIGHT JOIN", "full": "FULL JOIN",
+        }[spec["how"]]
+        got = (
+            left.join(right, left.k == right.rk, spec["how"])
+            .groupBy(left.k.alias("lk"), right.rk.alias("rk"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count("rid").alias("n_r"),
+                dsum("v", "v_sum"),
+            )
+            .toPandas()
+        )
+        sql = f"""
+        SELECT l.k AS lk, r.rk AS rk, COUNT(*) AS n, COUNT(r.rid) AS n_r,
+               CAST(SUM(CAST(l.v AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        FROM lframe l {jt} rframe r ON l.k = r.rk
+        GROUP BY 1, 2
+        """
+    con = duckdb.connect()
+    try:
+        con.register("lframe", l_pdf)
+        con.register("rframe", r_pdf)
+        duck_pdf = con.execute(sql).fetch_df()
+    finally:
+        con.close()
+    res = compare_frames(f"nulljoin:{spec}", got, duck_pdf)
+    assert res.ok, res.report()
+
+
 @st.composite
 def upsert_case(draw):
     n = draw(st.integers(min_value=1, max_value=40))
