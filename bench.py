@@ -316,6 +316,14 @@ EXCLUDE_REASONS = {
         "table-write: times bucketed-table WRITES, not operator "
         "throughput"
     ),
+    "doc_pagerank": (
+        "oracle-proof twin: runs the LSH near-dup graph on the "
+        "ENGINE-NEUTRAL md5 hash family (32 md5s/shingle, ~10x "
+        "xxhash64's cycles — the documented cross-engine-provability "
+        "trade, ~17s at sf0.1); the throughput family's plan shape is "
+        "headline-benched via dedup_canonical / dup_cluster_sizes / "
+        "pagerank_checked"
+    ),
 }
 _REPLAY_REASON = (
     "replay-runner: times sentinel-file replay writes plus stream "
