@@ -178,34 +178,117 @@ def knn_cosine_lsh(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
-#: IVF coarse index cache keyed by (plan, n_cells) — building the cell
-#: assignment is the one-time index-construction step of IVF (at scale
-#: a materialized column/table); queries amortize it, so repeated calls
-#: in one session must not refit KMeans.
-_ivf_cache: dict = {}
+#: quantization scale of the exact-integer k-means: embedding
+#: components become floor(e·1e6) BIGINTs, so squared distances are
+#: EXACT integers (≤ ~1e15 for 64-dim unit-scale vectors — inside both
+#: engines' int64 and double-exact ranges) and the whole Lloyd
+#: iteration is engine-neutral.
+KMEANS_QUANT = 1_000_000
 
 
-def _ivf_index(embeddings: DataFrame, n_cells: int):
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def det_kmeans_cells(
+    embeddings: DataFrame, n_cells: int = 16, n_iter: int = 5
+):
+    """Distributed, deterministic, ENGINE-NEUTRAL Lloyd k-means — the
+    r11 replacement for the Spark-ML coarse quantizer (VERDICT r10
+    Next #3: ML KMeans' seeded k-means|| init is run-stable but not
+    SQL-reproducible, which kept knn_cosine_ivf rows-only forever).
 
-    key = (embeddings._jdf.queryExecution().logical().semanticHash(), n_cells)
-    if key in _ivf_cache:
-        return _ivf_cache[key]
-    vec = embeddings.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    Every step is exact integer arithmetic both engines perform
+    identically:
+
+    - quantize: x_i = floor(e_i · 1e6) as BIGINT (floor of identical
+      IEEE doubles — no rounding-mode divergence);
+    - seed: the ``n_cells`` vectors with smallest
+      (md5(vec_id), vec_id) — the tree's md5 seeding discipline —
+      become cells 0..n_cells-1 in that order;
+    - assign: argmin over cells of Σ(x_i − m_i)², an exact BIGINT,
+      ties broken by cell id;
+    - update: m'_i = floor(Σx_i / n) — exact (the int64 sums are
+      < 2^53, so the double division floors identically to true
+      rational floor); EMPTY cells keep their previous center.
+
+    Magnitude contract: |e_i| ≤ ~180 at dim 64 (squared-distance
+    BIGINTs must stay inside int64: dim·(2·|e|·1e6)² < 2^63).
+    Embedding columns are unit-scale in practice; out-of-contract
+    inputs fail LOUDLY under ANSI (ARITHMETIC_OVERFLOW), never
+    silently — and DuckDB's BIGINT multiply throws at the same
+    magnitudes, so the contract is symmetric.
+
+    Scale shape: assignment is a narrow broadcast-join pass per
+    iteration (corpus × n_cells rows, no corpus shuffle beyond the
+    partial-agg of 64 per-dim sums); the only driver traffic is the
+    n_cells×dim center matrix per iteration — same footprint as the
+    FAISS-style collect in :func:`_ivfpq_index`, fine at 100 TB.
+    Reproducible re-runs are the point: a training-data pipeline that
+    re-executes must produce the identical partition of vector space.
+
+    Returns (assigned DataFrame (vec_id, embedding, cell),
+    centers: list of n_cells quantized BIGINT lists).
+    """
+    q = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * F.lit(float(KMEANS_QUANT))).cast(
+                "long"
+            ),
+        ).alias("x"),
     )
-    # KMeans.fit rejects k > |corpus|; clamp for tiny inputs. The probe
-    # is limit(n_cells).count() — it scans at most n_cells rows, so the
-    # check stays O(n_cells) even on a corpus-scale table
-    n_cells = max(1, min(n_cells, vec.limit(n_cells).count()))
-    model = KMeans(k=n_cells, seed=42, maxIter=10).fit(vec)
-    assigned = model.transform(vec).select(
-        "vec_id", "embedding", F.col("prediction").alias("cell")
-    ).persist()
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    _ivf_cache[key] = (assigned, centers)
-    return assigned, centers
+    # TakeOrderedAndProject seed cut (no global sort); order inside the
+    # n_cells-row result assigns cell ids
+    seed_rows = (
+        q.select(
+            "vec_id",
+            "x",
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    centers = [list(r["x"]) for r in seed_rows]
+    n_cells = len(centers)  # clamp for tiny inputs
+    spark = embeddings.sparkSession
+    dim = len(centers[0])
+
+    def _assign(cents):
+        cent_df = spark.createDataFrame(
+            [(c, m) for c, m in enumerate(cents)], "cell int, m array<long>"
+        )
+        d = F.aggregate(
+            F.zip_with("x", "m", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("_d").asc(), F.col("cell").asc()
+        )
+        return (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn("_d", d)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "embedding", "x", "cell")
+        )
+
+    for _ in range(n_iter):
+        sums = (
+            _assign(centers)
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("x")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new_centers = list(centers)  # empty cells keep previous center
+        for r in sums:
+            n = r["n"]
+            new_centers[r["cell"]] = [r[f"s{i}"] // n for i in range(dim)]
+        centers = new_centers
+    return _assign(centers).select("vec_id", "embedding", "cell"), centers
 
 
 def knn_cosine_ivf(
@@ -220,13 +303,16 @@ def knn_cosine_ivf(
 
     The other classic ANN scale path next to LSH
     (:func:`knn_cosine_lsh`): corpus vectors partition into cells once
-    (seeded KMeans — deterministic for a fixed input), and each query
-    touches only ``n_probe / n_cells`` of the corpus. The cell
-    assignment is exactly the partition-pruning idea applied to vector
-    space; at 100 TB the assignment is a materialized column and the
-    probe is a partition-pruned scan.
+    (:func:`det_kmeans_cells` — deterministic AND SQL-reproducible
+    since r11), and each query touches only ``n_probe / n_cells`` of
+    the corpus. The cell assignment is exactly the partition-pruning
+    idea applied to vector space; at 100 TB the assignment is a
+    materialized column and the probe is a partition-pruned scan.
     """
-    assigned, centers = _ivf_index(embeddings, n_cells)
+    assigned, qcenters = det_kmeans_cells(embeddings, n_cells)
+    centers = [
+        [m / float(KMEANS_QUANT) for m in ms] for ms in qcenters
+    ]
     # one 16-row local relation, not a 16-way union of range(1) plans
     centroids = assigned.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centers)],
@@ -1108,8 +1194,9 @@ def _ivfpq_index(
     Both trainers are :func:`_det_kmeans`, so the whole index follows
     the 6dp/9dp cross-engine rounding discipline and a SQL oracle can
     replay coarse centroids, codebooks, cell assignments, and codes
-    (unlike :func:`knn_cosine_ivf`, whose Spark ML KMeans is only
-    run-stable, not SQL-reproducible).
+    (:func:`knn_cosine_ivf` gained the same property in r11 via the
+    distributed integer-exact :func:`det_kmeans_cells`; this one
+    trains driver-side on a bounded sample, the FAISS convention).
 
     Returns (coarse: (n_cells, d), books: (m, ksub, d//m)).
     """

@@ -2146,13 +2146,115 @@ def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("knn_cosine_ivf", oracle=None)  # approximate by design (IVF):
-# unlike the LSH planes, the coarse index is Spark-ML KMeans (seeded
-# k-means|| init + 10 Lloyd iterations inside the JVM) — not
-# reproducible in SQL, so the cell assignment has no DuckDB twin;
-# recall bounds are value-checked via knn_recall_checked instead
-# (adjudicated r11 against VERDICT r10 Next #3's "if the cell seeds
-# can be md5-derived" — they cannot without replacing Spark ML).
+def _duck_ivf_sql(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    k: int = 5,
+    n_queries: int = 8,
+    dim: int = 64,
+) -> str:
+    """Generated oracle for knn_cosine_ivf: replays the distributed
+    integer-exact Lloyd iteration of similarity.det_kmeans_cells as an
+    UNROLLED chain of CTEs (one assign+update pair per iteration —
+    unrolling sidesteps DuckDB's single-self-reference recursion rule
+    so empty cells can LEFT-JOIN their previous center), then the
+    probe and exact re-rank. Every quantity the two engines compare is
+    an exact BIGINT (squared distances, per-dim sums) or an IEEE
+    double both compute from identical inputs in identical order."""
+    sql = [
+        f"""
+    WITH qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS x
+      FROM embeddings),
+    km0 AS (
+      SELECT cell, m FROM (
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS INTEGER) - 1 AS cell, x AS m
+        FROM qv) WHERE cell < {n_cells})"""
+    ]
+    assign = (
+        "      SELECT vec_id, x, cell FROM (\n"
+        "        SELECT qv.vec_id, qv.x, km{t}.cell,\n"
+        "               ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY\n"
+        "                 list_sum(list_transform(list_zip(qv.x, km{t}.m),\n"
+        "                          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,\n"
+        "                 km{t}.cell ASC) AS rn\n"
+        "        FROM qv, km{t}) WHERE rn = 1"
+    )
+    for t in range(n_iter):
+        sql.append(
+            f""",
+    a{t} AS (
+{assign.format(t=t)}),
+    u{t} AS (
+      SELECT cell,
+             list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+                  ORDER BY i) AS m
+      FROM (SELECT cell, i, SUM(x[i]) AS s, COUNT(*) AS cnt
+            FROM a{t}, UNNEST(generate_series(1, {dim})) AS g(i)
+            GROUP BY cell, i)
+      GROUP BY cell),
+    km{t + 1} AS (
+      SELECT km{t}.cell, COALESCE(u{t}.m, km{t}.m) AS m
+      FROM km{t} LEFT JOIN u{t} ON km{t}.cell = u{t}.cell)"""
+        )
+    cs = (
+        f"{_duck_dot('qs.q_emb', 'cent.c')}"
+        f" / (sqrt({_duck_dot('qs.q_emb', 'qs.q_emb')})"
+        f" * sqrt({_duck_dot('cent.c', 'cent.c')}))"
+    )
+    sql.append(
+        f""",
+    afin AS (
+{assign.format(t=n_iter)}),
+    cent AS (
+      SELECT cell,
+             list_transform(m, v -> CAST(v AS DOUBLE) / 1000000.0) AS c
+      FROM km{n_iter}),
+    qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {n_queries}),
+    probes AS (
+      SELECT query_id, q_emb, cell FROM (
+        SELECT qs.query_id, qs.q_emb, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+                 {cs} DESC, cent.cell ASC) AS pr
+        FROM qs, cent) WHERE pr <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT p.query_id, p.q_emb, a.vec_id, e.embedding
+      FROM probes p JOIN afin a ON a.cell = p.cell
+                    JOIN qv e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round({_duck_dot('q_emb', 'embedding')}
+                   / (sqrt({_duck_dot('q_emb', 'q_emb')})
+                      * sqrt({_duck_dot('embedding', 'embedding')})), 6)
+               AS cos_sim
+      FROM cand)
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
+      FROM scored)
+    WHERE rn <= {k}
+    """
+    )
+    return "".join(sql)
+
+
+@register(
+    "knn_cosine_ivf",
+    # Promoted from rows-only in r11 (VERDICT r10 Next #3): the coarse
+    # quantizer is no longer Spark-ML KMeans but the distributed
+    # integer-exact md5-seeded Lloyd iteration det_kmeans_cells, which
+    # DuckDB replays verbatim (unrolled-CTE oracle) — the last of the
+    # round's promotable ANN/graph names; rows-only drops to 9.
+    oracle=_duck_ivf_sql(),
+)
 def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_ivf(load_table(spark, sf_dir, "embeddings"))
 
@@ -5110,8 +5212,9 @@ def q_knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-centroid dot plus m JVM-side table lookups. The
     deterministic index makes the FULL ranking oracle-backed — the
     recursive-CTE replica replays coarse k-means, residual codebooks,
-    cell assignment, coding, and the norm-corrected ADC score — where
-    the Spark-ML-KMeans `knn_cosine_ivf` can only ever be rows-only."""
+    cell assignment, coding, and the norm-corrected ADC score
+    (`knn_cosine_ivf` gained its own full oracle in r11 via the
+    distributed integer-exact det_kmeans_cells index)."""
     return similarity.knn_cosine_ivfpq(load_table(spark, sf_dir, "embeddings"))
 
 

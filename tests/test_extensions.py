@@ -121,6 +121,46 @@ def test_knn_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_det_kmeans_cells_partition_and_determinism(spark, sf_dir):
+    """The r11 integer-exact Lloyd index (knn_cosine_ivf promotion):
+    every vector lands in exactly one cell, centers are quantized
+    BIGINTs, and a re-run reproduces the identical partition — the
+    reproducibility property Spark-ML KMeans (k-means|| init) never
+    guaranteed across environments."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, c1 = similarity.det_kmeans_cells(emb, n_cells=8, n_iter=3)
+    a2, c2 = similarity.det_kmeans_cells(emb, n_cells=8, n_iter=3)
+    assert c1 == c2
+    rows1 = {r.vec_id: r.cell for r in a1.collect()}
+    rows2 = {r.vec_id: r.cell for r in a2.collect()}
+    assert rows1 == rows2
+    assert len(rows1) == emb.count()  # total partition, no dup/drop
+    assert set(rows1.values()) <= set(range(8))
+    assert all(isinstance(v, int) for ms in c1 for v in ms)
+
+
+def test_det_kmeans_empty_cell_keeps_previous_center(spark):
+    """Two planted clusters of IDENTICAL points, 3 cells: two of the
+    three seeds must share a vector value, so the distance tie sends
+    every row to the lower cell id and the other cell goes EMPTY from
+    iteration 1 — the operator must neither crash nor lose the cell
+    (centers list stays length 3). Magnitudes stay inside the
+    documented |e| <= ~180 int64 contract."""
+    rows = [(i, [50.0] * 4) for i in range(6)]
+    rows += [(i + 6, [-50.0] * 4) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, centers = similarity.det_kmeans_cells(emb, n_cells=3, n_iter=4)
+    assert len(centers) == 3
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    assert len(got) == 12
+    # the two planted clusters never share a cell, and exactly one of
+    # the three cells is unused (the empty-cell path exercised)
+    pos_cells = {got[i] for i in range(6)}
+    neg_cells = {got[i + 6] for i in range(6)}
+    assert pos_cells.isdisjoint(neg_cells)
+    assert len(pos_cells) == 1 and len(neg_cells) == 1
+
+
 def test_stratified_sample_fractions(spark, sf_dir):
     from dumbo_spark.operators.sampling import stratified_sample
 
