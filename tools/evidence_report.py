@@ -44,7 +44,7 @@ def build_report() -> str:
     )
     lines.append("| query | oracle | latest row | verdict |")
     lines.append("|---|---|---|---|")
-    counts = {"full": 0, "rows_only": 0, "never": 0, "fail": 0}
+    counts = {"full": 0, "rows_only": 0, "never": 0, "fail": 0, "promoted": 0}
     for name in sorted(QUERIES):
         has_oracle = QUERIES[name].oracle is not None
         latest = None
@@ -60,8 +60,15 @@ def build_report() -> str:
             rnd, rec = latest
             row = f"r{rnd}"
             if rec.get("err") == "no_oracle":
-                verdict = "rows-only pass"
-                counts["rows_only"] += 1
+                if has_oracle:
+                    # oracle added AFTER the last driver sample (e.g.
+                    # the r11 promotions): locally hash-verified, the
+                    # external row upgrades at its next rotation slot
+                    verdict = "rows-only pass; oracle since added"
+                    counts["promoted"] += 1
+                else:
+                    verdict = "rows-only pass"
+                    counts["rows_only"] += 1
             elif rec.get("hash_match"):
                 verdict = "full pass"
                 counts["full"] += 1
@@ -76,7 +83,9 @@ def build_report() -> str:
         )
     lines.append(
         f"\nTotals: {counts['full']} full external passes, "
-        f"{counts['rows_only']} rows-only by design, {counts['fail']} "
+        f"{counts['rows_only']} rows-only by design, "
+        f"{counts['promoted']} promoted since their last external row "
+        f"(oracle-verified locally, awaiting re-sample), {counts['fail']} "
         f"failed/errored latest rows, {counts['never']} not yet sampled."
     )
     return "\n".join(lines) + "\n"
