@@ -816,6 +816,15 @@ def pagerank(
         deg.write.mode("overwrite").parquet(deg_path)
         deg = deg.sparkSession.read.parquet(deg_path)
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # EDGELESS graph (a corpus with zero verified near-dup pairs):
+        # the uniform init 1/N is undefined, and every downstream
+        # consumer wants "no central documents" — return an empty
+        # (doc_id, rank) frame instead of a ZeroDivisionError (r11
+        # robustness pass; reachable through doc_pagerank /
+        # pagerank_checked whenever the threshold prunes every pair)
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "doc_id long, rank double")
     base = (1.0 - damping) / n_nodes
     ranks = truncate(
         deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")),

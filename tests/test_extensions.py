@@ -92,6 +92,26 @@ def test_fuzzy_verified_md5_integer_threshold(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_fuzzy_verified_md5_degenerate_inputs(spark):
+    """mapredtest-style edges: an all-unique corpus yields no pairs;
+    docs under the 3-token shingle floor are silently shingle-less
+    (excluded from the graph, not crashed on)."""
+    rows = [(0, "one two"), (1, ""), (2, "x")]
+    rows += [(i, f"unique doc {i} " + " ".join(f"q{i}w{j}" for j in range(10)))
+             for i in range(3, 8)]
+    assert dedup.dedup_fuzzy_verified_md5(_docs(spark, rows)).collect() == []
+
+
+def test_pagerank_empty_edge_set_returns_empty(spark):
+    """r11 guard: PageRank over an EDGELESS graph (no verified
+    near-dup pairs anywhere) returns an empty frame instead of
+    dividing by zero nodes."""
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup.pagerank(edges, max_iter=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "rank"]
+
+
 def test_simhash_near_dup_pairs(spark):
     rows = [(0, BASE), (1, BASE + " extra"), (2, "completely unrelated words about databases and storage engines and columnar formats and query optimizers for analytics")]
     found = dedup.dedup_simhash(_docs(spark, rows), max_hamming=10).collect()

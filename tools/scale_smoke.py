@@ -264,6 +264,16 @@ def main() -> None:
         "chi2_lang_source",
         "error_rate_wilson",
         "decontamination_census",
+        # round-11 additions: doc_pagerank rides the md5 LSH pipeline
+        # over the max-duplication replicas (every doc a REPL-way exact
+        # dup — the adversarial pair fan-out the fixture exists to
+        # probe, same class as dedup_jaccard); the ANN trio exercises
+        # the signature/index passes (embeddings stays the fixed
+        # fixture, so corpus growth doesn't apply)
+        "doc_pagerank",
+        "knn_cosine_lsh",
+        "knn_cosine_ivf",
+        "embedding_near_dup",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
