@@ -252,6 +252,11 @@ def det_kmeans_cells(
         .collect()
     )
     centers = [list(r["x"]) for r in seed_rows]
+    if not centers:
+        # empty-input contract (mirrors _ivfpq_index's ADVICE r6 guard)
+        raise ValueError(
+            "det_kmeans_cells: embeddings has no rows — cannot seed an index"
+        )
     n_cells = len(centers)  # clamp for tiny inputs
     spark = embeddings.sparkSession
     dim = len(centers[0])

@@ -159,6 +159,14 @@ def test_det_kmeans_cells_partition_and_determinism(spark, sf_dir):
     assert all(isinstance(v, int) for ms in c1 for v in ms)
 
 
+def test_det_kmeans_empty_input_raises(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="no rows"):
+        similarity.det_kmeans_cells(emb, n_cells=4)
+
+
 def test_det_kmeans_empty_cell_keeps_previous_center(spark):
     """Two planted clusters of IDENTICAL points, 3 cells: two of the
     three seeds must share a vector value, so the distance tie sends
