@@ -822,9 +822,19 @@ def pagerank(
         # consumer wants "no central documents" — return an empty
         # (doc_id, rank) frame instead of a ZeroDivisionError (r11
         # robustness pass; reachable through doc_pagerank /
-        # pagerank_checked whenever the threshold prunes every pair)
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "doc_id long, rank double")
+        # pagerank_checked whenever the threshold prunes every pair).
+        # doc_id keeps the CALLER's id type — pagerank is generic over
+        # it, and a hardcoded long would diverge from the non-empty
+        # path for string/int ids (r11 review finding)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", edges.schema["doc_a"].dataType),
+                T.StructField("rank", T.DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame([], schema)
     base = (1.0 - damping) / n_nodes
     ranks = truncate(
         deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")),

@@ -226,10 +226,11 @@ def decode_wav(payload: bytes):
     analytic byte stand-in, which is what the text fixtures hit, so
     the DuckDB oracle is unaffected by construction.
 
-    Frame definition (deterministic, integer-only):
+    Frame definition (deterministic, integer-only; the per-sample
+    clamp applies BEFORE any averaging):
     - 8-bit unsigned PCM: magnitude = min(255, 2·|sample − 128|)
     - 16-bit signed PCM:  magnitude = min(255, |sample| >> 7)
-    - multi-channel: integer-mean downmix across channels
+    - multi-channel: integer-mean downmix of the clamped magnitudes
     - 1 ms frame = integer-mean of that millisecond's samples
       (rate // 1000 samples; a trailing partial ms is dropped)
     """
@@ -250,10 +251,14 @@ def decode_wav(payload: bytes):
         return None
     if width == 1:
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-        mag = np.abs(samples - 128) * 2
+        # clamp PER SAMPLE (the documented contract) before any
+        # averaging — sample 0 maps to 256 pre-clamp (r11 review:
+        # clamping after the ms-mean gave a different frame whenever
+        # an extreme sample mixed with quiet ones)
+        mag = np.minimum(np.abs(samples - 128) * 2, 255)
     elif width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-        mag = np.abs(samples) >> 7
+        mag = np.minimum(np.abs(samples) >> 7, 255)  # -32768 -> 256 pre-clamp
     else:  # 24/32-bit or non-PCM: out of the stdlib parser's scope
         return None
     if nch > 1:

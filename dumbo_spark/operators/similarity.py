@@ -19,6 +19,8 @@ tie-break, so top-k selection is stable across engines and runs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: fixed hyperplane seed table — part of the operator contract
@@ -84,19 +86,27 @@ def lsh_signatures(embeddings: DataFrame, dim: int = 64, n_bits: int = 16) -> Da
     HOF dot-product folds re-walked per row (measured ~4× slower at
     sf0.1). The hyperplanes are seeded constants shipped in the UDF
     closure, so signatures stay run- and cluster-reproducible.
+
+    Sign bits are taken on INTEGER-quantized components (floor(e·1e6),
+    the det_kmeans_cells discipline) so the ±1 dot is an EXACT int64 —
+    a float dot's sign near zero depends on summation order (BLAS
+    pairwise here vs a SQL fold in the oracle; r11 review finding),
+    while an integer sum is order-free, making the signature
+    engine-reproducible, not merely run-reproducible.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     planes_t = np.array(
-        [_hyperplane(dim, j) for j in range(n_bits)], dtype=np.float64
-    ).T  # (dim, n_bits)
+        [_hyperplane(dim, j) for j in range(n_bits)], dtype=np.int64
+    ).T  # (dim, n_bits), entries ±1
     weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
 
     def _sig_batch(emb):
         m = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (m @ planes_t) > 0
+        mi = np.floor(m * float(KMEANS_QUANT)).astype(np.int64)
+        bits = (mi @ planes_t) > 0  # exact integer matmul
         return pd.Series(bits @ weights)
 
     # no type hints: `from __future__ import annotations` stringifies
@@ -185,6 +195,15 @@ def knn_cosine_lsh(
 #: iteration is engine-neutral.
 KMEANS_QUANT = 1_000_000
 
+#: per-session index memo keyed by (plan, n_cells, n_iter) — building
+#: the cell assignment is the one-time index-construction step of IVF
+#: (at scale a materialized column/table); repeated calls in one
+#: session must not refit (the invariant the old ML-KMeans cache
+#: carried, restored by the r11 review). spark.catalog.clearCache()
+#: drops the persisted blocks but the memoized frames recompute
+#: correctly from lineage.
+_kmeans_cache: dict = {}
+
 
 def det_kmeans_cells(
     embeddings: DataFrame, n_cells: int = 16, n_iter: int = 5
@@ -204,8 +223,10 @@ def det_kmeans_cells(
       become cells 0..n_cells-1 in that order;
     - assign: argmin over cells of Σ(x_i − m_i)², an exact BIGINT,
       ties broken by cell id;
-    - update: m'_i = floor(Σx_i / n) — exact (the int64 sums are
-      < 2^53, so the double division floors identically to true
+    - update: m'_i = floor(double(Σx_i) / n) — the double-quotient
+      formula ITSELF is the contract, computed identically here and
+      in the oracle (identical IEEE conversion + division + floor at
+      ANY magnitude; below 2^53-exact sums it also equals the true
       rational floor); EMPTY cells keep their previous center.
 
     Magnitude contract: |e_i| ≤ ~180 at dim 64 (squared-distance
@@ -226,6 +247,13 @@ def det_kmeans_cells(
     Returns (assigned DataFrame (vec_id, embedding, cell),
     centers: list of n_cells quantized BIGINT lists).
     """
+    key = (
+        embeddings._jdf.queryExecution().logical().semanticHash(),
+        n_cells,
+        n_iter,
+    )
+    if key in _kmeans_cache:
+        return _kmeans_cache[key]
     # persisted: the quantized frame feeds n_iter+1 assignment passes
     # (cache lifetime is CALLER-owned, the repo's persisted-subplan
     # convention — bench.py clearCache()s between queries)
@@ -307,9 +335,18 @@ def det_kmeans_cells(
         new_centers = list(centers)  # empty cells keep previous center
         for r in sums:
             n = r["n"]
-            new_centers[r["cell"]] = [r[f"s{i}"] // n for i in range(dim)]
+            # floor of the IEEE double quotient — the CONTRACT is the
+            # oracle's FLOOR(CAST(s AS DOUBLE)/n), so compute exactly
+            # that here (r11 review: integer s//n is only provably
+            # equal while |s| < 2^53; the double formula is identical
+            # on both sides at ANY magnitude by construction)
+            new_centers[r["cell"]] = [
+                math.floor(r[f"s{i}"] / n) for i in range(dim)
+            ]
         centers = new_centers
-    return _assign(centers).select("vec_id", "embedding", "cell"), centers
+    assigned = _assign(centers).select("vec_id", "embedding", "cell").persist()
+    _kmeans_cache[key] = (assigned, centers)
+    return assigned, centers
 
 
 def knn_cosine_ivf(

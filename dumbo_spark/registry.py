@@ -2059,9 +2059,13 @@ def _duck_lsh_sig(emb: str, dim: int = 64, n_bits: int = 16) -> str:
     splitmix PRNG, no runtime randomness), so they inline into the
     oracle verbatim as +/- mask strings — the r11 promotion move that
     makes the LSH ANN family value-checkable (VERDICT r10 Next #3).
-    Per bit j: dot(emb, plane_j) > 0 contributes 2^j."""
+    Per bit j: the ±1 dot over floor(e·1e6)-quantized components — an
+    EXACT integer, so the sign is summation-order-free on both engines
+    (a float dot near zero is BLAS-order-dependent; r11 review) —
+    contributes 2^j when positive."""
     from dumbo_spark.operators.similarity import _hyperplane
 
+    qterm = f"CAST(FLOOR(CAST({emb}[i] AS DOUBLE) * 1000000) AS BIGINT)"
     terms = []
     for j in range(n_bits):
         mask = "".join(
@@ -2070,8 +2074,8 @@ def _duck_lsh_sig(emb: str, dim: int = 64, n_bits: int = 16) -> str:
         dot = (
             f"list_sum(list_transform(generate_series(1, {dim}), "
             f"i -> CASE WHEN substr('{mask}', i, 1) = '+' "
-            f"THEN CAST({emb}[i] AS DOUBLE) "
-            f"ELSE -CAST({emb}[i] AS DOUBLE) END))"
+            f"THEN {qterm} "
+            f"ELSE -{qterm} END))"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return "\n         + ".join(terms)
@@ -9624,10 +9628,12 @@ def _correctness_vintages(repo_dir: str | None = None) -> dict[str, int]:
         try:
             with open(path) as fh:
                 names = json.load(fh)
+            if not isinstance(names, dict):
+                continue  # unexpected shape: skip, never break import
+            for name in names:
+                latest[name] = max(latest.get(name, 0), rnd)
         except Exception:
             continue
-        for name in names:
-            latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 

@@ -48,8 +48,11 @@ def _py_kmeans(rows, n_cells, n_iter):
             groups.setdefault(c, []).append(x[vid])
         for c, members in groups.items():
             n = len(members)
+            # the contract is floor of the IEEE double quotient (what
+            # the DuckDB oracle computes); equals // below 2^53
             centers[c] = [
-                sum(m[i] for m in members) // n for i in range(len(members[0]))
+                math.floor(sum(m[i] for m in members) / n)
+                for i in range(len(members[0]))
             ]
     return assign(), centers
 
