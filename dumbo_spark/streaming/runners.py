@@ -109,15 +109,13 @@ def _sentinel_safe_bounds(ev: DataFrame):
 
 
 def _run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    # one implementation of the execute-and-snapshot entry point — the
+    # runners used to carry a private copy of windows.run_to_memory,
+    # so a fix to one (e.g. the r11 result-snapshot) could miss the
+    # other (r11 review finding)
+    from dumbo_spark.streaming.windows import run_to_memory
+
+    return run_to_memory(stream_df.sparkSession, stream_df, name, mode)
 
 
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,23 +260,8 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    w = Window.orderBy("us", "event_id")
-    ranked = ev.withColumn("_rk", F.row_number().over(w))
-    n = ranked.count()
     src = os.path.join(_scratch_dir(prefix="dumbo_spark_trans_"), "src")
-    os.makedirs(src)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        (
-            ranked.where(
-                (F.col("_rk") > cuts[i]) & (F.col("_rk") <= cuts[i + 1])
-            )
-            .drop("_rk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(src, f"slice{i}.parquet"))
-        )
-        _stamp_replay_order(os.path.join(src, f"slice{i}.parquet"), i)
+    _write_event_slices(ev, src, order_cols=("us", "event_id"))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -597,13 +580,27 @@ def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "q_streaming_error_bursts_sink", mode="complete")
 
 
-def _write_event_slices(ev: DataFrame, src: str, n_slices: int = 3) -> None:
+def _write_event_slices(
+    ev: DataFrame,
+    src: str,
+    n_slices: int = 3,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> None:
     """Split a frame into ``n_slices`` chronological one-file parquet
-    slices under ``src`` — the micro-batch replay source the upsert
-    sink and its crash-restart test share (coalesce(1) pins each slice
-    to one file so maxFilesPerTrigger=1 yields one batch per slice)."""
-    w = Window.orderBy("ts", "event_id")
-    ranked = ev.withColumn("_rk", F.row_number().over(w))
+    slices under ``src`` — the micro-batch replay source the ordered
+    runners share (coalesce(1) pins each slice to one file so
+    maxFilesPerTrigger=1 yields one batch per slice; each slice gets a
+    strictly increasing mtime stamp — FileStreamSource replays
+    oldest-mtime-first, ADVICE r9). ``order_cols`` names the
+    event-time ordering; streaming_transitions/streaming_p2_median
+    used to hand-roll this same loop with their own column names
+    (r11 review finding)."""
+    w = Window.orderBy(*order_cols)
+    # persisted: the ranked frame feeds the count plus n_slices writes
+    # — unpersisted, every action re-runs the scan + the global-order
+    # window (the known multi-consumer trap); all consumers are
+    # actions inside this function, so the unpersist is safe here
+    ranked = ev.withColumn("_rk", F.row_number().over(w)).persist()
     n = ranked.count()
     os.makedirs(src, exist_ok=True)
     cuts = [i * n // n_slices for i in range(n_slices + 1)]
@@ -616,6 +613,7 @@ def _write_event_slices(ev: DataFrame, src: str, n_slices: int = 3) -> None:
             .parquet(os.path.join(src, f"slice{i}.parquet"))
         )
         _stamp_replay_order(os.path.join(src, f"slice{i}.parquet"), i)
+    ranked.unpersist()
 
 
 def _upsert_combine(df: DataFrame) -> DataFrame:
@@ -874,10 +872,13 @@ def streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_perm(load_table(spark, sf_dir, "documents"), 8)
     w = Window.partitionBy("source", "bucket").orderBy("_k", "doc_id")
     cnt = Window.partitionBy("source", "bucket")
+    # persisted: three filtered writes consume the ranked frame —
+    # unpersisted, each re-runs the tokenize + permutation windows
+    # (the multi-consumer trap; unpersisted below after the writes)
     sliced = docs.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_slice",
         F.floor((F.col("_rn") - 1) * 3 / F.count("*").over(cnt)).cast("int"),
-    )
+    ).persist()
     src = os.path.join(_scratch_dir(prefix="dumbo_spark_pack_"), "src")
     os.makedirs(src)
     # one file per rank-range slice (coalesce(1)) → one micro-batch per
@@ -892,6 +893,7 @@ def streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "bucket", "_k", "doc_id", "n_tokens"
         ).coalesce(1).write.mode("overwrite").parquet(slice_dir)
         _stamp_replay_order(slice_dir, i)
+    sliced.unpersist()
     schema = "source string, bucket int, _k string, doc_id long, n_tokens int"
     stream = (
         spark.readStream.schema(schema)
@@ -933,23 +935,8 @@ def streaming_p2_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
     )
-    w = Window.orderBy("ts_us", "event_id")
-    ranked = ev.withColumn("_rk", F.row_number().over(w))
-    n = ranked.count()
     src = os.path.join(_scratch_dir(prefix="dumbo_spark_p2_"), "src")
-    os.makedirs(src)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        (
-            ranked.where(
-                (F.col("_rk") > cuts[i]) & (F.col("_rk") <= cuts[i + 1])
-            )
-            .drop("_rk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(src, f"slice{i}.parquet"))
-        )
-        _stamp_replay_order(os.path.join(src, f"slice{i}.parquet"), i)
+    _write_event_slices(ev, src, order_cols=("ts_us", "event_id"))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -32,11 +32,20 @@ def _update_totals(
     # money accumulates in integer cents (the pandas mirror of the
     # DECIMAL(18,2) discipline in functions/numeric.py): totals are
     # exact and batch-order-independent, so the final emitted row
-    # hash-matches a DECIMAL sum oracle bit-for-bit
+    # hash-matches a DECIMAL sum oracle bit-for-bit. Cents rounding is
+    # HALF-AWAY-FROM-ZERO on the scaled double — the oracle's
+    # double→DECIMAL(18,2) cast semantics — NOT pandas .round()'s
+    # half-even, which diverges by a cent on sub-cent inputs like
+    # 0.125 (r11 review; 2dp-exact fixtures never exposed it)
+    import numpy as np
+
     total_events, total_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         total_events += len(pdf)
-        total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        v = pdf["value"].to_numpy(dtype="float64")
+        total_cents += int(
+            (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).sum()
+        )
     state.update((total_events, total_cents))
     yield pd.DataFrame(
         {
@@ -78,7 +87,22 @@ def _update_transitions(
         return
     types = pdf["event_type"].tolist()
     if state.exists:
-        types = [state.get[2]] + types
+        last_us, last_eid, last_type = state.get
+        first = pdf.iloc[0]
+        # ENFORCE the order contract the correctness rests on instead
+        # of silently counting a wrong (held → first) transition when
+        # a replay source delivers batches out of event-time order —
+        # the mtime-replay trap class (ADVICE r9), now loud (r11
+        # review: these two state fields were stored but never read)
+        if (int(first["us"]), int(first["event_id"])) <= (last_us, last_eid):
+            raise ValueError(
+                "transition_counts_stream: micro-batch out of event-"
+                f"time order for key {key}: first incoming "
+                f"({int(first['us'])}, {int(first['event_id'])}) <= "
+                f"held ({last_us}, {last_eid}) — the source must "
+                "deliver per-key-ordered batches"
+            )
+        types = [last_type] + types
     counts: dict[tuple[str, str], int] = {}
     for a, b in zip(types, types[1:]):
         counts[(a, b)] = counts.get((a, b), 0) + 1

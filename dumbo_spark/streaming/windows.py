@@ -97,7 +97,13 @@ def run_to_memory(
 ) -> DataFrame:
     """Execute a streaming query to completion over the available data
     (availableNow trigger) and return the result as a batch DataFrame.
-    ``mode``: "complete" for aggregations, "append" for joins/selects."""
+    ``mode``: "complete" for aggregations, "append" for joins/selects.
+
+    The result is SNAPSHOTTED (localCheckpoint): ``spark.table(name)``
+    is a lazy by-name reference that a later run reusing the same
+    query name would silently rebind — and read PARTIALLY-FILLED
+    mid-run — so a held result frame from a previous invocation would
+    corrupt (r11 review finding)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -106,7 +112,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(name).localCheckpoint()
 
 
 def click_purchase_stream_join(
