@@ -108,6 +108,73 @@ def _sentinel_safe_bounds(ev: DataFrame):
     return b
 
 
+def _attribution_replay_sides(
+    spark: SparkSession,
+    ev: DataFrame,
+    prefix: str,
+    purchase_copies: int = 1,
+    sentinels: bool = True,
+) -> dict[str, DataFrame]:
+    """The ONE half-split + sentinel replay construction behind all
+    five attribution runners (r11 review: four ~30-line copies plus a
+    fifth midpoint variant could desynchronize on a sentinel-recipe
+    fix). Per side: the event-type partition split at the time-range
+    midpoint into two chronological one-file halves (each written
+    ``purchase_copies`` times for the purchases side — the
+    at-least-once replay), then optionally two far-future sentinel
+    files (event_id/user_id = −1, max_ts + 30/60 days) that drive the
+    final watermark past every real interval; every file mtime-stamped
+    in delivery order (ADVICE r9). Returns {"clicks": stream,
+    "purchases": stream}."""
+    from datetime import timedelta
+
+    b = _sentinel_safe_bounds(ev)
+    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    base = _scratch_dir(prefix=prefix)
+    sides = {}
+    for side, etype, copies in (
+        ("clicks", "click", 1),
+        ("purchases", "purchase", purchase_copies),
+    ):
+        d = os.path.join(base, side)
+        os.makedirs(d)
+        part = ev.where(F.col("event_type") == etype)
+        seq = 0
+        for half in (
+            part.where(F.col("ts") <= F.lit(mid)),
+            part.where(F.col("ts") > F.lit(mid)),
+        ):
+            for _ in range(copies):
+                p = os.path.join(d, f"f{seq}.parquet")
+                half.coalesce(1).write.mode("overwrite").parquet(p)
+                _stamp_replay_order(p, seq)
+                seq += 1
+        if sentinels:
+            for days in (30, 60):
+                sent = (
+                    ev.limit(1)
+                    .withColumn(
+                        "event_id",
+                        F.lit(-1).cast(ev.schema["event_id"].dataType),
+                    )
+                    .withColumn(
+                        "user_id",
+                        F.lit(-1).cast(ev.schema["user_id"].dataType),
+                    )
+                    .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
+                )
+                p = os.path.join(d, f"f{seq}_sentinel.parquet")
+                sent.coalesce(1).write.mode("overwrite").parquet(p)
+                _stamp_replay_order(p, seq)
+                seq += 1
+        sides[side] = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+    return sides
+
+
 def _run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     # one implementation of the execute-and-snapshot entry point — the
     # runners used to carry a private copy of windows.run_to_memory,
@@ -297,29 +364,13 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumbo_spark.streaming.windows import click_purchase_stream_join
 
     ev = load_table(spark, sf_dir, "events")
-    mid = ev.agg(
-        F.timestamp_micros(
-            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
-        ).alias("m")
-    ).collect()[0]["m"]
-    base = _scratch_dir(prefix="dumbo_spark_attr_")
-    sides = {}
-    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        d = os.path.join(base, side)
-        os.makedirs(d)
-        part = ev.where(F.col("event_type") == etype)
-        for i, half in enumerate(
-            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
-        ):
-            half.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{i}.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{i}.parquet"), i)
-        sides[side] = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{d}/*")
-        )
+    # no sentinels: the inner join emits on match, nothing waits on
+    # watermark expiry (the midpoint is the shared helper's — a ≤1µs
+    # shift vs the old unix_micros average, which cannot change the
+    # half UNION the join consumes)
+    sides = _attribution_replay_sides(
+        spark, ev, "dumbo_spark_attr_", sentinels=False
+    )
     joined = click_purchase_stream_join(sides["clicks"], sides["purchases"])
     return _run_to_memory(joined, "q_streaming_attr_sink", mode="append")
 
@@ -341,42 +392,10 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``click_id >= 0``. The settled output therefore equals the
     batch LEFT JOIN bit-for-bit — the oracle the driver checks.
     """
-    from datetime import timedelta
-
     from dumbo_spark.streaming.windows import click_purchase_stream_left_join
 
     ev = load_table(spark, sf_dir, "events")
-    b = _sentinel_safe_bounds(ev)
-    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
-    base = _scratch_dir(prefix="dumbo_spark_attro_")
-    sides = {}
-    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        d = os.path.join(base, side)
-        os.makedirs(d)
-        part = ev.where(F.col("event_type") == etype)
-        for i, half in enumerate(
-            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
-        ):
-            half.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{i}.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{i}.parquet"), i)
-        for k, days in ((2, 30), (3, 60)):
-            sent = (
-                ev.limit(1)
-                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
-                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
-                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
-            )
-            sent.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{k}_sentinel.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{k}_sentinel.parquet"), k)
-        sides[side] = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{d}/*")
-        )
+    sides = _attribution_replay_sides(spark, ev, "dumbo_spark_attro_")
     joined = click_purchase_stream_left_join(sides["clicks"], sides["purchases"])
     out = _run_to_memory(joined, "q_streaming_attr_outer_sink", mode="append")
     return out.where(F.col("click_id") >= 0)
@@ -401,47 +420,12 @@ def streaming_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in streaming_attribution_outer drive the final watermark past
     every click's window so null rows settle.
     """
-    from datetime import timedelta
-
     from dumbo_spark.streaming.windows import click_purchase_stream_left_join_dedup
 
     ev = load_table(spark, sf_dir, "events")
-    b = _sentinel_safe_bounds(ev)
-    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
-    base = _scratch_dir(prefix="dumbo_spark_attrd_")
-    sides = {}
-    for side, etype, copies in (("clicks", "click", 1), ("purchases", "purchase", 2)):
-        d = os.path.join(base, side)
-        os.makedirs(d)
-        part = ev.where(F.col("event_type") == etype)
-        seq = 0
-        for half in (
-            part.where(F.col("ts") <= F.lit(mid)),
-            part.where(F.col("ts") > F.lit(mid)),
-        ):
-            for _ in range(copies):
-                half.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(d, f"f{seq}.parquet")
-                )
-                _stamp_replay_order(os.path.join(d, f"f{seq}.parquet"), seq)
-                seq += 1
-        for days in (30, 60):
-            sent = (
-                ev.limit(1)
-                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
-                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
-                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
-            )
-            sent.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"f{seq}_sentinel.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"f{seq}_sentinel.parquet"), seq)
-            seq += 1
-        sides[side] = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{d}/*")
-        )
+    sides = _attribution_replay_sides(
+        spark, ev, "dumbo_spark_attrd_", purchase_copies=2
+    )
     joined = click_purchase_stream_left_join_dedup(
         sides["clicks"], sides["purchases"]
     )
@@ -458,42 +442,10 @@ def streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chronological halves + two sentinel files per side driving the
     final watermark past every interval). Sentinels filter out on
     ``event_id >= 0`` applied to whichever side is non-null."""
-    from datetime import timedelta
-
     from dumbo_spark.streaming.windows import click_purchase_stream_full_join
 
     ev = load_table(spark, sf_dir, "events")
-    b = _sentinel_safe_bounds(ev)
-    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
-    base = _scratch_dir(prefix="dumbo_spark_attrf_")
-    sides = {}
-    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        d = os.path.join(base, side)
-        os.makedirs(d)
-        part = ev.where(F.col("event_type") == etype)
-        for i, half in enumerate(
-            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
-        ):
-            half.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{i}.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{i}.parquet"), i)
-        for k, days in ((2, 30), (3, 60)):
-            sent = (
-                ev.limit(1)
-                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
-                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
-                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
-            )
-            sent.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{k}_sentinel.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{k}_sentinel.parquet"), k)
-        sides[side] = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{d}/*")
-        )
+    sides = _attribution_replay_sides(spark, ev, "dumbo_spark_attrf_")
     joined = click_purchase_stream_full_join(sides["clicks"], sides["purchases"])
     out = _run_to_memory(joined, "q_streaming_attr_full_sink", mode="append")
     return out.where(
@@ -509,42 +461,10 @@ def streaming_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves + two sentinel files per side; sentinels guarantee settling
     whichever emission policy the semi join uses, match-eager or
     watermark-delayed). Sentinels filter out on ``click_id >= 0``."""
-    from datetime import timedelta
-
     from dumbo_spark.streaming.windows import click_purchase_stream_semi_join
 
     ev = load_table(spark, sf_dir, "events")
-    b = _sentinel_safe_bounds(ev)
-    mid = b["mn"] + (b["mx"] - b["mn"]) / 2
-    base = _scratch_dir(prefix="dumbo_spark_attrs_")
-    sides = {}
-    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        d = os.path.join(base, side)
-        os.makedirs(d)
-        part = ev.where(F.col("event_type") == etype)
-        for i, half in enumerate(
-            (part.where(F.col("ts") <= F.lit(mid)), part.where(F.col("ts") > F.lit(mid)))
-        ):
-            half.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{i}.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{i}.parquet"), i)
-        for k, days in ((2, 30), (3, 60)):
-            sent = (
-                ev.limit(1)
-                .withColumn("event_id", F.lit(-1).cast(ev.schema["event_id"].dataType))
-                .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
-                .withColumn("ts", F.lit(b["mx"] + timedelta(days=days)))
-            )
-            sent.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(d, f"half{k}_sentinel.parquet")
-            )
-            _stamp_replay_order(os.path.join(d, f"half{k}_sentinel.parquet"), k)
-        sides[side] = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{d}/*")
-        )
+    sides = _attribution_replay_sides(spark, ev, "dumbo_spark_attrs_")
     joined = click_purchase_stream_semi_join(sides["clicks"], sides["purchases"])
     out = _run_to_memory(joined, "q_streaming_attr_semi_sink", mode="append")
     return out.where(F.col("click_id") >= 0)
