@@ -9608,8 +9608,22 @@ def q_decontamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 
-def _correctness_vintages(repo_dir: str | None = None) -> dict[str, int]:
-    """name -> latest round whose CORRECTNESS_r{N}.json sampled it."""
+def _correctness_history(
+    repo_dir: str | None = None,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """(pass_vintages, confirm_vintages) from CORRECTNESS_r{N}.json.
+
+    ``pass_vintages[name]`` is the latest round whose row for ``name``
+    did NOT fail: a full ``hash_match`` pass, or a rows-only sample
+    (``err == "no_oracle"`` — the designed outcome for sketch-class
+    queries). Failed or errored rows do NOT refresh the vintage
+    (ADVICE r11: stamping vintage from mere presence rotated a FAILING
+    query to the back of the window, maximally delaying its re-check;
+    with this rule a failure keeps its prior passing vintage — or 0 —
+    and re-enters the head-50 next round). ``confirm_vintages[name]``
+    is the latest round with a full ``hash_match`` pass, used to spot
+    queries promoted to oracle-backed after their last external sample.
+    """
     import glob
     import json
     import os
@@ -9619,7 +9633,8 @@ def _correctness_vintages(repo_dir: str | None = None) -> dict[str, int]:
         repo_dir = os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
         )
-    latest: dict[str, int] = {}
+    passed: dict[str, int] = {}
+    confirmed: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if m is None:
@@ -9630,21 +9645,61 @@ def _correctness_vintages(repo_dir: str | None = None) -> dict[str, int]:
                 names = json.load(fh)
             if not isinstance(names, dict):
                 continue  # unexpected shape: skip, never break import
-            for name in names:
-                latest[name] = max(latest.get(name, 0), rnd)
+            for name, rec in names.items():
+                if not isinstance(rec, dict):
+                    # unknown record shape: count as a sample (the old
+                    # presence rule) — never break import over it
+                    passed[name] = max(passed.get(name, 0), rnd)
+                    continue
+                if rec.get("hash_match") is True:
+                    passed[name] = max(passed.get(name, 0), rnd)
+                    confirmed[name] = max(confirmed.get(name, 0), rnd)
+                elif rec.get("err") == "no_oracle":
+                    passed[name] = max(passed.get(name, 0), rnd)
+                # anything else (hash/rows mismatch, real error) is a
+                # FAILURE: it does not refresh the vintage
         except Exception:
             continue
-    return latest
+    return passed, confirmed
+
+
+def _correctness_vintages(repo_dir: str | None = None) -> dict[str, int]:
+    """name -> latest round with a non-failing CORRECTNESS row."""
+    return _correctness_history(repo_dir)[0]
 
 
 def _derive_driver_priority(
     vintages: dict[str, int] | None = None,
+    confirmed: dict[str, int] | None = None,
 ) -> tuple[str, ...]:
     """Rotation order over all registered queries: never-sampled first
-    (vintage 0), then oldest latest-vintage, name as tie-break."""
-    if vintages is None:
-        vintages = _correctness_vintages()
-    return tuple(sorted(QUERIES, key=lambda n: (vintages.get(n, 0), n)))
+    (vintage 0), then oldest latest-vintage, name as tie-break.
+
+    Promotion boost (VERDICT r11 Next #1): a name whose oracle was
+    registered AFTER its last external sample (every sampled row is
+    rows-only, ``QUERIES[name].oracle`` is now non-None) sorts as if
+    never sampled, so a promotion is externally hash-confirmed at the
+    NEXT round instead of waiting out the whole vintage queue (the r11
+    promotions sat at rotation positions 187–198, ~3 rounds out).
+    """
+    if vintages is None and confirmed is None:
+        vintages, confirmed = _correctness_history()
+    elif vintages is None:
+        vintages = _correctness_history()[0]
+    elif confirmed is None:
+        confirmed = _correctness_history()[1]
+
+    def eff(name: str) -> int:
+        v = vintages.get(name, 0)
+        if (
+            v
+            and name not in confirmed
+            and QUERIES[name].oracle is not None
+        ):
+            return 0  # promoted but externally unconfirmed: jump the queue
+        return v
+
+    return tuple(sorted(QUERIES, key=lambda n: (eff(n), n)))
 
 
 _DRIVER_PRIORITY: tuple[str, ...] = _derive_driver_priority()
