@@ -336,12 +336,15 @@ def det_kmeans_cells(
         for r in sums:
             n = r["n"]
             # floor of the IEEE double quotient — the CONTRACT is the
-            # oracle's FLOOR(CAST(s AS DOUBLE)/n), so compute exactly
-            # that here (r11 review: integer s//n is only provably
-            # equal while |s| < 2^53; the double formula is identical
-            # on both sides at ANY magnitude by construction)
+            # oracle's FLOOR(CAST(s AS DOUBLE)/n): round s to double
+            # FIRST, then divide. Python's bare int/int computes the
+            # correctly-rounded TRUE rational quotient instead, which
+            # can differ in the final ulp once |s| >= 2^53 (ADVICE
+            # r11); float(s) forces the same int→double conversion
+            # DuckDB's CAST performs, so both engines floor the same
+            # double at any magnitude.
             new_centers[r["cell"]] = [
-                math.floor(r[f"s{i}"] / n) for i in range(dim)
+                math.floor(float(r[f"s{i}"]) / n) for i in range(dim)
             ]
         centers = new_centers
     assigned = _assign(centers).select("vec_id", "embedding", "cell").persist()

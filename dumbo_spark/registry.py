@@ -3325,7 +3325,8 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 0, src, 1.0 / (SELECT n FROM nn) FROM deg
       UNION ALL
       SELECT it + 1, e.dst,
-             0.15 / (SELECT n FROM nn) + 0.85 * SUM(pr.rank / deg.d)
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + 0.85 * SUM(pr.rank / deg.d)
       FROM pr JOIN edges e ON pr.node = e.src JOIN deg ON e.src = deg.src
       WHERE it < 10
       GROUP BY it + 1, e.dst)
@@ -4705,7 +4706,8 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 0, src, 1.0 / (SELECT n FROM nn) FROM deg
       UNION ALL
       SELECT it + 1, e.dst,
-             0.15 / (SELECT n FROM nn) + 0.85 * SUM(pr.rank / deg.d)
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + 0.85 * SUM(pr.rank / deg.d)
       FROM pr JOIN edges e ON pr.node = e.src JOIN deg ON e.src = deg.src
       WHERE it < 10
       GROUP BY it + 1, e.dst)
