@@ -42,6 +42,35 @@ def test_manifest_partitions_the_registry_with_reasons():
     )
 
 
+def test_record_carries_spread_for_top15_by_walltime():
+    # VERDICT r11 #3: median-of-N plus min/max for the top-15 rows so
+    # the dedup wobble band is measured in BENCH.json, not asserted
+    timings = {f"q{i:03d}": float(i) for i in range(40)}
+    samples = {n: [t - 0.5, t, t + 1.5] for n, t in timings.items()}
+    rec = bench.build_record(timings, samples, "0.1", set(timings))
+    spread = rec["spread_top15"]
+    assert len(spread) == 15
+    assert set(spread) == {f"q{i:03d}" for i in range(25, 40)}  # slowest 15
+    row = spread["q039"]
+    assert row == {"median": 39.0, "min": 38.5, "max": 40.5, "runs": 3}
+    # the headline fields are unchanged by the addition
+    assert rec["value"] == round(sum(timings.values()), 3)
+    assert set(rec["queries"]) == set(timings)
+
+
+def test_bench_close_survives_a_simulated_driver_sync(tmp_path, monkeypatch):
+    # VERDICT r11 #2: the driver sync overwrites BENCH.json in place;
+    # the builder's close must live in a file the sync never touches.
+    # Simulate: builder writes both, then the sync clobbers BENCH.json.
+    close = {"value": 204.4, "builder_close": True}
+    sweep = {"value": 227.5}
+    (tmp_path / "BENCH_CLOSE.json").write_text(json.dumps(close))
+    (tmp_path / "BENCH.json").write_text(json.dumps(close))
+    (tmp_path / "BENCH.json").write_text(json.dumps(sweep))  # the sync
+    assert json.loads((tmp_path / "BENCH.json").read_text()) == sweep
+    assert json.loads((tmp_path / "BENCH_CLOSE.json").read_text()) == close
+
+
 def test_emit_line_truncates_to_slowest_when_oversized():
     # 400 long-named queries cannot fit; the slowest must survive
     timings = {f"extremely_long_query_name_{i:03d}": float(i) for i in range(400)}

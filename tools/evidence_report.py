@@ -88,7 +88,39 @@ def build_report() -> str:
         f"(oracle-verified locally, awaiting re-sample), {counts['fail']} "
         f"failed/errored latest rows, {counts['never']} not yet sampled."
     )
+    lines.append(_bench_provenance())
     return "\n".join(lines) + "\n"
+
+
+def _bench_provenance() -> str:
+    """Which bench artifact is which (VERDICT r11 Next #2): the driver
+    sync overwrites BENCH.json in place, so the builder's closing run
+    also writes BENCH_CLOSE.json (BENCH_CLOSE=1), which the sync never
+    touches. Cite both here so the audit never has to dig through git
+    to recover the builder's number."""
+    parts = ["\n## Bench provenance\n"]
+    for fname, what in (
+        ("BENCH.json", "last bench run on this tree (driver sync "
+                       "overwrites it in place each round)"),
+        ("BENCH_CLOSE.json", "builder's closing run (BENCH_CLOSE=1; "
+                             "never touched by the driver sync)"),
+    ):
+        path = os.path.join(_REPO, fname)
+        if not os.path.exists(path):
+            parts.append(f"- `{fname}` — absent — {what}")
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            val = rec.get("value")
+            nq = len(rec.get("queries", {}))
+            tag = " [builder_close]" if rec.get("builder_close") else ""
+            parts.append(
+                f"- `{fname}` — {val}s / {nq} queries{tag} — {what}"
+            )
+        except Exception as exc:
+            parts.append(f"- `{fname}` — unreadable ({exc!r}) — {what}")
+    return "\n".join(parts)
 
 
 def main() -> None:
