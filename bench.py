@@ -324,6 +324,17 @@ EXCLUDE_REASONS = {
         "headline-benched via dedup_canonical / dup_cluster_sizes / "
         "pagerank_checked"
     ),
+    "dedup_simhash_md5": (
+        "oracle-proof twin: dedup_simhash's banded Hamming plan on the "
+        "ENGINE-NEUTRAL md5 hash family (16 hex-digit extractions per "
+        "token vs one seeded xxhash64 — the provability trade); the "
+        "throughput family is headline-benched via dedup_simhash"
+    ),
+    "dedup_clusters_md5": (
+        "oracle-proof twin: dedup_clusters' LSH→verify→components plan "
+        "on the ENGINE-NEUTRAL md5 hash family; the throughput family "
+        "is headline-benched via dedup_clusters"
+    ),
 }
 _REPLAY_REASON = (
     "replay-runner: times sentinel-file replay writes plus stream "

@@ -337,6 +337,14 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
             for j in range(64)
         ]
     )
+    return _assemble_simhash(bit_sums)
+
+
+def _assemble_simhash(bit_sums: DataFrame) -> DataFrame:
+    """(doc_id, b0..b63 signed bit-sums) -> (doc_id, simhash: long):
+    bit j of the signature is 1 iff the sum is strictly positive (ties
+    → 0); bit 63 shifts into the sign, i.e. the signature is the
+    two's-complement reading -2^63·bit63 + Σ_{j<63} 2^j·bitj."""
     sim = None
     for j in range(64):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -351,7 +359,14 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     Hamming ≤ 3) then exact Hamming via bit_count(xor). The chunked
     table persists across the self-join branches (the 64-way bit-sum
     aggregation is the expensive subplan)."""
-    sigs = simhash_signatures(documents)
+    return _simhash_pairs(simhash_signatures(documents), max_hamming)
+
+
+def _simhash_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded Hamming self-join over (doc_id, simhash) signatures —
+    shared by the xxhash64 throughput family and the md5 provability
+    family (the banding is hash-family-agnostic: 4×16-bit chunks catch
+    every pair with Hamming ≤ 3 by pigeonhole)."""
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -757,6 +772,73 @@ def dedup_fuzzy_verified_md5(
         .join(sb, "doc_b")
         .where(F.lit(10) * c >= F.lit(7) * u)
         .select("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures_md5(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash: long) 64-bit SimHash on the ENGINE-NEUTRAL
+    md5 hash family (VERDICT r11 Next #5: the md5-twin discipline
+    dedup_fuzzy_verified_md5 established, applied to SimHash).
+
+    Per token, the 64 hash bits come from the first 16 hex digits of
+    md5(token): bit j = bit (j mod 4) of hex digit ⌊j/4⌋ — a formula
+    both Spark (conv(hexdigit,16,10)) and DuckDB
+    (strpos('0123…f', digit) - 1) evaluate identically over identical
+    lowercase-hex md5 output, so a SQL oracle reproduces the signature
+    bit-for-bit. Same shape as :func:`simhash_signatures`: one corpus
+    pass, 64 partially-aggregated conditional sums, no Python. The
+    xxhash64 sibling stays the 100 TB throughput path (md5 is ~10× the
+    hash cycles — the documented provability trade).
+    """
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = F.md5(F.col("tok").cast("binary"))
+    # 16 hex-digit values (0..15), one per 4 signature bits
+    digs = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, p + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{p}")
+            for p in range(16)
+        ],
+    )
+    bit_sums = digs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    return _assemble_simhash(bit_sums)
+
+
+def dedup_simhash_md5(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs on the md5 hash family — identical
+    banded-join plan to :func:`dedup_simhash` (the banding is lossless
+    for Hamming ≤ 3, so a brute-force SQL pair set matches exactly);
+    exists so the SimHash pipeline is value-checkable against DuckDB
+    end to end."""
+    return _simhash_pairs(simhash_signatures_md5(documents), max_hamming)
+
+
+def dedup_clusters_md5(documents: DataFrame) -> DataFrame:
+    """Full dedup clustering on the md5 hash family: the exact
+    :func:`dedup_clusters` composition (LSH candidates → integer
+    Jaccard verification → connected components → cluster summary)
+    over :func:`dedup_fuzzy_verified_md5` edges, so the END-TO-END
+    corpus-dedup shape — not just the edge set — is value-checked
+    against a DuckDB replay (recursive-CTE transitive closure over the
+    same deterministic edges)."""
+    edges = dedup_fuzzy_verified_md5(documents)
+    cc = connected_components(edges.select("doc_a", "doc_b"))
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("keep_id"),
     )
 
 
