@@ -23,11 +23,27 @@ def _load(path: str):
     return mod
 
 
-@pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
+# classic dumbo-style scripts have no main() — they run via run() under
+# __main__ and are exercised end-to-end by test_classic_script_cli
+# below, so they're excluded from the in-process parametrize upfront
+# (a skip here read as an environment gap in round audits; it never was)
+_MAIN_EXAMPLES = [p for p in EXAMPLES if "def main(" in open(p).read()]
+_SCRIPT_EXAMPLES = sorted(set(EXAMPLES) - set(_MAIN_EXAMPLES))
+
+
+def test_every_example_is_covered_somewhere():
+    assert set(_MAIN_EXAMPLES) | set(_SCRIPT_EXAMPLES) == set(EXAMPLES)
+    # every script-style example must be the one the CLI test runs
+    assert [os.path.basename(p) for p in _SCRIPT_EXAMPLES] == [
+        "classic_dumbo_script.py"
+    ]
+
+
+@pytest.mark.parametrize(
+    "path", _MAIN_EXAMPLES, ids=[os.path.basename(p) for p in _MAIN_EXAMPLES]
+)
 def test_example_runs(spark, path):
     mod = _load(path)
-    if not hasattr(mod, "main"):  # classic dumbo-style scripts use run()
-        pytest.skip("script-style example, covered by test_classic_script")
     df = mod.main(spark)
     rows = df.collect()
     assert len(rows) > 0

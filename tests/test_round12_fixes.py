@@ -67,6 +67,90 @@ def test_pagerank_oracle_teleport_base_is_the_engine_double():
     assert duck == engine_base
 
 
+def _synth_bmp() -> tuple[bytes, list]:
+    """Hand-assembled 3×2 uncompressed 24-bit BMP (bottom-up BGR rows,
+    4-byte padding) and the top-down RGB pixels it encodes."""
+    import struct
+
+    top_down_rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    rows = b""
+    for row in reversed(top_down_rgb):  # stored bottom-up
+        for r, g, b in row:
+            rows += bytes([b, g, r])  # stored BGR
+        rows += b"\x00" * 3  # 9 -> 12 byte row pad
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows, top_down_rgb
+
+
+def _synth_ppm() -> tuple[bytes, list]:
+    top_down_rgb = [
+        [(1, 2, 3), (4, 5, 6)],
+        [(7, 8, 9), (10, 11, 12)],
+        [(200, 100, 50), (0, 255, 128)],
+    ]
+    raster = bytes(v for row in top_down_rgb for px in row for v in px)
+    return b"P6\n# synthesized fixture\n2 3\n255\n" + raster, top_down_rgb
+
+
+def test_decode_bmp_real_container_parse():
+    from dumbo_spark.operators.multimodal import decode_bmp
+
+    payload, want = _synth_bmp()
+    got = decode_bmp(payload)
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (3, 2)
+    assert px.tolist() == [[list(p) for p in row] for row in want]
+    # non-BMP / truncated / wrong-depth payloads all refuse cleanly
+    assert decode_bmp(b"not a bmp") is None
+    assert decode_bmp(payload[:40]) is None
+    assert decode_bmp(payload[:30] + b"\x08" + payload[31:]) is None  # 8bpp
+
+
+def test_decode_ppm_real_container_parse():
+    from dumbo_spark.operators.multimodal import decode_ppm
+
+    payload, want = _synth_ppm()
+    got = decode_ppm(payload)
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (2, 3)
+    assert px.tolist() == [[list(p) for p in row] for row in want]
+    assert decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4) is None  # graymap
+    assert decode_ppm(payload[:-1]) is None  # truncated raster
+
+
+def test_decode_image_prefers_real_parse_over_standin():
+    from dumbo_spark.operators.multimodal import decode_image
+
+    bmp, _ = _synth_bmp()
+    ppm, _ = _synth_ppm()
+    assert decode_image(bmp) == (3, 2)
+    assert decode_image(ppm) == (2, 3)
+    # text payloads keep the deterministic stand-in (oracle contract)
+    w, h = decode_image(b"definitely not an image")
+    assert 64 <= w < 256 and 64 <= h < 256
+
+
+def test_extract_features_decodes_bmp_end_to_end(spark):
+    # the Arrow mapInPandas leg must surface REAL dims for a real
+    # container and the stand-in for text, in the same batch
+    from dumbo_spark.operators.multimodal import decode_image, extract_features
+
+    bmp, _ = _synth_bmp()
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"plain text payload"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: (r["width"], r["height"]) for r in extract_features(df).collect()}
+    assert got[1] == (3, 2)
+    assert got[2] == decode_image(b"plain text payload")
+
+
 def test_pagerank_oracles_use_the_subtraction_form():
     # both recursive-CTE oracles must seed teleport from the identical
     # double, not the literal 0.15
