@@ -151,6 +151,37 @@ def test_extract_features_decodes_bmp_end_to_end(spark):
     assert got[2] == decode_image(b"plain text payload")
 
 
+def test_evidence_generator_classifies_no_oracle_rows(tmp_path):
+    # VERDICT r11 Next #4: the r12 driver window contains by-design
+    # rows-only names (e.g. semantic_dedup); their `err: no_oracle`
+    # rows must land in the rows-only/promoted buckets, NEVER in the
+    # failed bucket. Synthesize a round file exercising all paths.
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import evidence_report
+
+    from dumbo_spark.registry import QUERIES
+
+    sketch = next(  # a real registered rows-only-by-design name
+        n for n in sorted(QUERIES) if QUERIES[n].oracle is None
+    )
+    promoted = next(  # a real oracle-backed name, sampled pre-oracle
+        n for n in sorted(QUERIES) if QUERIES[n].oracle is not None
+    )
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({sketch: rows_only, promoted: rows_only})
+    )
+    report = evidence_report.build_report(str(tmp_path))
+    assert f"| {sketch} | rows-only | r01 | rows-only pass |" in report
+    assert f"| {promoted} | ✓ | r01 | rows-only pass; oracle since added |" in report
+    assert "0 failed/errored latest rows" in report
+
+
 def test_pagerank_oracles_use_the_subtraction_form():
     # both recursive-CTE oracles must seed teleport from the identical
     # double, not the literal 0.15

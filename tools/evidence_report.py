@@ -24,11 +24,13 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def build_report() -> str:
+def build_report(repo_dir: str | None = None) -> str:
     from dumbo_spark.registry import QUERIES
 
     rounds: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(repo_dir or _REPO, "CORRECTNESS_r*.json"))
+    ):
         rnd = os.path.basename(path).split("_r")[1].split(".")[0]
         with open(path) as f:
             rounds[rnd] = json.load(f)

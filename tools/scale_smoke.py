@@ -274,6 +274,12 @@ def main() -> None:
         "knn_cosine_lsh",
         "knn_cosine_ivf",
         "embedding_near_dup",
+        # round-12 additions: the md5 twins ride the same
+        # max-duplication replicas as doc_pagerank (exact-dup docs =
+        # adversarial candidate fan-out for both the banded Hamming
+        # join and the LSH→verify→components pipeline)
+        "dedup_simhash_md5",
+        "dedup_clusters_md5",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
