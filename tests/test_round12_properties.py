@@ -1,0 +1,121 @@
+"""Property tests for the round-12 md5 SimHash family: the engine's
+JVM-side signature construction (md5 hex digits → 64 signed bit-sums →
+sign bits → two's-complement long) must equal an independent pure-
+Python reference on arbitrary documents — the same discipline the
+xxhash64 family can't have (no Python xxhash64 reference without
+re-implementing the hash)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_tokens(text: str) -> list[str]:
+    # re.ASCII: the engine contract is Java/RE2 \W, which is
+    # ASCII-only ([^0-9A-Za-z_]) — Python's default \W is
+    # unicode-aware and would tokenize accented words the JVM drops
+    return [t for t in re.split(r"\W+", text.lower(), flags=re.ASCII) if t != ""]
+
+
+def _py_simhash_md5(text: str) -> int | None:
+    """Independent reference: bit j of a token's hash = bit (j mod 4)
+    of lowercase-hex md5 digit ⌊j/4⌋; signature bit j = 1 iff the
+    ±1 sum over tokens is strictly positive; bit 63 is the sign bit."""
+    toks = _py_tokens(text)
+    if not toks:
+        return None  # no token rows -> doc absent from the aggregate
+    sums = [0] * 64
+    for tok in toks:
+        hexd = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        for j in range(64):
+            bit = (int(hexd[j // 4], 16) >> (j % 4)) & 1
+            sums[j] += 1 if bit == 1 else -1
+    unsigned = sum(1 << j for j in range(64) if sums[j] > 0)
+    return unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+
+
+# printable-ish corpus: words, punctuation, unicode letters, digits
+_DOC = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        max_codepoint=0x2FF,
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_DOC, min_size=1, max_size=8))
+def test_simhash_md5_signature_matches_python_reference(spark, docs):
+    from dumbo_spark.operators.dedup import simhash_signatures_md5
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures_md5(df).collect()
+    }
+    want = {
+        i: _py_simhash_md5(d)
+        for i, d in enumerate(docs)
+        if _py_simhash_md5(d) is not None
+    }
+    assert got == want
+
+
+def test_simhash_md5_pairs_equal_bruteforce(spark):
+    """The banded candidate join must be LOSSLESS for Hamming ≤ 3:
+    engine pair set == brute-force over the reference signatures."""
+    from dumbo_spark.operators.dedup import dedup_simhash_md5
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = [base, base + "extra", base.replace("quick", "slow"), "zzz unrelated text"]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash_md5(df).collect()
+    }
+    sigs = {i: _py_simhash_md5(d) for i, d in enumerate(docs)}
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                ham = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                if ham <= 3:
+                    want[(a, b)] = ham
+    assert got == want
+    assert want, "fixture produced no near-dup pairs — vacuous test"
+
+
+def test_clusters_md5_summary_shape(spark):
+    """Cluster summary contract on a corpus with a known duplicate
+    group: one cluster containing the three near-identical docs,
+    keeper = min doc_id, membership count exact."""
+    from dumbo_spark.operators.dedup import dedup_clusters_md5
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [
+        (10, body),
+        (11, body + " iota"),
+        (12, body + " kappa"),
+        (13, "completely different text with nothing shared at all " * 3),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["cluster_id"]: r for r in dedup_clusters_md5(df).collect()}
+    assert 10 in rows
+    assert rows[10]["n_members"] == 3
+    assert rows[10]["keep_id"] == 10
+    assert 13 not in rows  # singletons never reach the edge set
