@@ -421,6 +421,27 @@ def build_record(
     return record
 
 
+def write_artifacts(record: dict, here: str) -> None:
+    """Atomic-write BENCH.json; with BENCH_CLOSE=1 also write
+    BENCH_CLOSE.json (builder-close protocol, VERDICT r11 Next #2:
+    the driver sync overwrites BENCH.json in place, so the builder's
+    closing numbers were only recoverable via git — BENCH_CLOSE.json
+    is a filename the sync never touches, carrying
+    ``builder_close: true``, so after a sync both numbers coexist:
+    BENCH.json = the driver's sweep, BENCH_CLOSE.json = the builder's
+    committed close)."""
+    tmp = os.path.join(here, "BENCH.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1)
+    os.replace(tmp, os.path.join(here, "BENCH.json"))
+    if os.environ.get("BENCH_CLOSE", "") == "1":
+        close_record = dict(record, builder_close=True)
+        tmp = os.path.join(here, "BENCH_CLOSE.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(close_record, f, indent=1)
+        os.replace(tmp, os.path.join(here, "BENCH_CLOSE.json"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -469,23 +490,7 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         record = build_record(timings, all_samples, sf, set(QUERIES))
-        tmp = os.path.join(here, "BENCH.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(record, f, indent=1)
-        os.replace(tmp, os.path.join(here, "BENCH.json"))
-        # Builder-close protocol (VERDICT r11 Next #2): the driver sync
-        # overwrites BENCH.json in place, so the builder's closing
-        # numbers were only recoverable via git. With BENCH_CLOSE=1 the
-        # same record is ALSO written to BENCH_CLOSE.json, a filename
-        # the sync never touches — after a sync both numbers coexist:
-        # BENCH.json = the driver's sweep, BENCH_CLOSE.json = the
-        # builder's committed close (it carries builder_close: true).
-        if os.environ.get("BENCH_CLOSE", "") == "1":
-            close_record = dict(record, builder_close=True)
-            tmp = os.path.join(here, "BENCH_CLOSE.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(close_record, f, indent=1)
-            os.replace(tmp, os.path.join(here, "BENCH_CLOSE.json"))
+        write_artifacts(record, here)
     except Exception as exc:  # the stdout line is the driver contract —
         print(f"BENCH.json write failed: {exc!r}", file=sys.stderr)
     # Refresh the external-evidence matrix as a bench side effect: the

@@ -203,7 +203,7 @@ def dedup_fuzzy_verified(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, durable_dir: str | None = None
+    edges: DataFrame, max_iter: int = 50, durable_dir: str | None = None
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -213,6 +213,17 @@ def connected_components(
     node takes the min of its own label and its neighbors' labels; stop
     when no label changes. Iteration count is bounded by component
     diameter (near-dup clusters are shallow).
+
+    Convergence contract (r12 review): ``max_iter`` is a SAFETY VALVE,
+    not an output parameter — if labels are still changing when it is
+    hit, the function RAISES instead of returning silently-wrong
+    labels (a path-shaped component of diameter > max_iter would
+    otherwise split, and every oracle-checked consumer —
+    jaccard_clusters, dedup_clusters_md5, entity_clusters — compares
+    against an EXACT transitive closure). Raise-on-nonconvergence
+    turns the pathological-graph case into an operational signal
+    ("raise max_iter / investigate the graph") rather than corrupt
+    keeper/size output.
 
     Scale notes: the join shuffles on node id each round, and per-round
     lineage truncation keeps plan size constant. This is the standard
@@ -270,6 +281,7 @@ def connected_components(
         .withColumn("label", F.col("node")),
         rnd=1,
     )
+    converged = False
     for it in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
@@ -295,7 +307,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (a component's diameter exceeds it); "
+            "raise max_iter rather than consuming split components"
+        )
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     if durable_dir is not None:
         # stable final materialization: the alternating labels_{0,1}

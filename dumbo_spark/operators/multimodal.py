@@ -46,13 +46,19 @@ except ImportError:  # container ships no image codec
     _PIL_Image = None
 
 
-def decode_bmp(payload: bytes):
+def decode_bmp(payload: bytes, with_pixels: bool = True):
     """REAL image container decode via pure stdlib byte parsing
     (VERDICT r11 Next #6 — the same move that landed for WAV):
     uncompressed 24-bit BITMAPINFOHEADER BMP → (width, height, pixels)
     where pixels is a top-down (h, w, 3) uint8 RGB numpy array (BMP
     stores BGR rows bottom-up with 4-byte row padding; both are
     undone here).
+
+    ``with_pixels=False`` validates the header AND the raster length
+    but skips materializing the pixel array (returns pixels=None) —
+    the dims-only fast path :func:`decode_image` uses inside the
+    Arrow batch loop, where copying a multi-MB raster per record just
+    to read two ints would be waste (r12 review).
 
     Returns ``None`` for anything that is not such a BMP (wrong magic,
     other bit depths, compressed, truncated) — callers fall back, so
@@ -86,6 +92,8 @@ def decode_bmp(payload: bytes):
     row_size = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
     if len(payload) < pix_off + row_size * h:
         return None
+    if not with_pixels:
+        return w, h, None
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=pix_off
     ).reshape(h, row_size)[:, : w * 3]
@@ -95,17 +103,26 @@ def decode_bmp(payload: bytes):
     return w, h, bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def decode_ppm(payload: bytes):
+def decode_ppm(payload: bytes, with_pixels: bool = True):
     """REAL image container decode, stdlib-only: binary PPM (``P6``,
     maxval ≤ 255) → (width, height, pixels) with pixels a top-down
     (h, w, 3) uint8 RGB numpy array. The header is the Netpbm token
-    stream — magic, then width/height/maxval separated by whitespace,
-    ``#`` comments allowed — followed by exactly one whitespace byte
-    and the raw RGB plane. Returns ``None`` for non-P6 payloads.
+    stream — magic FOLLOWED BY WHITESPACE OR A COMMENT, then
+    width/height/maxval separated by whitespace, ``#`` comments
+    allowed — followed by exactly one whitespace byte and the raw RGB
+    plane. ``with_pixels=False`` validates header + raster length but
+    skips the pixel copy (dims-only fast path, r12 review). Returns
+    ``None`` for non-P6 payloads.
     """
     import numpy as np
 
-    if not payload.startswith(b"P6"):
+    # the magic must be delimited: 'P6123 45 ...' is NOT a valid
+    # header (r12 review — the bare startswith check parsed width=123)
+    if not payload.startswith(b"P6") or (
+        len(payload) > 2
+        and not payload[2:3].isspace()
+        and payload[2:3] != b"#"
+    ):
         return None
     pos, tokens = 2, []
     while len(tokens) < 3 and pos < len(payload):
@@ -134,6 +151,8 @@ def decode_ppm(payload: bytes):
         return None
     if len(payload) < pos + w * h * 3:
         return None
+    if not with_pixels:
+        return w, h, None
     pixels = np.frombuffer(
         payload, dtype=np.uint8, count=w * h * 3, offset=pos
     ).reshape(h, w, 3)
@@ -163,7 +182,7 @@ def decode_image(payload: bytes) -> tuple[int, int]:
         except Exception:
             pass  # not a PIL-decodable image — stdlib parsers next
     for parse in (decode_bmp, decode_ppm):
-        got = parse(payload)
+        got = parse(payload, with_pixels=False)  # dims-only: no raster copy
         if got is not None:
             return got[0], got[1]
     hexd = hashlib.md5(payload).hexdigest()

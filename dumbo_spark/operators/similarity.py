@@ -205,6 +205,18 @@ KMEANS_QUANT = 1_000_000
 _kmeans_cache: dict = {}
 
 
+def _centroid_component(s: int, n: int) -> int:
+    """floor of the IEEE double quotient — the CONTRACT is the
+    oracle's FLOOR(CAST(s AS DOUBLE)/n): round s to double FIRST, then
+    divide. Python's bare int/int computes the correctly-rounded TRUE
+    rational quotient instead, which can differ in the final ulp once
+    |s| >= 2^53 (ADVICE r11); float(s) forces the same int→double
+    conversion DuckDB's CAST performs, so both engines floor the same
+    double at any magnitude. Module-level (not inlined in the Lloyd
+    loop) so the contract tests exercise THIS function, not a copy."""
+    return math.floor(float(s) / n)
+
+
 def det_kmeans_cells(
     embeddings: DataFrame, n_cells: int = 16, n_iter: int = 5
 ):
@@ -335,16 +347,8 @@ def det_kmeans_cells(
         new_centers = list(centers)  # empty cells keep previous center
         for r in sums:
             n = r["n"]
-            # floor of the IEEE double quotient — the CONTRACT is the
-            # oracle's FLOOR(CAST(s AS DOUBLE)/n): round s to double
-            # FIRST, then divide. Python's bare int/int computes the
-            # correctly-rounded TRUE rational quotient instead, which
-            # can differ in the final ulp once |s| >= 2^53 (ADVICE
-            # r11); float(s) forces the same int→double conversion
-            # DuckDB's CAST performs, so both engines floor the same
-            # double at any magnitude.
             new_centers[r["cell"]] = [
-                math.floor(float(r[f"s{i}"]) / n) for i in range(dim)
+                _centroid_component(r[f"s{i}"], n) for i in range(dim)
             ]
         centers = new_centers
     assigned = _assign(centers).select("vec_id", "embedding", "cell").persist()

@@ -61,14 +61,24 @@ def test_record_carries_spread_for_top15_by_walltime():
 def test_bench_close_survives_a_simulated_driver_sync(tmp_path, monkeypatch):
     # VERDICT r11 #2: the driver sync overwrites BENCH.json in place;
     # the builder's close must live in a file the sync never touches.
-    # Simulate: builder writes both, then the sync clobbers BENCH.json.
-    close = {"value": 204.4, "builder_close": True}
+    # Drive bench.write_artifacts itself (r12 review: the first cut of
+    # this test hand-wrote JSON files and exercised no bench code):
+    # builder closes with BENCH_CLOSE=1, then the sync clobbers
+    # BENCH.json — both numbers must coexist and be distinguishable.
+    record = {"value": 204.4, "queries": {"q": 1.0}}
+    monkeypatch.setenv("BENCH_CLOSE", "1")
+    bench.write_artifacts(record, str(tmp_path))
     sweep = {"value": 227.5}
-    (tmp_path / "BENCH_CLOSE.json").write_text(json.dumps(close))
-    (tmp_path / "BENCH.json").write_text(json.dumps(close))
     (tmp_path / "BENCH.json").write_text(json.dumps(sweep))  # the sync
     assert json.loads((tmp_path / "BENCH.json").read_text()) == sweep
+    close = json.loads((tmp_path / "BENCH_CLOSE.json").read_text())
+    assert close["value"] == 204.4
+    assert close["builder_close"] is True
+    # without the env, a plain run must NOT touch the close artifact
+    monkeypatch.delenv("BENCH_CLOSE")
+    bench.write_artifacts(sweep, str(tmp_path))
     assert json.loads((tmp_path / "BENCH_CLOSE.json").read_text()) == close
+    assert not (tmp_path / "BENCH.json.tmp").exists()  # atomic rename
 
 
 def test_emit_line_truncates_to_slowest_when_oversized():

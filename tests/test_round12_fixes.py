@@ -19,23 +19,30 @@ import math
 import duckdb
 
 
-def _engine_centroid(s: int, n: int) -> int:
-    # the exact expression similarity.det_kmeans_cells uses (r12)
-    return math.floor(float(s) / n)
+# the PRODUCT formula, not a copy — reverting the similarity.py fix
+# fails these tests (r12 review finding)
+from dumbo_spark.operators.similarity import _centroid_component as _engine_centroid
 
 
 def test_centroid_floor_matches_duckdb_above_2_53():
     # s = 2^53 + 1 is the first integer a double cannot represent:
-    # CAST rounds it down to 2^53, so the double-first floor is 2^53
-    # while the true-rational floor (old int/int path) is 2^53 + 1.
-    s, n = 2**53 + 1, 1
+    # CAST rounds it down to 2^53, so at n=1 the double-first floor is
+    # 2^53 while the exact value is 2^53 + 1
+    s = 2**53 + 1
     duck = duckdb.sql(
-        f"SELECT FLOOR(CAST({s} AS BIGINT) / CAST({n} AS DOUBLE))::BIGINT"
+        f"SELECT FLOOR(CAST({s} AS BIGINT) / CAST(1 AS DOUBLE))::BIGINT"
     ).fetchone()[0]
-    assert _engine_centroid(s, n) == duck == 2**53
-    # and the OLD formula provably diverges here — the reason for the fix
-    assert math.floor(s / n) != duck or s / n == float(s) / n
-    assert s // n == 2**53 + 1
+    assert _engine_centroid(s, 1) == duck == 2**53
+    # the OLD formula (true-rational s/n, then floor) provably diverges
+    # at n=3: (2^53+1)/3 is exactly 3002399751580331, which the
+    # correctly-rounded rational quotient preserves, while
+    # double(2^53+1) = 2^53 gives floor(2^53/3) = 3002399751580330
+    assert math.floor((2**53 + 1) / 3) == 3002399751580331
+    assert _engine_centroid(2**53 + 1, 3) == 3002399751580330
+    duck3 = duckdb.sql(
+        f"SELECT FLOOR(CAST({s} AS BIGINT) / CAST(3 AS DOUBLE))::BIGINT"
+    ).fetchone()[0]
+    assert duck3 == 3002399751580330
 
 
 def test_centroid_floor_matches_duckdb_at_many_magnitudes():
@@ -109,6 +116,9 @@ def test_decode_bmp_real_container_parse():
     assert decode_bmp(b"not a bmp") is None
     assert decode_bmp(payload[:40]) is None
     assert decode_bmp(payload[:30] + b"\x08" + payload[31:]) is None  # 8bpp
+    # dims-only fast path: header + raster-length validation, no copy
+    assert decode_bmp(payload, with_pixels=False) == (3, 2, None)
+    assert decode_bmp(payload[:-1], with_pixels=False) is None  # truncated
 
 
 def test_decode_ppm_real_container_parse():
@@ -122,6 +132,13 @@ def test_decode_ppm_real_container_parse():
     assert px.tolist() == [[list(p) for p in row] for row in want]
     assert decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4) is None  # graymap
     assert decode_ppm(payload[:-1]) is None  # truncated raster
+    # magic must be delimited — 'P6123 ...' is not width=123 (r12 review)
+    assert decode_ppm(b"P6123 45 255\n" + b"\x00" * (123 * 45 * 3)) is None
+    # a comment directly after the magic is legal Netpbm
+    assert decode_ppm(b"P6# c\n2 3 255\n" + bytes(18)) is not None
+    # dims-only fast path: same validation, no raster materialization
+    assert decode_ppm(payload, with_pixels=False) == (2, 3, None)
+    assert decode_ppm(payload[:-1], with_pixels=False) is None
 
 
 def test_decode_image_prefers_real_parse_over_standin():
@@ -149,6 +166,27 @@ def test_extract_features_decodes_bmp_end_to_end(spark):
     got = {r["doc_id"]: (r["width"], r["height"]) for r in extract_features(df).collect()}
     assert got[1] == (3, 2)
     assert got[2] == decode_image(b"plain text payload")
+
+
+def test_connected_components_converges_on_deep_chains(spark):
+    # r12 review: max_iter used to be a silent output bound — a
+    # path-shaped component deeper than it SPLIT, and every
+    # oracle-checked consumer compares against an exact transitive
+    # closure. A 25-edge path (diameter 25 > the old cap of 20) must
+    # now converge to ONE component under the default budget...
+    import pytest as _pytest
+
+    from dumbo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "doc_a long, doc_b long"
+    )
+    got = connected_components(edges).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 26
+    # ...and an insufficient budget must RAISE, never return split labels
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
 
 
 def test_evidence_generator_classifies_no_oracle_rows(tmp_path):

@@ -90,11 +90,11 @@ def build_report(repo_dir: str | None = None) -> str:
         f"(oracle-verified locally, awaiting re-sample), {counts['fail']} "
         f"failed/errored latest rows, {counts['never']} not yet sampled."
     )
-    lines.append(_bench_provenance())
+    lines.append(_bench_provenance(repo_dir))
     return "\n".join(lines) + "\n"
 
 
-def _bench_provenance() -> str:
+def _bench_provenance(repo_dir: str | None = None) -> str:
     """Which bench artifact is which (VERDICT r11 Next #2): the driver
     sync overwrites BENCH.json in place, so the builder's closing run
     also writes BENCH_CLOSE.json (BENCH_CLOSE=1), which the sync never
@@ -107,7 +107,7 @@ def _bench_provenance() -> str:
         ("BENCH_CLOSE.json", "builder's closing run (BENCH_CLOSE=1; "
                              "never touched by the driver sync)"),
     ):
-        path = os.path.join(_REPO, fname)
+        path = os.path.join(repo_dir or _REPO, fname)
         if not os.path.exists(path):
             parts.append(f"- `{fname}` — absent — {what}")
             continue
