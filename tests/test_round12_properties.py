@@ -100,6 +100,48 @@ def test_simhash_md5_pairs_equal_bruteforce(spark):
     assert want, "fixture produced no near-dup pairs — vacuous test"
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_rotation_derivation_invariants_under_random_histories(data):
+    """Fuzz _derive_driver_priority with arbitrary vintage/confirmed
+    maps over the real registry: the three rotation invariants must
+    hold for EVERY history, not just the CORRECTNESS files on disk."""
+    from dumbo_spark import registry
+
+    names = sorted(registry.QUERIES)
+    sample = data.draw(
+        st.lists(st.sampled_from(names), min_size=0, max_size=40, unique=True)
+    )
+    vintages = {
+        n: data.draw(st.integers(min_value=1, max_value=30), label=f"v:{n}")
+        for n in sample
+    }
+    confirmed = {
+        n: v
+        for n, v in vintages.items()
+        if data.draw(st.booleans(), label=f"c:{n}")
+    }
+    pri = registry._derive_driver_priority(vintages, confirmed)
+    # 1. total, duplicate-free permutation of the registry
+    assert sorted(pri) == names
+    # 2. effective-vintage ordering: never-sampled and
+    #    promoted-but-unconfirmed (eff 0) precede every sampled name,
+    #    and sampled non-boosted names are ordered by vintage
+    def eff(n):
+        v = vintages.get(n, 0)
+        if v and n not in confirmed and registry.QUERIES[n].oracle is not None:
+            return 0
+        return v
+
+    effs = [eff(n) for n in pri]
+    assert effs == sorted(effs)
+    # 3. deterministic under map reordering
+    assert pri == registry._derive_driver_priority(
+        dict(reversed(list(vintages.items()))),
+        dict(reversed(list(confirmed.items()))),
+    )
+
+
 def test_clusters_md5_summary_shape(spark):
     """Cluster summary contract on a corpus with a known duplicate
     group: one cluster containing the three near-identical docs,
