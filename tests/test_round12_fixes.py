@@ -121,6 +121,28 @@ def test_decode_bmp_real_container_parse():
     assert decode_bmp(payload[:-1], with_pixels=False) is None  # truncated
 
 
+def test_decode_bmp_top_down_variant():
+    # negative biHeight = top-down row order (no flip); same pixels
+    import struct
+
+    from dumbo_spark.operators.multimodal import decode_bmp
+
+    payload, want = _synth_bmp()
+    # rebuild with rows stored top-down and height = -2
+    rows = b""
+    for row in want:  # natural order this time
+        for r, g, b in row:
+            rows += bytes([b, g, r])
+        rows += b"\x00" * 3
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, len(rows), 0, 0, 0, 0
+    )
+    got = decode_bmp(header + info + rows)
+    assert got is not None and (got[0], got[1]) == (3, 2)
+    assert got[2].tolist() == [[list(p) for p in row] for row in want]
+
+
 def test_decode_ppm_real_container_parse():
     from dumbo_spark.operators.multimodal import decode_ppm
 
