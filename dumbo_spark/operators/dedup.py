@@ -259,51 +259,62 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
-    both = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     # TRUNCATE the edge lineage, don't just persist it: with persist the
     # (possibly enormous — e.g. a PPJoin) edge-construction subplan stays
     # embedded in every round's logical plan and Catalyst re-optimizes it
     # per iteration — measured 281s → 75s for dup_cluster_sizes at 10×
-    # (the same finding as the triangle census, SCALE.md). Durable runs
-    # round-trip the edges through the run dir so the restart contract
+    # (the same finding as the triangle census, SCALE.md). The INPUT list
+    # is checkpointed (half the symmetric table) so the construction runs
+    # exactly once; the adjacency below is derived from the cached scan.
+    # Durable runs round-trip through the run dir so the restart contract
     # holds for the input too, not just the labels.
     if durable_dir is None:
-        both = both.localCheckpoint()
+        e0 = edges.select("doc_a", "doc_b").localCheckpoint()
     else:
         edges_path = f"{run_dir}/edges"
-        both.write.mode("overwrite").parquet(edges_path)
-        both = both.sparkSession.read.parquet(edges_path)
-    labels = truncate(
-        both.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
-        rnd=1,
-    )
+        edges.select("doc_a", "doc_b").write.mode("overwrite").parquet(edges_path)
+        e0 = edges.sparkSession.read.parquet(edges_path)
+    both = e0.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    nodes = both.select(F.col("src").alias("node")).distinct()
+    # Self-loop + pre-partition trick (one shuffle per round instead of
+    # three): append (v, v) for every node, then hash-partition the
+    # adjacency by dst ONCE and checkpoint it — localCheckpoint preserves
+    # the physical partitioning, so the per-round lookup join below needs
+    # NO exchange on the (big) edge side, and the self row delivers the
+    # node's OWN current label into its min-aggregation group, folding
+    # the old `least(own, neighbor_min)` left-join into the same shuffle.
+    # The self row also carries the PREVIOUS label out of the agg, so
+    # convergence detection is a cached-scan predicate, not a join of
+    # two label tables. Net per round: one agg shuffle + one scan count
+    # (was: edge-side join shuffle + agg + left-join + join-count).
+    adj = both.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).repartition("dst")
+    if durable_dir is None:
+        adj = adj.localCheckpoint()
+    else:
+        adj_path = f"{run_dir}/adj"
+        adj.write.mode("overwrite").parquet(adj_path)
+        adj = adj.sparkSession.read.parquet(adj_path)
+    labels = truncate(nodes.withColumn("label", F.col("node")), rnd=1)
     converged = False
     for it in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
         new_labels = truncate(
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            ),
+            adj.join(labels, adj.dst == labels.node)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("prev"),
+            )
+            .select(F.col("src").alias("node"), "label", "prev"),
             rnd=it,
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
         )
         labels = new_labels
         if changed == 0:
@@ -937,25 +948,38 @@ def pagerank(
         )
         return edges.sparkSession.createDataFrame([], schema)
     base = (1.0 - damping) / n_nodes
+    # The (src, dst, deg) adjacency is loop-invariant: join it ONCE,
+    # hash-partition by src, and checkpoint — localCheckpoint preserves
+    # the physical partitioning, so the per-round rank lookup join needs
+    # no exchange on the (big) edge side. Before this hoist every round
+    # re-ran both⋈deg and re-shuffled the edge table (3 shuffles/round);
+    # now a round is ONE shuffle: the inflow partial-agg by dst.
+    adj = both.join(deg, "src").select("src", "dst", "deg").repartition("src")
+    if durable_dir is None:
+        adj = adj.localCheckpoint()
+    else:
+        adj_path = f"{durable_dir.rstrip('/')}/pr_adj"
+        adj.write.mode("overwrite").parquet(adj_path)
+        adj = adj.sparkSession.read.parquet(adj_path)
     ranks = truncate(
         deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")),
         rnd=1,
     )
     for it in range(max_iter):
-        contribs = (
-            both.join(deg, "src")
-            .join(ranks, both.src == ranks.node)
+        # Every node of the symmetric edge list has in-edges, so the
+        # inflow agg's key set IS the node set — the old left-join back
+        # to the previous ranks (and its coalesce(inflow, 0.0)) was a
+        # per-round shuffle that could never fire its null arm. The
+        # contribution stays rank/deg (NOT rank·(1/deg)): the recursive-
+        # CTE oracles replay that exact IEEE division edge-by-edge.
+        ranks = truncate(
+            adj.join(ranks, adj.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = truncate(
-            ranks.join(contribs, ranks.node == contribs.dst, "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
             ),
             rnd=it,
         )
