@@ -184,7 +184,10 @@ def kcore_nodes(
             .groupBy("v")
             .agg(F.count("*").alias("degree"))
         )
-        weak = deg.where(F.col("degree") < k).select("v")
+        # checkpoint the (tiny) weak set so the degree aggregation runs
+        # ONCE per round — lazily it would execute twice, once for the
+        # isEmpty probe and again inside each anti-join's subplan
+        weak = deg.where(F.col("degree") < k).select("v").localCheckpoint()
         if weak.isEmpty():
             break
         edges = (
@@ -446,35 +449,47 @@ def ktruss_edges(
     """
     edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
     n_edges = edges.count()
+    final = None
     for _ in range(max_iter):
         supp = _edge_support(edges)
+        # carry the support through the checkpoint: when the peel is a
+        # no-op (the common exit), the surviving edge set IS the set the
+        # supports were computed on, so the final per-edge supports are
+        # already in hand — the old epilogue re-ran the whole triangle
+        # enumeration once more to recover a column this round computed
         kept = (
             edges.join(
                 supp,
                 (edges["src"] == supp["es"]) & (edges["dst"] == supp["ed"]),
                 "left",
             )
-            .where(F.coalesce(F.col("supp"), F.lit(0)) >= k - 2)
-            .select("src", "dst")
+            .select(
+                "src", "dst", F.coalesce(F.col("supp"), F.lit(0)).alias("supp")
+            )
+            .where(F.col("supp") >= k - 2)
             .localCheckpoint()
         )
         n_kept = kept.count()
-        edges = kept
+        edges = kept.select("src", "dst")
         if n_kept == n_edges:
+            final = kept
             break
         n_edges = n_kept
-    final_supp = _edge_support(edges)
-    return (
-        edges.join(
+    if final is None:
+        # max_iter exhausted mid-peel: the last round removed edges, so
+        # its supports are stale for the survivors — recompute once on
+        # the final set (the oracle replays exactly max_iter peels, so
+        # both engines land here together)
+        final_supp = _edge_support(edges)
+        final = edges.join(
             final_supp,
             (edges["src"] == final_supp["es"]) & (edges["dst"] == final_supp["ed"]),
             "left",
-        )
-        .select(
-            F.col("src").alias("part_a"),
-            F.col("dst").alias("part_b"),
-            F.coalesce(F.col("supp"), F.lit(0)).cast("int").alias("support"),
-        )
+        ).select("src", "dst", F.coalesce(F.col("supp"), F.lit(0)).alias("supp"))
+    return final.select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        F.col("supp").cast("int").alias("support"),
     )
 
 

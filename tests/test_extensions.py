@@ -310,6 +310,57 @@ def test_connected_components_shared_durable_dir_no_collision(spark, tmp_path):
     assert (tmp_path / "run-0").exists() and (tmp_path / "run-1").exists()
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized differential for the one-shuffle-per-round CC (self-
+    loop + pre-partitioned adjacency + fused convergence scan): on
+    seeded random multigraphs — duplicate edges, input self-edges,
+    singleton pairs, string ids — every label must equal the component
+    minimum computed by an independent pure-Python union-find."""
+    import random
+
+    def uf_components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    rng = random.Random(1206)
+    for trial in range(3):
+        n = rng.randint(5, 40)
+        pairs = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(3, 60))
+        ]
+        pairs += [(a, a) for a in (pairs[0][0], pairs[-1][1])]  # self-edges
+        pairs += pairs[:3]  # duplicates
+        want = uf_components(pairs)
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.connected_components(edges).collect()
+        }
+        assert got == set(want.items()), f"trial {trial} diverged"
+    # same machinery must hold for non-numeric ids (min is lexicographic)
+    spairs = [("w3", "w7"), ("w7", "w11"), ("x2", "x9")]
+    want_s = uf_components(spairs)
+    sedges = spark.createDataFrame(spairs, "doc_a string, doc_b string")
+    got_s = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(sedges).collect()
+    }
+    assert got_s == set(want_s.items())
+
+
 def test_dedup_clusters_planted(spark):
     """Three mutually-similar docs form one cluster with keeper=min."""
     rows = [(0, BASE), (1, BASE.replace("garden", "forest")), (2, BASE.replace("lazy", "sleepy"))]
