@@ -459,6 +459,7 @@ def main() -> None:
 
     from dumbo_spark.registry import QUERIES
     from dumbo_spark.session import get_session
+    from dumbo_spark.testing import release_persistent_rdds
 
     names = sorted(QUERIES) if full else [n for n in HEADLINE if n in QUERIES]
 
@@ -480,6 +481,12 @@ def main() -> None:
         # drop them so queries are timed in isolation and executor memory
         # stays flat across the sweep
         spark.catalog.clearCache()
+        # clearCache only drops CACHED PLANS — localCheckpoint blocks
+        # (the iterative CC/PageRank label tables) survive it and
+        # accumulate executor memory across the sweep (measured 4x
+        # inflation of an iterative query in a shared session vs its
+        # fresh-process time); release them explicitly
+        release_persistent_rdds(spark)
 
     print(emit_line(timings, sf))
     spark.stop()

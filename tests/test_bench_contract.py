@@ -91,3 +91,19 @@ def test_emit_line_truncates_to_slowest_when_oversized():
     kept = parsed["queries"]
     assert kept  # never empties entirely
     assert "extremely_long_query_name_399" in kept  # slowest retained
+
+
+def test_release_persistent_rdds_frees_checkpoint_blocks(spark):
+    # clearCache drops cached plans only: a localCheckpoint's RDD
+    # blocks survive it (the leak that inflated iterative queries late
+    # in a shared-session sweep); the explicit release must free them
+    from dumbo_spark.testing import release_persistent_rdds
+
+    release_persistent_rdds(spark)  # isolate from other tests' blocks
+    df = spark.range(1000).localCheckpoint()
+    assert df.count() == 1000
+    spark.catalog.clearCache()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
+    assert release_persistent_rdds(spark) >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert release_persistent_rdds(spark) == 0  # idempotent
