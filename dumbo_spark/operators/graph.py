@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from dumbo_spark.operators.dedup import _release_local_checkpoint
+
 
 def copurchase_triangles(
     lineitem: DataFrame, min_cooccur: int = 2, max_basket: int = 20
@@ -189,13 +191,20 @@ def kcore_nodes(
         # isEmpty probe and again inside each anti-join's subplan
         weak = deg.where(F.col("degree") < k).select("v").localCheckpoint()
         if weak.isEmpty():
+            _release_local_checkpoint(weak)
             break
-        edges = (
+        new_edges = (
             edges.join(weak.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(weak.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .select("src", "dst")
             .localCheckpoint()
         )
+        # the new round's edges are materialized — the stale round and
+        # its weak set have no consumer left (see dedup.py: blocks
+        # otherwise stay pinned until JVM GC)
+        _release_local_checkpoint(weak)
+        _release_local_checkpoint(edges)
+        edges = new_edges
     return (
         edges.select(F.col("src").alias("l_partkey"))
         .unionAll(edges.select(F.col("dst").alias("l_partkey")))
@@ -449,6 +458,7 @@ def ktruss_edges(
     """
     edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
     n_edges = edges.count()
+    backing = edges  # the checkpoint holding the current edge set's blocks
     final = None
     for _ in range(max_iter):
         supp = _edge_support(edges)
@@ -470,6 +480,8 @@ def ktruss_edges(
             .localCheckpoint()
         )
         n_kept = kept.count()
+        _release_local_checkpoint(backing)  # stale round, no consumer left
+        backing = kept
         edges = kept.select("src", "dst")
         if n_kept == n_edges:
             final = kept
