@@ -457,3 +457,31 @@ def test_pagerank_star_and_pair(spark):
     assert abs(got[1] - hub_expect) < 2e-3
     leaf_expect = base + 0.85 * (got[1] / 3)
     assert abs(got[2] - leaf_expect) < 2e-3
+
+
+def test_iterative_operators_release_stale_round_blocks(spark):
+    """The iterative loops free each stale round's checkpoint blocks
+    (the shared-session leak): after a CC run only the input-edge-free
+    survivors remain — final labels (the returned frame MUST stay
+    collectible, twice) — and repeated runs don't accumulate."""
+    from dumbo_spark.testing import release_persistent_rdds
+
+    release_persistent_rdds(spark)  # isolate from other tests' blocks
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)],
+        "doc_a long, doc_b long",
+    )
+    out = dedup.connected_components(edges)
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert {c for _, c in got} == {0, 100}
+    n_after_one = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # final labels (+ nothing per-round): a 12-diameter chain runs ~12
+    # rounds; without the release that is ~13 pinned label tables
+    assert n_after_one <= 2, f"{n_after_one} RDDs left pinned"
+    # the returned frame survives the cleanup (its backing is the final
+    # round, which must NOT have been released)
+    assert {(r.doc_id, r.cluster_id) for r in out.collect()} == got
+    for _ in range(2):
+        dedup.connected_components(edges).collect()
+    n_after_three = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_after_three <= n_after_one + 4  # no per-run accumulation blowup
