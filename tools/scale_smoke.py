@@ -287,12 +287,19 @@ def main() -> None:
         names = [n for n in names if n in wanted]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
+    from dumbo_spark.testing import release_persistent_rdds
+
     for name in names:
         q = QUERIES[name]
         t0 = time.perf_counter()
         n = q.fn(spark, OUT).count()
         dt = time.perf_counter() - t0
         print(f"| {name} | {dt:.2f} | {n} |")
+        # isolate queries: leaked checkpoint blocks from iterative
+        # operators otherwise inflate everything after them (the 464s
+        # ghost, SCALE.md round-12 continuation)
+        spark.catalog.clearCache()
+        release_persistent_rdds(spark)
     spark.stop()
 
 
