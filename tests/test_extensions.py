@@ -459,6 +459,52 @@ def test_pagerank_star_and_pair(spark):
     assert abs(got[2] - leaf_expect) < 2e-3
 
 
+def test_pagerank_random_graphs_match_reference(spark):
+    """Randomized differential for the hoisted-adjacency PageRank: on
+    seeded random multigraphs (duplicate edges = parallel edges, both
+    contribute to degree AND inflow — the engine's count semantics),
+    every rank must match an independent pure-Python power iteration
+    to float tolerance, and Σrank = 1."""
+    import random
+
+    def py_pagerank(pairs, max_iter=10, d=0.85):
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        n = len(adj)
+        ranks = {v: 1.0 / n for v in adj}
+        base = (1.0 - d) / n
+        for _ in range(max_iter):
+            inflow = {v: 0.0 for v in adj}
+            for v, nbrs in adj.items():
+                c = ranks[v] / len(nbrs)
+                for u in nbrs:
+                    inflow[u] += c
+            ranks = {v: base + d * inflow[v] for v in adj}
+        return ranks
+
+    rng = random.Random(1207)
+    for trial in range(2):
+        n = rng.randint(4, 25)
+        pairs = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(3, 40))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]  # no self-edges
+        if not pairs:
+            pairs = [(0, 1)]
+        want = py_pagerank(pairs)
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.doc_id: r.rank for r in dedup.pagerank(edges, max_iter=10).collect()}
+        assert set(got) == set(want), f"trial {trial}: node sets differ"
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for v in want:
+            # partial-agg float summation order differs between the
+            # engines; 10 damped iterations keep the drift far below 1e-9
+            assert abs(got[v] - want[v]) < 1e-9, f"trial {trial}, node {v}"
+
+
 def test_iterative_operators_release_stale_round_blocks(spark):
     """The iterative loops free each stale round's checkpoint blocks
     (the shared-session leak): after a CC run only the input-edge-free
