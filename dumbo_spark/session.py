@@ -57,6 +57,18 @@ def get_session(app_name: str = "dumbo_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # A multi-hundred-query sweep in ONE JVM generates thousands of
+        # whole-stage-codegen classes; at the default ~240m
+        # ReservedCodeCacheSize the JIT code cache fills mid-sweep,
+        # compilation is DISABLED, and every later query runs
+        # interpreted — measured as a 3-10x cliff on the compute-heavy
+        # tail of the closing bench (473s vs 205s total; the same tail
+        # re-run in a fresh JVM was flat). Spark itself warns and asks
+        # for exactly this pair of flags. Harmless for short sessions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
