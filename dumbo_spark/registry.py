@@ -1164,16 +1164,9 @@ def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.conversion_lag_histogram(load_table(spark, sf_dir, "events"))
 
 
-@register("semantic_dedup")  # rows-only: LSH bucketing + float cosine
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
-    embedding near-dup pairs closed into clusters by iterative CC,
-    min-id keeper per cluster. The synthetic embeddings fixture
-    contains NO semantic duplicates (measured: max pairwise cosine
-    0.513 at sf0.01 — effectively random vectors), so the correct
-    output here is empty; the clustering semantics are pinned on
-    planted duplicates in tests/test_round4_ops.py."""
-    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+# (semantic_dedup is registered next to embedding_near_dup further
+# down — its r13 full-value oracle reuses the _duck_lsh_sig/_duck_dot
+# SQL helpers, which are defined just before the ANN family.)
 
 
 @register("hll_partitioned_counts")  # rows-only: sketch estimate is engine-specific
@@ -2401,6 +2394,57 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     set non-empty so the r11 oracle exercises bucketing AND
     verification on real rows."""
     return similarity.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+
+
+@register(
+    "semantic_dedup",
+    # Promoted from rows-only in r13 (VERDICT r12 Next #1): the r12
+    # external row was VACUOUS (threshold 0.95 on a duplicate-free
+    # fixture → 0 rows, indistinguishable from broken-empty). Same fix
+    # embedding_near_dup got in r11: register the fixture-informative
+    # threshold 0.2, and since BOTH halves of the pipeline were already
+    # oracle-proven separately (LSH pair SQL: embedding_near_dup;
+    # recursive-CTE CC: semantic_dedup_checked), composing them gives
+    # the production path a FULL value oracle — cluster ids, keeper
+    # flags and sizes hash-checked end to end.
+    oracle=f"""
+    WITH RECURSIVE sig AS (
+      SELECT vec_id, embedding,
+           {_duck_lsh_sig('embedding')} AS sg
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+      WHERE round({_duck_dot('a.embedding', 'b.embedding')}
+                  / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                     * sqrt({_duck_dot('b.embedding', 'b.embedding')})),
+                  6) >= 0.2),
+    edges AS (SELECT va AS src, vb AS dst FROM p
+              UNION ALL SELECT vb, va FROM p),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
+    cc AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+    SELECT cc.vec_id, cc.cluster_id,
+           cc.vec_id = cc.cluster_id AS is_keeper, sz.cluster_size
+    FROM cc JOIN sz USING (cluster_id)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    LSH-bucketed embedding near-dup pairs closed into clusters by
+    iterative CC, min-id keeper per cluster. Threshold 0.2 here
+    (production default 0.95) for the same reason as
+    embedding_near_dup: the synthetic fixture is duplicate-free at
+    0.95 (max pairwise cosine 0.513 at sf0.01), so the historical
+    registration's external row was vacuously empty. The 0.95
+    planted-duplicate semantics stay pinned in
+    tests/test_round4_ops.py."""
+    return similarity.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.2
     )
 
