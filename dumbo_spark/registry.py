@@ -1589,10 +1589,13 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
       WHERE len(ts) >= 3),
     dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+    hd AS (
+      SELECT doc_id, d, md5(CAST(d AS VARCHAR) || ':' || gram) AS hx
+      FROM dg, UNNEST(generate_series(0, 7)) AS u(d)),
     hs AS (
-      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || gram)) AS h
-      FROM dg, UNNEST(generate_series(0, 31)) AS u(i)
-      GROUP BY doc_id, i),
+      SELECT doc_id, d * 4 + l AS i, MIN(substr(hx, l * 8 + 1, 8)) AS h
+      FROM hd, UNNEST(generate_series(0, 3)) AS v(l)
+      GROUP BY doc_id, d * 4 + l),
     sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM hs GROUP BY doc_id),
     bands AS (
       SELECT doc_id, s,
@@ -3443,10 +3446,13 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
       WHERE len(ts) >= 3),
     dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+    hd AS (
+      SELECT doc_id, d, md5(CAST(d AS VARCHAR) || ':' || gram) AS hx
+      FROM dg, UNNEST(generate_series(0, 7)) AS u(d)),
     hs AS (
-      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || gram)) AS h
-      FROM dg, UNNEST(generate_series(0, 31)) AS u(i)
-      GROUP BY doc_id, i),
+      SELECT doc_id, d * 4 + l AS i, MIN(substr(hx, l * 8 + 1, 8)) AS h
+      FROM hd, UNNEST(generate_series(0, 3)) AS v(l)
+      GROUP BY doc_id, d * 4 + l),
     sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM hs GROUP BY doc_id),
     bands AS (
       SELECT doc_id, s,

@@ -109,7 +109,8 @@ def test_det_kmeans_matches_python_reference(spark, case):
 
 def _py_fuzzy_md5(docs, k=32, bands=8, rows_per_band=4, min_matches=12):
     """Reference for dedup.dedup_fuzzy_verified_md5: lower+\\W+ tokens,
-    space-joined 3-shingles, 32-wise md5 minhash, 8x4 banding,
+    space-joined 3-shingles, 32-wise md5 minhash (r13: four 8-hex-char
+    lanes sliced from each of 8 digests), 8x4 banding,
     >= min_matches component screen, exact integer-threshold Jaccard
     (10·|∩| >= 7·|∪|)."""
     import re
@@ -126,7 +127,12 @@ def _py_fuzzy_md5(docs, k=32, bands=8, rows_per_band=4, min_matches=12):
             continue
         sets[did] = set(sh)
         sig[did] = [
-            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            min(
+                hashlib.md5(f"{i // 4}:{s}".encode()).hexdigest()[
+                    (i % 4) * 8 : (i % 4) * 8 + 8
+                ]
+                for s in sh
+            )
             for i in range(k)
         ]
     buckets: dict[str, list] = {}
