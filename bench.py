@@ -459,7 +459,7 @@ def main() -> None:
 
     from dumbo_spark.registry import QUERIES
     from dumbo_spark.session import get_session
-    from dumbo_spark.testing import release_persistent_rdds
+    from dumbo_spark.session import release_persistent_rdds
 
     names = sorted(QUERIES) if full else [n for n in HEADLINE if n in QUERIES]
 

@@ -27,64 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dumbo_spark.functions.text import ngrams, tokens
+from dumbo_spark.operators._checkpoint import (  # shared with graph.py
+    _claim_run_dir,
+    _release_local_checkpoint,
+)
 
 #: MinHash parameters: k = bands × rows signature components.
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
 
-
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free a localCheckpoint'd DataFrame's storage blocks NOW.
-
-    The iterative loops replace their label/rank table every round;
-    the previous round's checkpoint becomes garbage the moment the new
-    one is materialized, but its blocks stay pinned until the lazy
-    py4j detach + JVM GC get around to them — in a long shared session
-    (the driver's correctness harness, a user notebook) those stale
-    rounds accumulate executor memory (measured: a 4× slowdown of an
-    iterative query after two others ran in the same session).
-    Best-effort by design: it reaches the plan's LogicalRDD through
-    internal accessors, so any API drift just falls back to GC-timed
-    release rather than failing the query.
-    """
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
-def _claim_run_dir(durable_dir: str) -> str:
-    """Reserve a fresh ``run-N`` subdirectory under ``durable_dir``.
-
-    Atomic via ``os.makedirs(exist_ok=False)`` for local/posix paths;
-    two invocations sharing a durable_dir get disjoint scratch trees,
-    so one run can never overwrite files backing another run's lazily
-    evaluated result.
-
-    Local filesystems only: for URI paths (hdfs://, s3a://, ...) a
-    driver-local makedirs would create a stray ``./hdfs:/...`` dir and
-    provide zero mutual exclusion on the real filesystem, so those are
-    rejected — callers on shared storage must pass distinct
-    durable_dirs per run (directory-create is not a lock on object
-    stores, and multi-driver HDFS setups need a real coordinator).
-    """
-    import os
-
-    if "://" in durable_dir:
-        raise ValueError(
-            f"_claim_run_dir requires a local path, got {durable_dir!r}; "
-            "on shared filesystems pass a distinct durable_dir per run"
-        )
-    base = durable_dir.rstrip("/")
-    n = 0
-    while True:
-        candidate = f"{base}/run-{n}"
-        try:
-            os.makedirs(candidate, exist_ok=False)
-            return candidate
-        except FileExistsError:
-            n += 1
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup: one row per distinct content, keeper = min(doc_id).
@@ -945,11 +897,16 @@ def pagerank(
 
     edges: (doc_a, doc_b) pairs.
     """
+    # Claim a private run-N subtree up front (same no-collision
+    # contract as connected_components, ADVICE r12): two pagerank runs
+    # sharing a durable_dir previously overwrote each other's
+    # pr_edges/pr_deg/pr_adj/ranks files under lazy evaluation.
+    run_dir = None if durable_dir is None else _claim_run_dir(durable_dir)
 
     def truncate(df: DataFrame, rnd: int) -> DataFrame:
-        if durable_dir is None:
+        if run_dir is None:
             return df.localCheckpoint()
-        path = f"{durable_dir.rstrip('/')}/ranks_{rnd % 2}"
+        path = f"{run_dir}/ranks_{rnd % 2}"
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
@@ -964,20 +921,20 @@ def pagerank(
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    if durable_dir is None:
+    if run_dir is None:
         both = both.localCheckpoint()
     else:
-        edges_path = f"{durable_dir.rstrip('/')}/pr_edges"
+        edges_path = f"{run_dir}/pr_edges"
         both.write.mode("overwrite").parquet(edges_path)
         both = both.sparkSession.read.parquet(edges_path)
     deg = both.groupBy("src").agg(F.count("*").alias("deg"))
     # deg must honor the same durability contract as the ranks: a
     # localCheckpoint'd deg dies with an executor and has no recompute
     # path, failing every remaining iteration on a cluster run
-    if durable_dir is None:
+    if run_dir is None:
         deg = deg.localCheckpoint()
     else:
-        deg_path = f"{durable_dir.rstrip('/')}/pr_deg"
+        deg_path = f"{run_dir}/pr_deg"
         deg.write.mode("overwrite").parquet(deg_path)
         deg = deg.sparkSession.read.parquet(deg_path)
     n_nodes = deg.count()
@@ -1011,11 +968,11 @@ def pagerank(
     # persist cannot re-trigger the per-round plan-growth problem.
     adj = both.join(deg, "src").select("src", "dst", "deg")
     n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if durable_dir is None:
+    if run_dir is None:
         adj = adj.repartition(n_shuffle, "src").persist()
         adj.count()
     else:
-        adj_path = f"{durable_dir.rstrip('/')}/pr_adj"
+        adj_path = f"{run_dir}/pr_adj"
         adj.write.mode("overwrite").parquet(adj_path)
         adj = adj.sparkSession.read.parquet(adj_path)
     ranks = truncate(
@@ -1040,10 +997,10 @@ def pagerank(
             ),
             rnd=it,
         )
-        if durable_dir is None:
+        if run_dir is None:
             _release_local_checkpoint(ranks)  # stale round, no consumer
         ranks = new_ranks
-    if durable_dir is None:
+    if run_dir is None:
         # final ranks are checkpointed; the adjacency cache and the
         # edge/degree checkpoints that fed it have no consumer left
         adj.unpersist()

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from dumbo_spark.operators.dedup import _release_local_checkpoint
+from dumbo_spark.operators._checkpoint import _release_local_checkpoint
 
 
 def copurchase_triangles(

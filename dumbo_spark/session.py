@@ -108,6 +108,28 @@ def _ship_package(spark: SparkSession) -> None:
     _shipped_apps.add(app_id)
 
 
+def release_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist EVERY persisted RDD in the session — including
+    localCheckpoint blocks, which ``spark.catalog.clearCache()`` does
+    NOT touch (it drops cached plans only). The iterative operators
+    (connected_components, pagerank, k-core/k-truss) leave their
+    per-round label checkpoints pinned until the lazy py4j detach +
+    JVM GC get around to them; in a long shared-session sweep those
+    blocks accumulate executor memory and inflate later queries
+    (measured: an iterative query ran 4x its fresh-process time after
+    two others in the same session). Returns the number released.
+    Call between queries whose timing or memory should be isolated.
+
+    Lives here (not dumbo_spark.testing) so bench-only environments
+    without duckdb/pandas can import it — it is a runtime utility, not
+    an oracle-harness helper (ADVICE r12).
+    """
+    jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for jrdd in jrdds:
+        jrdd.unpersist()
+    return len(jrdds)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> None:
     """Apply runtime-settable confs + package shipping to a session we
     didn't build (the driver harness hands us one)."""

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 import duckdb
 import pandas as pd
 
+from dumbo_spark.session import release_persistent_rdds  # noqa: F401 — re-export
 from dumbo_spark.sources.catalog import TABLES
 
 
@@ -31,23 +32,6 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
-
-
-def release_persistent_rdds(spark) -> int:
-    """Unpersist EVERY persisted RDD in the session — including
-    localCheckpoint blocks, which ``spark.catalog.clearCache()`` does
-    NOT touch (it drops cached plans only). The iterative operators
-    (connected_components, pagerank, k-core/k-truss) leave their
-    per-round label checkpoints pinned until the lazy py4j detach +
-    JVM GC get around to them; in a long shared-session sweep those
-    blocks accumulate executor memory and inflate later queries
-    (measured: an iterative query ran 4x its fresh-process time after
-    two others in the same session). Returns the number released.
-    Call between queries whose timing or memory should be isolated."""
-    jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
-    for jrdd in jrdds:
-        jrdd.unpersist()
-    return len(jrdds)
 
 
 def _canon_cell(v: object) -> object:

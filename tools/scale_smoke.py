@@ -287,7 +287,7 @@ def main() -> None:
         names = [n for n in names if n in wanted]
     print(f"| query | sf0.1 ×{REPL} sec | rows |")
     print("|---|---|---|")
-    from dumbo_spark.testing import release_persistent_rdds
+    from dumbo_spark.session import release_persistent_rdds
 
     for name in names:
         q = QUERIES[name]
