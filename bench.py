@@ -388,11 +388,59 @@ def emit_line(timings: dict[str, float], sf: str) -> str:
         kept = dict(sorted(slowest))
 
 
+def machine_context(spark) -> dict:
+    """Close-window comparability metadata (VERDICT r12 Next #5):
+    SCALE.md shows 205→243s closes on IDENTICAL code across machine
+    windows, so cross-round deltas need a normalizer recorded in the
+    artifact itself. Three signals:
+
+    - loadavg: background contention at sweep time;
+    - cpu_mhz: the governor/turbo state (the biggest single source of
+      window-to-window drift on shared hosts);
+    - two fixed calibration kernels, chosen to finish in ~1-2s on the
+      reference machine: a single-thread pure-Python loop (machine +
+      interpreter speed, JVM-independent) and a fixed Spark sum (JVM +
+      scheduler + codegen state as configured for THIS sweep). A later
+      round's total divided by the calibration ratio is comparable
+      across windows; a calibration shift with a flat query map means
+      the machine moved, not the code.
+    """
+    ctx: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        ctx["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        ctx["loadavg"] = None
+    mhz = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("cpu mhz"):
+                    mhz.append(float(line.split(":")[1]))
+    except (OSError, ValueError):
+        pass
+    ctx["cpu_mhz_mean"] = round(sum(mhz) / len(mhz), 1) if mhz else None
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):  # fixed single-thread python kernel
+        acc += i ^ (i >> 3)
+    ctx["calib_python_sec"] = round(time.perf_counter() - t0, 3)
+    ctx["_calib_acc"] = acc % 997  # defeat dead-code elimination
+    t0 = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr(
+        "sum(id * 2 + (id % 7)) AS s"
+    ).collect()
+    ctx["calib_spark_sec"] = round(time.perf_counter() - t0, 3)
+    del ctx["_calib_acc"]
+    return ctx
+
+
 def build_record(
     timings: dict[str, float],
     all_samples: dict[str, list[float]],
     sf: str,
     registered: set[str],
+    machine: dict | None = None,
 ) -> dict:
     """The full BENCH.json record: headline totals, untruncated query
     map, the generated included/excluded manifest, and the variance
@@ -407,6 +455,8 @@ def build_record(
         "queries": dict(sorted(timings.items())),
         "sf": float(sf),
     }
+    if machine is not None:
+        record["machine"] = machine
     record.update(build_manifest(registered))
     top15 = sorted(timings, key=lambda n: -timings[n])[:15]
     record["spread_top15"] = {
@@ -488,6 +538,15 @@ def main() -> None:
         # fresh-process time); release them explicitly
         release_persistent_rdds(spark)
 
+    # Comparability metadata sampled at sweep END, same JVM, so the
+    # Spark calibration kernel sees the sweep's codegen/GC state — the
+    # state the late-sweep query timings actually ran under.
+    try:
+        machine = machine_context(spark)
+    except Exception as exc:  # metadata must never fail the bench
+        print(f"machine_context failed: {exc!r}", file=sys.stderr)
+        machine = None
+
     print(emit_line(timings, sf))
     spark.stop()
     # Write the FULL record (untruncated per-query map + the generated
@@ -496,7 +555,7 @@ def main() -> None:
     # auditable (VERDICT r9 Next #6).
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        record = build_record(timings, all_samples, sf, set(QUERIES))
+        record = build_record(timings, all_samples, sf, set(QUERIES), machine)
         write_artifacts(record, here)
     except Exception as exc:  # the stdout line is the driver contract —
         print(f"BENCH.json write failed: {exc!r}", file=sys.stderr)

@@ -58,6 +58,26 @@ def test_record_carries_spread_for_top15_by_walltime():
     assert set(rec["queries"]) == set(timings)
 
 
+def test_record_carries_machine_comparability_metadata(spark):
+    # VERDICT r12 #5: 205->243s closes on identical code across machine
+    # windows — record loadavg, cpu MHz, and fixed calibration kernels
+    # so cross-round deltas can be normalized from the artifact alone.
+    ctx = bench.machine_context(spark)
+    assert set(ctx) == {
+        "loadavg", "cpu_mhz_mean", "calib_python_sec", "calib_spark_sec"
+    }
+    assert ctx["calib_python_sec"] > 0
+    assert ctx["calib_spark_sec"] > 0
+    if ctx["loadavg"] is not None:
+        assert len(ctx["loadavg"]) == 3
+    timings = {"q1": 1.0}
+    samples = {"q1": [1.0]}
+    rec = bench.build_record(timings, samples, "0.1", {"q1"}, ctx)
+    assert rec["machine"] == ctx
+    # machine=None (metadata collection failed) must not add the key
+    assert "machine" not in bench.build_record(timings, samples, "0.1", {"q1"})
+
+
 def test_bench_close_survives_a_simulated_driver_sync(tmp_path, monkeypatch):
     # VERDICT r11 #2: the driver sync overwrites BENCH.json in place;
     # the builder's close must live in a file the sync never touches.

@@ -120,6 +120,16 @@ def _bench_provenance(repo_dir: str | None = None) -> str:
             parts.append(
                 f"- `{fname}` — {val}s / {nq} queries{tag} — {what}"
             )
+            m = rec.get("machine")
+            if m:
+                # comparability metadata (VERDICT r12 Next #5): lets a
+                # cross-round delta be normalized by the machine window
+                parts.append(
+                    f"  - machine window: loadavg={m.get('loadavg')}, "
+                    f"cpu_mhz_mean={m.get('cpu_mhz_mean')}, "
+                    f"calib_python={m.get('calib_python_sec')}s, "
+                    f"calib_spark={m.get('calib_spark_sec')}s"
+                )
         except Exception as exc:
             parts.append(f"- `{fname}` — unreadable ({exc!r}) — {what}")
     return "\n".join(parts)
