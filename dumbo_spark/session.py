@@ -56,7 +56,11 @@ def get_session(app_name: str = "dumbo_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # off by default (headless test/bench runs); tools/scale_class.py
+        # sets SPARK_GRAFT_UI=true to read per-stage shuffle metrics from
+        # the UI's REST API (the stable public surface for stage metrics
+        # — AppStatusStore's scala signatures aren't py4j-callable)
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # A multi-hundred-query sweep in ONE JVM generates thousands of
         # whole-stage-codegen classes; at the default ~240m
         # ReservedCodeCacheSize the JIT code cache fills mid-sweep,

@@ -1,0 +1,129 @@
+"""Scale-class pin for the top-expensive iterative bench family
+(VERDICT r12 Next #4): run pagerank_checked, copurchase_components and
+dup_cluster_sizes on 1x / 10x / 30x replicas of sf0.1 and record, per
+run, wall-clock AND the per-stage shuffle-write series — the r12
+shuffle diet changed the constants, so the scale class needs re-pinning
+with shuffle bytes, not just seconds.
+
+Stage metrics come from the Spark UI's REST API (the stable public
+surface; AppStatusStore's scala-default-arg signatures aren't callable
+through py4j), so the session runs with SPARK_GRAFT_UI=true. Stages
+belonging to a query are the ones whose stageId is larger than the
+snapshot taken before it ran; the per-stage shuffle-write list IS the
+per-round record for the iterative operators (each round = one
+shuffle-producing stage after the r12 one-shuffle-per-round diet).
+
+    python tools/scale_class.py                  # full 1x/10x/30x sweep
+    SCALE_CLASS_REPLS=1,10 python tools/scale_class.py
+Prints a markdown table ready for SCALE.md and writes
+/tmp/scale_class_report.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["SPARK_GRAFT_UI"] = "true"
+
+from scale_smoke import BASE_SF, build  # noqa: E402
+
+QUERIES_UNDER_TEST = ["pagerank_checked", "copurchase_components", "dup_cluster_sizes"]
+
+
+def _ui_base(spark) -> str:
+    return spark.sparkContext.uiWebUrl
+
+
+def _completed_stages(spark) -> list[dict]:
+    app_id = spark.sparkContext.applicationId
+    url = f"{_ui_base(spark)}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def run_one(spark, name: str, sf_dir: str) -> dict:
+    from dumbo_spark.registry import QUERIES
+    from dumbo_spark.session import release_persistent_rdds
+
+    before = {s["stageId"] for s in _completed_stages(spark)}
+    t0 = time.perf_counter()
+    rows = QUERIES[name].fn(spark, sf_dir).count()
+    wall = time.perf_counter() - t0
+    stages = [
+        s for s in _completed_stages(spark) if s["stageId"] not in before
+    ]
+    stages.sort(key=lambda s: s["stageId"])
+    writes_mb = [
+        round(s["shuffleWriteBytes"] / 1e6, 1)
+        for s in stages
+        if s["shuffleWriteBytes"] > 0
+    ]
+    spark.catalog.clearCache()
+    release_persistent_rdds(spark)
+    return {
+        "rows": rows,
+        "sec": round(wall, 1),
+        "n_stages": len(stages),
+        "shuffle_write_mb_total": round(
+            sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 1
+        ),
+        "shuffle_write_mb_per_stage": writes_mb,
+    }
+
+
+def main() -> None:
+    from dumbo_spark.session import get_session
+
+    repls = [
+        int(x)
+        for x in os.environ.get("SCALE_CLASS_REPLS", "1,10,30").split(",")
+    ]
+    spark = get_session(
+        "scale_class", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 16))
+    )
+    results: dict[str, dict[int, dict]] = {q: {} for q in QUERIES_UNDER_TEST}
+    for repl in repls:
+        if repl == 1:
+            sf_dir = BASE_SF
+        else:
+            sf_dir = f"/tmp/dumbo_spark_scale_x{repl}"
+            t0 = time.perf_counter()
+            build(spark, repl=repl, out=sf_dir)
+            print(f"# build x{repl}: {time.perf_counter()-t0:.1f}s", flush=True)
+        for name in QUERIES_UNDER_TEST:
+            rec = run_one(spark, name, sf_dir)
+            results[name][repl] = rec
+            print(f"# x{repl} {name}: {json.dumps(rec)}", flush=True)
+
+    lines = [
+        "| query | repl | rows | sec | stages | shuffle-write MB (total) "
+        "| per-stage shuffle-write MB |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in QUERIES_UNDER_TEST:
+        for repl in repls:
+            r = results[name].get(repl)
+            if not r:
+                continue
+            per = r["shuffle_write_mb_per_stage"]
+            per_s = ", ".join(str(x) for x in per[:12]) + (
+                f", … (+{len(per)-12})" if len(per) > 12 else ""
+            )
+            lines.append(
+                f"| {name} | {repl}x | {r['rows']} | {r['sec']} "
+                f"| {r['n_stages']} | {r['shuffle_write_mb_total']} | {per_s} |"
+            )
+    report = "\n".join(lines)
+    print(report)
+    with open("/tmp/scale_class_report.md", "w") as f:
+        f.write(report + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

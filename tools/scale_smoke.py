@@ -20,12 +20,14 @@ REPL = int(os.environ.get("SCALE_REPL", "10"))
 OUT = f"/tmp/dumbo_spark_scale_x{REPL}"
 
 
-def build(spark) -> None:
+def build(spark, repl: int | None = None, out: str | None = None) -> None:
     from pyspark.sql import functions as F
 
     from dumbo_spark.sources.catalog import load_table
 
-    os.makedirs(OUT, exist_ok=True)
+    repl = REPL if repl is None else repl
+    out = OUT if out is None else out
+    os.makedirs(out, exist_ok=True)
     plans = {
         "lineitem": ("l_orderkey", 10_000_000),
         "orders": ("o_orderkey", 10_000_000),
@@ -36,18 +38,18 @@ def build(spark) -> None:
         "documents": ("doc_id", 10_000_000),
     }
     for name, (key, stride) in plans.items():
-        dst = f"{OUT}/{name}.parquet"
+        dst = f"{out}/{name}.parquet"
         if os.path.exists(dst):
             continue
         df = load_table(spark, BASE_SF, name)
-        rep = df.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(REPL)])))
+        rep = df.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(repl)])))
         rep = rep.withColumn(key, F.col(key) + F.col("_r").cast("long") * stride).drop("_r")
         rep.write.mode("overwrite").parquet(dst)
     # copy small dims unchanged
     import shutil
 
     for name in ("part", "nation", "region", "supplier", "embeddings"):
-        dst = f"{OUT}/{name}.parquet"
+        dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{BASE_SF}/{name}.parquet", dst)
 
