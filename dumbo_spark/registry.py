@@ -21,9733 +21,30 @@ rationale):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-from dumbo_spark.operators import (
-    agg,
-    analytics,
-    dedup,
-    dq,
-    events,
-    graph,
-    joins,
-    packing,
-    sampling,
-    setops,
-    shape,
-    similarity,
-    temporal,
-    textstats,
-    topk,
-)
-from dumbo_spark.sources.catalog import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class Query:
-    name: str
-    fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None => rows-only driver check
-
-
-QUERIES: dict[str, Query] = {}
-
-
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = Query(name, fn, oracle)
-        return fn
-
-    return deco
-
-
-# ── shared DuckDB SQL fragments ─────────────────────────────────────────
-
-# identical tokenization to functions/text.py::tokens (ASCII \W+ in both
-# Java regex and RE2)
-DUCK_TOKENS = r"list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')"
-
-
-def _in_list(words: tuple[str, ...]) -> str:
-    return ", ".join(f"'{w}'" for w in words)
-
-
-# ═══ E1: wordcount — flagship (examples/wordcount.py) ═══════════════════
-
-
-@register(
-    "wordcount",
-    oracle=f"""
-    SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-    GROUP BY word
-    """,
-)
-def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.wordcount(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "ngram_count",
-    oracle=f"""
-    WITH toks AS (SELECT {DUCK_TOKENS} AS t FROM documents)
-    SELECT ngram, COUNT(*) AS cnt
-    FROM (
-      SELECT unnest(
-        CASE WHEN len(t) >= 2
-             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-             ELSE [] END) AS ngram
-      FROM toks)
-    GROUP BY ngram
-    """,
-)
-def q_ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.ngram_count(load_table(spark, sf_dir, "documents"), n=2)
-
-
-# ═══ M1: aggregation family (dumbo/lib reducers) ════════════════════════
-
-
-@register(
-    "group_sum",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.group_sum(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "group_multi_sum",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_revenue,
-           COUNT(*) AS n_rows
-    FROM lineitem GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q_group_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.group_multi_sum(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "group_stats",
-    oracle="""
-    WITH m AS (
-      SELECT l_returnflag,
-             COUNT(*) AS n,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2,
-             MIN(l_extendedprice) AS min_price,
-             MAX(l_extendedprice) AS max_price
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag,
-           n AS n_items,
-           ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_price,
-           ROUND(sqrt(CAST(s2 AS DOUBLE) / n
-                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 4)
-             AS std_price,
-           min_price, max_price
-    FROM m
-    """,
-)
-def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.group_stats(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "count_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.count_distinct(load_table(spark, sf_dir, "orders"))
-
-
-@register("approx_count_distinct", oracle=None)  # estimator differs by engine
-def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.approx_distinct(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "rollup_counts",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.rollup_counts(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "cube_counts",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.cube_counts(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "tagged_multicount",
-    oracle="""
-    SELECT tag, COUNT(*) AS n_docs
-    FROM (SELECT unnest(['lang:' || lang, 'source:' || source]) AS tag
-          FROM documents)
-    GROUP BY tag
-    """,
-)
-def q_tagged_multicount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.tagged_multicount(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "two_phase_agg",
-    oracle="""
-    SELECT n_orders, COUNT(*) AS n_customers
-    FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
-    GROUP BY n_orders
-    """,
-)
-def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.two_phase_agg(load_table(spark, sf_dir, "orders"))
-
-
-# ═══ text-analysis extensions (north star) ══════════════════════════════
-
-
-@register(
-    "doc_token_stats",
-    oracle=f"""
-    WITH per_doc AS (
-      SELECT lang,
-             len({DUCK_TOKENS}) AS n_tokens,
-             len(list_distinct({DUCK_TOKENS})) AS n_uniq,
-             length(text) AS n_chars
-      FROM documents)
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
-           ROUND(CAST(SUM(n_uniq) AS DOUBLE) / COUNT(*), 4) AS avg_uniq_tokens,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
-    FROM per_doc GROUP BY lang
-    """,
-)
-def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.doc_token_stats(load_table(spark, sf_dir, "documents"))
-
-
-def _lang_id_oracle() -> str:
-    scores = ",\n             ".join(
-        f"len(list_filter(toks, t -> t IN ({_in_list(textstats.STOPWORDS[lg])})))"
-        f" AS score_{lg}"
-        for lg in textstats.LANGS
-    )
-    cases = "\n           ".join(
-        "WHEN "
-        + " AND ".join(f"score_{lg} >= score_{o}" for o in textstats.LANGS if o != lg)
-        + f" THEN '{lg}'"
-        for lg in textstats.LANGS
-    )
-    return f"""
-    WITH scored AS (
-      SELECT lang,
-             {scores}
-      FROM (SELECT lang, {DUCK_TOKENS} AS toks FROM documents))
-    SELECT lang,
-           CASE {cases} END AS predicted_lang,
-           COUNT(*) AS n_docs
-    FROM scored GROUP BY lang, predicted_lang
-    """
-
-
-@register("lang_id", oracle=_lang_id_oracle())
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "quality_score",
-    oracle=f"""
-    WITH per_doc AS (
-      SELECT lang,
-             len(toks) AS n_tokens,
-             len(list_distinct(toks)) AS n_uniq,
-             len(list_filter(toks,
-                 t -> t IN ({_in_list(textstats.STOPWORDS["en"])}))) AS n_stop
-      FROM (SELECT lang, {DUCK_TOKENS} AS toks FROM documents)
-      WHERE len(toks) > 0)
-    SELECT lang,
-           CAST(floor((least(n_tokens / 200.0, 1.0) * 0.4
-                  + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
-                  + (n_uniq / CAST(n_tokens AS DOUBLE)) * 0.3) * 10) AS BIGINT)
-             AS q_bucket,
-           COUNT(*) AS n_docs
-    FROM per_doc GROUP BY lang, q_bucket
-    """,
-)
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_chunks",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
-    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
-          FROM t WHERE len(toks) > 0)
-    SELECT doc_id,
-           CAST(st / 48 AS INTEGER) AS chunk_idx,
-           array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text,
-           CAST(least(len(toks) - st, 64) AS INTEGER) AS n_tokens
-    FROM s
-    """,
-)
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.chunk_documents(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_fingerprint",
-    oracle=f"""
-    SELECT doc_id, md5(array_to_string({DUCK_TOKENS}, ' ')) AS fp
-    FROM documents
-    """,
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "vocab_growth",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, UNNEST(list_filter(
-               string_split_regex(lower(text), '\\W+'), t -> t <> '')) AS tok
-      FROM documents),
-    first_seen AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
-    per_bucket AS (
-      SELECT CAST(floor(first_doc / 1) AS BIGINT) AS bucket,
-             COUNT(*) AS new_tokens
-      FROM first_seen GROUP BY 1)
-    SELECT bucket, new_tokens,
-           CAST(SUM(new_tokens) OVER (ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS cum_vocab
-    FROM per_bucket
-    """,
-)
-def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law vocabulary growth per doc-bucket
-    (textstats.vocab_growth): first-occurrence partial agg keyed on
-    token; the cumulative window runs over buckets only."""
-    return textstats.vocab_growth(load_table(spark, sf_dir, "documents"))
-
-
-# ═══ M2: shape ops (mapper idioms P1/P5/P14/P9) ═════════════════════════
-
-
-@register(
-    "map_project",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1.0 - l_discount) AS revenue,
-           l_quantity > 25 AS bulk
-    FROM lineitem
-    """,
-)
-def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shape.map_project(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "map_explode",
-    oracle=f"""
-    SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
-    """,
-)
-def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shape.map_explode(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "filter_predicate",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
-    FROM lineitem WHERE l_quantity >= 45 AND l_discount >= 0.05
-    """,
-)
-def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shape.filter_predicate(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "parse_props_json",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY k
-    """,
-)
-def q_parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shape.parse_props(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "input_file_tag",
-    oracle="SELECT 'orders' AS src, COUNT(*) AS n_rows FROM orders",
-)
-def q_input_file_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shape.input_file_tag(load_table(spark, sf_dir, "orders"))
-
-
-# ═══ M2: set ops (P7/P8 + gap rows) ═════════════════════════════════════
-
-
-@register(
-    "union_all",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION ALL
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return setops.union_all(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
-    )
-
-
-@register(
-    "multi_source_union",
-    oracle="""
-    SELECT 'customer' AS src, c_custkey AS id, c_name AS name, c_acctbal AS acctbal
-    FROM customer
-    UNION ALL
-    SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name, s_acctbal AS acctbal
-    FROM supplier
-    """,
-)
-def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return setops.multi_source_union(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
-    )
-
-
-@register(
-    "intersect_keys",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return setops.intersect_keys(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
-    )
-
-
-@register(
-    "except_keys",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return setops.except_keys(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
-    )
-
-
-# ═══ M3: joins (L10/L11 + gap rows) ═════════════════════════════════════
-
-
-@register(
-    "join_inner",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    """,
-)
-def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return joins.join_inner(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
-    )
-
-
-@register(
-    "join_left",
-    oracle="""
-    SELECT c_custkey, c_name, o_orderkey, o_totalprice
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    """,
-)
-def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return joins.join_left(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "join_semi",
-    oracle="""
-    SELECT c_custkey, c_name, c_acctbal FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return joins.join_semi(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name, c_acctbal FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return joins.join_anti(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "join_broadcast_dim",
-    oracle="""
-    SELECT p_brand,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
-    """,
-)
-def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return joins.join_broadcast_dim(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "bucketed_colocated_join",
-    oracle="""
-    SELECT o.o_orderstatus,
-           COUNT(*) AS n_lines,
-           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_price
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    GROUP BY o.o_orderstatus
-    """,
-)
-def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-free fact⋈fact join via bucketed storage
-    (sources/bucketed.py): orders and lineitem are written once,
-    bucketed 8 ways on orderkey, then joined WITHOUT any exchange on
-    either side (plan asserted in tests/test_bucketed.py) — the
-    pay-the-shuffle-once-at-write pattern that converts a nightly
-    100 TB fact join into a co-located bucket merge."""
-    from dumbo_spark.functions.numeric import dsum
-    from dumbo_spark.sources.bucketed import colocated_join, write_bucketed
-    from dumbo_spark.streaming.runners import _scratch_dir
-
-    base = _scratch_dir(prefix="dumbo_spark_buckets_")
-    write_bucketed(
-        load_table(spark, sf_dir, "orders"),
-        "dsb_orders", "o_orderkey", 8, f"{base}/orders",
-    )
-    write_bucketed(
-        load_table(spark, sf_dir, "lineitem").withColumnRenamed(
-            "l_orderkey", "o_orderkey"
-        ),
-        "dsb_lineitem", "o_orderkey", 8, f"{base}/lineitem",
-    )
-    return (
-        colocated_join(spark, "dsb_orders", "dsb_lineitem", "o_orderkey")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum("l_extendedprice", "sum_price"),
-        )
-    )
-
-
-@register(
-    "dpp_partitioned_join",
-    oracle="""
-    SELECT o.o_orderpriority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_price
-    FROM orders o
-    JOIN (SELECT DISTINCT o_orderpriority FROM orders
-          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
-      ON d.o_orderpriority = o.o_orderpriority
-    GROUP BY o.o_orderpriority
-    """,
-)
-def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic partition pruning over a Hive-partitioned layout
-    (sources/bucketed.py::write_partitioned): orders written
-    partitioned by o_orderpriority, then joined to a selective dim the
-    optimizer only resolves at runtime — DPP injects the dim's
-    surviving keys into the fact scan's PartitionFilters
-    (``dynamicpruning#`` subquery, asserted in tests/test_plans.py),
-    so 3 of 5 partition directories are never opened. The
-    directory-skipping twin of bucketed_colocated_join's
-    shuffle-elimination."""
-    from dumbo_spark.functions.numeric import dsum
-    from dumbo_spark.sources.bucketed import write_partitioned
-    from dumbo_spark.streaming.runners import _scratch_dir
-
-    base = _scratch_dir(prefix="dumbo_spark_dpp_")
-    orders = load_table(spark, sf_dir, "orders")
-    write_partitioned(orders, "o_orderpriority", f"{base}/orders_part")
-    fact = spark.read.parquet(f"{base}/orders_part")
-    dim = (
-        orders.where(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        )
-        .select("o_orderpriority")
-        .distinct()
-    )
-    return (
-        fact.join(dim, "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            dsum("o_totalprice", "sum_price"),
-        )
-    )
-
-
-# ═══ M3: order / rank (L5-L7 + gap row) ═════════════════════════════════
-
-
-@register(
-    "topk_per_group",
-    oracle="""
-    SELECT * FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
-      FROM orders)
-    WHERE rn <= 3
-    """,
-)
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.topk_per_group(load_table(spark, sf_dir, "orders"), k=3)
-
-
-@register(
-    "bottomk_per_group",
-    oracle="""
-    SELECT * FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS rn
-      FROM orders)
-    WHERE rn <= 3
-    """,
-)
-def q_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.bottomk_per_group(load_table(spark, sf_dir, "orders"), k=3)
-
-
-@register(
-    "topk_global",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-)
-def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.topk_global(load_table(spark, sf_dir, "orders"), k=10)
-
-
-@register(
-    "window_rank",
-    oracle="""
-    SELECT c_mktsegment, c_custkey, c_acctbal,
-           CAST(RANK() OVER w AS INTEGER) AS rnk,
-           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_bal
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
-    """,
-)
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.window_rank(load_table(spark, sf_dir, "customer"))
-
-
-# ═══ M3/M6: event-time windows (gap rows; batch forms) ══════════════════
-
-
-@register(
-    "ewma_event_volume",
-    oracle="""
-    WITH daily AS (
-      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-             event_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
-    idx AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                                   ORDER BY day) AS t
-      FROM daily),
-    scaled AS (
-      SELECT a.event_type, a.day AS day_t, a.t, a.n AS x_t,
-             SUM(CAST(CASE WHEN b.t = GREATEST(1, a.t - 33)
-                           THEN POWER(3, a.t - b.t)
-                           ELSE POWER(3, a.t - b.t)
-                                * POWER(4, b.t - GREATEST(1, a.t - 33) - 1)
-                      END AS DECIMAL(38,0))
-                 * CAST(b.n AS DECIMAL(38,0))) AS s
-      FROM idx a JOIN idx b
-        ON b.event_type = a.event_type
-       AND b.t <= a.t AND b.t >= a.t - 33
-      GROUP BY 1, 2, 3, 4)
-    SELECT event_type, day_t AS day, x_t AS n_events,
-           ROUND(CAST(s AS DOUBLE) / POWER(4, LEAST(t - 1, 33)), 6) AS ewma
-    FROM scaled
-    """,
-)
-def q_ewma_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-arithmetic EWMA of daily event volume per type
-    (events.ewma_event_volume): the float recurrence replaced by
-    integer-scaled 3^k·4^m weights summed in DECIMAL — order-
-    independent and engine-exact; one nearest-double divide at the
-    end. Round-10 sliding restart (ADVICE r9): the window restarts at
-    r = max(1, t-33) so every coefficient stays an exact double at ANY
-    series length; identical to the r9 formula for T ≤ 34 (fixtures:
-    30 days/type). Horizon-bounded self-join, never corpus-sized."""
-    return events.ewma_event_volume(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "events_by_day",
-    oracle="""
-    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY day, event_type
-    """,
-)
-def q_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events.events_by_day(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "events_tumbling_1h",
-    oracle="""
-    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
-             AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY window_start, event_type
-    """,
-)
-def q_events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events.events_tumbling_1h(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "event_gap_stats",
-    oracle="""
-    WITH gaps AS (
-      SELECT event_type,
-             epoch_us(CAST(ts AS TIMESTAMP))
-               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
-      FROM events
-      WINDOW w AS (PARTITION BY user_id, event_type
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id))
-    SELECT event_type, COUNT(*) AS n_gaps,
-           ROUND(AVG(gap_us), 4) AS avg_gap_us,
-           ROUND(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
-           ROUND(quantile_cont(gap_us, 0.95), 4) AS p95_gap_us
-    FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
-    """,
-)
-def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-event cadence profile (events.event_gap_stats)."""
-    return events.event_gap_stats(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "value_anomalies",
-    oracle="""
-    WITH stats AS (
-      SELECT user_id, event_type,
-             COUNT(*) AS n, AVG(value) AS mean, STDDEV_SAMP(value) AS sd
-      FROM events GROUP BY user_id, event_type
-      HAVING COUNT(*) >= 2 AND STDDEV_SAMP(value) > 0)
-    SELECT e.event_id, e.user_id, e.event_type, e.value,
-           ROUND((e.value - s.mean) / s.sd, 4) AS z
-    FROM events e
-    JOIN stats s ON e.user_id = s.user_id AND e.event_type = s.event_type
-    WHERE ABS(ROUND((e.value - s.mean) / s.sd, 4)) > 3.0
-    """,
-)
-def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-score outliers per (user, event type) — events.value_anomalies:
-    partial-agg moments + equi-join back (no per-group window), so a
-    skewed user never creates a single-task partition."""
-    return events.value_anomalies(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "user_retention",
-    oracle="""
-    WITH first AS (
-      SELECT user_id, MIN(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
-               AS cohort_day
-      FROM events GROUP BY user_id),
-    active AS (
-      SELECT DISTINCT user_id,
-             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS active_day
-      FROM events)
-    SELECT f.cohort_day,
-           CAST(date_diff('day', CAST(f.cohort_day AS DATE),
-                          CAST(a.active_day AS DATE)) AS INTEGER)
-             AS day_offset,
-           COUNT(DISTINCT a.user_id) AS n_users
-    FROM active a JOIN first f ON a.user_id = f.user_id
-    GROUP BY f.cohort_day, day_offset
-    """,
-)
-def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix (events.user_retention): first-seen
-    partial agg + distinct activity days + user-keyed equi-join +
-    final partial agg — no window, skew-safe at any fan-in."""
-    return events.user_retention(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "value_drift_screen",
-    oracle="""
-    WITH hist AS (
-      SELECT event_type,
-             CAST(floor(CAST(value AS DECIMAL(18,2)) / CAST(10.0 AS DECIMAL(18,2)))
-                  AS BIGINT) AS bucket,
-             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_old,
-             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
-                  AS BIGINT) AS n_new
-      FROM events GROUP BY event_type, bucket),
-    gaps AS (
-      SELECT event_type,
-             CAST(SUM(n_old) OVER t AS BIGINT) AS n_old_total,
-             CAST(SUM(n_new) OVER t AS BIGINT) AS n_new_total,
-             abs(CAST(SUM(n_old) OVER w AS DOUBLE) / SUM(n_old) OVER t
-                 - CAST(SUM(n_new) OVER w AS DOUBLE) / SUM(n_new) OVER t) AS g
-      FROM hist
-      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             t AS (PARTITION BY event_type))
-    SELECT event_type, n_old_total, n_new_total,
-           ROUND(MAX(g), 6) AS ks_stat
-    FROM gaps GROUP BY event_type, n_old_total, n_new_total
-    """,
-)
-def q_value_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed two-sample KS drift monitor (events.value_drift_screen):
-    windows run over the per-type histogram, never the event stream."""
-    return events.value_drift_screen(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "value_anomalies_mad",
-    oracle="""
-    WITH med AS (
-      SELECT user_id, event_type, quantile_cont(value, 0.5) AS m
-      FROM events GROUP BY user_id, event_type),
-    dev AS (
-      SELECT e.event_id, e.user_id, e.event_type, e.value,
-             abs(e.value - med.m) AS d
-      FROM events e JOIN med USING (user_id, event_type)),
-    mad AS (
-      SELECT user_id, event_type, quantile_cont(d, 0.5) AS md
-      FROM dev GROUP BY user_id, event_type)
-    SELECT dev.event_id, dev.user_id, dev.event_type, dev.value,
-           ROUND(dev.d / (1.4826 * mad.md), 4) AS robust_z
-    FROM dev JOIN mad USING (user_id, event_type)
-    WHERE mad.md > 0 AND dev.d / (1.4826 * mad.md) > 3.5
-    """,
-)
-def q_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median/MAD robust outlier screen (events.value_anomalies_mad) —
-    the heavy-contamination twin of value_anomalies; same join-back
-    shape, no windows, skew-safe."""
-    return events.value_anomalies_mad(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "user_streaks",
-    oracle="""
-    WITH active AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-    isl AS (
-      SELECT user_id, d,
-             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
-                      AS INTEGER) AS anchor
-      FROM active),
-    st AS (
-      SELECT user_id, anchor, COUNT(*) AS streak_len
-      FROM isl GROUP BY user_id, anchor)
-    SELECT user_id,
-           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
-           MAX(streak_len) AS longest_streak,
-           COUNT(*) AS n_streaks
-    FROM st GROUP BY user_id
-    """,
-)
-def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands, islands half (events.user_streaks): longest
-    consecutive-day streak per user via the day − row_number anchor.
-    Window input is distinct days (calendar-bounded per user), then
-    partial aggs — no event-volume window."""
-    return events.user_streaks(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "event_transitions",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
-               AS next_type
-      FROM events),
-    m AS (
-      SELECT event_type, next_type, COUNT(*) AS n
-      FROM seq WHERE next_type IS NOT NULL
-      GROUP BY event_type, next_type)
-    SELECT event_type, next_type, n,
-           ROUND(CAST(n AS DOUBLE)
-                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
-                 6) AS p
-    FROM m
-    """,
-)
-def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix (events.event_transitions):
-    lead window on user_id + partial-agg counts; the probability
-    normalizer windows over the |types|² aggregate, small by
-    construction."""
-    return events.event_transitions(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "time_weighted_avg",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id,
-             CAST(value AS DECIMAL(18,2)) AS v,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             lead(epoch_us(CAST(ts AS TIMESTAMP)))
-               OVER (PARTITION BY user_id
-                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
-      FROM events)
-    SELECT user_id,
-           COUNT(*) AS n_segments,
-           CAST(SUM(nxt - us) AS BIGINT) AS total_us,
-           ROUND(CAST(SUM(v * (nxt - us)) AS DOUBLE)
-                 / CAST(SUM(nxt - us) AS DOUBLE), 6) AS twa_value
-    FROM seq WHERE nxt IS NOT NULL GROUP BY user_id
-    """,
-)
-def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LOCF time-weighted mean of value per user
-    (events.time_weighted_avg): exact integer-µs weights × exact
-    decimal values, one window shuffle + one partial agg; only the
-    final division is floating-point, identical in both engines."""
-    return events.time_weighted_avg(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "trailing_window_totals",
-    oracle="""
-    SELECT user_id, event_id,
-           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-           COUNT(*) OVER w AS n_trailing,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    """,
-)
-def q_trailing_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-interval frame (variable-width trailing hour) — the frame
-    class dumbo's sorted-reduce idiom could only approximate with
-    per-key buffering in user code."""
-    return events.trailing_window_totals(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "events_sessionized",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts, value,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sessions AS (
-      SELECT user_id, event_id, ts, value,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
-      FROM flagged)
-    SELECT user_id, session_id,
-           COUNT(*) AS n_events,
-           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
-           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end_us,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM sessions GROUP BY user_id, session_id
-    """,
-)
-def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events.events_sessionized(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "copresence_sessions",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sessions AS (
-      SELECT user_id, event_id, ts,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
-      FROM flagged),
-    spans AS (
-      SELECT user_id, session_id,
-             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS s,
-             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS e
-      FROM sessions GROUP BY user_id, session_id)
-    SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_overlaps
-    FROM spans a JOIN spans b
-      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
-    GROUP BY a.user_id, b.user_id
-    """,
-)
-def q_copresence_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join over session spans
-    (temporal.copresence_sessions): hour-grid bucketing turns the
-    overlap predicate into an equi-join; the oracle states the naive
-    inequality join the operator must equal."""
-    return temporal.copresence_sessions(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "cumulative_new_users",
-    oracle="""
-    WITH first AS (
-      SELECT user_id, MIN(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS day
-      FROM events GROUP BY user_id),
-    daily AS (SELECT day, COUNT(*) AS new_users FROM first GROUP BY day)
-    SELECT day, new_users,
-           CAST(SUM(new_users) OVER (ORDER BY day
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS cum_users
-    FROM daily
-    """,
-)
-def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily acquisition curve (events.cumulative_new_users):
-    first-seen partial agg + running sum over the calendar-bounded
-    daily aggregate."""
-    return events.cumulative_new_users(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "customer_rfm",
-    oracle="""
-    WITH per AS (
-      SELECT o_custkey AS c_custkey,
-             MAX(CAST(o_orderdate AS DATE)) AS last_order,
-             COUNT(*) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
-      FROM orders GROUP BY o_custkey),
-    anchor AS (SELECT MAX(last_order) AS a FROM per),
-    withr AS (
-      SELECT c_custkey,
-             CAST(date_diff('day', last_order, a) AS INTEGER) AS recency_days,
-             frequency, monetary
-      FROM per CROSS JOIN anchor),
-    b AS (SELECT quantile_cont(recency_days, 0.5) AS r50,
-                 quantile_cont(frequency, 0.5) AS f50,
-                 quantile_cont(monetary, 0.5) AS m50 FROM withr)
-    SELECT c_custkey, recency_days, frequency, monetary,
-           CASE WHEN recency_days <= r50 AND frequency >= f50 AND monetary >= m50
-                  THEN 'champion'
-                WHEN recency_days <= r50 AND frequency >= f50 THEN 'loyal'
-                WHEN recency_days <= r50 AND monetary >= m50 THEN 'big_spender'
-                WHEN recency_days <= r50 THEN 'promising'
-                WHEN frequency >= f50 OR monetary >= m50 THEN 'at_risk'
-                ELSE 'hibernating' END AS segment
-    FROM withr CROSS JOIN b
-    """,
-)
-def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation (analytics.customer_rfm): per-customer partial
-    agg + broadcast as-of/median boundaries — threshold compares, not
-    global ranks, so the plan is scan-shaped at any customer count."""
-    return analytics.customer_rfm(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "conversion_lag_histogram",
-    oracle="""
-    WITH per AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'view'
-                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
-             MIN(CASE WHEN event_type = 'purchase'
-                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
-      FROM events GROUP BY user_id)
-    SELECT CAST(floor((p - v) / 86400000000.0) AS BIGINT) AS lag_days,
-           COUNT(*) AS n_users
-    FROM per WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
-    GROUP BY lag_days
-    """,
-)
-def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert distribution (events.conversion_lag_histogram):
-    conditional-min partial agg per user + per-bucket count."""
-    return events.conversion_lag_histogram(load_table(spark, sf_dir, "events"))
-
-
-# (semantic_dedup is registered next to embedding_near_dup further
-# down — its r13 full-value oracle reuses the _duck_lsh_sig/_duck_dot
-# SQL helpers, which are defined just before the ANN family.)
-
-
-@register("hll_partitioned_counts")  # rows-only: sketch estimate is engine-specific
-def q_hll_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketch rollup (agg.hll_partitioned_counts):
-    per-(day, type) Datasketches HLL, unioned per type — the
-    incremental pre-aggregation pattern for 100 TB distinct counts;
-    error vs exact pinned in tests/test_round4_ops.py."""
-    return agg.hll_partitioned_counts(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "snapshot_diff",
-    oracle="""
-    WITH o AS (
-      SELECT l_orderkey,
-             COUNT(*) AS n_old,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m_old
-      FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
-      GROUP BY l_orderkey),
-    n AS (
-      SELECT l_orderkey,
-             COUNT(*) AS n_new,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m_new
-      FROM lineitem GROUP BY l_orderkey),
-    j AS (
-      SELECT CASE WHEN o.n_old IS NULL THEN 'added'
-                  WHEN n.n_new IS NULL THEN 'removed'
-                  WHEN o.n_old <> n.n_new OR o.m_old <> n.m_new THEN 'changed'
-                  ELSE 'unchanged' END AS status,
-             COALESCE(n.n_new, 0) - COALESCE(o.n_old, 0) AS d
-      FROM o FULL OUTER JOIN n ON o.l_orderkey = n.l_orderkey)
-    SELECT status,
-           COUNT(*) AS n_keys,
-           CAST(SUM(d) AS BIGINT) AS row_delta
-    FROM j GROUP BY status
-    """,
-)
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC snapshot census (setops.snapshot_diff): per-order lineitem
-    aggregates as-of 1999-01-01 vs today, full-outer compared on the
-    shared key partitioning; exact decimal measures make the
-    changed/unchanged split deterministic."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return setops.snapshot_diff(
-        old=li.where(F.col("l_shipdate") < F.lit("1999-01-01")),
-        new=li,
-        key="l_orderkey",
-        measure="l_quantity",
-    )
-
-
-@register(
-    "pareto_concentration",
-    oracle="""
-    WITH rev AS (
-      SELECT c.c_nationkey, o.o_custkey,
-             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_nationkey, o.o_custkey),
-    ranked AS (
-      SELECT n.n_name, rev.o_custkey, rev.r,
-             row_number() OVER w AS rk,
-             SUM(rev.r) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum,
-             SUM(rev.r) OVER (PARTITION BY n.n_name) AS tot,
-             COUNT(*) OVER (PARTITION BY n.n_name) AS n
-      FROM rev JOIN nation n ON rev.c_nationkey = n.n_nationkey
-      WINDOW w AS (PARTITION BY n.n_name ORDER BY rev.r DESC, rev.o_custkey))
-    SELECT n_name,
-           CAST(MIN(n) AS BIGINT) AS n_customers,
-           CAST(MIN(rk) AS BIGINT) AS n_top80,
-           ROUND(CAST(MIN(rk) AS DOUBLE) / CAST(MIN(n) AS DOUBLE), 4)
-             AS top80_share
-    FROM ranked WHERE 5 * cum >= 4 * tot
-    GROUP BY n_name
-    """,
-)
-def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """80/20 revenue concentration per nation
-    (analytics.pareto_concentration): exact-decimal running shares, an
-    integer-scaled 80% cut, windows over the per-customer AGGREGATE."""
-    return analytics.pareto_concentration(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "bounce_rate",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sessions AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id
-                 ORDER BY CAST(ts AS TIMESTAMP), event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
-             ts
-      FROM flagged),
-    per_session AS (
-      SELECT user_id, session_id,
-             COUNT(*) AS n_events,
-             MIN(CAST(ts AS TIMESTAMP)) AS start_ts
-      FROM sessions GROUP BY user_id, session_id)
-    SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
-           COUNT(*) AS n_sessions,
-           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_bounces,
-           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
-    FROM per_session GROUP BY day
-    """,
-)
-def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily single-event-session share (events.bounce_rate), layered
-    on the events_sessionized islands rollup."""
-    return events.bounce_rate(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "dau_wau_stickiness",
-    oracle="""
-    WITH active AS (
-      SELECT DISTINCT user_id,
-             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
-      FROM events),
-    dau AS (SELECT d AS metric_day, COUNT(DISTINCT user_id) AS dau
-            FROM active GROUP BY d),
-    contrib AS (
-      SELECT DISTINCT user_id,
-             CAST(UNNEST(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
-               AS metric_day
-      FROM active),
-    wau AS (SELECT metric_day, COUNT(DISTINCT user_id) AS wau
-            FROM contrib GROUP BY metric_day)
-    SELECT strftime(dau.metric_day, '%Y-%m-%d') AS day,
-           dau.dau AS dau,
-           wau.wau AS wau,
-           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
-             AS stickiness
-    FROM dau JOIN wau ON dau.metric_day = wau.metric_day
-    """,
-)
-def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU/WAU engagement ratio (events.dau_wau_stickiness): sliding
-    COUNT(DISTINCT) via bounded ×7 contribution explode — partial-agg
-    groupBys only, no window."""
-    return events.dau_wau_stickiness(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "scd2_state_intervals",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
-             - row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
-               AS anchor
-      FROM events),
-    runs AS (
-      SELECT user_id, event_type, anchor,
-             MIN(us) AS valid_from_us,
-             COUNT(*) AS n_events
-      FROM seq GROUP BY user_id, event_type, anchor)
-    SELECT user_id,
-           event_type AS state,
-           valid_from_us,
-           lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) AS valid_to_us,
-           n_events,
-           lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) IS NULL
-             AS is_current
-    FROM runs
-    """,
-)
-def q_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 validity intervals from the event log
-    (events.scd2_state_intervals): consecutive same-state runs collapse
-    via the double-row_number islands anchor; open-ended current rows
-    carry NULL valid_to."""
-    return events.scd2_state_intervals(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "winsorized_stats",
-    oracle="""
-    WITH bounds AS (
-      SELECT l_returnflag,
-             CAST(ROUND(quantile_cont(l_extendedprice, 0.05), 2)
-                  AS DECIMAL(18,2)) AS lo,
-             CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 2)
-                  AS DECIMAL(18,2)) AS hi
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l.l_returnflag,
-           COUNT(*) AS n_rows,
-           CAST(MIN(b.lo) AS DOUBLE) AS clip_lo,
-           CAST(MIN(b.hi) AS DOUBLE) AS clip_hi,
-           CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(18,2)) < b.lo
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
-           CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(18,2)) > b.hi
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
-           ROUND(CAST(SUM(LEAST(GREATEST(
-                   CAST(l.l_extendedprice AS DECIMAL(18,2)), b.lo), b.hi))
-                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS winsor_mean
-    FROM lineitem l JOIN bounds b USING (l_returnflag)
-    GROUP BY l.l_returnflag
-    """,
-)
-def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentile-clipped robust mean per group (agg.winsorized_stats):
-    2dp-decimal clip bounds make the clipped sum exact; percentile pass
-    broadcasts back onto a scan-aggregate."""
-    return agg.winsorized_stats(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "timeseries_gapfill",
-    oracle="""
-    WITH daily AS (
-      SELECT user_id, day, value FROM (
-        SELECT user_id,
-               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-               value,
-               row_number() OVER (
-                 PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
-                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1),
-    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
-             FROM daily GROUP BY user_id),
-    grid AS (
-      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
-               AS day
-      FROM span)
-    SELECT g.user_id,
-           strftime(g.day, '%Y-%m-%d') AS day,
-           last_value(d.value IGNORE NULLS) OVER (
-             PARTITION BY g.user_id ORDER BY g.day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
-           d.value IS NOT NULL AS is_observed
-    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
-    """,
-)
-def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily LOCF resample per user (events.timeseries_gapfill) —
-    values pass through with no arithmetic, so the fill is hash-exact;
-    grid + fill co-partition on user_id."""
-    return events.timeseries_gapfill(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "group_regression",
-    oracle="""
-    WITH pre AS (
-      SELECT event_type,
-             date_diff('day', DATE '1970-01-01',
-                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
-               AS x,
-             CAST(value AS DECIMAL(18,2)) AS v
-      FROM events),
-    sums AS (
-      SELECT event_type,
-             COUNT(*) AS n,
-             SUM(x) AS sx,
-             SUM(CAST(x AS BIGINT) * x) AS sxx,
-             SUM(v) AS sy,
-             SUM(v * CAST(x AS DECIMAL(18,0))) AS sxy,
-             SUM(v * v) AS syy
-      FROM pre GROUP BY event_type)
-    SELECT event_type,
-           n AS n_points,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
-           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-    FROM sums
-    """,
-)
-def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type OLS value-vs-day trend (events.group_regression):
-    exact integer/decimal co-moment sums, closed-form double finish —
-    deterministic regr_slope/intercept/r2."""
-    return events.group_regression(load_table(spark, sf_dir, "events"))
-
-
-# ═══ M5: dedup (north star §2.5) ════════════════════════════════════════
-
-
-@register(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS text_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_normalized",
-    oracle=r"""
-    SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS norm_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-    FROM documents GROUP BY 1
-    """,
-)
-def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_normalized(load_table(spark, sf_dir, "documents"))
-
-
-@register("dedup_fuzzy", oracle=None)  # probabilistic (MinHash-LSH)
-def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_fuzzy(load_table(spark, sf_dir, "documents"))
-
-
-@register("dedup_fuzzy_verified", oracle=None)  # LSH recall is probabilistic
-def q_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_fuzzy_verified(load_table(spark, sf_dir, "documents"))
-
-
-@register("dedup_clusters", oracle=None)  # edges are LSH-derived
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"))
-
-
-@register("dedup_simhash", oracle=None)  # probabilistic (SimHash)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_simhash(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_simhash_md5",
-    # md5-twin of dedup_simhash (VERDICT r11 Next #5): per-token hash
-    # bits come from md5 hex digits, which both engines compute
-    # identically, so DuckDB replays signature construction
-    # bit-for-bit. The oracle pairs BRUTE-FORCE (sig a × sig b) — the
-    # engine's 4×16-bit banding is LOSSLESS for Hamming ≤ 3 by
-    # pigeonhole, so the exhaustive pair set is the exact same set;
-    # brute force in the oracle is the ground-truth discipline
-    # (dedup_recall_checked), n² only at verification scale.
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ts
-      FROM documents),
-    tok AS (SELECT doc_id, t AS tok FROM toks, UNNEST(ts) AS u(t)),
-    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
-    bits AS (
-      SELECT doc_id, j,
-             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
-                            >> (j % 4)) & 1 = 1
-                      THEN 1 ELSE -1 END) AS s
-      FROM hx, UNNEST(generate_series(0, 63)) AS u(j)
-      GROUP BY doc_id, j),
-    sig AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0
-                           THEN CASE WHEN j = 63 THEN -9223372036854775808
-                                     ELSE CAST(1 AS BIGINT) << j END
-                           ELSE 0 END) AS BIGINT) AS sim
-      FROM bits GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim, b.sim)) <= 3
-    """,
-)
-def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on the engine-neutral md5 hash family —
-    the provability twin that makes the SimHash pipeline (per-token
-    hash bits → 64 signed bit-sums → sign signature → banded Hamming
-    join) value-checked end to end; dedup_simhash keeps the xxhash64
-    throughput family."""
-    return dedup.dedup_simhash_md5(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_clusters_md5",
-    # md5-twin of dedup_clusters: the doc_pagerank oracle's edge
-    # replay (md5 MinHash → 8-band LSH → ≥12/32 screen → integer
-    # Jaccard verify) feeding jaccard_clusters' recursive-CTE
-    # transitive closure, summarized per cluster — the full
-    # corpus-dedup END SHAPE (what you'd delete) checked cross-engine.
-    oracle=r"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    dg AS (SELECT DISTINCT doc_id, gram FROM grams),
-    hd AS (
-      SELECT doc_id, d, md5(CAST(d AS VARCHAR) || ':' || gram) AS hx
-      FROM dg, UNNEST(generate_series(0, 7)) AS u(d)),
-    hs AS (
-      SELECT doc_id, d * 4 + l AS i, MIN(substr(hx, l * 8 + 1, 8)) AS h
-      FROM hd, UNNEST(generate_series(0, 3)) AS v(l)
-      GROUP BY doc_id, d * 4 + l),
-    sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM hs GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, s,
-             md5(CAST(t AS VARCHAR) || '|' ||
-                 s[4*t+1] || s[4*t+2] || s[4*t+3] || s[4*t+4]) AS band_key
-      FROM sig, UNNEST(generate_series(0, 7)) AS b(t)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE len(list_filter(generate_series(1, 32),
-                            i -> a.s[i] = b.s[i])) >= 12),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS c
-      FROM cand c JOIN dg x ON x.doc_id = c.doc_a
-                  JOIN dg y ON y.doc_id = c.doc_b AND y.gram = x.gram
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
-                   JOIN sizes sb ON i.doc_b = sb.doc_id
-      WHERE 10 * i.c >= 7 * (sa.n + sb.n - i.c)),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
-    cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
-    SELECT cluster_id, COUNT(*) AS n_members, MIN(doc_id) AS keep_id
-    FROM cc GROUP BY cluster_id
-    """,
-)
-def q_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level fuzzy-dedup clustering on the md5 hash family
-    (dedup.dedup_clusters_md5) — LSH edges, connected components, and
-    the keeper/size summary all replayed in DuckDB; dedup_clusters
-    keeps the xxhash64 throughput family."""
-    return dedup.dedup_clusters_md5(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_jaccard",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE 100 * c >= 60 * (sa.n + sb.n - c)
-    """,
-)
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard join: the ONLY dedup query with a full
-    value oracle — prefix filtering is lossless, so the brute-force
-    DuckDB pair set must match bit-for-bit (unlike MinHash/SimHash,
-    which are recall-bounded in unit tests instead)."""
-    return dedup.jaccard_ngram_pairs(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "fuzzy_join_sources",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram
-      WHERE a.source = 'src0' AND b.source <> 'src0'
-      GROUP BY 1, 2)
-    SELECT left_id, right_id,
-           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON left_id = sa.doc_id
-    JOIN sizes sb ON right_id = sb.doc_id
-    WHERE 100 * c >= 60 * (sa.n + sb.n - c)
-    """,
-)
-def q_fuzzy_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-table exact Jaccard JOIN (dedup.fuzzy_join_jaccard):
-    source 'src0' matched against every other source — the
-    entity-resolution form; brute-force DuckDB oracle must match
-    bit-for-bit (prefix filter is lossless across tables too)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.fuzzy_join_jaccard(
-        docs.where(F.col("source") == "src0"),
-        docs.where(F.col("source") != "src0"),
-    )
-
-
-@register(
-    "jaccard_clusters",
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE 100 * c >= 60 * (sa.n + sb.n - c)),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src)
-    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
-    """,
-)
-def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the EXACT Jaccard pair set — the
-    iterative min-label operator with a full value oracle (DuckDB
-    recursive-CTE transitive closure over the same deterministic
-    edges). This is the end-to-end check dedup_clusters can't have
-    (its MinHash edges are probabilistic)."""
-    edges = dedup.jaccard_ngram_pairs(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_a", "doc_b")
-    return dedup.connected_components(edges)
-
-
-@register(
-    "dedup_canonical",
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE 100 * c >= 60 * (sa.n + sb.n - c)),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
-    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
-                 FROM reach GROUP BY node),
-    ranked AS (
-      SELECT c.cluster_id, c.doc_id, d.n_chars,
-             row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
-      FROM clusters c JOIN documents d USING (doc_id))
-    SELECT cluster_id,
-           COUNT(*) AS n_members,
-           MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
-           MIN(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
-           COUNT(*) - 1 AS n_dropped
-    FROM ranked GROUP BY cluster_id HAVING COUNT(*) >= 2
-    """,
-)
-def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-doc selection per exact-Jaccard cluster
-    (dedup.canonical_per_cluster): clusters via PPJoin + iterative CC,
-    arg-max by (n_chars, doc_id) inside each near-dup clique."""
-    return dedup.canonical_per_cluster(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_incremental",
-    oracle="""
-    WITH fp AS (
-      SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))
-               AS norm_hash
-      FROM documents),
-    batch AS (
-      SELECT norm_hash,
-             MIN(doc_id) AS admit_id,
-             COUNT(*) AS n_in_batch
-      FROM fp WHERE source = 'src0' GROUP BY norm_hash)
-    SELECT b.norm_hash, b.admit_id, b.n_in_batch
-    FROM batch b
-    WHERE NOT EXISTS (SELECT 1 FROM fp c
-                      WHERE c.source <> 'src0' AND c.norm_hash = b.norm_hash)
-    """,
-)
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup (dedup.incremental_dedup): the src0
-    batch is admitted only where its normalized md5 is novel vs the
-    rest-of-corpus fingerprint table — O(|batch|) marginal cost."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.incremental_dedup(
-        corpus=docs.where(F.col("source") != "src0"),
-        batch=docs.where(F.col("source") == "src0"),
-    )
-
-
-@register(
-    "dedup_substring",
-    # ADVICE r8: tokenize with the shared DUCK_TOKENS fragment (exact
-    # match for tokens() — drops empty tokens) instead of the
-    # trim/regexp_replace variant, which returns [''] for empty or
-    # punctuation-only text; the len filter happened to hide it here.
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, {DUCK_TOKENS} AS toks
-      FROM documents),
-    w AS (
-      SELECT doc_id, md5(array_to_string(toks[p : p + 19], ' ')) AS wh
-      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19, 1))
-                       AS p) s
-      WHERE len(toks) >= 20),
-    uw AS (SELECT DISTINCT doc_id, wh FROM w),
-    band AS (SELECT wh FROM uw GROUP BY wh HAVING COUNT(*) BETWEEN 2 AND 50)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           COUNT(*) AS n_shared_windows
-    FROM uw a
-    JOIN band USING (wh)
-    JOIN uw b ON b.wh = a.wh AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-level dup pairs (dedup.substring_dup_pairs):
-    verbatim 20-token spans shared across documents via every-position
-    window fingerprints with a document-frequency band — the Lee et
-    al. 2022 dedup mode that document-level Jaccard under-detects."""
-    return dedup.substring_dup_pairs(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_winnowed",
-    # ADVICE r8: shared DUCK_TOKENS fragment (see dedup_substring).
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, {DUCK_TOKENS} AS toks
-      FROM documents),
-    g AS (
-      SELECT doc_id, p, md5(array_to_string(toks[p : p + 7], ' ')) AS gh
-      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7, 1))
-                       AS p) s
-      WHERE len(toks) >= 11),
-    wn AS (
-      SELECT doc_id, p,
-             MIN(gh) OVER (PARTITION BY doc_id ORDER BY p
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
-      FROM g),
-    uf AS (SELECT DISTINCT doc_id, fp FROM wn WHERE p <= n_grams - 3),
-    band AS (SELECT fp FROM uf GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
-    FROM uf a
-    JOIN band USING (fp)
-    JOIN uf b ON b.fp = a.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def q_dedup_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint substring dedup (dedup.winnowed_dup_pairs,
-    MOSS algorithm): min-hash of each 4-window of consecutive 8-token
-    gram hashes — alignment-robust span detection at ~0.4x the
-    fingerprint density of every-position windows; any shared span of
-    >= 11 tokens is caught."""
-    return dedup.winnowed_dup_pairs(load_table(spark, sf_dir, "documents"))
-
-
-# Shared DSIR-weight SQL (round 10): dsir_importance_weights returns it
-# whole; dsir_topk_selection wraps it with the deterministic rank cut.
-_DSIR_SQL = f"""
-    WITH toks AS (SELECT doc_id, source, {DUCK_TOKENS} AS t FROM documents),
-    g AS (
-      SELECT doc_id, source,
-             CAST({sampling.sql_md5_bucket('gram', 256)} AS INTEGER) AS bucket
-      FROM (SELECT doc_id, source,
-                   unnest(CASE WHEN len(t) >= 2
-                          THEN list_transform(range(1, len(t)),
-                                              i -> t[i] || ' ' || t[i+1])
-                          ELSE [] END) AS gram
-            FROM toks)),
-    raw AS (SELECT bucket, COUNT(*) AS cr FROM g GROUP BY bucket),
-    tgt AS (SELECT bucket, COUNT(*) AS ct FROM g
-            WHERE source = 'src0' GROUP BY bucket),
-    tot AS (SELECT COUNT(*) AS nr,
-                   COUNT(*) FILTER (WHERE source = 'src0') AS nt FROM g),
-    r AS (SELECT raw.bucket,
-                 CAST(ROUND(ln(CAST((COALESCE(ct, 0) + 1) * (nr + 256)
-                                    AS DOUBLE)
-                               / CAST((cr + 1) * (nt + 256) AS DOUBLE))
-                            * 1e6) AS BIGINT) AS lr_micro
-          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
-    SELECT g.doc_id, COUNT(*) AS n_grams,
-           CAST(SUM(r.lr_micro) AS BIGINT) AS log_weight_micro
-    FROM g JOIN r ON r.bucket = g.bucket
-    GROUP BY g.doc_id
-    """
-
-
-@register("dsir_importance_weights", oracle=_DSIR_SQL)
-def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR hashed-bigram importance weights
-    (packing.dsir_importance_weights, Xie et al. 2023): per-document
-    target-vs-raw log-likelihood ratio over engine-neutral md5 gram
-    buckets, fixed-pointed to integer micro-units per bucket so the
-    per-doc aggregation is an exact integer sum."""
-    return packing.dsir_importance_weights(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-# Shared Gopher-screen SQL replicas (round 9): the funnel report
-# embeds both as derived tables, so the flag definitions have one
-# source of truth per screen.
-_GOPHER_QUALITY_SQL = f"""
-    WITH d AS (
-      SELECT doc_id, {DUCK_TOKENS} AS toks
-      FROM documents),
-    m AS (
-      SELECT doc_id,
-             len(toks) AS n_words,
-             ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-                   / len(toks), 4) AS mean_word_len,
-             ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
-                        AS DOUBLE) / len(toks), 4) AS alpha_frac,
-             CAST(len(list_filter(toks, x -> x IN
-                  ('the','and','of','to','in','is','it','a'))) AS INTEGER)
-               AS n_stopwords
-      FROM d WHERE len(toks) > 0)
-    SELECT doc_id,
-           CAST(n_words AS INTEGER) AS n_words,
-           mean_word_len, alpha_frac, n_stopwords,
-           n_words BETWEEN 10 AND 100000 AS words_ok,
-           mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
-           alpha_frac >= 0.8 AS alpha_ok,
-           n_stopwords >= 2 AS stopword_ok,
-           (n_words BETWEEN 10 AND 100000)
-             AND (mean_word_len BETWEEN 3.0 AND 10.0)
-             AND alpha_frac >= 0.8
-             AND n_stopwords >= 2 AS gopher_pass
-    FROM m
-    """
-
-
-_GOPHER_REP_SQL = f"""
-    WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    chars AS (SELECT doc_id,
-                     CAST(COALESCE(list_sum(list_transform(t, x -> length(x))),
-                                   0) AS BIGINT) AS n_chars_tok
-              FROM d),
-    g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-             ELSE [] END) AS g FROM d),
-    c2 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 1 AS gchars
-           FROM g2 GROUP BY doc_id, g),
-    t2 AS (SELECT doc_id, c * gchars AS topchars FROM
-           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                      ORDER BY c DESC, g ASC) AS rn FROM c2) WHERE rn = 1),
-    g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t)-1),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [] END) AS g FROM d),
-    c3 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 2 AS gchars
-           FROM g3 GROUP BY doc_id, g),
-    t3 AS (SELECT doc_id, c * gchars AS topchars FROM
-           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                      ORDER BY c DESC, g ASC) AS rn FROM c3) WHERE rn = 1),
-    g5 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
-             THEN list_transform(range(1, len(t)-3),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                       t[i+3] || ' ' || t[i+4])
-             ELSE [] END) AS g FROM d),
-    c5 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) - 4 AS gchars
-           FROM g5 GROUP BY doc_id, g),
-    d5 AS (SELECT doc_id,
-                  SUM(CASE WHEN c >= 2 THEN c * gchars ELSE 0 END) AS dupchars
-           FROM c5 GROUP BY doc_id),
-    m AS (
-      SELECT chars.doc_id, n_chars_tok,
-             CASE WHEN n_chars_tok > 0 THEN LEAST(
-               ROUND(CAST(COALESCE(t2.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
-               1.0) ELSE 0.0 END AS top2_char_frac,
-             CASE WHEN n_chars_tok > 0 THEN LEAST(
-               ROUND(CAST(COALESCE(t3.topchars, 0) AS DOUBLE) / n_chars_tok, 4),
-               1.0) ELSE 0.0 END AS top3_char_frac,
-             CASE WHEN n_chars_tok > 0 THEN LEAST(
-               ROUND(CAST(COALESCE(d5.dupchars, 0) AS DOUBLE) / n_chars_tok, 4),
-               1.0) ELSE 0.0 END AS dup5_char_frac
-      FROM chars LEFT JOIN t2 ON chars.doc_id = t2.doc_id
-      LEFT JOIN t3 ON chars.doc_id = t3.doc_id
-      LEFT JOIN d5 ON chars.doc_id = d5.doc_id)
-    SELECT doc_id, n_chars_tok, top2_char_frac, top3_char_frac,
-           dup5_char_frac,
-           top2_char_frac <= 0.20 AS top2_ok,
-           top3_char_frac <= 0.18 AS top3_ok,
-           dup5_char_frac <= 0.15 AS dup5_ok,
-           top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
-             AND dup5_char_frac <= 0.15 AS repetition_pass
-    FROM m
-    """
-
-
-@register(
-    "gopher_quality_screen",
-    # ADVICE r8: shared DUCK_TOKENS fragment — the trim/regexp_replace
-    # variant keeps empty/punct-only docs as [''] (n_words=1) while the
-    # engine's tokens() yields [] and drops them via n_words > 0.
-    oracle=_GOPHER_QUALITY_SQL,
-)
-def q_gopher_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule quality screen (textstats.gopher_quality_screen):
-    word-count / mean-word-length / alpha-fraction / stopword-presence
-    flags per document plus the conjunctive pass — the Rae et al. 2021
-    rule set as an auditable map-only pass."""
-    return textstats.gopher_quality_screen(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "filter_funnel_report",
-    oracle=f"""
-    WITH q AS (SELECT doc_id, words_ok, word_len_ok, alpha_ok,
-                      stopword_ok FROM ({_GOPHER_QUALITY_SQL})),
-    rep AS (SELECT doc_id, repetition_pass FROM ({_GOPHER_REP_SQL})),
-    fl AS (
-      SELECT q.doc_id IS NOT NULL AS c0,
-             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE) AS c1,
-             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
-               AND COALESCE(q.word_len_ok, FALSE) AS c2,
-             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
-               AND COALESCE(q.word_len_ok, FALSE)
-               AND COALESCE(q.alpha_ok, FALSE) AS c3,
-             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
-               AND COALESCE(q.word_len_ok, FALSE)
-               AND COALESCE(q.alpha_ok, FALSE)
-               AND COALESCE(q.stopword_ok, FALSE) AS c4,
-             q.doc_id IS NOT NULL AND COALESCE(q.words_ok, FALSE)
-               AND COALESCE(q.word_len_ok, FALSE)
-               AND COALESCE(q.alpha_ok, FALSE)
-               AND COALESCE(q.stopword_ok, FALSE)
-               AND COALESCE(rep.repetition_pass, FALSE) AS c5
-      FROM documents b
-      LEFT JOIN q ON q.doc_id = b.doc_id
-      LEFT JOIN rep ON rep.doc_id = b.doc_id),
-    a AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
-             CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-             CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-             CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
-             CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
-             CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
-      FROM fl),
-    u AS (
-      SELECT 1 AS rule_order, 'nonempty' AS rule, n AS n_input,
-             s0 AS n_pass FROM a
-      UNION ALL SELECT 2, 'word_count', s0, s1 FROM a
-      UNION ALL SELECT 3, 'mean_word_len', s1, s2 FROM a
-      UNION ALL SELECT 4, 'alpha_frac', s2, s3 FROM a
-      UNION ALL SELECT 5, 'stopwords', s3, s4 FROM a
-      UNION ALL SELECT 6, 'repetition', s4, s5 FROM a)
-    SELECT rule_order, rule, n_input, n_pass,
-           n_input - n_pass AS n_fail,
-           CASE WHEN n_input > 0
-                THEN ROUND(n_pass / CAST(n_input AS DOUBLE), 4)
-                ELSE 0.0 END AS pass_pct
-    FROM u
-    """,
-)
-def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation-funnel attrition report (textstats.
-    filter_funnel_report): the six-rule quality chain applied in order
-    with per-rule reached/passed/failed counts — the observability
-    artifact threshold tuning runs on, anchored on the full documents
-    table so zero-token docs fail `nonempty` instead of vanishing."""
-    return textstats.filter_funnel_report(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "dedup_incremental_pruned",
-    # Same oracle as dedup_incremental: the Bloom-style bucket prune is
-    # semantics-preserving (equal hashes share a bucket; false
-    # positives die in the exact anti-join), so the admitted set is
-    # identical by construction — and the shared oracle proves it.
-    oracle="""
-    WITH fp AS (
-      SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(text), '\\W+', ' ', 'g')))
-               AS norm_hash
-      FROM documents),
-    batch AS (
-      SELECT norm_hash,
-             MIN(doc_id) AS admit_id,
-             COUNT(*) AS n_in_batch
-      FROM fp WHERE source = 'src0' GROUP BY norm_hash)
-    SELECT b.norm_hash, b.admit_id, b.n_in_batch
-    FROM batch b
-    WHERE NOT EXISTS (SELECT 1 FROM fp c
-                      WHERE c.source <> 'src0' AND c.norm_hash = b.norm_hash)
-    """,
-)
-def q_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup with the Bloom-style pre-shuffle prune
-    (dedup.incremental_dedup_pruned): the batch's bounded bucket set
-    broadcasts to a left-semi join that drops non-colliding corpus
-    fingerprints BEFORE the anti-join shuffle — O(|batch| +
-    |corpus|·fp_rate) shuffle volume instead of O(|corpus|)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.incremental_dedup_pruned(
-        corpus=docs.where(F.col("source") != "src0"),
-        batch=docs.where(F.col("source") == "src0"),
-    )
-
-
-# ═══ M5: similarity search (north star §2.5) ════════════════════════════
-
-#: dot-product fragment folding left-to-right in double — bit-identical
-#: to functions used by operators/similarity.py::_dot (verified:
-#: list_inner_product is float-typed and does NOT match)
-def _duck_dot(x: str, y: str) -> str:
-    return (
-        f"list_sum(list_transform(list_zip({x}, {y}), "
-        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-
-
-def _duck_lsh_sig(emb: str, dim: int = 64, n_bits: int = 16) -> str:
-    """SQL fragment computing similarity.lsh_signatures' 16-bit
-    random-hyperplane signature in DuckDB. The hyperplanes are FIXED
-    ±1 operator-contract constants (similarity._hyperplane, seeded
-    splitmix PRNG, no runtime randomness), so they inline into the
-    oracle verbatim as +/- mask strings — the r11 promotion move that
-    makes the LSH ANN family value-checkable (VERDICT r10 Next #3).
-    Per bit j: the ±1 dot over floor(e·1e6)-quantized components — an
-    EXACT integer, so the sign is summation-order-free on both engines
-    (a float dot near zero is BLAS-order-dependent; r11 review) —
-    contributes 2^j when positive."""
-    from dumbo_spark.operators.similarity import _hyperplane
-
-    qterm = f"CAST(FLOOR(CAST({emb}[i] AS DOUBLE) * 1000000) AS BIGINT)"
-    terms = []
-    for j in range(n_bits):
-        mask = "".join(
-            "+" if v > 0 else "-" for v in _hyperplane(dim, j)
-        )
-        dot = (
-            f"list_sum(list_transform(generate_series(1, {dim}), "
-            f"i -> CASE WHEN substr('{mask}', i, 1) = '+' "
-            f"THEN {qterm} "
-            f"ELSE -{qterm} END))"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return "\n         + ".join(terms)
-
-
-@register(
-    "knn_cosine",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb
-      FROM embeddings WHERE vec_id < 8),
-    scored AS (
-      SELECT q.query_id,
-             e.vec_id AS neighbor_id,
-             round({_duck_dot('q.q_emb', 'e.embedding')}
-                   / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
-                      * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 6)
-               AS cos_sim
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id <> q.query_id)
-    SELECT * FROM (
-      SELECT query_id, neighbor_id, cos_sim,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
-      FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.knn_cosine(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "knn_cosine_lsh",
-    # Promoted from rows-only in r11: the hyperplanes are deterministic
-    # operator-contract constants, so the oracle recomputes the exact
-    # signatures/bands/candidates and the exact re-rank — the ANN path
-    # is approximate vs knn_cosine but DETERMINISTIC vs itself, which
-    # is what a value oracle checks (recall bounds live in
-    # knn_recall_checked).
-    oracle=f"""
-    WITH sig AS (
-      SELECT vec_id, embedding,
-           {_duck_lsh_sig('embedding')} AS sg
-      FROM embeddings),
-    bands AS (
-      SELECT vec_id, embedding, t, (sg >> (2 * t)) & 3 AS val
-      FROM sig, UNNEST(generate_series(0, 7)) AS b(t)),
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb, t, val
-          FROM bands WHERE vec_id < 8),
-    cand AS (
-      SELECT DISTINCT q.query_id, q.q_emb, c.vec_id, c.embedding
-      FROM bands c JOIN q ON c.t = q.t AND c.val = q.val
-      WHERE c.vec_id <> q.query_id),
-    scored AS (
-      SELECT query_id,
-             vec_id AS neighbor_id,
-             round({_duck_dot('q_emb', 'embedding')}
-                   / (sqrt({_duck_dot('q_emb', 'q_emb')})
-                      * sqrt({_duck_dot('embedding', 'embedding')})), 6)
-               AS cos_sim
-      FROM cand)
-    SELECT * FROM (
-      SELECT query_id, neighbor_id, cos_sim,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
-      FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.knn_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
-
-
-def _duck_ivf_sql(
-    n_cells: int = 16,
-    n_probe: int = 4,
-    n_iter: int = 5,
-    k: int = 5,
-    n_queries: int = 8,
-    dim: int = 64,
-) -> str:
-    """Generated oracle for knn_cosine_ivf: replays the distributed
-    integer-exact Lloyd iteration of similarity.det_kmeans_cells as an
-    UNROLLED chain of CTEs (one assign+update pair per iteration —
-    unrolling sidesteps DuckDB's single-self-reference recursion rule
-    so empty cells can LEFT-JOIN their previous center), then the
-    probe and exact re-rank. Every quantity the two engines compare is
-    an exact BIGINT (squared distances, per-dim sums) or an IEEE
-    double both compute from identical inputs in identical order."""
-    sql = [
-        f"""
-    WITH qv AS (
-      SELECT vec_id, embedding,
-             list_transform(embedding,
-               e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS x
-      FROM embeddings),
-    km0 AS (
-      SELECT cell, m FROM (
-        SELECT CAST(ROW_NUMBER() OVER (
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-               AS INTEGER) - 1 AS cell, x AS m
-        FROM qv) WHERE cell < {n_cells})"""
-    ]
-    assign = (
-        "      SELECT vec_id, x, cell FROM (\n"
-        "        SELECT qv.vec_id, qv.x, km{t}.cell,\n"
-        "               ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY\n"
-        "                 list_sum(list_transform(list_zip(qv.x, km{t}.m),\n"
-        "                          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,\n"
-        "                 km{t}.cell ASC) AS rn\n"
-        "        FROM qv, km{t}) WHERE rn = 1"
-    )
-    for t in range(n_iter):
-        sql.append(
-            f""",
-    a{t} AS (
-{assign.format(t=t)}),
-    u{t} AS (
-      SELECT cell,
-             list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT)
-                  ORDER BY i) AS m
-      FROM (SELECT cell, i, SUM(x[i]) AS s, COUNT(*) AS cnt
-            FROM a{t}, UNNEST(generate_series(1, {dim})) AS g(i)
-            GROUP BY cell, i)
-      GROUP BY cell),
-    km{t + 1} AS (
-      SELECT km{t}.cell, COALESCE(u{t}.m, km{t}.m) AS m
-      FROM km{t} LEFT JOIN u{t} ON km{t}.cell = u{t}.cell)"""
-        )
-    cs = (
-        f"{_duck_dot('qs.q_emb', 'cent.c')}"
-        f" / (sqrt({_duck_dot('qs.q_emb', 'qs.q_emb')})"
-        f" * sqrt({_duck_dot('cent.c', 'cent.c')}))"
-    )
-    sql.append(
-        f""",
-    afin AS (
-{assign.format(t=n_iter)}),
-    cent AS (
-      SELECT cell,
-             list_transform(m, v -> CAST(v AS DOUBLE) / 1000000.0) AS c
-      FROM km{n_iter}),
-    qs AS (SELECT vec_id AS query_id, embedding AS q_emb
-           FROM embeddings WHERE vec_id < {n_queries}),
-    probes AS (
-      SELECT query_id, q_emb, cell FROM (
-        SELECT qs.query_id, qs.q_emb, cent.cell,
-               ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
-                 {cs} DESC, cent.cell ASC) AS pr
-        FROM qs, cent) WHERE pr <= {n_probe}),
-    cand AS (
-      SELECT DISTINCT p.query_id, p.q_emb, a.vec_id, e.embedding
-      FROM probes p JOIN afin a ON a.cell = p.cell
-                    JOIN qv e ON e.vec_id = a.vec_id
-      WHERE a.vec_id <> p.query_id),
-    scored AS (
-      SELECT query_id, vec_id AS neighbor_id,
-             round({_duck_dot('q_emb', 'embedding')}
-                   / (sqrt({_duck_dot('q_emb', 'q_emb')})
-                      * sqrt({_duck_dot('embedding', 'embedding')})), 6)
-               AS cos_sim
-      FROM cand)
-    SELECT * FROM (
-      SELECT query_id, neighbor_id, cos_sim,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
-      FROM scored)
-    WHERE rn <= {k}
-    """
-    )
-    return "".join(sql)
-
-
-@register(
-    "knn_cosine_ivf",
-    # Promoted from rows-only in r11 (VERDICT r10 Next #3): the coarse
-    # quantizer is no longer Spark-ML KMeans but the distributed
-    # integer-exact md5-seeded Lloyd iteration det_kmeans_cells, which
-    # DuckDB replays verbatim (unrolled-CTE oracle) — the last of the
-    # round's promotable ANN/graph names; rows-only drops to 9.
-    oracle=_duck_ivf_sql(),
-)
-def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.knn_cosine_ivf(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "embedding_near_dup",
-    # Promoted from rows-only in r11: same inlined-hyperplane move as
-    # knn_cosine_lsh — candidates share the full 16-bit signature,
-    # verification is the exact fold-ordered cosine both engines
-    # compute identically.
-    oracle=f"""
-    WITH sig AS (
-      SELECT vec_id, embedding,
-           {_duck_lsh_sig('embedding')} AS sg
-      FROM embeddings)
-    SELECT vec_a, vec_b, cos_sim FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round({_duck_dot('a.embedding', 'b.embedding')}
-                   / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-                      * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 6)
-               AS cos_sim
-      FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id)
-    WHERE cos_sim >= 0.2
-    """,
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold 0.2 here (production default 0.95): the fixture
-    embeddings are near-orthogonal random vectors (max same-signature
-    cosine 0.26 at sf0.01), so the historical 0.9 threshold returned
-    0 rows in every round — a VACUOUS check. 0.2 keeps the verified
-    set non-empty so the r11 oracle exercises bucketing AND
-    verification on real rows."""
-    return similarity.embedding_near_dup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.2
-    )
-
-
-@register(
-    "semantic_dedup",
-    # Promoted from rows-only in r13 (VERDICT r12 Next #1): the r12
-    # external row was VACUOUS (threshold 0.95 on a duplicate-free
-    # fixture → 0 rows, indistinguishable from broken-empty). Same fix
-    # embedding_near_dup got in r11: register the fixture-informative
-    # threshold 0.2, and since BOTH halves of the pipeline were already
-    # oracle-proven separately (LSH pair SQL: embedding_near_dup;
-    # recursive-CTE CC: semantic_dedup_checked), composing them gives
-    # the production path a FULL value oracle — cluster ids, keeper
-    # flags and sizes hash-checked end to end.
-    oracle=f"""
-    WITH RECURSIVE sig AS (
-      SELECT vec_id, embedding,
-           {_duck_lsh_sig('embedding')} AS sg
-      FROM embeddings),
-    p AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
-      WHERE round({_duck_dot('a.embedding', 'b.embedding')}
-                  / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
-                     * sqrt({_duck_dot('b.embedding', 'b.embedding')})),
-                  6) >= 0.2),
-    edges AS (SELECT va AS src, vb AS dst FROM p
-              UNION ALL SELECT vb, va FROM p),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
-    cc AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
-    SELECT cc.vec_id, cc.cluster_id,
-           cc.vec_id = cc.cluster_id AS is_keeper, sz.cluster_size
-    FROM cc JOIN sz USING (cluster_id)
-    """,
-)
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
-    LSH-bucketed embedding near-dup pairs closed into clusters by
-    iterative CC, min-id keeper per cluster. Threshold 0.2 here
-    (production default 0.95) for the same reason as
-    embedding_near_dup: the synthetic fixture is duplicate-free at
-    0.95 (max pairwise cosine 0.513 at sf0.01), so the historical
-    registration's external row was vacuously empty. The 0.95
-    planted-duplicate semantics stay pinned in
-    tests/test_round4_ops.py."""
-    return similarity.semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.2
-    )
-
-
-# ═══ percentiles / pivot / tf-idf ═══════════════════════════════════════
-
-
-@register(
-    "group_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.group_percentiles(load_table(spark, sf_dir, "lineitem"))
-
-
-@register("approx_percentiles", oracle=None)  # sketch differs by engine
-def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.approx_percentiles(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "bucketed_group_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_bucketed_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """group_percentiles' contract, scale-safe
-    (agg.bucketed_group_percentiles): range-partitioned exact ranks +
-    broadcast quantile-target join + interpolation — no per-group
-    single-task sort; shares the exact quantile_cont oracle."""
-    return agg.bucketed_group_percentiles(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "hourly_active_users",
-    oracle="""
-    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00')
-             AS hour,
-           event_type,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY hour, event_type
-    """,
-)
-def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.hourly_active_users(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "group_collect",
-    oracle="""
-    SELECT l_returnflag,
-           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
-           COUNT(DISTINCT l_linestatus) AS n_statuses
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The operator returns a real array<string>; the registered query
-    # serializes it to a comma-joined string because the driver's
-    # pandas-based canonicalizer cannot sort list-typed cells
-    # (CORRECTNESS_r02: "unhashable type: 'list'"). Same information,
-    # hashable representation.
-    return agg.group_collect(load_table(spark, sf_dir, "lineitem")).withColumn(
-        "statuses", F.array_join("statuses", ",")
-    )
-
-
-@register(
-    "pivot_status",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.pivot_status(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "token_doc_freq",
-    oracle=f"""
-    WITH per_doc AS (
-      SELECT unnest(list_distinct({DUCK_TOKENS})) AS token FROM documents),
-    dfc AS (SELECT token, COUNT(*) AS doc_freq FROM per_doc GROUP BY token),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT token, doc_freq,
-           ROUND(ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)), 6) AS idf
-    FROM dfc CROSS JOIN n
-    """,
-)
-def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_doc_freq(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "tfidf_top_terms",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents),
-    tfc AS (
-      SELECT doc_id, unnest(ts) AS token FROM toks),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tfc GROUP BY 1, 2),
-    per_doc AS (SELECT unnest(list_distinct(ts)) AS token FROM toks),
-    dfc AS (SELECT token, COUNT(*) AS doc_freq FROM per_doc GROUP BY token),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
-    idf AS (
-      SELECT token,
-             ROUND(ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)), 6) AS idf
-      FROM dfc CROSS JOIN n),
-    scored AS (
-      SELECT t.doc_id, t.token, t.tf, ROUND(t.tf * i.idf, 6) AS tfidf
-      FROM tf t JOIN idf i ON t.token = i.token)
-    SELECT doc_id, token, tf, tfidf, CAST(rn AS INTEGER) AS rank
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                    ORDER BY tfidf DESC, token) AS rn FROM scored)
-    WHERE rn <= 3
-    """,
-)
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc tf-idf keyword extraction (textstats.tfidf_top_terms):
-    rank on the 6dp-rounded score with token tie-break so the top-k
-    cut is engine-stable; doc-partitioned window, token-keyed idf
-    join."""
-    return textstats.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
-
-
-# ═══ composed analytical pipelines (TPC-H shapes) ═══════════════════════
-
-
-@register(
-    "pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_price,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.pricing_summary(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "top_revenue_nations",
-    oracle="""
-    SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-)
-def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.top_revenue_nations(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "segment_top_customers",
-    oracle="""
-    SELECT * FROM (
-      SELECT c_mktsegment, c_custkey, c_name,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
-             COUNT(*) AS n_orders,
-             CAST(ROW_NUMBER() OVER (
-                  PARTITION BY c_mktsegment
-                  ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
-                           c_custkey ASC) AS INTEGER) AS rn
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment, c_custkey, c_name)
-    WHERE rn <= 5
-    """,
-)
-def q_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.segment_top_customers(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "order_priority_counts",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n_orders
-    FROM orders
-    WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey
-                    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
-    GROUP BY o_orderpriority
-    """,
-)
-def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.order_priority_counts(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-@register(
-    "shipping_priority",
-    oracle="""
-    SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    WHERE l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
-      AND o_orderdate < TIMESTAMP '1995-06-30 00:00:00'
-      AND c_mktsegment = 'BUILDING'
-    GROUP BY l_orderkey, orderdate
-    ORDER BY revenue DESC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.shipping_priority(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register(
-    "returned_items",
-    oracle="""
-    SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey ASC
-    LIMIT 20
-    """,
-)
-def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.returned_items(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "orders_above_avg",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority, o_totalprice
-    FROM (
-      SELECT o_orderkey, o_orderpriority, o_totalprice,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS grp_sum,
-             COUNT(*) OVER w AS grp_n
-      FROM orders
-      WINDOW w AS (PARTITION BY o_orderpriority))
-    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * grp_n > grp_sum
-    """,
-)
-def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.orders_above_avg(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "join_full_outer",
-    oracle="""
-    WITH o AS (
-      SELECT o_custkey AS account_id, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_revenue
-      FROM orders GROUP BY 1),
-    e AS (
-      SELECT user_id AS account_id, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS event_value
-      FROM events GROUP BY 1)
-    SELECT COALESCE(o.account_id, e.account_id) AS account_id,
-           n_orders, order_revenue, n_events, event_value
-    FROM o FULL OUTER JOIN e ON o.account_id = e.account_id
-    """,
-)
-def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return joins.join_full_outer(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
-    )
-
-
-@register(
-    "grouping_sets_counts",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
-    """,
-)
-def q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.grouping_sets_counts(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "lag_lead_delta",
-    oracle="""
-    SELECT user_id, event_id, event_type,
-           epoch_us(CAST(ts AS TIMESTAMP))
-             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
-           LEAD(event_type) OVER w AS next_event_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-    """,
-)
-def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.lag_lead_delta(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "moving_avg",
-    oracle="""
-    WITH daily AS (
-      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-      FROM orders GROUP BY day)
-    SELECT day, revenue,
-           ROUND(AVG(revenue) OVER (
-                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
-    FROM daily
-    """,
-)
-def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.moving_avg_daily(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "ntile_quartiles",
-    oracle="""
-    WITH q AS (
-      SELECT c_acctbal,
-             NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
-      FROM customer)
-    SELECT CAST(quartile AS INTEGER) AS quartile, COUNT(*) AS n_customers,
-           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
-    FROM q GROUP BY quartile
-    """,
-)
-def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.ntile_quartiles(load_table(spark, sf_dir, "customer"))
-
-
-@register(
-    "bucketed_quartiles",
-    oracle="""
-    WITH q AS (
-      SELECT c_acctbal,
-             NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
-      FROM customer)
-    SELECT CAST(quartile AS INTEGER) AS quartile, COUNT(*) AS n_customers,
-           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
-    FROM q GROUP BY quartile
-    """,
-)
-def q_bucketed_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same contract/oracle as ntile_quartiles; since round 6 both
-    names share the global_ntile (range-repartition + offset join)
-    implementation — kept registered for oracle-history continuity."""
-    return topk.bucketed_quartiles(load_table(spark, sf_dir, "customer"))
-
-
-@register(
-    "ntile_quartiles_by_segment",
-    oracle="""
-    WITH q AS (
-      SELECT c_mktsegment, c_acctbal,
-             NTILE(4) OVER (PARTITION BY c_mktsegment
-                            ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
-      FROM customer)
-    SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
-           COUNT(*) AS n_customers,
-           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
-    FROM q GROUP BY c_mktsegment, quartile
-    """,
-)
-def q_ntile_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.ntile_quartiles_by_segment(load_table(spark, sf_dir, "customer"))
-
-
-@register(
-    "percent_rank_by_segment",
-    oracle="""
-    SELECT c_mktsegment, c_custkey, c_acctbal,
-           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 8) AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal DESC, c_custkey ASC)
-    """,
-)
-def q_percent_rank_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.percent_rank_by_segment(load_table(spark, sf_dir, "customer"))
-
-
-@register(
-    "salted_topk_per_group",
-    oracle="""
-    SELECT * FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
-      FROM orders)
-    WHERE rn <= 3
-    """,
-)
-def q_salted_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Identical contract/oracle to topk_per_group, computed via the
-    skew-safe two-phase salted path — proves the 100 TB variant is
-    exact, not approximately right."""
-    return topk.salted_topk_per_group(
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderpriority", "o_orderkey", "o_totalprice"
-        ),
-        "o_orderpriority",
-        "o_totalprice",
-        k=3,
-        tiebreak_cols=["o_orderkey"],
-    )
-
-
-# ═══ TPC-H composition shapes (round-1 batch 2) ═════════════════════════
-
-
-@register(
-    "local_supplier_volume",
-    oracle="""
-    SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n_name
-    """,
-)
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.local_supplier_volume(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-@register(
-    "promo_revenue",
-    oracle="""
-    SELECT ROUND(100.0
-           * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                  AS DOUBLE), 6) AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
-    """,
-)
-def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.promo_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "large_orders",
-    oracle="""
-    WITH big AS (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
-    SELECT c_custkey, c_name, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
-           CAST(sum_qty AS DOUBLE) AS total_qty
-    FROM big
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    ORDER BY total_qty DESC, o_orderkey ASC
-    LIMIT 50
-    """,
-)
-def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.large_orders(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register(
-    "nation_trade_volume",
-    oracle="""
-    SELECT supp_nation, cust_nation, ship_year,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-             l_extendedprice, l_discount
-      FROM lineitem
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        AND n2.n_name IN ('NATION_1', 'NATION_2')
-        AND n1.n_name <> n2.n_name)
-    GROUP BY supp_nation, cust_nation, ship_year
-    """,
-)
-def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape (SURVEY §2 composed pipelines)."""
-    return analytics.nation_trade_volume(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "product_profit",
-    oracle="""
-    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                    - CAST(p_retailprice AS DECIMAL(9,2))
-                      * CAST(l_quantity AS DECIMAL(9,2))
-                      * CAST(0.1 AS DECIMAL(3,1)))
-                AS DOUBLE) AS profit
-    FROM lineitem
-    JOIN part ON l_partkey = p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN orders ON l_orderkey = o_orderkey
-    WHERE p_name LIKE '%red%'
-    GROUP BY n_name, year(o_orderdate)
-    """,
-)
-def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (supply cost modeled from p_retailprice)."""
-    return analytics.product_profit(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "order_count_distribution",
-    oracle="""
-    SELECT n_orders, COUNT(*) AS n_customers
-    FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
-          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-          GROUP BY c_custkey)
-    GROUP BY n_orders
-    """,
-)
-def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape."""
-    return analytics.order_count_distribution(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "supplier_part_variety",
-    oracle="""
-    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand <> 'Brand#5'
-    GROUP BY p_brand, p_type
-    """,
-)
-def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (supplier↔part pairs observed via lineitem)."""
-    return analytics.supplier_part_variety(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "small_quantity_revenue",
-    oracle="""
-    WITH flagged AS (
-      SELECT l_partkey, l_extendedprice,
-             CAST(l_quantity AS DECIMAL(18,2)) AS _qty,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)))
-               OVER (PARTITION BY l_partkey) AS _sum_qty,
-             COUNT(*) OVER (PARTITION BY l_partkey) AS _n
-      FROM lineitem)
-    SELECT p_brand,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS small_qty_revenue
-    FROM flagged JOIN part ON l_partkey = p_partkey
-    WHERE 5 * _qty * _n < _sum_qty
-    GROUP BY p_brand
-    """,
-)
-def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (exact integer-decimal threshold cut)."""
-    return analytics.small_quantity_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "disjunctive_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
-           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
-           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-           AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)
-    """,
-)
-def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape (OR-of-ANDs predicate)."""
-    return analytics.disjunctive_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "idle_rich_customers",
-    oracle="""
-    WITH stats AS (
-      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS _bal_sum,
-             COUNT(*) AS _bal_n
-      FROM customer WHERE c_acctbal > 0)
-    SELECT c_nationkey, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-    FROM customer, stats
-    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * _bal_n > _bal_sum
-      AND NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
-    GROUP BY c_nationkey
-    """,
-)
-def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (scalar subquery + left-anti join)."""
-    return analytics.idle_rich_customers(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "price_histogram",
-    oracle="""
-    SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT) AS bucket,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT)
-                * 25000 AS DOUBLE) AS bucket_lo
-    FROM orders
-    GROUP BY bucket
-    """,
-)
-def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.price_histogram(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "cheapest_part_per_brand",
-    oracle="""
-    SELECT p_brand, p_partkey, p_name, p_retailprice
-    FROM (
-      SELECT p_brand, p_partkey, p_name, p_retailprice,
-             MIN(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS min_price
-      FROM part)
-    WHERE CAST(p_retailprice AS DECIMAL(18,2)) = min_price
-    """,
-)
-def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.cheapest_part_per_brand(load_table(spark, sf_dir, "part"))
-
-
-@register(
-    "percent_rank_balance",
-    oracle="""
-    SELECT c_custkey, c_acctbal,
-           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 8) AS cume
-    FROM customer
-    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
-    """,
-)
-def q_percent_rank_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk.percent_rank_balance(load_table(spark, sf_dir, "customer"))
-
-
-# ═══ extra window variants ══════════════════════════════════════════════
-
-
-@register(
-    "events_sliding_1h_30m",
-    oracle="""
-    WITH e AS (
-      SELECT event_type, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us
-      FROM events),
-    windows AS (
-      SELECT event_type, value,
-             unnest([us - us % 1800000000,
-                     us - us % 1800000000 - 1800000000]) AS start_us
-      FROM e)
-    SELECT strftime(make_timestamp(CAST(start_us AS BIGINT)), '%Y-%m-%d %H:%M:%S')
-             AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM windows GROUP BY window_start, event_type
-    """,
-)
-def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events.events_sliding_1h_30m(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "streaming_sliding_1h_30m",
-    oracle="""
-    WITH e AS (
-      SELECT event_type, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us
-      FROM events),
-    windows AS (
-      SELECT event_type, value,
-             unnest([us - us % 1800000000,
-                     us - us % 1800000000 - 1800000000]) AS start_us
-      FROM e)
-    SELECT strftime(make_timestamp(CAST(start_us AS BIGINT)), '%Y-%m-%d %H:%M:%S')
-             AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM windows GROUP BY window_start, event_type
-    """,
-)
-def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window as a real stream (streaming/runners.py::
-    streaming_sliding_1h_30m); settled output shares the batch twin's
-    two-candidate-starts oracle."""
-    from dumbo_spark.streaming.runners import streaming_sliding_1h_30m
-
-    return streaming_sliding_1h_30m(spark, sf_dir)
-
-
-@register(
-    "events_session_window",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       >= 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sessions AS (
-      SELECT user_id, value, us,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
-      FROM flagged)
-    SELECT user_id,
-           MIN(us) AS session_start_us,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM sessions GROUP BY user_id, session_id
-    """,
-)
-def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events.events_session_window(load_table(spark, sf_dir, "events"))
-
-
-# ═══ sampling / splitting (corpus assembly) ═════════════════════════════
-
-
-def _split_oracle() -> str:
-    bucket = sampling.sql_md5_bucket("doc_id")
-    return f"""
-    SELECT doc_id,
-           CASE WHEN {bucket} < 10 THEN 'test' ELSE 'train' END AS split,
-           CAST({bucket} AS INTEGER) AS bucket
-    FROM documents
-    """
-
-
-@register("split_train_test", oracle=_split_oracle())
-def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.split_train_test(load_table(spark, sf_dir, "documents"))
-
-
-@register("stratified_sample", oracle=None)  # seeded randomness
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.stratified_sample(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "corpus_clean",
-    oracle=r"""
-    WITH c AS (
-      SELECT doc_id, lang,
-             trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS clean_text
-      FROM documents)
-    SELECT doc_id, lang, clean_text,
-           CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens
-    FROM c
-    WHERE len(string_split(clean_text, ' ')) BETWEEN 5 AND 100000
-    """,
-)
-def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.corpus_clean(load_table(spark, sf_dir, "documents"))
-
-
-# ═══ temporal operators: as-of / range join / cascade rollup ════════════
-
-
-@register(
-    "asof_last_click",
-    oracle="""
-    WITH carried AS (
-      SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             last_value(CASE WHEN event_type = 'click' THEN event_id END
-                        IGNORE NULLS) OVER w AS last_src_id,
-             last_value(CASE WHEN event_type = 'click'
-                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
-                        IGNORE NULLS) OVER w AS last_src_us
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-    SELECT user_id,
-           event_id AS target_id,
-           last_src_id AS source_id,
-           us - last_src_us AS gap_us
-    FROM carried
-    WHERE event_type = 'purchase' AND last_src_id IS NOT NULL
-    """,
-)
-def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return temporal.asof_last_event(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "asof_last_click_bounded",
-    oracle="""
-    WITH carried AS (
-      SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             last_value(CASE WHEN event_type = 'click' THEN event_id END
-                        IGNORE NULLS) OVER w AS last_src_id,
-             last_value(CASE WHEN event_type = 'click'
-                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
-                        IGNORE NULLS) OVER w AS last_src_us
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-    SELECT user_id,
-           event_id AS target_id,
-           last_src_id AS source_id,
-           us - last_src_us AS gap_us
-    FROM carried
-    WHERE event_type = 'purchase' AND last_src_id IS NOT NULL
-      AND us - last_src_us <= 600000000
-    """,
-)
-def q_asof_last_click_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of with a 10-minute max-staleness bound
-    (temporal.asof_last_event tolerance_sec) — the windowed-aj form
-    event enrichment needs; same one-shuffle carried-forward plan."""
-    return temporal.asof_last_event(
-        load_table(spark, sf_dir, "events"), tolerance_sec=600
-    )
-
-
-@register(
-    "events_range_join",
-    oracle="""
-    SELECT a.user_id, COUNT(*) AS n_pairs
-    FROM (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us_a FROM events) a
-    JOIN (SELECT user_id AS u2, epoch_us(CAST(ts AS TIMESTAMP)) AS us_b FROM events) b
-      ON a.user_id = b.u2
-     AND b.us_b > a.us_a
-     AND b.us_b - a.us_a <= 60000000
-    GROUP BY a.user_id
-    """,
-)
-def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return temporal.range_self_join(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "click_attribution",
-    oracle="""
-    SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts > c.ts
-     AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-)
-def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of streaming/windows.py::click_purchase_stream_join —
-    the SAME function body (watermarks are no-ops on static frames), so
-    this oracle transitively checks the stream-stream interval join the
-    streaming test proves equal to it."""
-    from dumbo_spark.streaming.windows import click_purchase_stream_join
-
-    ev = load_table(spark, sf_dir, "events")
-    return click_purchase_stream_join(
-        ev.where(F.col("event_type") == "click"),
-        ev.where(F.col("event_type") == "purchase"),
-    )
-
-
-@register(
-    "doc_pagerank",
-    # Promoted from rows-only in r11 (VERDICT r10 Next #3): the edge
-    # set now comes from the md5-derived engine-neutral MinHash-LSH
-    # pipeline (dedup.dedup_fuzzy_verified_md5), so DuckDB reproduces
-    # signatures, banding, candidate screen, and exact verification
-    # byte-for-byte, then re-runs the power iteration level by level
-    # with pagerank_checked's iteration-counter recursive CTE.
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    dg AS (SELECT DISTINCT doc_id, gram FROM grams),
-    hd AS (
-      SELECT doc_id, d, md5(CAST(d AS VARCHAR) || ':' || gram) AS hx
-      FROM dg, UNNEST(generate_series(0, 7)) AS u(d)),
-    hs AS (
-      SELECT doc_id, d * 4 + l AS i, MIN(substr(hx, l * 8 + 1, 8)) AS h
-      FROM hd, UNNEST(generate_series(0, 3)) AS v(l)
-      GROUP BY doc_id, d * 4 + l),
-    sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM hs GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, s,
-             md5(CAST(t AS VARCHAR) || '|' ||
-                 s[4*t+1] || s[4*t+2] || s[4*t+3] || s[4*t+4]) AS band_key
-      FROM sig, UNNEST(generate_series(0, 7)) AS b(t)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE len(list_filter(generate_series(1, 32),
-                            i -> a.s[i] = b.s[i])) >= 12),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS c
-      FROM cand c JOIN dg x ON x.doc_id = c.doc_a
-                  JOIN dg y ON y.doc_id = c.doc_b AND y.gram = x.gram
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
-                   JOIN sizes sb ON i.doc_b = sb.doc_id
-      WHERE 10 * i.c >= 7 * (sa.n + sb.n - i.c)),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM deg),
-    pr(it, node, rank) AS (
-      SELECT 0, src, 1.0 / (SELECT n FROM nn) FROM deg
-      UNION ALL
-      SELECT it + 1, e.dst,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-               + 0.85 * SUM(pr.rank / deg.d)
-      FROM pr JOIN edges e ON pr.node = e.src JOIN deg ON e.src = deg.src
-      WHERE it < 10
-      GROUP BY it + 1, e.dst)
-    SELECT node AS doc_id, ROUND(rank, 6) AS rank
-    FROM pr WHERE it = 10
-    """,
-)
-def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the LSH-verified near-dup graph (dedup.pagerank
-    over dedup.dedup_fuzzy_verified_md5 edges) — centrality within
-    duplicate clusters. r11 promotion: the md5 hash family makes the
-    FULL pipeline (signatures → bands → candidates → exact-Jaccard
-    verify → 10 power iterations) value-checked against DuckDB;
-    sibling pagerank_checked keeps the deterministic PPJoin edge set,
-    and dedup_fuzzy_verified keeps the xxhash64 throughput family."""
-    docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.dedup_fuzzy_verified_md5(docs)
-    return dedup.pagerank(edges, max_iter=10).select(
-        "doc_id", F.round("rank", 6).alias("rank")
-    )
-
-
-@register(
-    "sample_per_group",
-    oracle="""
-    SELECT * FROM (
-      SELECT o_orderpriority, o_orderkey,
-             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
-                  AS INTEGER) AS sample_rank
-      FROM orders)
-    WHERE sample_rank <= 5
-    """,
-)
-def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-order k-per-group sample
-    (sampling.sample_per_group) — reproducible across engines, hence
-    the exact oracle."""
-    return sampling.sample_per_group(
-        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderkey", k=5
-    )
-
-
-@register(
-    "sample_exact_n",
-    oracle="""
-    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
-    FROM documents
-    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-    LIMIT 300
-    """,
-)
-def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic exact-n global sample (sampling.sample_exact_n):
-    hash-order + limit compiles to TakeOrderedAndProject (per-task
-    heap, no global sort) — the scale-safe reservoir equivalent."""
-    return sampling.sample_exact_n(
-        load_table(spark, sf_dir, "documents"), "doc_id", n=300
-    )
-
-
-@register(
-    "weighted_sample",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, n_chars AS weight,
-             ln(({sampling.sql_md5_u32('doc_id')} + 1) / 4294967296.0)
-               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS s
-      FROM documents)
-    SELECT doc_id, weight, ROUND(s, 6) AS es_key
-    FROM scored ORDER BY s DESC, doc_id LIMIT 200
-    """,
-)
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis–Spirakis weighted sample without replacement, exact
-    n, n_chars-weighted (sampling.weighted_sample): hash-derived
-    uniform variate makes the draw engine-stable; orderBy+limit is
-    TakeOrderedAndProject, no global sort."""
-    return sampling.weighted_sample(
-        load_table(spark, sf_dir, "documents"), "n_chars", n=200
-    )
-
-
-@register(
-    "source_mix_rebalance",
-    oracle=f"""
-    WITH counts AS (
-      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
-    tot AS (
-      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS k FROM counts)
-    SELECT d.doc_id, d.source
-    FROM documents d
-    JOIN counts c ON d.source = c.source
-    CROSS JOIN tot
-    WHERE ({sampling.sql_md5_u32('d.doc_id')} % 1000000)
-          < ((1000000 * tot.total) // (tot.k * c.cnt))
-    """,
-)
-def q_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform domain-mix rebalance (sampling.source_mix_rebalance):
-    per-source keep-probability min(1, total/(k·count)), decided by an
-    integer hash-bucket compare — exact, no floats; counts partial-agg
-    + broadcast join, keep decision is a scan predicate."""
-    return sampling.source_mix_rebalance(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "cross_source_overlap",
-    oracle=f"""
-    WITH h AS (
-      SELECT DISTINCT
-             md5(array_to_string(({DUCK_TOKENS})[1:8], ' ')) AS h,
-             source
-      FROM documents)
-    SELECT a.source AS source_a, b.source AS source_b,
-           COUNT(DISTINCT a.h) AS n_shared
-    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
-    GROUP BY a.source, b.source
-    """,
-)
-def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-pair contamination matrix (dedup.cross_source_overlap):
-    distinct (prefix-fingerprint, source) pairs self-joined on the
-    hash — shuffle carries 16-byte keys, fan-out bounded by source
-    count."""
-    return dedup.cross_source_overlap(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "asof_next_purchase",
-    oracle="""
-    WITH carried AS (
-      SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
-                         IGNORE NULLS) OVER w AS next_src_id,
-             first_value(CASE WHEN event_type = 'purchase'
-                              THEN epoch_us(CAST(ts AS TIMESTAMP)) END
-                         IGNORE NULLS) OVER w AS next_src_us
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
-    SELECT user_id,
-           event_id AS target_id,
-           next_src_id AS source_id,
-           next_src_us - us AS gap_us
-    FROM carried
-    WHERE event_type = 'click' AND next_src_id IS NOT NULL
-    """,
-)
-def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join (temporal.asof_next_event): each click's next
-    purchase by the same user."""
-    return temporal.asof_next_event(
-        load_table(spark, sf_dir, "events"),
-        target_type="click",
-        source_type="purchase",
-    )
-
-
-@register(
-    "conversion_funnel",
-    oracle="""
-    WITH pu AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'view'
-                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
-             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
-                       FILTER (WHERE event_type = 'click')) AS clicks,
-             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
-                       FILTER (WHERE event_type = 'purchase')) AS purchases
-      FROM events GROUP BY user_id),
-    st AS (
-      SELECT user_id, t_view, clicks, purchases,
-             list_min(list_filter(clicks, x -> x > t_view)) AS t_click
-      FROM pu),
-    st2 AS (
-      SELECT user_id, t_view, t_click,
-             list_min(list_filter(purchases, x -> x > t_click)) AS t_purchase
-      FROM st),
-    c AS (SELECT COUNT(t_view) AS v, COUNT(t_click) AS k,
-                 COUNT(t_purchase) AS p FROM st2)
-    SELECT '1_view' AS stage, v AS n_users FROM c
-    UNION ALL SELECT '2_click', k FROM c
-    UNION ALL SELECT '3_purchase', p FROM c
-    """,
-)
-def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel (temporal.conversion_funnel)."""
-    return temporal.conversion_funnel(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "column_profile",
-    oracle="""
-    SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           COUNT(DISTINCT l_orderkey) AS n_distinct,
-           CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
-           CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_quantity', COUNT(*),
-           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           COUNT(DISTINCT l_quantity),
-           CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_returnflag', COUNT(*),
-           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           COUNT(DISTINCT l_returnflag),
-           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
-    FROM lineitem
-    """,
-)
-def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-gate data-quality profile (shape.column_profile)."""
-    return shape.column_profile(
-        load_table(spark, sf_dir, "lineitem"),
-        ["l_orderkey", "l_quantity", "l_returnflag"],
-    )
-
-
-@register(
-    "key_skew_profile",
-    oracle="""
-    WITH c AS (
-      SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)
-    SELECT COUNT(*) AS n_keys,
-           CAST(SUM(cnt) AS BIGINT) AS n_rows,
-           MAX(cnt) AS max_cnt,
-           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
-           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
-           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
-             AS top1_share
-    FROM c
-    """,
-)
-def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew diagnosis (shape.key_skew_profile): per-key count
-    distribution summary — the pre-join measurement that picks
-    broadcast vs salt vs AQE skew split at 100 TB."""
-    return shape.key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
-
-
-@register(
-    "unpivot_long",
-    oracle="""
-    WITH wide AS (
-      SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price,
-             CAST(COUNT(*) AS DOUBLE) AS n_items
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
-    UNION ALL
-    SELECT l_returnflag, 'sum_price', sum_price FROM wide
-    UNION ALL
-    SELECT l_returnflag, 'n_items', n_items FROM wide
-    """,
-)
-def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long melt via stack (shape.unpivot_long) — the inverse of
-    pivot_status, completing the reshape family; the melt itself is a
-    narrow generator over the aggregated frame."""
-    return shape.unpivot_long(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "copurchase_triangles",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
-           HAVING COUNT(*) <= 20),
-    p2 AS (SELECT po.l_orderkey, po.l_partkey
-           FROM po JOIN ok USING (l_orderkey)),
-    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-          FROM p2 a JOIN p2 b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
-    n AS (SELECT COUNT(DISTINCT x) AS n_nodes
-          FROM (SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
-    ne AS (SELECT COUNT(*) AS n_edges FROM e),
-    t AS (SELECT COUNT(*) AS n_triangles
-          FROM e e1
-          JOIN e e2 ON e1.dst = e2.src
-          JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst)
-    SELECT n.n_nodes, ne.n_edges, t.n_triangles
-    FROM n CROSS JOIN ne CROSS JOIN t
-    """,
-)
-def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the part co-purchase graph
-    (graph.copurchase_triangles): basket-bounded pairing, support-
-    thresholded edges, a<b<c enumeration — three equi-joins, no
-    iteration, no cross join."""
-    return graph.copurchase_triangles(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "weekday_weekend_mix",
-    oracle="""
-    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
-           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
-                                             AS DATE)) IN (0, 6)
-                         THEN 0 ELSE 1 END) AS BIGINT) AS weekday_orders,
-           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
-                                             AS DATE)) IN (0, 6)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
-           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
-                                             AS DATE)) IN (0, 6)
-                         THEN CAST(0 AS DECIMAL(18,2))
-                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
-                AS DOUBLE) AS weekday_revenue,
-           CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate AS TIMESTAMP)
-                                             AS DATE)) IN (0, 6)
-                         THEN CAST(o_totalprice AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END)
-                AS DOUBLE) AS weekend_revenue,
-           ROUND(CAST(SUM(CASE WHEN dayofweek(CAST(CAST(o_orderdate
-                                  AS TIMESTAMP) AS DATE)) IN (0, 6)
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS weekend_share
-    FROM orders GROUP BY month ORDER BY month
-    """,
-)
-def q_weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly weekday/weekend order and revenue mix
-    (analytics.weekday_weekend_mix); DuckDB dayofweek 0=Sun..6=Sat vs
-    Spark 1=Sun..7=Sat handled per engine."""
-    return analytics.weekday_weekend_mix(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "region_revenue_rollup",
-    oracle="""
-    SELECT r.r_name, n.n_name,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS revenue
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP (r.r_name, n.n_name)
-    """,
-)
-def q_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Region→nation revenue drill-down with subtotals
-    (analytics.region_revenue_rollup): broadcast dims + ROLLUP."""
-    return analytics.region_revenue_rollup(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-@register(
-    "corpus_source_concentration",
-    oracle=f"""
-    WITH per AS (
-      SELECT source,
-             COUNT(*) AS n_docs,
-             SUM(len({DUCK_TOKENS})) AS n_tokens
-      FROM documents GROUP BY source),
-    t AS (SELECT SUM(n_tokens) AS tt FROM per),
-    shared AS (
-      SELECT source, n_docs, n_tokens,
-             ROUND(CAST(n_tokens AS DOUBLE) / (SELECT tt FROM t), 6)
-               AS token_share
-      FROM per),
-    h AS (
-      SELECT ROUND(SUM(POW(CAST(n_tokens AS DOUBLE)
-                           / (SELECT tt FROM t), 2)) * 10000.0, 4)
-               AS corpus_hhi
-      FROM per)
-    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           token_share,
-           (SELECT corpus_hhi FROM h) AS corpus_hhi
-    FROM shared
-    """,
-)
-def q_corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-weighted source concentration + corpus HHI
-    (textstats.corpus_source_concentration)."""
-    return textstats.corpus_source_concentration(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "event_mix_weekly_drift",
-    oracle="""
-    WITH cell AS (
-      SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)),
-                      '%Y-%m-%d') AS week,
-             event_type, COUNT(*) AS c
-      FROM events GROUP BY week, event_type),
-    grid AS (
-      SELECT w.week, t.event_type
-      FROM (SELECT DISTINCT week FROM cell) w
-      CROSS JOIN (SELECT DISTINCT event_type FROM cell) t),
-    filled AS (
-      SELECT g.week, g.event_type, COALESCE(c.c, 0) AS c
-      FROM grid g LEFT JOIN cell c
-        ON g.week = c.week AND g.event_type = c.event_type),
-    shares AS (
-      SELECT week, event_type,
-             CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY week) AS share,
-             SUM(c) OVER (PARTITION BY week) AS n
-      FROM filled),
-    d AS (
-      SELECT week, n, share,
-             lag(share) OVER (PARTITION BY event_type ORDER BY week) AS prev
-      FROM shares)
-    SELECT week,
-           CAST(MAX(n) AS BIGINT) AS n_events,
-           CASE WHEN COUNT(prev) > 0
-                THEN ROUND(SUM(ABS(share - prev)), 6) END AS l1_drift
-    FROM d GROUP BY week ORDER BY week
-    """,
-)
-def q_event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week event-type mix drift (L1 distance of share
-    vectors over a dense week×type grid;
-    events.event_mix_weekly_drift)."""
-    return events.event_mix_weekly_drift(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "user_active_days_histogram",
-    oracle="""
-    WITH per AS (
-      SELECT user_id,
-             COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
-               AS n_active_days
-      FROM events GROUP BY user_id),
-    hist AS (
-      SELECT n_active_days, COUNT(*) AS n_users
-      FROM per GROUP BY n_active_days),
-    t AS (SELECT SUM(n_users) AS tt FROM hist)
-    SELECT CAST(n_active_days AS BIGINT) AS n_active_days,
-           CAST(n_users AS BIGINT) AS n_users,
-           ROUND(CAST(n_users AS DOUBLE) / (SELECT tt FROM t), 6) AS share
-    FROM hist ORDER BY n_active_days
-    """,
-)
-def q_user_active_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engagement-frequency histogram
-    (events.user_active_days_histogram): distinct active days per
-    user, bucketed."""
-    return events.user_active_days_histogram(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "error_rate_by_hour",
-    oracle="""
-    SELECT hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_errors,
-           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS error_rate
-    FROM events GROUP BY hour_of_day ORDER BY hour_of_day
-    """,
-)
-def q_error_rate_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diurnal error-share profile (events.error_rate_by_hour)."""
-    return events.error_rate_by_hour(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "distinctive_tokens_by_lang",
-    oracle=f"""
-    WITH lw AS (
-      SELECT lang, word, COUNT(*) AS c_lw
-      FROM (SELECT lang, unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY lang, word),
-    wt AS (SELECT word, SUM(c_lw) AS c_w FROM lw GROUP BY word),
-    lt AS (SELECT lang, SUM(c_lw) AS n_l FROM lw GROUP BY lang),
-    nt AS (SELECT SUM(c_lw) AS n FROM lw),
-    scored AS (
-      SELECT lw.lang, lw.word, lw.c_lw AS n_lang_word,
-             ROUND(ln((lw.c_lw + 1.0) / (lt.n_l - lw.c_lw + 1.0))
-                   - ln((wt.c_w - lw.c_lw + 1.0)
-                        / ((SELECT n FROM nt) - lt.n_l
-                           - (wt.c_w - lw.c_lw) + 1.0)), 6) AS log_odds
-      FROM lw JOIN wt ON lw.word = wt.word JOIN lt ON lw.lang = lt.lang),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY lang
-                                   ORDER BY log_odds DESC, word ASC) AS rn
-      FROM scored)
-    SELECT lang, word, CAST(n_lang_word AS BIGINT) AS n_lang_word, log_odds
-    FROM ranked WHERE rn <= 5
-    """,
-)
-def q_distinctive_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Smoothed log-odds distinctive tokens per language
-    (textstats.distinctive_tokens_by_lang, Monroe et al. 2008)."""
-    return textstats.distinctive_tokens_by_lang(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "price_dispersion_parts",
-    oracle="""
-    WITH per AS (
-      SELECT l_partkey,
-             COUNT(*) AS n_lines,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(*), 4) AS mean_price,
-             ROUND(sqrt(GREATEST(
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * CAST(l_extendedprice AS DECIMAL(18,2)))
-                          AS DOUBLE) / COUNT(*)
-                     - POW(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                                AS DOUBLE) / COUNT(*), 2), 0.0))
-                   / (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                           AS DOUBLE) / COUNT(*)), 6) AS cv
-      FROM lineitem GROUP BY l_partkey)
-    SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines, mean_price, cv
-    FROM per WHERE n_lines >= 5
-    ORDER BY cv DESC, l_partkey ASC LIMIT 20
-    """,
-)
-def q_price_dispersion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most price-dispersed parts (analytics.price_dispersion_parts):
-    exact decimal moments per part, rounded-cv top-k cut."""
-    return analytics.price_dispersion_parts(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "tenure_value_buckets",
-    oracle="""
-    WITH per AS (
-      SELECT o_custkey,
-             MIN(CAST(o_orderdate AS TIMESTAMP)) AS f,
-             MAX(CAST(o_orderdate AS TIMESTAMP)) AS l,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      FROM orders GROUP BY o_custkey),
-    b AS (
-      SELECT rev,
-             (year(l) * 12 + month(l)) - (year(f) * 12 + month(f)) AS m
-      FROM per)
-    SELECT CASE WHEN m = 0 THEN '0'
-                WHEN m <= 6 THEN '1-6'
-                WHEN m <= 12 THEN '7-12'
-                ELSE '13+' END AS tenure_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS avg_revenue
-    FROM b GROUP BY tenure_bucket ORDER BY tenure_bucket
-    """,
-)
-def q_tenure_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average customer value by tenure bucket
-    (analytics.tenure_value_buckets): integer calendar-month tenure,
-    exact decimal revenue."""
-    return analytics.tenure_value_buckets(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "transition_dwell_times",
-    oracle="""
-    WITH t AS (
-      SELECT lag(event_type) OVER w AS from_type,
-             event_type AS to_type,
-             epoch_us(CAST(ts AS TIMESTAMP))
-               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
-      FROM events
-      WINDOW w AS (PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id))
-    SELECT from_type, to_type,
-           CAST(COUNT(*) AS BIGINT) AS n_transitions,
-           ROUND((CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)) / 1e6, 4)
-             AS avg_gap_sec
-    FROM t WHERE from_type IS NOT NULL
-    GROUP BY from_type, to_type
-    """,
-)
-def q_transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-transition dwell profile (events.transition_dwell_times):
-    event_transitions' counts with the timing dimension."""
-    return events.transition_dwell_times(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "brand_cross_shopping",
-    oracle="""
-    WITH j AS (
-      SELECT o.o_custkey, p.p_brand
-      FROM lineitem l
-      JOIN part p ON l.l_partkey = p.p_partkey
-      JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    per AS (
-      SELECT o_custkey, COUNT(DISTINCT p_brand) AS n_brands
-      FROM j GROUP BY o_custkey)
-    SELECT CAST(n_brands AS BIGINT) AS n_brands,
-           CAST(COUNT(*) AS BIGINT) AS n_customers
-    FROM per GROUP BY n_brands ORDER BY n_brands
-    """,
-)
-def q_brand_cross_shopping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brand cross-shopping histogram (analytics.brand_cross_shopping):
-    distinct brands per customer, bucketed."""
-    return analytics.brand_cross_shopping(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "orders"),
-    )
-
-
-@register(
-    "return_rate_by_basket_size",
-    oracle="""
-    WITH per AS (
-      SELECT l_orderkey, COUNT(*) AS n_lines,
-             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret
-      FROM lineitem GROUP BY l_orderkey)
-    SELECT CASE WHEN n_lines <= 2 THEN '1-2'
-                WHEN n_lines <= 4 THEN '3-4'
-                ELSE '5+' END AS size_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
-           CAST(SUM(n_ret) AS BIGINT) AS n_returned,
-           ROUND(CAST(SUM(n_ret) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE), 6)
-             AS return_rate
-    FROM per GROUP BY size_bucket
-    """,
-)
-def q_return_rate_by_basket_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return rate vs basket size (analytics.return_rate_by_basket_size)."""
-    return analytics.return_rate_by_basket_size(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "doclen_percentiles_by_lang",
-    oracle="""
-    SELECT lang,
-           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars,
-           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_chars
-    FROM documents GROUP BY lang
-    """,
-)
-def q_doclen_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-language document-length percentiles
-    (textstats.doclen_percentiles_by_lang) via the shared
-    range-partitioned percentile machinery."""
-    return textstats.doclen_percentiles_by_lang(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "monthly_new_vs_returning_revenue",
-    oracle="""
-    WITH f AS (
-      SELECT o_custkey,
-             MIN(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m'))
-               AS first_month
-      FROM orders GROUP BY o_custkey),
-    j AS (
-      SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
-             CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
-             f.first_month
-      FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
-    SELECT month,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CASE WHEN month = first_month THEN v
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             AS new_revenue,
-           CAST(SUM(CASE WHEN month <> first_month THEN v
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             AS returning_revenue,
-           ROUND(CAST(SUM(CASE WHEN month = first_month THEN v
-                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM(v) AS DOUBLE), 6) AS new_share
-    FROM j GROUP BY month ORDER BY month
-    """,
-)
-def q_monthly_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue split by new vs returning customers
-    (analytics.monthly_new_vs_returning_revenue): first-order-month
-    flag + conditional decimal sums."""
-    return analytics.monthly_new_vs_returning_revenue(
-        load_table(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "weighted_price_quartiles",
-    oracle="""
-    WITH t AS (
-      SELECT l_returnflag,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-             CAST(l_quantity AS DECIMAL(18,2)) AS q,
-             l_orderkey, l_linenumber
-      FROM lineitem),
-    c AS (
-      SELECT l_returnflag, p,
-             SUM(q) OVER (PARTITION BY l_returnflag
-                          ORDER BY p, l_orderkey, l_linenumber
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum,
-             SUM(q) OVER (PARTITION BY l_returnflag) AS tot
-      FROM t)
-    SELECT l_returnflag,
-           CAST(MIN(CASE WHEN 100 * cum >= 25 * tot THEN p END) AS DOUBLE)
-             AS wq25_price,
-           CAST(MIN(CASE WHEN 100 * cum >= 50 * tot THEN p END) AS DOUBLE)
-             AS wq50_price,
-           CAST(MIN(CASE WHEN 100 * cum >= 75 * tot THEN p END) AS DOUBLE)
-             AS wq75_price
-    FROM c GROUP BY l_returnflag
-    """,
-)
-def q_weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact quantity-weighted price quartiles per return flag
-    (agg.weighted_price_quartiles): three thresholds in one
-    range-partitioned cumulative-weight sweep."""
-    return agg.weighted_price_quartiles(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "session_conversion_rate",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts, event_type,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sess AS (
-      SELECT user_id, event_type, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged),
-    per AS (
-      SELECT user_id, sid,
-             MIN(CAST(ts AS TIMESTAMP)) AS s_start,
-             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-      FROM sess GROUP BY user_id, sid)
-    SELECT strftime(s_start, '%Y-%m-%d') AS day,
-           CAST(COUNT(*) AS BIGINT) AS n_sessions,
-           CAST(SUM(conv) AS BIGINT) AS n_converted,
-           ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
-    FROM per GROUP BY day
-    """,
-)
-def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily session conversion rate (events.session_conversion_rate):
-    islands sessionizer + purchase flag, bounce_rate's revenue-side
-    sibling."""
-    return events.session_conversion_rate(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "order_size_value_correlation",
-    oracle="""
-    WITH sizes AS (
-      SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY l_orderkey),
-    j AS (
-      SELECT s.x, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
-      FROM orders o JOIN sizes s ON o.o_orderkey = s.l_orderkey),
-    m AS (
-      SELECT COUNT(*) AS n,
-             SUM(x) AS sx, SUM(x * x) AS sxx,
-             SUM(y) AS sy, SUM(y * y) AS syy,
-             SUM(x * y) AS sxy
-      FROM j)
-    SELECT CAST(n AS BIGINT) AS n_orders,
-           CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) > 0
-                 AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) > 0
-                THEN ROUND(
-                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-                  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-                         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
-                  6)
-           END AS corr
-    FROM m
-    """,
-)
-def q_order_size_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Basket-size × order-value Pearson correlation from exact
-    moments (analytics.order_size_value_correlation)."""
-    return analytics.order_size_value_correlation(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-@register(
-    "top_percent_customers",
-    oracle="""
-    WITH per AS (
-      SELECT o_custkey,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      FROM orders GROUP BY o_custkey),
-    r AS (
-      SELECT o_custkey, rev,
-             row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rnk,
-             COUNT(*) OVER () AS n,
-             SUM(rev) OVER () AS tot
-      FROM per)
-    SELECT o_custkey,
-           CAST(rev AS DOUBLE) AS revenue,
-           CAST(rnk AS BIGINT) AS rank,
-           ROUND(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) * 100.0, 6)
-             AS revenue_share_pct
-    FROM r WHERE rnk <= ceil(n * 1.0 / 100.0)
-    ORDER BY rnk
-    """,
-)
-def q_top_percent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-1% customer roster by revenue
-    (analytics.top_percent_customers): exact tie-stable cut via the
-    range-partitioned global rank."""
-    return analytics.top_percent_customers(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "churn_risk_buckets",
-    oracle="""
-    WITH mx AS (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS m FROM orders),
-    last AS (
-      SELECT o_custkey, MAX(CAST(o_orderdate AS TIMESTAMP)) AS l
-      FROM orders GROUP BY o_custkey),
-    b AS (
-      SELECT CAST(floor(date_diff('day', CAST(l AS DATE),
-                                  CAST((SELECT m FROM mx) AS DATE)) / 30.0)
-                  AS BIGINT) AS bucket
-      FROM last),
-    hist AS (SELECT bucket, COUNT(*) AS n_customers FROM b GROUP BY bucket),
-    t AS (SELECT SUM(n_customers) AS n FROM hist)
-    SELECT bucket,
-           CAST(bucket * 30 AS INTEGER) AS days_from,
-           CAST(n_customers AS BIGINT) AS n_customers,
-           ROUND(CAST(n_customers AS DOUBLE) / (SELECT n FROM t), 6) AS share
-    FROM hist ORDER BY bucket
-    """,
-)
-def q_churn_risk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer recency distribution (analytics.churn_risk_buckets):
-    30-day buckets of days-since-last-order, anchored on the data's
-    own max date for reproducibility."""
-    return analytics.churn_risk_buckets(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "embedding_norm_stats",
-    oracle="""
-    WITH n AS (
-      SELECT label,
-             ROUND(sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS nrm
-      FROM embeddings)
-    SELECT label,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(AVG(nrm), 4) AS mean_norm,
-           MIN(nrm) AS min_norm,
-           MAX(nrm) AS max_norm
-    FROM n GROUP BY label
-    """,
-)
-def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label L2-norm profile (similarity.embedding_norm_stats):
-    the first-look vector-quality diagnostic; JVM array fold, one
-    partial-agg rollup."""
-    return similarity.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "order_cadence",
-    oracle="""
-    WITH g AS (
-      SELECT o_custkey, o_orderkey,
-             date_diff('day',
-                       CAST(lag(CAST(o_orderdate AS TIMESTAMP)) OVER w AS DATE),
-                       CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS gap_days
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey
-                   ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey)),
-    g2 AS (SELECT * FROM g WHERE gap_days IS NOT NULL)
-    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_multi,
-           CAST(COUNT(*) AS BIGINT) AS n_gaps,
-           ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.5), 4)
-             AS p50_gap_days,
-           ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.9), 4)
-             AS p90_gap_days
-    FROM g2
-    """,
-)
-def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer purchase-cadence profile (analytics.order_cadence):
-    lag-window day gaps, corpus-wide exact percentiles via the
-    range-partitioned machinery."""
-    return analytics.order_cadence(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "dedup_report",
-    oracle=r"""
-    WITH total AS (SELECT COUNT(*) AS n FROM documents),
-    ex AS (
-      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS d
-      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)),
-    nm AS (
-      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS d
-      FROM (SELECT COUNT(*) AS c FROM documents
-            GROUP BY trim(regexp_replace(lower(text), '\W+', ' ', 'g')))),
-    toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pmem AS (
-      SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS d
-      FROM (SELECT unnest([doc_a, doc_b]) AS m
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE 100 * c >= 60 * (sa.n + sb.n - c)))
-    SELECT 'exact' AS method, t.n AS n_docs, ex.d AS n_duplicates,
-           ROUND(CAST(ex.d AS DOUBLE) / t.n, 6) AS dup_rate
-    FROM total t CROSS JOIN ex
-    UNION ALL
-    SELECT 'normalized', t.n, nm.d, ROUND(CAST(nm.d AS DOUBLE) / t.n, 6)
-    FROM total t CROSS JOIN nm
-    UNION ALL
-    SELECT 'jaccard_pair_member', t.n, pmem.d,
-           ROUND(CAST(pmem.d AS DOUBLE) / t.n, 6)
-    FROM total t CROSS JOIN pmem
-    """,
-)
-def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-glance duplication summary across the deterministic dedup
-    tiers (dedup.dedup_report): exact, normalized, and PPJoin pair
-    membership, each with count and rate."""
-    return dedup.dedup_report(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "near_dup_rate_by_source",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    members AS (
-      SELECT DISTINCT m AS doc_id
-      FROM (SELECT unnest([doc_a, doc_b]) AS m
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE 100 * c >= 60 * (sa.n + sb.n - c)))
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(m.doc_id) AS BIGINT) AS n_near_dup_docs,
-           ROUND(CAST(COUNT(m.doc_id) AS DOUBLE) / COUNT(*), 6)
-             AS near_dup_rate
-    FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
-    GROUP BY d.source
-    """,
-)
-def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source near-duplication exposure
-    (dedup.near_dup_rate_by_source): PPJoin pair membership rolled up
-    by feed — which source floods the corpus."""
-    return dedup.near_dup_rate_by_source(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "order_total_consistency",
-    oracle="""
-    WITH lt AS (
-      SELECT l_orderkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 + CAST(l_tax AS DECIMAL(18,2)))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS calc
-      FROM lineitem GROUP BY 1),
-    j AS (
-      SELECT o.o_totalprice, lt.calc
-      FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(COUNT(calc) AS BIGINT) AS n_with_lines,
-           CAST(SUM(CASE WHEN ABS(CAST(o_totalprice AS DOUBLE)
-                                  - CAST(calc AS DOUBLE))
-                         <= 0.01 * CAST(o_totalprice AS DOUBLE)
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
-           ROUND(CAST(SUM(CASE WHEN ABS(CAST(o_totalprice AS DOUBLE)
-                                        - CAST(calc AS DOUBLE))
-                               <= 0.01 * CAST(o_totalprice AS DOUBLE)
-                          THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(calc) AS DOUBLE), 6) AS consistency_rate
-    FROM j
-    """,
-)
-def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived-column invariant audit (dq.order_total_consistency):
-    o_totalprice vs the lineitem-computed total within 1% — the
-    fixtures FAIL it for ~99% of orders, which both engines agree on."""
-    return dq.order_total_consistency(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-@register(
-    "monthly_revenue_yoy",
-    oracle="""
-    WITH m AS (
-      SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      FROM orders GROUP BY month)
-    SELECT a.month,
-           CAST(a.rev AS DOUBLE) AS revenue,
-           CAST(b.rev AS DOUBLE) AS revenue_prev_year,
-           ROUND(CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE)
-                 * 100.0, 4) AS yoy_pct
-    FROM m a LEFT JOIN m b
-      ON a.month = strftime(CAST(b.month || '-01' AS DATE)
-                            + INTERVAL 12 MONTH, '%Y-%m')
-    ORDER BY a.month
-    """,
-)
-def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue with year-over-year growth
-    (analytics.monthly_revenue_yoy): calendar-joined previous-year
-    month (gap-safe, unlike lag-12 over the month sequence)."""
-    return analytics.monthly_revenue_yoy(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "daily_value_percentiles",
-    oracle="""
-    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50_value,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95_value
-    FROM events GROUP BY day ORDER BY day
-    """,
-)
-def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact daily p50/p95 of event value
-    (events.daily_value_percentiles) via the shared range-partitioned
-    percentile machinery — no day ever sorts inside one task."""
-    return events.daily_value_percentiles(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "quantile_transform",
-    oracle="""
-    SELECT doc_id, n_chars,
-           ROUND(CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
-                 / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS pctl
-    FROM documents
-    """,
-)
-def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile normalization of document length
-    (sampling.quantile_transform): rank/n over the (n_chars, doc_id)
-    total order via the range-partitioned global rank."""
-    return sampling.quantile_transform(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "vocab_indexer",
-    oracle=f"""
-    WITH wc AS (
-      SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    r AS (
-      SELECT word, cnt,
-             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
-      FROM wc)
-    SELECT word, cnt, CAST(rnk AS INTEGER) AS token_id
-    FROM r WHERE rnk <= 1000
-    """,
-)
-def q_vocab_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-ordered token-to-id table (textstats.vocab_indexer):
-    dense ids for the top-1000 vocabulary via the range-partitioned
-    global rank."""
-    return textstats.vocab_indexer(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "seasonal_anomalies",
-    oracle="""
-    WITH daily AS (
-      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-             event_type,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value,
-             dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 1 AS dow
-      FROM events GROUP BY day, event_type, dow),
-    mu AS (
-      SELECT event_type, dow, AVG(daily_value) AS mu
-      FROM daily GROUP BY event_type, dow),
-    resid AS (
-      SELECT d.day, d.event_type, d.daily_value,
-             d.daily_value - m.mu AS r
-      FROM daily d JOIN mu m
-        ON d.event_type = m.event_type AND d.dow = m.dow),
-    sigma AS (
-      SELECT event_type, sqrt(AVG(r * r)) AS sd
-      FROM resid GROUP BY event_type)
-    SELECT r.day, r.event_type, r.daily_value,
-           ROUND(r.r / s.sd, 4) AS z_score
-    FROM resid r JOIN sigma s ON r.event_type = s.event_type
-    WHERE ABS(ROUND(r.r / s.sd, 4)) >= 2.5
-    """,
-)
-def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-of-week-adjusted daily anomaly screen
-    (events.seasonal_anomalies): residual z vs the weekday norm per
-    event type — the screen that doesn't page on every weekend."""
-    return events.seasonal_anomalies(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "bpe_merge_candidates",
-    oracle=f"""
-    WITH wc AS (
-      SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    pos AS (
-      SELECT word, cnt, unnest(range(1, length(word))) AS i
-      FROM wc WHERE length(word) >= 2),
-    pairs AS (
-      SELECT substr(word, i, 2) AS pair, SUM(cnt) AS pair_count
-      FROM pos GROUP BY 1)
-    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
-    FROM pairs ORDER BY pair_count DESC, pair ASC LIMIT 20
-    """,
-)
-def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First BPE training step (textstats.bpe_merge_candidates):
-    frequency-weighted adjacent character pairs over the
-    vocabulary-sized wordcount — the greedy-merge statistic."""
-    return textstats.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
-
-
-def _bpe_oracle_sql(n_merges: int = 6, select: str | None = None) -> str:
-    """Unrolled SQL replica of textstats.bpe_learn_merges: per round, a
-    pair-count CTE (unnest over symbol positions), a LIMIT-1 argmax
-    with the (count DESC, a, b) tie-break, and a recursive CTE that
-    folds the merge through every word position-by-position (depth =
-    longest word; all words advance in parallel each step) — the same
-    left-to-right non-overlapping scan as the engine's F.aggregate
-    fold. Feeder CTEs are MATERIALIZED so the vocabulary isn't
-    re-tokenized inside each recursion (the IVFPQ lesson)."""
-    parts = [
-        f"""
-    WITH RECURSIVE
-    wc AS MATERIALIZED (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-        SELECT unnest({DUCK_TOKENS}) AS word FROM documents) GROUP BY word),
-    v0 AS MATERIALIZED (
-      SELECT word, cnt, string_split(word, '') AS syms FROM wc)"""
-    ]
-    for r in range(n_merges):
-        parts.append(
-            f""",
-    p{r} AS MATERIALIZED (
-      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS pair_count
-      FROM (
-        SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
-        FROM v{r} WHERE len(syms) >= 2)
-      GROUP BY 1, 2),
-    m{r} AS MATERIALIZED (
-      SELECT a, b, pair_count FROM p{r}
-      ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
-    f{r}(word, cnt, pos, acc) AS (
-      SELECT word, cnt, 0, CAST([] AS VARCHAR[]) FROM v{r}
-      UNION ALL
-      SELECT f.word, f.cnt, f.pos + 1,
-             CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a
-                       AND v.syms[f.pos + 1] = m.b
-                  THEN list_append(f.acc[1 : len(f.acc) - 1], m.a || m.b)
-                  ELSE list_append(f.acc, v.syms[f.pos + 1]) END
-      FROM f{r} f
-      JOIN v{r} v USING (word)
-      CROSS JOIN m{r} m
-      WHERE f.pos < len(v.syms)),
-    v{r + 1} AS MATERIALIZED (
-      SELECT f.word, f.cnt, f.acc AS syms
-      FROM f{r} f JOIN v{r} v USING (word)
-      WHERE f.pos = len(v.syms))"""
-        )
-    sel = select or "\n    UNION ALL\n    ".join(
-        f"SELECT {r + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
-        # SUM(BIGINT) is HUGEINT in DuckDB — cast back for hash parity
-        f" CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
-        for r in range(n_merges)
-    )
-    return "".join(parts) + "\n    " + sel
-
-
-@register("bpe_learn_merges", oracle=_bpe_oracle_sql(6))
-def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE training loop (textstats.bpe_learn_merges): the
-    first 6 greedy merges learned by iterating vocabulary-sized
-    pair-count → argmax → Catalyst-fold merge application, with
-    per-round lineage truncation — the full Sennrich et al. 2016
-    trainer where bpe_merge_candidates is only round one."""
-    return textstats.bpe_learn_merges(
-        load_table(spark, sf_dir, "documents"), n_merges=6
-    )
-
-
-@register(
-    "bpe_compression_stats",
-    oracle=_bpe_oracle_sql(
-        6,
-        select="""SELECT 6 AS n_merges, i.total_words, i.init_symbols,
-           f.final_symbols,
-           ROUND((i.init_symbols - f.final_symbols)
-                 / CAST(i.init_symbols AS DOUBLE), 4) AS compression_pct
-    FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS total_words,
-                 CAST(SUM(len(syms) * cnt) AS BIGINT) AS init_symbols
-          FROM v0) i,
-         (SELECT CAST(SUM(len(syms) * cnt) AS BIGINT) AS final_symbols
-          FROM v6) f""",
-    ),
-)
-def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus symbol counts before vs after the 6 trained BPE merges
-    (textstats.bpe_compression_stats): the frequency-weighted
-    tokens-saved readout of the training loop — vocabulary-sized
-    aggregates on both ends, replayed by the same unrolled oracle."""
-    return textstats.bpe_compression_stats(
-        load_table(spark, sf_dir, "documents"), n_merges=6
-    )
-
-
-@register(
-    "pca_top_component",
-    oracle="""
-    WITH RECURSIVE ex AS (
-      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
-    nn AS (SELECT COUNT(*) AS n FROM embeddings),
-    mu AS (SELECT pos, AVG(v) AS mu FROM ex GROUP BY pos),
-    g AS (SELECT a.pos AS j, b.pos AS k, SUM(a.v * b.v) AS g
-          FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-    cov AS (
-      SELECT j, k,
-             (g - (SELECT n FROM nn) * mj.mu * mk.mu) / (SELECT n FROM nn)
-               AS c
-      FROM g JOIN mu mj ON g.j = mj.pos JOIN mu mk ON g.k = mk.pos),
-    dd AS (SELECT COUNT(*) AS d FROM mu),
-    pv(it, j, val) AS (
-      SELECT 0, pos, 1.0 / sqrt((SELECT d FROM dd)) FROM mu
-      UNION ALL
-      SELECT it + 1, cov.j, SUM(cov.c * pv.val)
-      FROM pv JOIN cov ON pv.j = cov.k
-      WHERE it < 8 GROUP BY 1, 2),
-    vfin AS (SELECT j, val FROM pv WHERE it = 8),
-    nrm AS (SELECT sqrt(SUM(val * val)) AS nrm FROM vfin),
-    vn AS (SELECT j, val / (SELECT nrm FROM nrm) AS val FROM vfin),
-    cv AS (SELECT cov.j, SUM(cov.c * vn.val) AS cv
-           FROM cov JOIN vn ON vn.j = cov.k GROUP BY 1),
-    lam AS (SELECT SUM(vn.val * cv.cv) AS lam
-            FROM vn JOIN cv ON vn.j = cv.j)
-    SELECT vn.j AS pos,
-           ROUND(vn.val * vn.val, 5) AS loading_sq,
-           ROUND((SELECT lam FROM lam), 4) AS eigenvalue
-    FROM vn ORDER BY pos
-    """,
-)
-def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component by power iteration
-    (similarity.pca_top_component): one Arrow-batched Gram pass +
-    in-plan d×d iterations, checked against a recursive-CTE power
-    iteration to 5dp — the linear-algebra member of the
-    iterative-with-full-oracle family (pagerank_checked, kcore)."""
-    return similarity.pca_top_component(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "referential_integrity",
-    oracle="""
-    SELECT 'nation.regionkey' AS relationship,
-           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
-           CAST(COUNT(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
-             AS n_orphans
-    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-    UNION ALL
-    SELECT 'customer.nationkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
-    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    UNION ALL
-    SELECT 'supplier.nationkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
-    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
-    UNION ALL
-    SELECT 'orders.custkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    UNION ALL
-    SELECT 'lineitem.orderkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
-    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-    UNION ALL
-    SELECT 'lineitem.partkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
-    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-    UNION ALL
-    SELECT 'lineitem.suppkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
-    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    """,
-)
-def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-schema FK integrity audit (dq.referential_integrity):
-    seven parent/child edges, each one left-join count pass; dims
-    broadcast, fact→fact shuffles on the key."""
-    return dq.referential_integrity(
-        *[
-            load_table(spark, sf_dir, t)
-            for t in (
-                "region", "nation", "customer", "supplier",
-                "part", "orders", "lineitem",
-            )
-        ]
-    )
-
-
-@register(
-    "pagerank_checked",
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE 10 * c >= 7 * (sa.n + sb.n - c)),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM deg),
-    pr(it, node, rank) AS (
-      SELECT 0, src, 1.0 / (SELECT n FROM nn) FROM deg
-      UNION ALL
-      SELECT it + 1, e.dst,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-               + 0.85 * SUM(pr.rank / deg.d)
-      FROM pr JOIN edges e ON pr.node = e.src JOIN deg ON e.src = deg.src
-      WHERE it < 10
-      GROUP BY it + 1, e.dst)
-    SELECT node AS doc_id, ROUND(rank, 6) AS rank
-    FROM pr WHERE it = 10
-    """,
-)
-def q_pagerank_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (10 iterations, d=0.85) over the EXACT near-dup graph
-    — the numeric-iterative fixpoint with a FULL value oracle: DuckDB's
-    recursive CTE re-runs the same power iteration level by level, so
-    every rank must match to 6dp (dedup.pagerank; round-3 classified
-    this family 'not SQL-expressible' — the iteration-counter CTE
-    disproves that for fixed iteration counts). Edges are the PPJoin
-    pair set at Jaccard ≥ 0.7 (deterministic, unlike the LSH graph)."""
-    docs = load_table(spark, sf_dir, "documents")
-    edges = (
-        dedup.jaccard_ngram_pairs(docs)
-        .where(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b")
-    )
-    return dedup.pagerank(edges, max_iter=10).select(
-        "doc_id", F.round("rank", 6).alias("rank")
-    )
-
-
-@register(
-    "knn_recall_checked",
-    # The counts are derived from the same brute-force pair definition
-    # the Spark side uses (queries = vec_id < 8; candidates = every
-    # other vec_id; top-k keeps min(5, |candidates|) rows per query —
-    # exact for ANY input because row_number assigns a rank to every
-    # candidate row regardless of its cosine value, NaN/NULL included),
-    # not from a closed-form |table| product (ADVICE r5: the
-    # combinatorial LEAST(8,c)*LEAST(5,c-1) silently assumed every
-    # query sees a full candidate set).
-    oracle="""
-    WITH cand AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-      WHERE q.vec_id < 8),
-    cnt AS (SELECT query_id, COUNT(*) AS c FROM cand GROUP BY 1)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST(COALESCE(SUM(LEAST(5, c)), 0) AS BIGINT) AS n_exact_pairs,
-           TRUE AS lsh_recall_ok,
-           TRUE AS ivf_recall_ok
-    FROM cnt
-    """,
-)
-def q_knn_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH and IVF ANN recall vs exact brute-force top-k as
-    oracle-checked booleans (similarity.knn_recall_checked): bounds
-    0.5 / 0.3, matching the unit-test pins."""
-    return similarity.knn_recall_checked(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "dedup_recall_checked",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT CAST(COUNT(*) FILTER (
-             WHERE 10 * c >= 7 * (sa.n + sb.n - c)) AS BIGINT)
-             AS n_exact_pairs,
-           TRUE AS recall_ok
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    """,
-)
-def q_dedup_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH→verify recall vs the exact PPJoin pair set at
-    Jaccard ≥ 0.7 as an oracle-checked boolean
-    (dedup.dedup_recall_checked)."""
-    return dedup.dedup_recall_checked(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "simhash_recall_checked",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT CAST(COUNT(*) FILTER (
-             WHERE 10 * c >= 9 * (sa.n + sb.n - c)) AS BIGINT)
-             AS n_exact_pairs,
-           TRUE AS recall_ok
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    """,
-)
-def q_simhash_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded-candidate recall vs the exact PPJoin pair set at
-    Jaccard ≥ 0.9 as an oracle-checked boolean
-    (dedup.simhash_recall_checked) — completes the `_checked` tier:
-    every probabilistic dedup/ANN/sketch op now has an externally
-    verifiable claim."""
-    return dedup.simhash_recall_checked(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "knn_euclid",
-    oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-               FROM embeddings WHERE vec_id < 8),
-    p AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_distance(CAST(q.q_emb AS DOUBLE[]),
-                                 CAST(e.embedding AS DOUBLE[])), 6) AS dist
-      FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
-    SELECT query_id, neighbor_id, dist, rn FROM (
-      SELECT query_id, neighbor_id, dist,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rn
-      FROM p)
-    WHERE rn <= 5
-    """,
-)
-def q_knn_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact euclidean top-k (similarity.knn_euclid): the second
-    retrieval ranking for hybrid fusion; broadcast queries, streaming
-    corpus, 6dp-rounded distances."""
-    return similarity.knn_euclid(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "rank_fusion_rrf",
-    oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-               FROM embeddings WHERE vec_id < 8),
-    pc AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
-                                            CAST(q.q_emb AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                              CAST(e.embedding AS DOUBLE[])))),
-                   6) AS cs
-      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-    rc AS (SELECT query_id, neighbor_id,
-                  ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cs DESC, neighbor_id ASC) AS r_cos
-           FROM pc QUALIFY r_cos <= 5),
-    pe AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_distance(CAST(q.q_emb AS DOUBLE[]),
-                                 CAST(e.embedding AS DOUBLE[])), 6) AS dist
-      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-    re AS (SELECT query_id, neighbor_id,
-                  ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY dist ASC, neighbor_id ASC) AS r_euc
-           FROM pe QUALIFY r_euc <= 5),
-    fused AS (
-      SELECT COALESCE(rc.query_id, re.query_id) AS query_id,
-             COALESCE(rc.neighbor_id, re.neighbor_id) AS neighbor_id,
-             COALESCE(1.0 / (60 + r_cos), 0) + COALESCE(1.0 / (60 + r_euc), 0)
-               AS s
-      FROM rc FULL JOIN re
-        ON rc.query_id = re.query_id AND rc.neighbor_id = re.neighbor_id)
-    SELECT query_id, neighbor_id, ROUND(s, 6) AS rrf_score,
-           CAST(fused_rank AS INTEGER) AS fused_rank
-    FROM (
-      SELECT query_id, neighbor_id, s,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY s DESC, neighbor_id ASC) AS fused_rank
-      FROM fused)
-    WHERE fused_rank <= 5
-    """,
-)
-def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of the cosine and euclidean top-k lists
-    (similarity.rank_fusion_rrf): the hybrid-retrieval combiner, pure
-    rank arithmetic over the two input searches."""
-    return similarity.rank_fusion_rrf(load_table(spark, sf_dir, "embeddings"))
-
-
-# Shared SQL replica of the deterministic PQ pipeline (VERDICT r7 #4).
-# Replays _pq_codebooks' fixed-iteration Lloyd k-means (integer-stride
-# init over the id-ordered vec_id < 2048 sample, 6dp centroid rounding
-# after init and after every mean update, 9dp distance rounding before
-# the lowest-index argmin), then codes the full corpus and ranks by the
-# same 6dp-rounded norm-corrected ADC score. The engine applies the
-# identical rounding discipline (similarity.py), so codes and top-k
-# agree bit-for-bit; the remaining float paths differ only in
-# summation order (ulps), which the rounding steps absorb. Geometry is
-# the registered default: m=16 blocks x ksub=32 centroids x dsub=4
-# dims (64-dim fixtures), 10 iterations, queries = vec_id < 8, k = 5.
-_PQ_CORE_SQL = """
-WITH RECURSIVE
-emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ridx
-         FROM emb WHERE vec_id < 2048),
-sn AS (SELECT COUNT(*) AS ns FROM samp),
-blocks AS (SELECT CAST(b AS INTEGER) AS b FROM generate_series(0, 15) t(b)),
-sub AS (SELECT s.ridx, b.b, s.e[b.b*4+1 : b.b*4+4] AS sv FROM samp s, blocks b),
-kmeans AS (
-  SELECT 0 AS it, b.b, CAST(c.c AS INTEGER) AS c,
-         list_transform(s.sv, x -> round(x, 6)) AS cent
-  FROM blocks b
-  CROSS JOIN generate_series(0, 31) c(c)
-  CROSS JOIN sn
-  JOIN sub s ON s.b = b.b AND s.ridx = (c.c * (ns - 1)) // 31
-  UNION ALL
-  SELECT it + 1, b, c,
-         CASE WHEN COUNT(*) FILTER (WHERE rnk = 1) > 0
-              THEN LIST_VALUE(
-                ROUND(AVG(sv[1]) FILTER (WHERE rnk = 1), 6),
-                ROUND(AVG(sv[2]) FILTER (WHERE rnk = 1), 6),
-                ROUND(AVG(sv[3]) FILTER (WHERE rnk = 1), 6),
-                ROUND(AVG(sv[4]) FILTER (WHERE rnk = 1), 6))
-              ELSE ANY_VALUE(cent) END
-  FROM (
-    SELECT k.it, k.b, k.c, k.cent, s.ridx, s.sv,
-           ROW_NUMBER() OVER (
-             PARTITION BY s.ridx, k.b
-             ORDER BY round(list_sum(list_transform(list_zip(s.sv, k.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), k.c) AS rnk
-    FROM kmeans k JOIN sub s ON s.b = k.b
-    WHERE k.it < 10)
-  GROUP BY it, b, c),
-books AS (SELECT b, c, cent FROM kmeans WHERE it = 10),
-csub AS (SELECT m.vec_id, b.b, m.e[b.b*4+1 : b.b*4+4] AS sv FROM emb m, blocks b),
-coded AS (
-  SELECT vec_id, b, c FROM (
-    SELECT cs.vec_id, cs.b, bk.c,
-           ROW_NUMBER() OVER (
-             PARTITION BY cs.vec_id, cs.b
-             ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), bk.c) AS rnk
-    FROM csub cs JOIN books bk ON bk.b = cs.b)
-  WHERE rnk = 1),
-nrms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM emb),
-q AS (SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qn
-      FROM emb WHERE vec_id < 8),
-tabs AS (SELECT q.query_id, bk.b, bk.c,
-                list_dot_product(q.qe[bk.b*4+1 : bk.b*4+4], bk.cent) AS tv
-         FROM q, books bk),
-adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id, SUM(t.tv) AS s
-        FROM coded cd JOIN tabs t ON t.b = cd.b AND t.c = cd.c
-        WHERE cd.vec_id <> t.query_id
-        GROUP BY 1, 2),
-pqscored AS (
-  SELECT a.query_id, a.neighbor_id,
-         round(a.s / (q.qn * n.nrm), 6) AS adc_sim
-  FROM adc a JOIN q ON q.query_id = a.query_id
-  JOIN nrms n ON n.vec_id = a.neighbor_id),
-pqtop AS (
-  SELECT query_id, neighbor_id, adc_sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY adc_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
-  FROM pqscored QUALIFY rn <= 5)
-"""
-
-
-@register(
-    "knn_cosine_pq",
-    # Full-value oracle via the deterministic-PQ SQL replica: the whole
-    # ADC ranking (ids, 6dp sims, ranks) is hash-compared, promoting
-    # this from rows-only to oracle-backed (round 8).
-    oracle=_PQ_CORE_SQL
-    + """
-    SELECT query_id, neighbor_id, adc_sim, rn FROM pqtop
-    """,
-)
-def q_knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC ANN top-k (similarity.knn_cosine_pq): corpus as 16x5-bit
-    product-quantization codes, approximate dots as m table lookups
-    per vector (zip_with over codes x the query's broadcast lookup
-    table — JVM-side, zero corpus-side float math). Oracle-backed
-    since round 8: the deterministic training discipline (integer
-    stride + 6dp/9dp rounding) lets DuckDB replay codebooks, codes,
-    and the full ADC ranking in SQL."""
-    return similarity.knn_cosine_pq(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "pq_recall_checked",
-    # n_hits is recomputed EXACTLY (VERDICT r7 #4): the PQ top-k comes
-    # from the deterministic SQL replica above, the exact top-k from
-    # the same brute-force pair definition knn_recall_checked uses
-    # (per query, min(k, |candidates|) via row_number over 6dp cosine
-    # with id tie-break), and n_hits is their join count — a recall
-    # regression now flips the hash, not just the 0.3-gate boolean.
-    oracle=_PQ_CORE_SQL
-    + """,
-    cand AS (
-      SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(e2.embedding AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                            CAST(q.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(e2.embedding AS DOUBLE[]),
-                                              CAST(e2.embedding AS DOUBLE[])))),
-                   6) AS cs
-      FROM embeddings q JOIN embeddings e2 ON e2.vec_id <> q.vec_id
-      WHERE q.vec_id < 8),
-    extop AS (
-      SELECT query_id, neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cs DESC, neighbor_id ASC) AS r
-      FROM cand QUALIFY r <= 5),
-    ecnt AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
-                    CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM extop),
-    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
-             FROM extop e JOIN pqtop p USING (query_id, neighbor_id))
-    SELECT n_queries, n_exact_pairs, n_hits,
-           n_hits >= 0.3 * n_exact_pairs AS pq_recall_ok
-    FROM ecnt, hits
-    """,
-)
-def q_pq_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC recall vs exact top-k with the hit
-    count oracle-recomputed exactly (similarity.pq_recall_checked):
-    measured 22/40 = 0.55 at the 16×32 geometry on the near-isotropic
-    fixtures, gated at 0.3 — completes the ANN `_checked` matrix
-    (LSH, IVF, PQ), and since round 8 a recall drift flips the hash,
-    not just the gate boolean."""
-    return similarity.pq_recall_checked(load_table(spark, sf_dir, "embeddings"))
-
-
-# SQL replica of the deterministic IVFADC pipeline (round 9): extends
-# _PQ_CORE_SQL's replay with the coarse quantizer (ckm: 16 full-dim
-# centroids, same strided-init/6dp/9dp Lloyd), RESIDUAL codebooks (rkm
-# trains on e - coarse[cell]), cell assignment for corpus and queries,
-# and the qc_dot + ADC-residual score. The feeder CTEs are declared
-# MATERIALIZED: without the hint DuckDB re-inlines them into each
-# recursive iteration of rkm, re-running the entire coarse k-means per
-# Lloyd step (measured: >5 min vs ~16s at the registered geometry).
-_IVFPQ_CORE_SQL = """
-WITH RECURSIVE
-emb AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-samp AS MATERIALIZED (
-  SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ridx
-  FROM emb WHERE vec_id < 2048),
-sn AS (SELECT COUNT(*) AS ns FROM samp),
-blocks AS MATERIALIZED (
-  SELECT CAST(b AS INTEGER) AS b FROM generate_series(0, 15) t(b)),
-ckm AS (
-  SELECT 0 AS it, CAST(c.c AS INTEGER) AS c,
-         list_transform(s.e, x -> round(x, 6)) AS cent
-  FROM generate_series(0, 15) c(c)
-  CROSS JOIN sn
-  JOIN samp s ON s.ridx = (c.c * (ns - 1)) // 15
-  UNION ALL
-  SELECT it + 1, c,
-         CASE WHEN COUNT(*) FILTER (WHERE rnk = 1) > 0
-              THEN LIST_VALUE(
-                {cent64})
-              ELSE ANY_VALUE(cent) END
-  FROM (
-    SELECT k.it, k.c, k.cent, s.ridx, s.e,
-           ROW_NUMBER() OVER (
-             PARTITION BY s.ridx
-             ORDER BY round(list_sum(list_transform(list_zip(s.e, k.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), k.c) AS rnk
-    FROM ckm k, samp s
-    WHERE k.it < 10)
-  GROUP BY it, c),
-coarse AS MATERIALIZED (SELECT c, cent FROM ckm WHERE it = 10),
-sassign AS MATERIALIZED (
-  SELECT ridx, c AS cell FROM (
-    SELECT s.ridx, co.c,
-           ROW_NUMBER() OVER (
-             PARTITION BY s.ridx
-             ORDER BY round(list_sum(list_transform(list_zip(s.e, co.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), co.c) AS rnk
-    FROM samp s, coarse co)
-  WHERE rnk = 1),
-rsamp AS MATERIALIZED (
-  SELECT s.ridx,
-         list_transform(list_zip(s.e, co.cent), p -> p[1] - p[2]) AS re
-  FROM samp s JOIN sassign a ON a.ridx = s.ridx
-  JOIN coarse co ON co.c = a.cell),
-rsub AS MATERIALIZED (
-  SELECT r.ridx, b.b, r.re[b.b*4+1 : b.b*4+4] AS sv FROM rsamp r, blocks b),
-rkm AS (
-  SELECT 0 AS it, b.b, CAST(c.c AS INTEGER) AS c,
-         list_transform(s.sv, x -> round(x, 6)) AS cent
-  FROM blocks b
-  CROSS JOIN generate_series(0, 31) c(c)
-  CROSS JOIN sn
-  JOIN rsub s ON s.b = b.b AND s.ridx = (c.c * (ns - 1)) // 31
-  UNION ALL
-  SELECT it + 1, b, c,
-         CASE WHEN COUNT(*) FILTER (WHERE rnk = 1) > 0
-              THEN LIST_VALUE(
-                ROUND(AVG(sv[1]) FILTER (WHERE rnk = 1), 6),
-                ROUND(AVG(sv[2]) FILTER (WHERE rnk = 1), 6),
-                ROUND(AVG(sv[3]) FILTER (WHERE rnk = 1), 6),
-                ROUND(AVG(sv[4]) FILTER (WHERE rnk = 1), 6))
-              ELSE ANY_VALUE(cent) END
-  FROM (
-    SELECT k.it, k.b, k.c, k.cent, s.ridx, s.sv,
-           ROW_NUMBER() OVER (
-             PARTITION BY s.ridx, k.b
-             ORDER BY round(list_sum(list_transform(list_zip(s.sv, k.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), k.c) AS rnk
-    FROM rkm k JOIN rsub s ON s.b = k.b
-    WHERE k.it < 10)
-  GROUP BY it, b, c),
-rbooks AS MATERIALIZED (SELECT b, c, cent FROM rkm WHERE it = 10),
-cellof AS MATERIALIZED (
-  SELECT vec_id, c AS cell FROM (
-    SELECT m.vec_id, co.c,
-           ROW_NUMBER() OVER (
-             PARTITION BY m.vec_id
-             ORDER BY round(list_sum(list_transform(list_zip(m.e, co.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), co.c) AS rnk
-    FROM emb m, coarse co)
-  WHERE rnk = 1),
-cres AS MATERIALIZED (
-  SELECT m.vec_id, cl.cell,
-         list_transform(list_zip(m.e, co.cent), p -> p[1] - p[2]) AS re
-  FROM emb m JOIN cellof cl USING (vec_id)
-  JOIN coarse co ON co.c = cl.cell),
-crsub AS MATERIALIZED (
-  SELECT c2.vec_id, b.b, c2.re[b.b*4+1 : b.b*4+4] AS sv FROM cres c2, blocks b),
-coded AS MATERIALIZED (
-  SELECT vec_id, b, c FROM (
-    SELECT cs.vec_id, cs.b, bk.c,
-           ROW_NUMBER() OVER (
-             PARTITION BY cs.vec_id, cs.b
-             ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cent),
-                        p -> (p[1]-p[2])*(p[1]-p[2]))), 9), bk.c) AS rnk
-    FROM crsub cs JOIN rbooks bk ON bk.b = cs.b)
-  WHERE rnk = 1),
-nrms AS MATERIALIZED (
-  SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM emb),
-q AS MATERIALIZED (
-  SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qn
-  FROM emb WHERE vec_id < 8),
-probes AS (
-  SELECT query_id, cell, qc_dot FROM (
-    SELECT q.query_id, co.c AS cell,
-           list_dot_product(q.qe, co.cent) AS qc_dot,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.query_id
-             ORDER BY round(list_dot_product(q.qe, co.cent)
-                    / (q.qn * sqrt(list_dot_product(co.cent, co.cent))),
-                    9) DESC, co.c) AS pr
-    FROM q, coarse co)
-  WHERE pr <= 4),
-itabs AS (SELECT q.query_id, bk.b, bk.c,
-                 list_dot_product(q.qe[bk.b*4+1 : bk.b*4+4], bk.cent) AS tv
-          FROM q, rbooks bk),
-adcsum AS (SELECT t.query_id, cd.vec_id AS neighbor_id, SUM(t.tv) AS s
-           FROM coded cd JOIN itabs t ON t.b = cd.b AND t.c = cd.c
-           GROUP BY 1, 2),
-ivfscored AS (
-  SELECT p.query_id, cl.vec_id AS neighbor_id,
-         round((p.qc_dot + a.s) / (q.qn * n.nrm), 6) AS adc_sim
-  FROM probes p
-  JOIN cellof cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
-  JOIN adcsum a ON a.query_id = p.query_id AND a.neighbor_id = cl.vec_id
-  JOIN q ON q.query_id = p.query_id
-  JOIN nrms n ON n.vec_id = cl.vec_id),
-ivftop AS (
-  SELECT query_id, neighbor_id, adc_sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY adc_sim DESC, neighbor_id ASC) AS INTEGER) AS rn
-  FROM ivfscored QUALIFY rn <= 5)
-""".format(
-    # the coarse centroid mean-update, one ROUND(AVG(e[i]) ...) per
-    # dimension — generated because DuckDB LIST_VALUE takes positional
-    # args and the fixtures are 64-dim
-    cent64=",\n                ".join(
-        f"ROUND(AVG(e[{i}]) FILTER (WHERE rnk = 1), 6)" for i in range(1, 65)
-    )
-)
-
-
-@register(
-    "knn_cosine_ivfpq",
-    oracle=_IVFPQ_CORE_SQL
-    + """
-    SELECT query_id, neighbor_id, adc_sim, rn FROM ivftop
-    """,
-)
-def q_knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC ANN top-k (similarity.knn_cosine_ivfpq): coarse cell
-    pruning composed with residual-PQ asymmetric distances — the
-    FAISS-style billion-vector pairing; each query scans ~n_probe/
-    n_cells of the corpus as 10-byte codes, scored as one
-    query-centroid dot plus m JVM-side table lookups. The
-    deterministic index makes the FULL ranking oracle-backed — the
-    recursive-CTE replica replays coarse k-means, residual codebooks,
-    cell assignment, coding, and the norm-corrected ADC score
-    (`knn_cosine_ivf` gained its own full oracle in r11 via the
-    distributed integer-exact det_kmeans_cells index)."""
-    return similarity.knn_cosine_ivfpq(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "matryoshka_fidelity",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-    dims AS (SELECT CAST(d AS INTEGER) AS dim
-             FROM (VALUES (8), (16), (32)) t(d)),
-    full_sc AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.qv, e.v)
-                   / (sqrt(list_dot_product(q.qv, q.qv))
-                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cs
-      FROM q JOIN e ON e.vec_id <> q.query_id),
-    full_top AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY cs DESC, neighbor_id ASC) AS rn
-        FROM full_sc) WHERE rn <= 5),
-    tr_sc AS (
-      SELECT d.dim, q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.qv[1 : d.dim], e.v[1 : d.dim])
-                   / (sqrt(list_dot_product(q.qv[1 : d.dim],
-                                            q.qv[1 : d.dim]))
-                      * sqrt(list_dot_product(e.v[1 : d.dim],
-                                              e.v[1 : d.dim]))), 6) AS cs
-      FROM dims d, q JOIN e ON e.vec_id <> q.query_id),
-    tr_top AS (
-      SELECT dim, query_id, neighbor_id FROM (
-        SELECT dim, query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY dim, query_id
-                   ORDER BY cs DESC, neighbor_id ASC) AS rn
-        FROM tr_sc) WHERE rn <= 5),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM full_top),
-    h AS (SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS n_hits
-          FROM tr_top t JOIN full_top f
-            ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
-          GROUP BY t.dim)
-    SELECT d.dim, n.n_exact_pairs, COALESCE(h.n_hits, 0) AS n_hits,
-           ROUND(COALESCE(h.n_hits, 0)
-                 / CAST(n.n_exact_pairs AS DOUBLE), 4) AS overlap_pct
-    FROM dims d CROSS JOIN n LEFT JOIN h ON h.dim = d.dim
-    """,
-)
-def q_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka-truncation retrieval fidelity (similarity.
-    matryoshka_fidelity): top-5 overlap between full-width cosine and
-    8/16/32-dim prefix cosine — the adaptive-retrieval serving-cost
-    table, each search the broadcast-queries streaming-corpus plan."""
-    return similarity.matryoshka_fidelity(
-        load_table(spark, sf_dir, "embeddings")
-    )
-
-
-@register(
-    "ivfpq_recall_checked",
-    # n_hits recomputed EXACTLY: IVFADC top-k from the deterministic
-    # SQL replica, exact top-k from the same brute-force pair
-    # definition the other _checked siblings use, n_hits = join count.
-    oracle=_IVFPQ_CORE_SQL
-    + """,
-    cand AS (
-      SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(e2.embedding AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                            CAST(q.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(e2.embedding AS DOUBLE[]),
-                                              CAST(e2.embedding AS DOUBLE[])))),
-                   6) AS cs
-      FROM embeddings q JOIN embeddings e2 ON e2.vec_id <> q.vec_id
-      WHERE q.vec_id < 8),
-    extop AS (
-      SELECT query_id, neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cs DESC, neighbor_id ASC) AS r
-      FROM cand QUALIFY r <= 5),
-    ecnt AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
-                    CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM extop),
-    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
-             FROM extop e JOIN ivftop p USING (query_id, neighbor_id))
-    SELECT n_queries, n_exact_pairs, n_hits,
-           n_hits >= 0.2 * n_exact_pairs AS ivfpq_recall_ok
-    FROM ecnt, hits
-    """,
-)
-def q_ivfpq_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC recall vs exact top-k with the hit count
-    oracle-recomputed exactly (similarity.ivfpq_recall_checked):
-    measured 14/40 = 0.35 at the 16-cell/4-probe geometry (cell
-    pruning costs recall on clusterless random fixtures), gated at
-    0.2 — completes the ANN `_checked` matrix (LSH, IVF, PQ, IVFPQ)."""
-    return similarity.ivfpq_recall_checked(
-        load_table(spark, sf_dir, "embeddings")
-    )
-
-
-@register(
-    "semantic_dedup_checked",
-    oracle="""
-    WITH RECURSIVE p AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ROUND(
-              list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[]))
-              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(a.embedding AS DOUBLE[])))
-                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])))),
-              6) >= 0.4),
-    edges AS (SELECT va AS src, vb AS dst FROM p
-              UNION ALL SELECT vb, va FROM p),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
-    cc AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
-    SELECT cc.vec_id, cc.cluster_id,
-           cc.vec_id = cc.cluster_id AS is_keeper, sz.cluster_size
-    FROM cc JOIN sz USING (cluster_id)
-    """,
-)
-def q_semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup cluster semantics with a FULL value oracle
-    (similarity.semantic_dedup_checked): exact brute-force cosine
-    pairs at ≥ 0.4 closed by iterative connected components, re-run
-    level-by-level in DuckDB's recursive CTE — cluster ids, keeper
-    flags and sizes hash-checked. The LSH-bucketed semantic_dedup
-    remains the registered 100 TB path (rows-only by design)."""
-    return similarity.semantic_dedup_checked(
-        load_table(spark, sf_dir, "embeddings")
-    )
-
-
-@register(
-    "streaming_hourly_distinct_checked",
-    oracle="""
-    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
-                    '%Y-%m-%d %H:00:00') AS hour,
-           event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           TRUE AS within_5pct
-    FROM events GROUP BY hour, event_type
-    """,
-)
-def q_streaming_hourly_distinct_checked(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Hourly distinct users as a TRUE stream with HLL++ in the window
-    state, 5% bound oracle-checked against batch exact
-    (streaming/runners.py::streaming_hourly_distinct_checked) — the
-    streaming member of the *_checked sketch family."""
-    from dumbo_spark.streaming.runners import streaming_hourly_distinct_checked
-
-    return streaming_hourly_distinct_checked(spark, sf_dir)
-
-
-@register(
-    "copurchase_components",
-    oracle="""
-    WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
-           HAVING COUNT(*) <= 20),
-    p2 AS (SELECT po.l_orderkey, po.l_partkey
-           FROM po JOIN ok USING (l_orderkey)),
-    e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-           FROM p2 a JOIN p2 b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
-    edges AS (SELECT src, dst FROM e0
-              UNION ALL SELECT dst, src FROM e0),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
-    comp AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
-    sizes AS (SELECT cid, COUNT(*) AS n_members FROM comp GROUP BY cid)
-    SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_components
-    FROM sizes GROUP BY n_members ORDER BY n_members
-    """,
-)
-def q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Component-size histogram of the co-purchase graph
-    (graph.copurchase_components): iterative min-label CC checked
-    bit-for-bit against a recursive-CTE transitive closure."""
-    return graph.copurchase_components(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "doc_perplexity",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    bi AS (
-      SELECT doc_id,
-             unnest(CASE WHEN len(t) >= 2
-                    THEN list_transform(range(1, len(t)),
-                                        i -> t[i] || ' ' || t[i+1])
-                    ELSE [] END) AS bigram
-      FROM toks),
-    uni AS (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents),
-    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY bigram),
-    c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
-    v AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
-    s AS (
-      SELECT bi.doc_id,
-             log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
-      FROM bi
-      JOIN c2 USING (bigram)
-      JOIN c1 ON c1.tok = string_split(bi.bigram, ' ')[1]
-      CROSS JOIN v)
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(-AVG(lp), 4) AS xent_bits,
-           ROUND(pow(2.0, -AVG(lp)), 4) AS ppl
-    FROM s GROUP BY doc_id
-    """,
-)
-def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc cross-entropy under the corpus's own add-one bigram LM
-    (textstats.doc_perplexity) — the training-free perplexity quality
-    filter; gram-keyed partial aggs + joins, broadcast |V|."""
-    return textstats.doc_perplexity(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "containment_join",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    g AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(t) >= 3
-                    THEN list_transform(range(1, len(t) - 1),
-                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [] END) AS grams
-      FROM toks),
-    gg AS (SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / a.n, 6)
-             AS containment
-    FROM gg a JOIN gg b ON a.doc_id <> b.doc_id
-    WHERE 100 * len(list_intersect(a.grams, b.grams)) >= 60 * a.n
-    """,
-)
-def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment self-join (dedup.containment_join):
-    excerpt/quotation detection — lossless containment-form prefix
-    filter (rarest-first global gram order) joined against the full
-    gram postings, exact intersect verify; the brute-force oracle
-    states the semantics."""
-    return dedup.containment_join(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "degree_histogram",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
-           HAVING COUNT(*) <= 20),
-    p2 AS (SELECT po.l_orderkey, po.l_partkey
-           FROM po JOIN ok USING (l_orderkey)),
-    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-          FROM p2 a JOIN p2 b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
-    deg AS (SELECT v, COUNT(*) AS degree
-            FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
-            GROUP BY v)
-    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
-    """,
-)
-def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-purchase degree distribution (graph.degree_histogram): the
-    uniform-vs-power-law diagnostic that picks graph partitioning
-    strategy; two partial aggs over the edge list."""
-    return graph.degree_histogram(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "clustering_coefficient",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
-           HAVING COUNT(*) <= 20),
-    p2 AS (SELECT po.l_orderkey, po.l_partkey
-           FROM po JOIN ok USING (l_orderkey)),
-    e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-          FROM p2 a JOIN p2 b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
-    deg AS (SELECT v, COUNT(*) AS degree
-            FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
-            GROUP BY v),
-    tri AS (
-      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-      FROM e e1
-      JOIN e e2 ON e1.dst = e2.src
-      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-    pn AS (SELECT v, COUNT(*) AS t
-           FROM (SELECT a AS v FROM tri
-                 UNION ALL SELECT b FROM tri
-                 UNION ALL SELECT c FROM tri)
-           GROUP BY v)
-    SELECT deg.v AS part, deg.degree,
-           CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
-           ROUND(CASE WHEN deg.degree >= 2
-                      THEN 2.0 * COALESCE(pn.t, 0)
-                           / (deg.degree * (deg.degree - 1.0))
-                 END, 6) AS clustering_coeff
-    FROM deg LEFT JOIN pn ON deg.v = pn.v
-    """,
-)
-def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node local clustering coefficient
-    (graph.clustering_coefficient): degree-ordered triangle
-    enumeration credits each triangle's three corners, one
-    partial-agg shuffle over the wedge join."""
-    return graph.clustering_coefficient(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "copurchase_kcore",
-    oracle="""
-    WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
-           HAVING COUNT(*) <= 20),
-    p2 AS (SELECT po.l_orderkey, po.l_partkey
-           FROM po JOIN ok USING (l_orderkey)),
-    e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-           FROM p2 a JOIN p2 b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
-    sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-    es(it, src, dst) AS (
-      SELECT 0, src, dst FROM sym
-      UNION ALL
-      SELECT it + 1, src, dst FROM (
-        SELECT it, src, dst,
-               COUNT(*) OVER (PARTITION BY src) AS ds,
-               COUNT(*) OVER (PARTITION BY dst) AS dd
-        FROM es WHERE it < 30) x
-      WHERE ds >= 3 AND dd >= 3)
-    SELECT src AS l_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
-    FROM es WHERE it = 30 GROUP BY src
-    """,
-)
-def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core extraction (graph.kcore_nodes, k=3): iterative
-    degree-peel to a fixpoint with per-round lineage truncation — the
-    third iterative-graph operator alongside connected components and
-    PageRank. Round-5 upgrade from rows-only to a FULL value oracle:
-    DuckDB peels the symmetric edge list level by level (30 rounds ≡
-    the Spark fixpoint, extra rounds are no-ops once stable) — the
-    same iteration-counter recursive-CTE trick as pagerank_checked.
-    Fixpoint also pinned on hand graphs in tests/test_round4_ops.py."""
-    return graph.kcore_nodes(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "copurchase_ktruss",
-    # Exactly max_iter = 8 peels on both sides: the Spark loop breaks
-    # early at the fixpoint, the SQL runs all 8 (no-ops once stable),
-    # so the final edge sets agree unconditionally — the kcore /
-    # pagerank iteration-counter trick applied to EDGE peeling. The
-    # recursive working table holds only the previous round's rows, so
-    # the triangle joins inside the recursive term need no it-equality
-    # predicates.
-    oracle="""
-    WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey
-           HAVING COUNT(*) <= 20),
-    p2 AS (SELECT po.l_orderkey, po.l_partkey
-           FROM po JOIN ok USING (l_orderkey)),
-    e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-           FROM p2 a JOIN p2 b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    tr(it, src, dst) AS (
-      SELECT 0, src, dst FROM e0
-      UNION ALL
-      SELECT it + 1, src, dst FROM (
-        SELECT e.it, e.src, e.dst, COALESCE(s.supp, 0) AS supp
-        FROM tr e
-        LEFT JOIN (
-          SELECT u.es, u.ed, COUNT(*) AS supp
-          FROM (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
-                FROM tr w1
-                JOIN tr w2 ON w2.src = w1.src AND w1.dst < w2.dst
-                JOIN tr cl ON cl.src = w1.dst AND cl.dst = w2.dst) t,
-               LATERAL (VALUES (t.a, t.b), (t.a, t.c), (t.b, t.c)) u(es, ed)
-          GROUP BY u.es, u.ed) s
-          ON s.es = e.src AND s.ed = e.dst
-        WHERE e.it < 8) z
-      WHERE supp >= 1),
-    fin AS (SELECT src, dst FROM tr WHERE it = 8),
-    fsupp AS (
-      SELECT u.es, u.ed, COUNT(*) AS supp
-      FROM (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
-            FROM fin w1
-            JOIN fin w2 ON w2.src = w1.src AND w1.dst < w2.dst
-            JOIN fin cl ON cl.src = w1.dst AND cl.dst = w2.dst) t,
-           LATERAL (VALUES (t.a, t.b), (t.a, t.c), (t.b, t.c)) u(es, ed)
-      GROUP BY u.es, u.ed)
-    SELECT f.src AS part_a, f.dst AS part_b,
-           CAST(COALESCE(s.supp, 0) AS INTEGER) AS support
-    FROM fin f LEFT JOIN fsupp s ON s.es = f.src AND s.ed = f.dst
-    """,
-)
-def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-truss decomposition (graph.ktruss_edges, k=3): iterative
-    edge peel by triangle support to a fixpoint — the edge-level
-    cohesion member of the iterative-graph family (CC, PageRank,
-    k-core, now truss), with a full recursive-CTE value oracle."""
-    return graph.ktruss_edges(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "posting_lists",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    g AS (
-      SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(t) >= 3
-                    THEN list_transform(range(1, len(t) - 1),
-                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [] END) AS token
-      FROM toks),
-    df AS (
-      SELECT token, COUNT(*) AS doc_freq FROM g GROUP BY token
-      HAVING COUNT(*) BETWEEN 2 AND 50)
-    SELECT g.token, df.doc_freq,
-           string_agg(CAST(g.doc_id AS VARCHAR), ',' ORDER BY g.doc_id)
-             AS postings
-    FROM g JOIN df USING (token)
-    GROUP BY g.token, df.doc_freq
-    """,
-)
-def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index posting lists over 3-gram phrases
-    (textstats.posting_lists): df-band filter BEFORE list assembly so
-    stop-phrase grams never materialize a list; postings serialized
-    for canonicalizer hashing."""
-    return textstats.posting_lists(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "near_match_names",
-    oracle="""
-    WITH v AS (SELECT DISTINCT p_name AS val FROM part),
-    b AS (SELECT val, right(val, 4) AS blk FROM v)
-    SELECT a.val AS val_a, c.val AS val_b,
-           CAST(levenshtein(a.val, c.val) AS INTEGER) AS dist
-    FROM b a JOIN b c ON a.blk = c.blk AND a.val < c.val
-    WHERE levenshtein(a.val, c.val) <= 3
-    """,
-)
-def q_near_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-match over the p_name value domain
-    (dedup.near_match_values): distinct → suffix block (adjective-noun
-    domain: edits concentrate in the head word) → in-block Levenshtein
-    verify; the attribute-domain complement of the document-scale
-    PPJoin family."""
-    return dedup.near_match_values(load_table(spark, sf_dir, "part"), "p_name")
-
-
-@register(
-    "upsert_latest",
-    oracle="""
-    WITH snap AS (
-      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-             0 AS version FROM orders),
-    upd AS (
-      SELECT o_orderkey,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice,
-             1 AS version
-      FROM orders WHERE o_orderkey % 7 = 0),
-    u AS (SELECT * FROM snap UNION ALL SELECT * FROM upd),
-    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-                                       ORDER BY version DESC) AS rn FROM u)
-    SELECT o_orderkey, o_totalprice, CAST(version AS INTEGER) AS version
-    FROM r WHERE rn = 1
-    """,
-)
-def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-latest CDC merge (shape.upsert_latest): a deterministic
-    update batch (every 7th order repriced, version 1) merged over the
-    version-0 snapshot."""
-    from dumbo_spark.functions.numeric import dmoney
-
-    orders = load_table(spark, sf_dir, "orders")
-    snap = orders.select(
-        "o_orderkey",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        F.lit(0).alias("version"),
-    )
-    upd = orders.where(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        (dmoney("o_totalprice") * 2).cast("double").alias("o_totalprice"),
-        F.lit(1).alias("version"),
-    )
-    return shape.upsert_latest(snap, upd, key="o_orderkey", version="version")
-
-
-@register(
-    "market_share",
-    oracle="""
-    WITH vol AS (
-      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-             CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS v,
-             n2.n_name AS supp_nation
-      FROM lineitem
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation n2 ON s_nationkey = n2.n_nationkey)
-    SELECT order_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             AS nation_volume,
-           CAST(SUM(v) AS DOUBLE) AS total_volume,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
-                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
-    FROM vol GROUP BY order_year
-    """,
-)
-def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape (analytics.market_share)."""
-    return analytics.market_share(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-@register(
-    "waiting_suppliers",
-    oracle="""
-    WITH per_order AS (
-      SELECT l_orderkey,
-             COUNT(DISTINCT l_suppkey) AS n_supps,
-             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
-               AS n_ret_supps,
-             MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
-               AS sole_ret_supp
-      FROM lineitem
-      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                           WHERE o_orderstatus = 'F')
-      GROUP BY l_orderkey)
-    SELECT x.s_suppkey, s.s_name, x.numwait FROM (
-      SELECT sole_ret_supp AS s_suppkey, COUNT(*) AS numwait
-      FROM per_order
-      WHERE n_supps >= 2 AND n_ret_supps = 1
-      GROUP BY sole_ret_supp) x
-    JOIN supplier s ON x.s_suppkey = s.s_suppkey
-    """,
-)
-def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (analytics.waiting_suppliers)."""
-    return analytics.waiting_suppliers(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-    )
-
-
-@register(
-    "streaming_dedup_keys",
-    oracle="""
-    SELECT event_id, user_id, event_type, value FROM events
-    """,
-)
-def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming run (file source → dropDuplicatesWithinWatermark
-    → availableNow → memory sink) over an every-event-twice replay; the
-    oracle is simply the distinct event set, which dedup must
-    reconstruct exactly (streaming/runners.py)."""
-    from dumbo_spark.streaming.runners import streaming_dedup_keys
-
-    return streaming_dedup_keys(spark, sf_dir)
-
-
-@register(
-    "streaming_running_totals",
-    oracle="""
-    SELECT user_id, COUNT(*) AS total_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY user_id
-    """,
-)
-def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming run of the applyInPandasWithState running-totals
-    operator across three micro-batches; final settled per-user rows
-    must equal the batch aggregate (integer-cents state keeps the sum
-    exact across any batch split — streaming/runners.py)."""
-    from dumbo_spark.streaming.runners import streaming_running_totals
-
-    return streaming_running_totals(spark, sf_dir)
-
-
-@register(
-    "streaming_enriched_segments",
-    oracle="""
-    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY c_mktsegment, event_type
-    """,
-)
-def q_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment join + aggregate executed as a real
-    stream over three micro-batches (streaming/runners.py): the static
-    customer dim is broadcast per batch, no join state kept; settled
-    complete-mode output equals the batch join+aggregate oracle."""
-    from dumbo_spark.streaming.runners import streaming_enriched_segments
-
-    return streaming_enriched_segments(spark, sf_dir)
-
-
-@register(
-    "streaming_transitions",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
-               AS next_type
-      FROM events),
-    m AS (
-      SELECT event_type, next_type, COUNT(*) AS n
-      FROM seq WHERE next_type IS NOT NULL
-      GROUP BY event_type, next_type)
-    SELECT event_type, next_type, n,
-           ROUND(CAST(n AS DOUBLE)
-                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
-                 6) AS p
-    FROM m
-    """,
-)
-def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER-SENSITIVE stateful streaming (streaming/runners.py +
-    stateful.transition_counts_stream): per-user last-event state
-    across three time-ordered micro-batches; summed emissions must
-    equal the batch ``event_transitions`` oracle bit-for-bit — the
-    stateful class where arrival order matters, which the commutative
-    running-totals operator cannot exercise."""
-    from dumbo_spark.streaming.runners import streaming_transitions
-
-    return streaming_transitions(spark, sf_dir)
-
-
-@register(
-    "streaming_attribution",
-    oracle="""
-    SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts > c.ts
-     AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-)
-def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE stream-stream interval join (streaming/runners.py::
-    streaming_attribution): clicks and purchases as two watermarked
-    file streams in chronological micro-batches through Spark's
-    symmetric hash join; time-split replay makes eviction provably
-    lossless, so it shares ``click_attribution``'s batch oracle."""
-    from dumbo_spark.streaming.runners import streaming_attribution
-
-    return streaming_attribution(spark, sf_dir)
-
-
-@register(
-    "streaming_attribution_outer",
-    oracle="""
-    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
-                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts > c.ts
-     AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-)
-def q_streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream interval join (streaming/runners.py::
-    streaming_attribution_outer, VERDICT r4 #7): unmatched clicks
-    surface as null-purchase rows once the watermark closes their
-    window — sentinel files drive the final watermark so the settled
-    availableNow output equals the batch LEFT JOIN oracle."""
-    from dumbo_spark.streaming.runners import streaming_attribution_outer
-
-    return streaming_attribution_outer(spark, sf_dir)
-
-
-@register(
-    "streaming_attribution_full",
-    oracle="""
-    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
-           c.event_id AS click_id, p.event_id AS purchase_id,
-           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
-                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts > c.ts
-     AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-)
-def q_streaming_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER stream-stream interval join (streaming/runners.py::
-    streaming_attribution_full): unmatched clicks and organic
-    purchases both emitted after watermark expiry; settled availableNow
-    output equals the batch FULL JOIN oracle bit-for-bit."""
-    from dumbo_spark.streaming.runners import streaming_attribution_full
-
-    return streaming_attribution_full(spark, sf_dir)
-
-
-@register(
-    "streaming_attribution_semi",
-    oracle="""
-    SELECT c.user_id, c.event_id AS click_id,
-           CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS click_us
-    FROM events c
-    WHERE c.event_type = 'click'
-      AND EXISTS (
-        SELECT 1 FROM events p
-        WHERE p.event_type = 'purchase'
-          AND p.user_id = c.user_id
-          AND p.ts > c.ts
-          AND p.ts <= c.ts + INTERVAL 30 MINUTE)
-    """,
-)
-def q_streaming_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI stream-stream interval join (streaming/runners.py::
-    streaming_attribution_semi): attributed clicks emitted once each —
-    the existence-only member that completes the streaming join-type
-    matrix (inner / left outer / full outer / left semi); settled
-    availableNow output equals the batch EXISTS oracle bit-for-bit."""
-    from dumbo_spark.streaming.runners import streaming_attribution_semi
-
-    return streaming_attribution_semi(spark, sf_dir)
-
-
-@register(
-    "streaming_attribution_dedup",
-    oracle="""
-    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
-                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts > c.ts
-     AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-)
-def q_streaming_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At-least-once LEFT OUTER attribution (streaming/runners.py::
-    streaming_attribution_dedup, VERDICT r5 #7): every purchase half
-    delivered twice; dropDuplicatesWithinWatermark ahead of the
-    symmetric-hash outer join restores exactly-once semantics, so the
-    settled output hash-matches the duplicate-free batch LEFT JOIN
-    oracle (streaming_attribution_outer's, verbatim)."""
-    from dumbo_spark.streaming.runners import streaming_attribution_dedup
-
-    return streaming_attribution_dedup(spark, sf_dir)
-
-
-@register(
-    "embedding_quantize",
-    oracle="""
-    WITH s AS (
-      SELECT vec_id, len(embedding) AS n_dims,
-             127.0 / list_max(list_transform(embedding,
-                                             x -> abs(CAST(x AS DOUBLE))))
-               AS scale,
-             embedding
-      FROM embeddings
-      WHERE list_max(list_transform(embedding,
-                                    x -> abs(CAST(x AS DOUBLE)))) > 0),
-    q AS (
-      SELECT vec_id, n_dims, scale,
-             unnest(range(1, n_dims + 1)) AS pos,
-             FLOOR(CAST(unnest(embedding) AS DOUBLE) * scale + 0.5) AS qi
-      FROM s)
-    SELECT vec_id,
-           CAST(MAX(n_dims) AS INTEGER) AS n_dims,
-           ROUND(MAX(scale), 4) AS scale,
-           CAST(SUM(qi * pos) AS BIGINT) AS q_checksum,
-           CAST(SUM(ABS(qi)) AS BIGINT) AS q_l1
-    FROM q GROUP BY vec_id
-    """,
-)
-def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization digests
-    (similarity.embedding_quantize): zero-shuffle scan projection;
-    oracle pins every quantized element via the position-weighted
-    checksum."""
-    return similarity.embedding_quantize(load_table(spark, sf_dir, "embeddings"))
-
-
-@register("streaming_tumbling_1h", oracle=QUERIES["events_tumbling_1h"].oracle)
-def q_streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming execution of the tumbling aggregate — same
-    Catalyst window expression, same oracle as the batch twin
-    (streaming/runners.py)."""
-    from dumbo_spark.streaming.runners import streaming_tumbling_1h
-
-    return streaming_tumbling_1h(spark, sf_dir)
-
-
-@register("streaming_sessionized", oracle=QUERIES["events_session_window"].oracle)
-def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming session_window execution — same oracle as the
-    batch session_window stand-in, whose >= gap semantics and output
-    columns match F.session_window exactly (streaming/runners.py)."""
-    from dumbo_spark.streaming.runners import streaming_sessionized
-
-    return streaming_sessionized(spark, sf_dir)
-
-
-@register(
-    "events_cascade_rollup",
-    oracle="""
-    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY day, event_type
-    """,
-)
-def q_events_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle is the DIRECT day aggregation — the cascade must be
-    lossless (algebraic aggregates), which this hash-check proves."""
-    return temporal.cascade_rollup(load_table(spark, sf_dir, "events"))
-
-
-# ═══ M4: compat veneer + multimodal plumbing ════════════════════════════
-
-
-@register(
-    "compat_wordcount",
-    oracle=f"""
-    SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-    GROUP BY word
-    """,
-)
-def q_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """examples/wordcount.py run through the compat veneer — the same
-    mapper/reducer/combiner callables dumbo users write, executed on
-    mapInPandas + applyInPandas, asserted against the same oracle as
-    the DataFrame-native `wordcount`."""
-    import re
-
-    from dumbo_spark.compat.mapred import map_reduce
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
-    )
-
-    def mapper(k, v):
-        if v:
-            for w in re.split(r"\W+", v.lower()):
-                if w:
-                    yield (w, 1.0)
-
-    def reducer(k, vals):
-        yield (k, float(sum(vals)))
-
-    out = map_reduce(
-        docs, mapper, reducer, combiner=reducer, output_schema="word string, cnt double"
-    )
-    return out.select("word", F.col("cnt").cast("long").alias("cnt"))
-
-
-@register(
-    "repetition_score",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    g AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_transform(range(1, len(t) - 1),
-                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  ELSE [] END AS grams
-      FROM toks)
-    SELECT doc_id,
-           CAST(len(grams) AS INTEGER) AS n_grams,
-           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
-           CASE WHEN len(grams) > 0
-                THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                                 / len(grams), 4)
-                ELSE 0.0 END AS rep_ratio
-    FROM g
-    """,
-)
-def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.repetition_score(load_table(spark, sf_dir, "documents"), n=3)
-
-
-@register(
-    "token_entropy",
-    oracle=f"""
-    WITH tf AS (
-      SELECT doc_id, tok, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents)
-      GROUP BY doc_id, tok)
-    SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_tokens,
-           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
-    FROM tf GROUP BY doc_id
-    """,
-)
-def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram Shannon entropy per doc (textstats.token_entropy) —
-    vocabulary-diversity quality signal; two partial-agg shuffles,
-    H = log2(N) − Σc·log2(c)/N computed identically in both engines."""
-    return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
-
-
-# Shared contamination-score SQL (round 10): benchmark_contamination
-# returns it whole; decontamination_census wraps it with the removal
-# rule and per-source census.
-_CONTAM_SQL = f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    g AS (
-      SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(t) >= 3
-                    THEN list_transform(range(1, len(t) - 1),
-                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [] END) AS grams
-      FROM toks),
-    eval_g AS (
-      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
-    corpus AS (
-      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
-    SELECT c.doc_id,
-           COUNT(*) AS n_grams,
-           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_contaminated,
-           ROUND(CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 4) AS contamination
-    FROM corpus c LEFT JOIN eval_g e USING (gram)
-    GROUP BY c.doc_id
-    """
-
-
-@register("benchmark_contamination", oracle=_CONTAM_SQL)
-def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.benchmark_contamination(
-        load_table(spark, sf_dir, "documents"), n=3, eval_mod=20
-    )
-
-
-@register(
-    "bpe_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len({DUCK_TOKENS}) AS INTEGER) AS n_ws_tokens,
-           CAST(len(list_filter(
-                 regexp_extract_all(text,
-                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'),
-                 t -> NOT regexp_matches(t, '^\\s+$'))) AS INTEGER) AS n_bpe_tokens,
-           CAST(length(text) AS INTEGER) AS n_chars
-    FROM documents
-    """,
-)
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Java and RE2 run the byte-identical GPT-2-style split pattern
-    (common-subset regex, no lookahead), so the oracle is a full
-    value hash, not an approximation."""
-    return textstats.bpe_token_count(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_by_source",
-    oracle="""
-    SELECT source, COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(text)) AS n_unique,
-           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)
-             AS dup_ratio
-    FROM documents GROUP BY source
-    """,
-)
-def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_by_source(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "embedding_centroids",
-    oracle="""
-    SELECT label, CAST(pos AS INTEGER) AS pos,
-           ROUND(AVG(v), 4) + 0.0 AS centroid_v
-    FROM (
-      SELECT label,
-             unnest(range(0, len(embedding))) AS pos,
-             unnest(embedding) AS v
-      FROM embeddings)
-    GROUP BY label, pos
-    """,
-)
-def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_centroids(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "multimodal_features",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
-             octet_length(encode(text)) AS n_bytes,
-             md5(text) AS h
-      FROM documents)
-    SELECT doc_id, n_bytes, h AS content_md5,
-           CAST(64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 192
-                AS INTEGER) AS width,
-           CAST(64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-                      + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 192
-                AS INTEGER) AS height
-    FROM m
-    """,
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dumbo_spark.operators import multimodal
-
-    return multimodal.multimodal_features(load_table(spark, sf_dir, "documents"))
-
-
-# ═══ round-4 batch 3: packing, heavy hitters, Q11/Q15 shapes ═══════════
-
-
-@register(
-    "sequence_packing",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             len({DUCK_TOKENS}) AS n_tokens,
-             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER) AS bucket,
-             md5(CAST(doc_id AS VARCHAR)) AS k
-      FROM documents),
-    c AS (
-      SELECT source, bucket, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source, bucket
-                                 ORDER BY k, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum
-      FROM d)
-    SELECT source, bucket,
-           CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-    FROM c GROUP BY source, bucket, pack_id
-    """,
-)
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style sequence-packing census (packing.sequence_packing):
-    per-(source, md5-bucket) deterministic concatenation split at
-    256-token boundaries — every window task bounded by one bucket."""
-    return packing.sequence_packing(
-        load_table(spark, sf_dir, "documents"), budget=256, buckets=8
-    )
-
-
-# Shared first-fit fold oracle (round 9): the batch operator and its
-# streaming twin settle to the identical bin census, so both
-# registrations hash against this one recursive-CTE replay.
-_GREEDY_PACK_SQL = f"""
-    WITH RECURSIVE o AS MATERIALIZED (
-      SELECT source, bucket, n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY source, bucket
-                                ORDER BY k, doc_id) AS rn
-      FROM (
-        SELECT doc_id, source,
-               CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
-               CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER)
-                 AS bucket,
-               md5(CAST(doc_id AS VARCHAR)) AS k
-        FROM documents)),
-    walk(source, bucket, rn, n_tokens, bin_id, fill, in_bin) AS (
-      SELECT source, bucket, rn, n_tokens, CAST(0 AS BIGINT), n_tokens,
-             CAST(1 AS BIGINT)
-      FROM o WHERE rn = 1
-      UNION ALL
-      SELECT n.source, n.bucket, n.rn, n.n_tokens,
-             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > {packing.PACK_BUDGET}
-                  THEN w.bin_id + 1 ELSE w.bin_id END,
-             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > {packing.PACK_BUDGET}
-                  THEN n.n_tokens ELSE w.fill + n.n_tokens END,
-             CASE WHEN w.in_bin > 0 AND w.fill + n.n_tokens > {packing.PACK_BUDGET}
-                  THEN 1 ELSE w.in_bin + 1 END
-      FROM walk w
-      JOIN o n ON n.source = w.source AND n.bucket = w.bucket
-              AND n.rn = w.rn + 1)
-    SELECT source, bucket, bin_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-           CAST({packing.PACK_BUDGET} - SUM(n_tokens) AS BIGINT) AS bin_slack
-    FROM walk GROUP BY source, bucket, bin_id
-    """
-
-
-@register(
-    "greedy_pack_bins",
-    # The first-fit fold replayed as a recursive CTE: one step per
-    # document position per (source, bucket) group, carrying (bin_id,
-    # fill). `o` is MATERIALIZED so the tokenization pass isn't
-    # re-inlined into every recursion step.
-    oracle=_GREEDY_PACK_SQL,
-)
-def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit whole-document packing census (packing.
-    greedy_pack_bins): the no-splitting variant of sequence_packing —
-    a sequential fold per (source, md5-bucket) stream that prefix-sum
-    windows cannot express, run as one Arrow-batched applyInPandas
-    fold per bucket and oracle-replayed as a recursive CTE."""
-    return packing.greedy_pack_bins(
-        load_table(spark, sf_dir, "documents"),
-        budget=packing.PACK_BUDGET,
-        buckets=8,
-    )
-
-
-@register("streaming_greedy_packing", oracle=_GREEDY_PACK_SQL)
-def q_streaming_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming first-fit packing
-    (streaming/runners.streaming_greedy_packing): the fold's open-bin
-    state carried across three rank-range micro-batches via
-    applyInPandasWithState; settled bins equal the batch operator and
-    share its recursive-CTE oracle."""
-    from dumbo_spark.streaming import runners
-
-    return runners.streaming_greedy_packing(spark, sf_dir)
-
-
-@register(
-    "passage_chunks",
-    oracle=f"""
-    WITH d AS (
-      SELECT source, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n
-      FROM documents),
-    c AS (
-      SELECT source, n,
-             CASE WHEN n <= 0 THEN 0
-                  ELSE 1 + CAST(CEIL(GREATEST(n - 64, 0) / 32.0) AS BIGINT)
-             END AS nc
-      FROM d),
-    e AS (
-      SELECT source, n, nc,
-             CASE WHEN n <= 0 THEN 0
-                  ELSE (nc - 1) * 64 + (n - 32 * (nc - 1)) END AS ct
-      FROM c)
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n) AS BIGINT) AS total_tokens,
-           CAST(SUM(nc) AS BIGINT) AS total_chunks,
-           CAST(SUM(ct) AS BIGINT) AS chunk_tokens,
-           CASE WHEN SUM(n) > 0
-                THEN ROUND(SUM(ct) / CAST(SUM(n) AS DOUBLE), 4)
-                ELSE 0.0 END AS inflation
-    FROM e GROUP BY source
-    """,
-)
-def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG chunking census (packing.passage_chunks): 64-token windows
-    at stride 32, chunk counts and overlap-inflation per source in
-    closed-form integer arithmetic — map-only, no per-chunk explode."""
-    return packing.passage_chunks(
-        load_table(spark, sf_dir, "documents"), size=64, stride=32
-    )
-
-
-@register(
-    "interleaved_mix_head",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER)
-               AS bucket,
-             md5(CAST(doc_id AS VARCHAR)) AS k
-      FROM documents),
-    s AS (SELECT source,
-                 ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
-          FROM (SELECT DISTINCT source FROM documents)),
-    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s),
-    r AS (SELECT doc_id, source,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY bucket, k, doc_id) AS rn
-          FROM d)
-    SELECT CAST((r.rn - 1) * ns.c + s.src_idx AS BIGINT) AS position,
-           r.doc_id, r.source
-    FROM r JOIN s USING (source) CROSS JOIN ns
-    ORDER BY position LIMIT 24
-    """,
-)
-def q_interleaved_mix_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic round-robin source interleave (packing.
-    interleaved_mix_head): position = (rank−1)·n_sources + src_idx
-    over the fixed permutation, ranks from the two-phase bucket prefix
-    sum — the mixture-ordering step; first 24 positions shown."""
-    return packing.interleaved_mix_head(
-        load_table(spark, sf_dir, "documents"), head=24, buckets=8
-    )
-
-
-@register(
-    "padding_waste_census",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id,
-             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
-             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER)
-               AS bucket,
-             md5(CAST(doc_id AS VARCHAR)) AS k
-      FROM documents),
-    c AS (
-      SELECT *, CAST(length(bin(n_tokens)) AS INTEGER) AS len_class,
-             ROW_NUMBER() OVER (PARTITION BY length(bin(n_tokens)), bucket
-                                ORDER BY k, doc_id) AS rn
-      FROM d),
-    pb AS (
-      SELECT len_class, bucket, (rn - 1) // 32 AS batch_idx,
-             COUNT(*) AS n_rows, MAX(n_tokens) AS mx, SUM(n_tokens) AS sm
-      FROM c GROUP BY 1, 2, 3),
-    agg AS (
-      SELECT len_class,
-             CAST(SUM(n_rows) AS BIGINT) AS n_docs,
-             CAST(COUNT(*) AS BIGINT) AS n_batches,
-             CAST(SUM(sm) AS BIGINT) AS total_tokens,
-             CAST(SUM(n_rows * mx) AS BIGINT) AS padded_tokens
-      FROM pb GROUP BY 1)
-    SELECT len_class,
-           CAST(CASE WHEN len_class > 1 THEN 1 << (len_class - 1)
-                     ELSE 0 END AS BIGINT) AS seq_lo,
-           CAST((1 << len_class) - 1 AS BIGINT) AS seq_hi,
-           n_docs, n_batches, total_tokens, padded_tokens,
-           CASE WHEN padded_tokens > 0
-                THEN ROUND((padded_tokens - total_tokens)
-                           / CAST(padded_tokens AS DOUBLE), 4)
-                ELSE 0.0 END AS waste_pct
-    FROM agg
-    """,
-)
-def q_padding_waste_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic-batching padding-waste census (packing.
-    padding_waste_census): power-of-two length classes via
-    integer-exact log2 (binary-digit count, no float log2), batches of
-    32 per (class, md5-shard) stream, pad-to-batch-max waste per
-    class — the measurement behind length-bucketed batching."""
-    return packing.padding_waste_census(
-        load_table(spark, sf_dir, "documents"), batch_size=32, buckets=8
-    )
-
-
-@register(
-    "token_budget_sample",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source,
-             CAST(len({DUCK_TOKENS}) AS INTEGER) AS n_tokens,
-             CAST({sampling.sql_md5_bucket('doc_id', 8)} AS INTEGER) AS bucket,
-             md5(CAST(doc_id AS VARCHAR)) AS k
-      FROM documents),
-    c AS (
-      SELECT doc_id, source, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY source
-                                      ORDER BY bucket, k, doc_id
-                                      ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS cum_tokens
-      FROM d)
-    SELECT doc_id, source, n_tokens, cum_tokens
-    FROM c WHERE cum_tokens - n_tokens < 600
-    """,
-)
-def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-source token budget (packing.token_budget_sample):
-    two-phase terasort-style prefix sum — bucket totals, running
-    offsets on the tiny aggregate, broadcast back, per-bucket window.
-    The oracle's single global window is the semantic spec; the Spark
-    plan computes the identical prefix order without ever giving one
-    task a whole source."""
-    return packing.token_budget_sample(
-        load_table(spark, sf_dir, "documents"), budget=600, buckets=8
-    )
-
-
-@register(
-    "ngram_novelty_rate",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    owner AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
-    SELECT g.doc_id,
-           COUNT(*) AS n_grams,
-           CAST(COUNT(*) FILTER (WHERE g.doc_id = o.first_doc) AS BIGINT)
-             AS n_novel,
-           ROUND(CAST(COUNT(*) FILTER (WHERE g.doc_id = o.first_doc) AS DOUBLE)
-                 / COUNT(*), 6) AS novelty_rate
-    FROM grams g JOIN owner o USING (gram)
-    GROUP BY g.doc_id
-    """,
-)
-def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 3-gram novelty vs ingestion order
-    (textstats.ngram_novelty_rate): gram → min-doc_id owner aggregate
-    joined back — O(total grams), no pairwise work."""
-    return textstats.ngram_novelty_rate(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents),
-    lens AS (
-      SELECT doc_id, len({DUCK_TOKENS}) AS len_d FROM documents),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, AVG(len_d) AS avg_len FROM lens),
-    tf AS (
-      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-      WHERE tok IN ('hash', 'join', 'vector')
-      GROUP BY doc_id, tok),
-    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (
-      SELECT tf.doc_id,
-             COUNT(*) AS n_hit_terms,
-             SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                 * tf * 2.2
-                 / (tf + 1.2 * (0.25 + 0.75 * len_d / avg_len))) AS s
-      FROM tf
-      JOIN lens ON tf.doc_id = lens.doc_id
-      JOIN dft ON tf.tok = dft.tok
-      CROSS JOIN stats
-      GROUP BY tf.doc_id)
-    SELECT doc_id, n_hit_terms, ROUND(s, 6) AS score,
-           CAST(rank AS INTEGER) AS rank
-    FROM (
-      SELECT doc_id, n_hit_terms, s,
-             ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id ASC) AS rank
-      FROM scored)
-    WHERE rank <= 10
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval for a fixed 3-token query
-    (textstats.bm25_topk): inverted-index-probe shape — the token
-    filter prunes at the scan, postings shuffle only query terms,
-    TakeOrderedAndProject cuts the top-k."""
-    return textstats.bm25_topk(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "training_mix_epochs",
-    oracle=f"""
-    WITH avail AS (
-      SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS available_tokens
-      FROM documents GROUP BY source),
-    tw AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_w FROM avail)
-    SELECT source, n_docs, available_tokens,
-           ROUND(2000000.0 * 1.0 / total_w, 4) AS target_tokens,
-           ROUND(2000000.0 * 1.0 / total_w
-                 / CAST(available_tokens AS DOUBLE), 6) AS epochs
-    FROM avail, tw
-    """,
-)
-def q_training_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture planning table (packing.training_mix_epochs):
-    per-source epochs/repeat factors implied by a 2M-token budget at
-    uniform target weights — one k-row partial-agg shuffle plus
-    broadcast arithmetic, corpus-size-independent."""
-    return packing.training_mix_epochs(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "heavy_hitter_tokens",
-    oracle=f"""
-    WITH wc AS (
-      SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM wc)
-    SELECT word, cnt,
-           ROUND(CAST(1000000 AS DOUBLE) * cnt / total_tokens, 2) AS ppm
-    FROM wc, t
-    WHERE cnt * 500 >= total_tokens
-    """,
-)
-def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact frequency heavy hitters ≥ 1/500 of all tokens
-    (textstats.heavy_hitter_tokens): wordcount partial agg + broadcast
-    scalar total + integer-arithmetic membership cut."""
-    return textstats.heavy_hitter_tokens(
-        load_table(spark, sf_dir, "documents"), k=500
-    )
-
-
-@register(
-    "cms_hitters_checked",
-    # err_bound embeds repr(e/64) so both engines parse the identical
-    # double literal; everything else is integer arithmetic
-    oracle=f"""
-    WITH wc AS MATERIALIZED (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    rows_i AS (SELECT CAST(i AS INTEGER) AS row_i FROM (VALUES (0), (1),
-               (2), (3)) t(i)),
-    sk AS (
-      SELECT row_i,
-             {sampling.sql_md5_bucket("CAST(row_i AS VARCHAR) || ':' || word", 64)}
-               AS bucket,
-             SUM(cnt) AS bucket_cnt
-      FROM wc, rows_i GROUP BY 1, 2),
-    top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word ASC LIMIT 20),
-    pr AS (
-      SELECT word, cnt, row_i,
-             {sampling.sql_md5_bucket("CAST(row_i AS VARCHAR) || ':' || word", 64)}
-               AS bucket
-      FROM top, rows_i),
-    est AS (
-      SELECT p.word, p.cnt, MIN(s.bucket_cnt) AS cms_estimate
-      FROM pr p JOIN sk s USING (row_i, bucket)
-      GROUP BY 1, 2),
-    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS _n FROM wc)
-    SELECT word, cnt AS exact_cnt,
-           CAST(cms_estimate AS BIGINT) AS cms_estimate,
-           cms_estimate >= cnt AS overestimate_ok,
-           CAST(CEIL({repr(__import__('math').e / 64)} * _n) AS BIGINT)
-             AS err_bound,
-           cms_estimate - cnt
-             <= CEIL({repr(__import__('math').e / 64)} * _n) AS within_bound
-    FROM est, n
-    """,
-)
-def q_cms_hitters_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch with its overestimate theorem checked
-    (textstats.cms_hitters_checked): a 4×64-cell mergeable frequency
-    sketch built from the vocabulary table, probed for the top-20
-    exact hitters — completes the sketch matrix (HLL, approx-quantile,
-    MinHash, SimHash, CMS), each with an exact `_checked` twin."""
-    return textstats.cms_hitters_checked(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "revenue_share_parts",
-    oracle="""
-    WITH per AS (
-      SELECT l_partkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (CAST(1 AS DECIMAL(18,2))
-                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev
-      FROM lineitem GROUP BY l_partkey),
-    t AS (SELECT SUM(rev) AS tot FROM per)
-    SELECT l_partkey,
-           CAST(rev AS DOUBLE) AS part_revenue,
-           ROUND(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
-                 * CAST(10000 AS DOUBLE), 4) AS share_bp
-    FROM per, t
-    WHERE CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
-          > CAST(7 AS DOUBLE) / CAST(10000 AS DOUBLE)
-    """,
-)
-def q_revenue_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (analytics.revenue_share_parts): parts above 7
-    basis points of total revenue — per-part partial agg, global total
-    as broadcast 1-row re-aggregate, no second fact scan."""
-    return analytics.revenue_share_parts(
-        load_table(spark, sf_dir, "lineitem"), threshold_bp=7
-    )
-
-
-@register(
-    "top_supplier_revenue",
-    oracle="""
-    WITH per AS (
-      SELECT l_suppkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (CAST(1 AS DECIMAL(18,2))
-                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-      GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
-    FROM per JOIN supplier ON l_suppkey = s_suppkey
-    WHERE rev = (SELECT MAX(rev) FROM per)
-    """,
-)
-def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape (analytics.top_supplier_revenue): quarterly
-    revenue per supplier, max taken by a window over the aggregated
-    (|suppliers|-row) frame; supplier dim broadcasts in."""
-    return analytics.top_supplier_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
-    )
-
-
-@register(
-    "multimodal_resize",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
-             octet_length(encode(text)) AS n_bytes,
-             md5(text) AS h
-      FROM documents),
-    d AS (
-      SELECT doc_id, n_bytes,
-             CAST(64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 192
-                  AS INTEGER) AS orig_width,
-             CAST(64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 192
-                  AS INTEGER) AS orig_height
-      FROM m)
-    SELECT doc_id, orig_width, orig_height,
-           CAST(CASE WHEN greatest(orig_width, orig_height) <= 128
-                     THEN orig_width
-                     ELSE orig_width * 128 // greatest(orig_width, orig_height)
-                END AS INTEGER) AS width,
-           CAST(CASE WHEN greatest(orig_width, orig_height) <= 128
-                     THEN orig_height
-                     ELSE orig_height * 128 // greatest(orig_width, orig_height)
-                END AS INTEGER) AS height,
-           n_bytes
-    FROM d
-    """,
-)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize plan (multimodal.resize_images):
-    Arrow-batched narrow pass, integer-arithmetic output dims, payload
-    bytes never shuffle. Pixel resample stubbed (no codec in
-    container); dims math is the tested contract."""
-    from dumbo_spark.operators import multimodal
-
-    return multimodal.resize_images(
-        multimodal.attach_binary(load_table(spark, sf_dir, "documents")), max_dim=128
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
-             1000 + ((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-                      + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-                     + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 59000
-               AS duration_ms
-      FROM (SELECT doc_id, md5(text) AS h FROM documents))
-    SELECT doc_id,
-           CAST(i AS INTEGER) AS frame_idx,
-           CAST(FLOOR(duration_ms * i / 4) AS BIGINT) AS offset_ms,
-           CAST(duration_ms AS BIGINT) AS duration_ms
-    FROM m, (SELECT unnest([0, 1, 2, 3]) AS i)
-    """,
-)
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evenly-spaced frame offsets per video payload
-    (multimodal.frame_sample): pure JVM sequence+posexplode fan-out
-    AFTER payload pruning — the frame table never carries bytes."""
-    from dumbo_spark.operators import multimodal
-
-    return multimodal.frame_sample(load_table(spark, sf_dir, "documents"), k=4)
-
-
-@register(
-    "position_attribution",
-    oracle="""
-    WITH c AS (
-      SELECT user_id, event_id AS click_id, ts AS click_ts
-      FROM events WHERE event_type = 'click'),
-    p AS (
-      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
-      FROM events WHERE event_type = 'purchase'),
-    pairs AS (
-      SELECT p.purchase_id, c.click_id, c.click_ts
-      FROM c JOIN p ON c.user_id = p.user_id
-       AND p.purchase_ts > c.click_ts
-       AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
-    r AS (
-      SELECT purchase_id, click_id,
-             CAST(ROW_NUMBER() OVER w AS INTEGER) AS position,
-             COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
-      FROM pairs
-      WINDOW w AS (PARTITION BY purchase_id ORDER BY click_ts, click_id))
-    SELECT purchase_id, click_id, position, n_touches,
-           ROUND(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
-                      WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
-                      WHEN position = 1 OR position = n_touches
-                           THEN CAST(0.4 AS DOUBLE)
-                      ELSE CAST(0.2 AS DOUBLE)
-                           / CAST(n_touches - 2 AS DOUBLE)
-                 END, 6) AS credit
-    FROM r
-    """,
-)
-def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Position-based 40/20/40 multi-touch attribution
-    (temporal.position_attribution): user-keyed equi-join candidates,
-    per-purchase rank windows (bounded groups)."""
-    return temporal.position_attribution(
-        load_table(spark, sf_dir, "events"), window_minutes=30
-    )
-
-
-@register(
-    "dq_expectations",
-    oracle="""
-    SELECT 'o_totalprice_nonpositive' AS rule,
-           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderdate_null', COUNT(*) FILTER (WHERE o_orderdate IS NULL)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderkey_duplicate', COUNT(*) - COUNT(DISTINCT o_orderkey)
-    FROM orders
-    UNION ALL
-    SELECT 'l_quantity_out_of_range',
-           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_discount_out_of_range',
-           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5)
-    FROM lineitem
-    UNION ALL
-    SELECT 'orders_orphan_custkey', COUNT(*)
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-    UNION ALL
-    SELECT 'lineitem_orphan_orderkey', COUNT(*)
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-    """,
-)
-def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deequ-style expectation report (dq.dq_expectations): one
-    conditional-aggregate scan per table + anti-join referential
-    checks; all-zero on the clean fixtures proves the PASS state."""
-    return dq.dq_expectations(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register(
-    "discount_band_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-             AS potential_revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount >= 0.02 AND l_discount <= 0.04
-      AND l_quantity < 24
-    """,
-)
-def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape (analytics.discount_band_revenue): every
-    predicate pushes to the parquet reader; single exact-decimal
-    aggregate out."""
-    return analytics.discount_band_revenue(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "centroid_affinity",
-    oracle=f"""
-    WITH cent AS (
-      SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS cv
-      FROM (
-        SELECT label,
-               unnest(range(0, len(embedding))) AS pos,
-               unnest(embedding) AS v
-        FROM embeddings)
-      GROUP BY label, pos),
-    vecs AS (
-      SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label)
-    SELECT a.label AS label_a, b.label AS label_b,
-           ROUND({_duck_dot('a.cvec', 'b.cvec')}
-                 / (sqrt({_duck_dot('a.cvec', 'a.cvec')})
-                    * sqrt({_duck_dot('b.cvec', 'b.cvec')})), 6) AS cos_sim
-    FROM vecs a JOIN vecs b ON a.label < b.label
-    """,
-)
-def q_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-centroid cosine matrix (similarity.centroid_affinity):
-    4dp-rounded centroids then deterministic sequential-fold cosine;
-    |labels|² pairing is a broadcast self-join over bytes."""
-    return similarity.centroid_affinity(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "session_path_topk",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts, event_type,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sessions AS (
-      SELECT user_id, event_id, ts, event_type,
-             SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-      FROM flagged),
-    numbered AS (
-      SELECT user_id, session_id, event_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
-                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-      FROM sessions),
-    paths AS (
-      SELECT user_id, session_id,
-             string_agg(event_type, '>' ORDER BY rn) AS path
-      FROM numbered WHERE rn <= 3 GROUP BY user_id, session_id)
-    SELECT path, COUNT(*) AS cnt
-    FROM paths GROUP BY path
-    ORDER BY cnt DESC, path ASC LIMIT 10
-    """,
-)
-def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 session entry paths (events.session_path_topk): islands
-    sessionizer + order-exact struct-sort path assembly +
-    TakeOrderedAndProject cut."""
-    return events.session_path_topk(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "error_bursts",
-    oracle="""
-    WITH errs AS (
-      SELECT user_id, event_id, ts
-      FROM events WHERE event_type = 'error'),
-    flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_burst
-      FROM errs
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    bursts AS (
-      SELECT user_id, ts,
-             CAST(SUM(new_burst) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS burst_id
-      FROM flagged)
-    SELECT user_id, burst_id,
-           COUNT(*) AS n_errors,
-           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS burst_start_us,
-           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS burst_end_us
-    FROM bursts GROUP BY user_id, burst_id
-    HAVING COUNT(*) >= 2
-    """,
-)
-def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error-burst detection (events.error_bursts): islands over the
-    pushdown-filtered error stream, 30-minute gap, ≥2 cut."""
-    return events.error_bursts(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "topk_movers",
-    oracle="""
-    WITH per AS (
-      SELECT l_partkey,
-             COUNT(*) FILTER (WHERE year(l_shipdate) = 1996) AS n_prev,
-             COUNT(*) FILTER (WHERE year(l_shipdate) = 1997) AS n_curr
-      FROM lineitem
-      WHERE year(l_shipdate) IN (1996, 1997)
-      GROUP BY l_partkey)
-    SELECT l_partkey, n_prev, n_curr, n_curr - n_prev AS delta
-    FROM per ORDER BY delta DESC, l_partkey ASC LIMIT 10
-    """,
-)
-def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Period-over-period top movers (analytics.topk_movers): one
-    conditional-agg pass, exact integer delta, TakeOrderedAndProject
-    cut with key tie-break."""
-    return analytics.topk_movers(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "asof_nearest_click",
-    oracle="""
-    WITH carried AS (
-      SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             last_value(CASE WHEN event_type = 'click' THEN event_id END
-                        IGNORE NULLS) OVER wb AS back_id,
-             last_value(CASE WHEN event_type = 'click'
-                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
-                        IGNORE NULLS) OVER wb AS back_us,
-             first_value(CASE WHEN event_type = 'click' THEN event_id END
-                         IGNORE NULLS) OVER wf AS fwd_id,
-             first_value(CASE WHEN event_type = 'click'
-                              THEN epoch_us(CAST(ts AS TIMESTAMP)) END
-                         IGNORE NULLS) OVER wf AS fwd_us
-      FROM events
-      WINDOW wb AS (PARTITION BY user_id
-                    ORDER BY CAST(ts AS TIMESTAMP), event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             wf AS (PARTITION BY user_id
-                    ORDER BY CAST(ts AS TIMESTAMP), event_id
-                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-    flagged AS (
-      SELECT user_id, event_id, event_type, us, back_id, fwd_id,
-             us - back_us AS back_gap, fwd_us - us AS fwd_gap,
-             (back_id IS NOT NULL AND us - back_us <= 3600000000) AS back_ok,
-             (fwd_id IS NOT NULL AND fwd_us - us <= 3600000000) AS fwd_ok
-      FROM carried)
-    SELECT user_id,
-           event_id AS target_id,
-           CASE WHEN back_ok AND (NOT fwd_ok OR back_gap <= fwd_gap)
-                THEN back_id ELSE fwd_id END AS source_id,
-           CASE WHEN back_ok AND (NOT fwd_ok OR back_gap <= fwd_gap)
-                THEN back_gap ELSE -fwd_gap END AS gap_us
-    FROM flagged
-    WHERE event_type = 'purchase' AND (back_ok OR fwd_ok)
-    """,
-)
-def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-direction as-of join within 1h tolerance
-    (temporal.asof_nearest_event): one window pass carries both
-    directions; ties go backward."""
-    return temporal.asof_nearest_event(
-        load_table(spark, sf_dir, "events"), tolerance_sec=3600
-    )
-
-
-@register(
-    "share_of_parent",
-    oracle="""
-    WITH rev AS (
-      SELECT r_name AS region, n_name AS nation,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (CAST(1 AS DECIMAL(18,2))
-                    - CAST(l_discount AS DECIMAL(18,2)))) AS rv
-      FROM lineitem
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name, n_name)
-    SELECT region, nation,
-           CAST(rv AS DOUBLE) AS revenue,
-           ROUND(CAST(rv AS DOUBLE)
-                 / CAST(SUM(rv) OVER (PARTITION BY region) AS DOUBLE)
-                 * CAST(100 AS DOUBLE), 4) AS pct_of_region
-    FROM rev
-    """,
-)
-def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percent-of-parent contribution (analytics.share_of_parent):
-    Q5-style star join to the (region, nation) grain, parent total as
-    a window over the ~25-row aggregate."""
-    return analytics.share_of_parent(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-@register(
-    "source_quality_matrix",
-    oracle="""
-    WITH r AS (
-      SELECT source,
-             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
-             COUNT(*) OVER () AS n
-      FROM documents),
-    m AS (
-      SELECT source,
-             CAST(FLOOR((rnk - 1) * 4 / n) AS INTEGER) AS quartile,
-             COUNT(*) AS n_docs
-      FROM r GROUP BY source, quartile)
-    SELECT source, quartile, n_docs,
-           ROUND(CAST(n_docs AS DOUBLE)
-                 / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE),
-                 4) AS share
-    FROM m
-    """,
-)
-def q_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source × global-length-quartile matrix
-    (sampling.source_quality_matrix): exact global rank via the
-    distinct-value offset trick — the oracle's single global
-    ROW_NUMBER is the spec; the Spark plan never globally sorts."""
-    return sampling.source_quality_matrix(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "token_source_mi",
-    oracle=f"""
-    WITH tok AS (
-      SELECT source, unnest({DUCK_TOKENS}) AS token FROM documents),
-    n_ts AS (
-      SELECT token, source, COUNT(*) AS n_ts FROM tok GROUP BY token, source),
-    n_t AS (
-      SELECT token, CAST(SUM(n_ts) AS BIGINT) AS n_t FROM n_ts GROUP BY token),
-    n_s AS (
-      SELECT source, CAST(SUM(n_ts) AS BIGINT) AS n_s FROM n_ts GROUP BY source),
-    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM n_t),
-    scored AS (
-      SELECT s.source, s.token, s.n_ts,
-             ROUND((CAST(s.n_ts AS DOUBLE) / CAST(n_s.n_s AS DOUBLE))
-                   * ln((CAST(s.n_ts AS DOUBLE) / CAST(n_s.n_s AS DOUBLE))
-                        / (CAST(n_t.n_t AS DOUBLE) / CAST(tot.n_total AS DOUBLE))),
-                   6) AS mi_score
-      FROM n_ts s
-      JOIN n_t USING (token)
-      JOIN n_s USING (source), tot
-      WHERE s.n_ts >= 10)
-    SELECT source, token, n_ts, mi_score, CAST(rn AS INTEGER) AS rank
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                   ORDER BY mi_score DESC, token ASC) AS rn
-      FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q_token_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-indicative tokens per source (textstats.token_source_mi):
-    pointwise-KL scores from exact integer counts, 6dp-rounded rank
-    cut with token tie-break."""
-    return textstats.token_source_mi(
-        load_table(spark, sf_dir, "documents"), k=5, min_count=10
-    )
-
-
-@register(
-    "benford_screen",
-    oracle="""
-    WITH c AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM orders),
-    counts AS (
-      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-             COUNT(*) AS n
-      FROM c WHERE cents > 0 GROUP BY digit),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
-    SELECT digit, n,
-           ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS observed,
-           ROUND(log10(CAST(1 AS DOUBLE)
-                       + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS benford,
-           ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
-                 - log10(CAST(1 AS DOUBLE)
-                         + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)
-             AS deviation
-    FROM counts, tot
-    """,
-)
-def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit screen (dq.benford_screen): leading digit
-    via exact integer cents, never log10 of a double."""
-    return dq.benford_screen(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "dow_hour_heatmap",
-    oracle="""
-    WITH cells AS (
-      SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
-             CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
-             COUNT(*) AS n_events
-      FROM events GROUP BY dow, hr),
-    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
-    SELECT dow, hr, n_events,
-           ROUND(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
-    FROM cells, tot
-    """,
-)
-def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ISO weekday × hour seasonality heatmap (events.dow_hour_heatmap):
-    one partial-agg scan to ≤168 cells + broadcast total."""
-    return events.dow_hour_heatmap(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "basket_rules",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey HAVING COUNT(*) <= 20),
-    pq AS (SELECT po.l_orderkey, po.l_partkey FROM po JOIN ok USING (l_orderkey)),
-    t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM pq),
-    freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM pq GROUP BY l_partkey),
-    pairs AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
-      FROM pq a JOIN pq b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY part_a, part_b HAVING COUNT(*) >= 3)
-    SELECT part_a, part_b, n_ab,
-           ROUND(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
-           ROUND(CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE), 6) AS conf_a_b,
-           ROUND(CAST(n_ab AS DOUBLE) / CAST(fb.n_item AS DOUBLE), 6) AS conf_b_a,
-           ROUND(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
-                 / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)), 6)
-             AS lift
-    FROM pairs
-    JOIN freq fa ON pairs.part_a = fa.l_partkey
-    JOIN freq fb ON pairs.part_b = fb.l_partkey, t
-    """,
-)
-def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules (graph.basket_rules):
-    basket-bounded pair generation, metrics as ratios of exact longs."""
-    return graph.basket_rules(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "lang_source_contingency",
-    oracle="""
-    WITH cells AS (
-      SELECT lang, source, COUNT(*) AS observed
-      FROM documents GROUP BY lang, source),
-    row_m AS (
-      SELECT lang, CAST(SUM(observed) AS BIGINT) AS n_lang
-      FROM cells GROUP BY lang),
-    col_m AS (
-      SELECT source, CAST(SUM(observed) AS BIGINT) AS n_source
-      FROM cells GROUP BY source),
-    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cells)
-    SELECT lang, source, observed,
-           ROUND(CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
-                 / CAST(n_total AS DOUBLE), 4) AS expected,
-           ROUND((CAST(observed AS DOUBLE)
-                  - CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
-                    / CAST(n_total AS DOUBLE))
-                 / sqrt(CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
-                        / CAST(n_total AS DOUBLE)), 4) AS residual
-    FROM cells
-    JOIN row_m USING (lang)
-    JOIN col_m USING (source), tot
-    """,
-)
-def q_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language × source independence screen
-    (textstats.lang_source_contingency): expectations and Pearson
-    residuals from exact integer marginals."""
-    return textstats.lang_source_contingency(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "cohort_ltv",
-    oracle="""
-    WITH mn AS (
-      SELECT user_id, event_type, value,
-             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
-      FROM events),
-    pur AS (
-      SELECT user_id, w, SUM(CAST(value AS DECIMAL(18,2))) AS rev
-      FROM mn WHERE event_type = 'purchase' GROUP BY user_id, w),
-    first AS (SELECT user_id, MIN(w) AS cohort_w FROM pur GROUP BY user_id),
-    cell AS (
-      SELECT cohort_w, CAST(w - cohort_w AS INTEGER) AS week_offset,
-             SUM(rev) AS rv
-      FROM pur JOIN first USING (user_id) GROUP BY cohort_w, week_offset)
-    SELECT CAST(DATE '1970-01-01' + CAST(cohort_w * 7 AS INTEGER) AS VARCHAR)
-             AS cohort_week,
-           week_offset,
-           CAST(rv AS DOUBLE) AS revenue,
-           CAST(SUM(rv) OVER (PARTITION BY cohort_w ORDER BY week_offset
-                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             AS cum_revenue
-    FROM cell
-    """,
-)
-def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort LTV curve (events.cohort_ltv): exact integer epoch-week
-    arithmetic, exact decimal revenue, cumulative window over the
-    bounded cohort × offset aggregate."""
-    return events.cohort_ltv(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "item_similarity",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    ok AS (SELECT l_orderkey FROM po GROUP BY l_orderkey HAVING COUNT(*) <= 20),
-    pq AS (SELECT po.l_orderkey, po.l_partkey FROM po JOIN ok USING (l_orderkey)),
-    freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM pq GROUP BY l_partkey),
-    pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_common
-      FROM pq a JOIN pq b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY pa, pb HAVING COUNT(*) >= 3),
-    sym AS (
-      SELECT pa AS item, pb AS other, n_common FROM pairs
-      UNION ALL
-      SELECT pb AS item, pa AS other, n_common FROM pairs),
-    scored AS (
-      SELECT item, other, n_common,
-             ROUND(CAST(n_common AS DOUBLE)
-                   / CAST(fi.n_item + fo.n_item - n_common AS DOUBLE), 6)
-               AS jaccard
-      FROM sym
-      JOIN freq fi ON sym.item = fi.l_partkey
-      JOIN freq fo ON sym.other = fo.l_partkey)
-    SELECT item, other, n_common, jaccard, CAST(rn AS INTEGER) AS rank
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY item
-                                   ORDER BY jaccard DESC, other ASC) AS rn
-      FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-based CF top-k (graph.item_similarity): Jaccard over order
-    neighborhoods via inclusion-exclusion on the co-purchase counts."""
-    return graph.item_similarity(load_table(spark, sf_dir, "lineitem"))
-
-
-_CES_KEEP_C = sampling.sql_md5_bucket("c_custkey")
-_CES_KEEP_O = sampling.sql_md5_bucket("o_custkey")
-
-
-@register(
-    "consistent_entity_sample",
-    oracle=f"""
-    WITH kc AS (SELECT * FROM customer WHERE {_CES_KEEP_C} < 10),
-    ko AS (SELECT * FROM orders WHERE {_CES_KEEP_O} < 10),
-    kl AS (SELECT * FROM lineitem
-           WHERE l_orderkey IN (SELECT o_orderkey FROM ko))
-    SELECT 'customer' AS table_name,
-           (SELECT COUNT(*) FROM kc) AS n_kept,
-           (SELECT COUNT(*) FROM customer) AS n_total,
-           ROUND(CAST((SELECT COUNT(*) FROM kc) AS DOUBLE)
-                 / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 6) AS share
-    UNION ALL
-    SELECT 'orders',
-           (SELECT COUNT(*) FROM ko),
-           (SELECT COUNT(*) FROM orders),
-           ROUND(CAST((SELECT COUNT(*) FROM ko) AS DOUBLE)
-                 / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
-    UNION ALL
-    SELECT 'lineitem',
-           (SELECT COUNT(*) FROM kl),
-           (SELECT COUNT(*) FROM lineitem),
-           ROUND(CAST((SELECT COUNT(*) FROM kl) AS DOUBLE)
-                 / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6)
-    UNION ALL
-    SELECT 'closure_violations',
-           (SELECT COUNT(*) FROM ko
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM kc)),
-           CAST(0 AS BIGINT),
-           CAST(0.0 AS DOUBLE)
-    """,
-)
-def q_consistent_entity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-consistent 10% sample census
-    (sampling.consistent_entity_sample): hash keep-predicate pushes
-    into every custkey-carrying table; lineitem follows by semi-join;
-    closure violations must be zero."""
-    return sampling.consistent_entity_sample(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        pct=10,
-    )
-
-
-@register(
-    "streaming_error_bursts",
-    oracle="""
-    WITH errs AS (
-      SELECT user_id, event_id, ts
-      FROM events WHERE event_type = 'error'),
-    flagged AS (
-      SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       >= 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_burst
-      FROM errs
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    bursts AS (
-      SELECT user_id, us,
-             SUM(new_burst) OVER (PARTITION BY user_id ORDER BY us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
-      FROM flagged)
-    SELECT user_id, MIN(us) AS burst_start_us, COUNT(*) AS n_errors
-    FROM bursts GROUP BY user_id, burst_id
-    HAVING COUNT(*) >= 2
-    """,
-)
-def q_streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming error-burst monitor
-    (streaming/runners.py::streaming_error_bursts): session_window over
-    the error-FILTERED stream, state bounded by erroring users; oracle
-    is the batch islands form with ≥-gap split semantics."""
-    from dumbo_spark.streaming.runners import streaming_error_bursts
-
-    return streaming_error_bursts(spark, sf_dir)
-
-
-@register(
-    "funnel_time_bounded",
-    oracle="""
-    WITH pu AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'view'
-                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
-             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
-                       FILTER (WHERE event_type = 'click')) AS clicks,
-             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
-                       FILTER (WHERE event_type = 'purchase')) AS purchases
-      FROM events GROUP BY user_id),
-    st AS (
-      SELECT user_id, t_view, clicks, purchases,
-             list_min(list_filter(clicks,
-               x -> x > t_view AND x <= t_view + 3600000000)) AS t_click
-      FROM pu),
-    st2 AS (
-      SELECT user_id, t_view, t_click,
-             list_min(list_filter(purchases,
-               x -> x > t_click AND x <= t_click + 3600000000)) AS t_purchase
-      FROM st),
-    c AS (SELECT COUNT(t_view) AS v, COUNT(t_click) AS k,
-                 COUNT(t_purchase) AS p FROM st2)
-    SELECT '1_view' AS stage, v AS n_users FROM c
-    UNION ALL SELECT '2_click', k FROM c
-    UNION ALL SELECT '3_purchase', p FROM c
-    """,
-)
-def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bounded ordered funnel (temporal.funnel_time_bounded):
-    each stage within 1h of the previous — conversion velocity, same
-    one-shuffle conditional-min shape as conversion_funnel."""
-    return temporal.funnel_time_bounded(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "segment_priority_mode",
-    oracle="""
-    WITH counts AS (
-      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment, o_orderpriority),
-    ranked AS (
-      SELECT c_mktsegment, o_orderpriority, n_orders,
-             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                ORDER BY n_orders DESC,
-                                         o_orderpriority ASC) AS rn
-      FROM counts)
-    SELECT c_mktsegment, o_orderpriority AS modal_priority, n_orders
-    FROM ranked WHERE rn = 1
-    """,
-)
-def q_segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped mode with deterministic tie-break
-    (analytics.segment_priority_mode): rank window over the tiny
-    (segment, priority) aggregate."""
-    return analytics.segment_priority_mode(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-def _duck_plane_dot(plane: list[float]) -> str:
-    lits = ", ".join("1.0" if v > 0 else "-1.0" for v in plane)
-    return (
-        "list_sum(list_transform(list_zip(embedding, [" + lits + "]), "
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-
-
-_JL_ORACLE = (
-    "SELECT vec_id, "
-    + ", ".join(
-        f"ROUND({_duck_plane_dot(similarity._hyperplane(64, j))}, 4) AS proj_{j}"
-        for j in range(4)
-    )
-    + " FROM embeddings"
-)
-
-
-@register("jl_projection", oracle=_JL_ORACLE)
-def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL ±1 random projection to 4 components
-    (similarity.jl_projection): the LSH hyperplanes' real-valued form,
-    zero-shuffle scan projection; plane constants inlined into the
-    oracle so the reduction is value-checked end-to-end."""
-    return similarity.jl_projection(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "fulfillment_latency",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(*) AS n_lines,
-           ROUND(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
-                                         CAST(l_shipdate AS DATE)), 0.5), 4)
-             AS p50_days,
-           ROUND(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
-                                         CAST(l_shipdate AS DATE)), 0.9), 4)
-             AS p90_days,
-           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
-                              CAST(l_shipdate AS DATE))) AS INTEGER) AS max_days
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-to-ship latency percentiles per priority
-    (analytics.fulfillment_latency): exact integer day lags through
-    the orderkey fact join, percentile aggregate to |priorities|
-    rows."""
-    return analytics.fulfillment_latency(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-@register(
-    "label_outlier_screen",
-    oracle=f"""
-    WITH cent AS (
-      SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS cv
-      FROM (
-        SELECT label,
-               unnest(range(0, len(embedding))) AS pos,
-               unnest(embedding) AS v
-        FROM embeddings)
-      GROUP BY label, pos),
-    vecs AS (
-      SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label),
-    scored AS (
-      SELECT e.label, e.vec_id,
-             ROUND(CAST(1 AS DOUBLE)
-                   - {_duck_dot('e.embedding', 'v.cvec')}
-                     / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
-                        * sqrt({_duck_dot('v.cvec', 'v.cvec')})), 6)
-               AS centroid_dist
-      FROM embeddings e JOIN vecs v USING (label))
-    SELECT label, vec_id, centroid_dist, CAST(rn AS INTEGER) AS rank
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
-                                   ORDER BY centroid_dist DESC,
-                                            vec_id ASC) AS rn
-      FROM scored)
-    WHERE rn <= 3
-    """,
-)
-def q_label_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mislabeled-point candidates (similarity.label_outlier_screen):
-    per label, top-3 furthest vectors from their own centroid —
-    rank-based deterministic cut."""
-    return similarity.label_outlier_screen(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "ab_test_readout",
-    oracle=f"""
-    WITH pu AS (
-      SELECT user_id,
-             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  >= 14 AS INTEGER) AS converted
-      FROM events GROUP BY user_id),
-    pv AS (
-      SELECT CASE WHEN {sampling.sql_md5_bucket('user_id')} < 50
-                  THEN 'A' ELSE 'B' END AS variant,
-             converted
-      FROM pu),
-    arms AS (
-      SELECT variant, COUNT(*) AS n_users,
-             CAST(SUM(converted) AS BIGINT) AS n_converted
-      FROM pv GROUP BY variant),
-    t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
-                 CAST(SUM(n_converted) AS BIGINT) AS tc FROM arms)
-    SELECT variant, n_users, n_converted,
-           ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
-             AS conversion_rate,
-           CASE WHEN tu - n_users > 0 AND tc > 0 AND tc < tu THEN
-           ROUND((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
-                  - CAST(tc - n_converted AS DOUBLE)
-                    / CAST(tu - n_users AS DOUBLE))
-                 / sqrt((CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE))
-                        * (CAST(1 AS DOUBLE)
-                           - CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE))
-                        * (CAST(1 AS DOUBLE) / CAST(n_users AS DOUBLE)
-                           + CAST(1 AS DOUBLE)
-                             / CAST(tu - n_users AS DOUBLE))), 4)
-           END AS z_vs_other
-    FROM arms, t
-    """,
-)
-def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B heavy-purchaser readout (events.ab_test_readout):
-    entity-stable hash assignment, two-proportion z from exact
-    integer counts."""
-    return events.ab_test_readout(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "streaming_upsert_sink",
-    oracle="""
-    WITH r AS (
-      SELECT user_id, event_id, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
-                                         event_id DESC) AS rn,
-             COUNT(*) OVER (PARTITION BY user_id) AS n_events
-      FROM events)
-    SELECT user_id, us AS last_us, event_id AS last_event_id,
-           CAST(value AS DOUBLE) AS last_value, n_events
-    FROM r WHERE rn = 1
-    """,
-)
-def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch MERGE into a keyed parquet state table
-    (streaming/runners.py::streaming_upsert_sink): the settled
-    materialized view must equal the batch latest-per-key answer —
-    batch-boundary independence of the associative combine is exactly
-    what this oracle checks."""
-    from dumbo_spark.streaming.runners import streaming_upsert_sink
-
-    return streaming_upsert_sink(spark, sf_dir)
-
-
-@register(
-    "hashed_features",
-    oracle=f"""
-    SELECT doc_id,
-           CAST({sampling.sql_md5_bucket('token', 64)} AS INTEGER) AS bucket,
-           COUNT(*) AS cnt
-    FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents)
-    GROUP BY doc_id, bucket
-    """,
-)
-def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick sparse features (textstats.hashed_features):
-    engine-neutral md5 buckets so the feature map is reproducible
-    across engines — a feature-store contract."""
-    return textstats.hashed_features(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "knn_classifier_eval",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb
-      FROM embeddings WHERE vec_id < 32),
-    scored AS (
-      SELECT q.query_id,
-             e.vec_id AS neighbor_id,
-             round({_duck_dot('q.q_emb', 'e.embedding')}
-                   / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
-                      * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 6)
-               AS cos_sim
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id <> q.query_id),
-    nn AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
-        FROM scored)
-      WHERE rn <= 5),
-    votes AS (
-      SELECT nn.query_id, e.label AS n_label, COUNT(*) AS votes
-      FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
-      GROUP BY nn.query_id, n_label),
-    pred AS (
-      SELECT query_id, n_label AS pred_label, votes FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY votes DESC, n_label ASC) AS rn
-        FROM votes)
-      WHERE rn = 1)
-    SELECT p.query_id, e.label AS true_label, p.pred_label, p.votes,
-           CAST(p.pred_label = e.label AS INTEGER) AS correct
-    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
-    """,
-)
-def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out kNN label vote vs true label
-    (similarity.knn_classifier_eval) — the embedding-quality probe
-    layered on knn_cosine's broadcast top-k."""
-    return similarity.knn_classifier_eval(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "daily_autocorrelation",
-    oracle="""
-    WITH daily AS (
-      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-             COUNT(*) AS cnt
-      FROM events GROUP BY day),
-    lags AS (SELECT unnest(range(1, 8)) AS lag),
-    pairs AS (
-      SELECT l.lag, a.cnt AS x, b.cnt AS y
-      FROM daily a CROSS JOIN lags l
-      JOIN daily b ON b.day = a.day + l.lag),
-    mom AS (
-      SELECT lag, COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
-      FROM pairs GROUP BY lag)
-    SELECT CAST(lag AS INTEGER) AS lag, n,
-           ROUND((CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                 / sqrt((CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                           / CAST(n AS DOUBLE))
-                        * (CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-                             / CAST(n AS DOUBLE))), 6) AS autocorr
-    FROM mom
-    """,
-)
-def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-series autocorrelation at lags 1..7
-    (events.daily_autocorrelation): Pearson r from exact integer
-    co-moment sums, closed-form double finish."""
-    return events.daily_autocorrelation(load_table(spark, sf_dir, "events"))
-
-
-_RW_CASE = "CASE w " + " ".join(
-    f"WHEN {w} THEN CAST({2.0 ** -w:.10f} AS DECIMAL(11,10))" for w in range(11)
-) + " ELSE CAST(0 AS DECIMAL(11,10)) END"
-
-
-@register(
-    "recency_weighted_value",
-    oracle=f"""
-    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
-    p AS (
-      SELECT user_id, value,
-             CAST(FLOOR(date_diff('day', CAST(ts AS DATE), maxd) / 7.0)
-                  AS INTEGER) AS w
-      FROM events, anchor WHERE event_type = 'purchase')
-    SELECT user_id, COUNT(*) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)) * ({_RW_CASE})) AS DOUBLE)
-             AS recency_score
-    FROM p GROUP BY user_id
-    """,
-)
-def q_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Half-per-week recency-decayed purchase value per user
-    (events.recency_weighted_value): dyadic decimal weights keep the
-    sum exact and order-independent — no float exp() anywhere."""
-    return events.recency_weighted_value(load_table(spark, sf_dir, "events"))
-
-
-#: ONE ANSI-portable SQL string executed verbatim by BOTH engines —
-#: the spark.sql() surface demonstration: a user can hand this engine
-#: the same SQL they run on DuckDB/Trino and get hash-identical
-#: results (dialect discipline: explicit CASTs, no engine functions).
-_PORTABLE_SQL = """
-    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2))
-                       - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             AS revenue
-    FROM lineitem
-    GROUP BY CAST(year(l_shipdate) AS INTEGER)
-"""
-
-
-@register("sql_portable_revenue", oracle=_PORTABLE_SQL)
-def q_sql_portable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The spark.sql() API surface, proven portable: this query's
-    ORACLE IS ITS OWN SOURCE — the identical string executes on Spark
-    (over catalog.register_views) and on DuckDB, and the driver
-    hash-compares the results. Catalyst still gets the declarative
-    plan (pushdown, partial agg) exactly as the DataFrame form
-    would."""
-    from dumbo_spark.sources.catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_PORTABLE_SQL)
-
-
-@register(
-    "skyline_parts",
-    oracle="""
-    WITH s AS (
-      SELECT p_partkey, p_retailprice, p_size,
-             MIN(p_size) OVER (ORDER BY p_retailprice, p_size, p_partkey
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING) AS rm
-      FROM part)
-    SELECT p_partkey, p_retailprice, p_size
-    FROM s WHERE rm IS NULL OR p_size < rm
-    """,
-)
-def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D Pareto skyline on (price, size)
-    (analytics.skyline_parts): single cummin pass over the ordered
-    part dimension."""
-    return analytics.skyline_parts(load_table(spark, sf_dir, "part"))
-
-
-@register(
-    "decile_lift_table",
-    oracle="""
-    WITH pu AS (
-      SELECT user_id, COUNT(*) AS score,
-             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  >= 14 AS INTEGER) AS converted
-      FROM events GROUP BY user_id),
-    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
-                 CAST(SUM(converted) AS BIGINT) AS tc FROM pu),
-    r AS (
-      SELECT user_id, converted,
-             ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) AS rnk
-      FROM pu),
-    d AS (
-      SELECT CAST(FLOOR((rnk - 1) * 10 / tn) AS INTEGER) AS decile, converted
-      FROM r, t),
-    g AS (
-      SELECT decile, COUNT(*) AS n_users,
-             CAST(SUM(converted) AS BIGINT) AS n_converted
-      FROM d GROUP BY decile)
-    SELECT decile, n_users, n_converted,
-           ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
-             AS conv_rate,
-           ROUND((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
-                 / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)), 4) AS lift
-    FROM g, t
-    """,
-)
-def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Targeting-model decile lift (analytics.decile_lift_table):
-    exact global deciles via the distinct-value offsets trick (the
-    oracle's single ROW_NUMBER is the spec, the plan never globally
-    sorts), heavy-purchaser rates and lifts from exact longs."""
-    return analytics.decile_lift_table(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "dup_cluster_sizes",
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ts
-      FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE 100 * c >= 60 * (sa.n + sb.n - c)),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
-    cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-    cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
-    SELECT cluster_size, COUNT(*) AS n_clusters FROM cs GROUP BY cluster_size
-    """,
-)
-def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster size histogram (dedup.cluster_size_histogram
-    over the exact-Jaccard CC labeling) — dedup triage: template
-    content shows as a fat head, true near-dups as a pair tail."""
-    edges = dedup.jaccard_ngram_pairs(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_a", "doc_b")
-    return dedup.cluster_size_histogram(dedup.connected_components(edges))
-
-
-@register(
-    "contrastive_pairs",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
-      FROM embeddings WHERE vec_id < 32),
-    scored AS (
-      SELECT q.query_id,
-             e.vec_id AS neighbor_id,
-             round({_duck_dot('q.q_emb', 'e.embedding')}
-                   / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
-                      * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 6)
-               AS cos_sim
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id <> q.query_id),
-    pos AS (
-      SELECT query_id, neighbor_id AS other_id, 'pos' AS role,
-             CAST(1 AS INTEGER) AS rank
-      FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
-        FROM scored)
-      WHERE rn = 1),
-    keyed AS (
-      SELECT q.query_id, e.vec_id AS other_id,
-             md5(CAST(q.query_id AS VARCHAR) || '-'
-                 || CAST(e.vec_id AS VARCHAR)) AS k
-      FROM embeddings e CROSS JOIN q
-      WHERE e.label <> q.q_label),
-    neg AS (
-      SELECT query_id, other_id, 'neg' AS role, CAST(rn AS INTEGER) AS rank
-      FROM (
-        SELECT query_id, other_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY k, other_id) AS rn
-        FROM keyed)
-      WHERE rn <= 3)
-    SELECT * FROM pos UNION ALL SELECT * FROM neg
-    """,
-)
-def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anchor/positive/negative mining (similarity.contrastive_pairs):
-    nearest-neighbor positives + md5-permutation negatives from other
-    labels — a reproducible, versionable training set."""
-    return similarity.contrastive_pairs(load_table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "bigram_pmi",
-    oracle=f"""
-    WITH toks AS (SELECT {DUCK_TOKENS} AS t FROM documents),
-    bi AS (
-      SELECT ngram, COUNT(*) AS n_xy
-      FROM (
-        SELECT unnest(
-          CASE WHEN len(t) >= 2
-               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-               ELSE [] END) AS ngram
-        FROM toks)
-      GROUP BY ngram HAVING COUNT(*) >= 10),
-    uni AS (
-      SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM uni),
-    sp AS (
-      SELECT ngram, n_xy,
-             string_split(ngram, ' ')[1] AS x,
-             string_split(ngram, ' ')[2] AS y
-      FROM bi),
-    scored AS (
-      SELECT sp.ngram, sp.n_xy,
-             ROUND(ln(CAST(sp.n_xy AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
-                      / (CAST(ux.cnt AS DOUBLE) * CAST(uy.cnt AS DOUBLE))), 6)
-               AS pmi
-      FROM sp
-      JOIN uni ux ON sp.x = ux.word
-      JOIN uni uy ON sp.y = uy.word, tot)
-    SELECT ngram, n_xy, pmi FROM scored
-    ORDER BY pmi DESC, ngram ASC LIMIT 20
-    """,
-)
-def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 collocations by PMI (textstats.bigram_pmi): exact-count
-    probabilities, 6dp rank cut, TakeOrderedAndProject."""
-    return textstats.bigram_pmi(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "vocab_coverage",
-    oracle=f"""
-    WITH uni AS (
-      SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM uni),
-    r AS (
-      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rnk
-      FROM uni),
-    per AS (
-      SELECT k, CAST(SUM(cnt) AS BIGINT) AS tokens_covered
-      FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
-      WHERE rnk <= k GROUP BY k)
-    SELECT CAST(k AS INTEGER) AS k, tokens_covered,
-           ROUND(CAST(tokens_covered AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
-             AS coverage
-    FROM per, tot
-    """,
-)
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k vocabulary coverage shares (textstats.vocab_coverage):
-    exact frequency ranks via the shared offsets machinery, integer
-    covered-token sums."""
-    return textstats.vocab_coverage(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "gini_revenue",
-    oracle="""
-    WITH per AS (
-      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      FROM orders GROUP BY o_custkey),
-    r AS (
-      SELECT rev,
-             ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS rnk,
-             COUNT(*) OVER () AS n
-      FROM per),
-    s AS (
-      SELECT MAX(n) AS n,
-             SUM(rnk * rev) AS swx,
-             SUM(rev) AS sx
-      FROM r)
-    SELECT n AS n_customers,
-           CAST(sx AS DOUBLE) AS total_revenue,
-           ROUND(CAST(2 AS DOUBLE) * CAST(swx AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
-                 - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
-                   / CAST(n AS DOUBLE), 6) AS gini
-    FROM s
-    """,
-)
-def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Gini coefficient of customer revenue
-    (analytics.gini_revenue): decimal rank·revenue sums via the shared
-    offsets rank, double only in the closed form."""
-    return analytics.gini_revenue(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "discount_elasticity",
-    oracle="""
-    WITH j AS (
-      SELECT p_brand,
-             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS bp,
-             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
-      FROM lineitem JOIN part ON l_partkey = p_partkey),
-    mom AS (
-      SELECT p_brand, COUNT(*) AS n,
-             CAST(SUM(bp) AS BIGINT) AS sx,
-             CAST(SUM(qc) AS BIGINT) AS sy,
-             CAST(SUM(bp * bp) AS BIGINT) AS sxx,
-             CAST(SUM(bp * qc) AS BIGINT) AS sxy
-      FROM j GROUP BY p_brand)
-    SELECT p_brand, n,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / CAST(100 AS DOUBLE), 6) AS qty_per_pct
-    FROM mom
-    """,
-)
-def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand OLS slope of quantity on discount percentage
-    (analytics.discount_elasticity): integer-exact co-moments, double
-    closed form."""
-    return analytics.discount_elasticity(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "entity_clusters",
-    oracle="""
-    WITH RECURSIVE v AS (SELECT DISTINCT p_name AS val FROM part),
-    b AS (SELECT val, right(val, 4) AS blk FROM v),
-    pairs AS (
-      SELECT a.val AS doc_a, c.val AS doc_b
-      FROM b a JOIN b c ON a.blk = c.blk AND a.val < c.val
-      WHERE levenshtein(a.val, c.val) <= 3),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(node, r) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src)
-    SELECT node AS name, MIN(r) AS canonical_name FROM reach GROUP BY node
-    """,
-)
-def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end-to-end (dedup.near_match_values edges →
-    dedup.connected_components): edit-distance matches close
-    transitively into canonical entity groups — the MDM endgame the
-    pairwise near-match feeds; recursive-CTE oracle over the same
-    deterministic edges."""
-    edges = dedup.near_match_values(
-        load_table(spark, sf_dir, "part"), "p_name"
-    ).select(F.col("val_a").alias("doc_a"), F.col("val_b").alias("doc_b"))
-    return dedup.connected_components(edges).select(
-        F.col("doc_id").alias("name"), F.col("cluster_id").alias("canonical_name")
-    )
-
-
-@register(
-    "diversified_topk",
-    oracle="""
-    WITH quota AS (
-      SELECT p_size, p_brand, p_partkey, p_retailprice,
-             ROW_NUMBER() OVER (PARTITION BY p_size, p_brand
-                 ORDER BY CAST(p_retailprice AS DECIMAL(18,2)) ASC,
-                          p_partkey ASC) AS br
-      FROM part),
-    kept AS (SELECT * FROM quota WHERE br <= 2)
-    SELECT p_size, p_brand, p_partkey, p_retailprice,
-           CAST(rank AS INTEGER) AS rank
-    FROM (
-      SELECT p_size, p_brand, p_partkey, p_retailprice,
-             ROW_NUMBER() OVER (PARTITION BY p_size
-                 ORDER BY CAST(p_retailprice AS DECIMAL(18,2)) ASC,
-                          p_partkey ASC) AS rank
-      FROM kept)
-    WHERE rank <= 10
-    """,
+# Registry primitives (Query, QUERIES, register, shared SQL fragments)
+# live in queries/_base.py; re-exported here because this module is the
+# public surface (__spark_entry__, bench, tests all import from it).
+from dumbo_spark.queries._base import (  # noqa: F401
+    DUCK_TOKENS,
+    QUERIES,
+    Query,
+    QueryFn,
+    _in_list,
+    register,
+)
+
+# The 324 registrations, split per family in round 13 (VERDICT r12
+# Next #7). IMPORT ORDER = ORIGINAL REGISTRATION ORDER — QUERIES dict
+# order is observable through _ordered_names()'s fallback, so the
+# sequence below must not be re-sorted.
+from dumbo_spark.queries import (  # noqa: E402,F401
+    core,
+    dedup_sim,
+    tpch,
+    temporal_ml,
+    compat_pack,
+    distribution,
 )
-def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-constrained top-k (topk.diversified_topk): cheapest
-    10 parts per size class with at most 2 per brand — two nested
-    bounded windows, quota pass first so the re-rank input is
-    quota-bounded."""
-    return topk.diversified_topk(load_table(spark, sf_dir, "part"))
-
-
-@register(
-    "theil_sen_trend",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
-      FROM orders GROUP BY 1),
-    base AS (SELECT MIN(day) AS d0 FROM daily),
-    xy AS (SELECT CAST(date_diff('day', d0, day) AS DOUBLE) AS x, y
-           FROM daily, base),
-    slopes AS (
-      SELECT (b.y - a.y) / (b.x - a.x) AS s
-      FROM xy a JOIN xy b ON a.x < b.x),
-    ms AS (SELECT COUNT(*) AS n_pairs, quantile_cont(s, 0.5) AS slope
-           FROM slopes),
-    resid AS (SELECT n_pairs, slope, y - slope * x AS r FROM xy, ms)
-    SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
-           CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
-           ROUND(MAX(slope), 6) AS slope,
-           ROUND(quantile_cont(r, 0.5), 6) AS intercept
-    FROM (SELECT n_pairs, slope, r,
-                 COUNT(*) OVER () AS n_days
-          FROM resid)
-    """,
-)
-def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil–Sen robust daily-revenue trend (analytics.theil_sen_trend):
-    exact median of pairwise slopes on the calendar-bounded daily
-    rollup — the outlier-resistant sibling of group_regression's OLS."""
-    return analytics.theil_sen_trend(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "auc_roc_exact",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS score,
-             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      FROM orders),
-    ps AS (SELECT score, SUM(y) AS pos, COUNT(*) AS c FROM s GROUP BY score),
-    w AS (
-      SELECT score, pos, c,
-             SUM(c) OVER (ORDER BY score
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM ps),
-    t AS (
-      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-             CAST(SUM(c - pos) AS BIGINT) AS n_neg,
-             SUM(CAST(pos AS DOUBLE) * (2 * cum - c + 1) / 2.0) AS s_pos
-      FROM w)
-    SELECT n_pos, n_neg,
-           ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
-                      THEN (s_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
-                           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
-                 END, 6) AS auc
-    FROM t
-    """,
-)
-def q_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact tie-corrected ROC-AUC via the Mann-Whitney rank identity
-    (analytics.auc_roc_exact): range-partitioned exact rank, per-score
-    contiguous-block tie averaging, scalar ratio — the oracle's single
-    global window over DISTINCT scores is the semantic spec; the Spark
-    plan never totals-orders rows in one task."""
-    return analytics.auc_roc_exact(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "dataset_manifest",
-    oracle="""
-    SELECT * FROM (
-      SELECT 'region' AS table_name, COUNT(*) AS n_rows, 2 AS n_cols FROM region
-      UNION ALL SELECT 'nation', COUNT(*), 3 FROM nation
-      UNION ALL SELECT 'customer', COUNT(*), 5 FROM customer
-      UNION ALL SELECT 'supplier', COUNT(*), 4 FROM supplier
-      UNION ALL SELECT 'part', COUNT(*), 6 FROM part
-      UNION ALL SELECT 'orders', COUNT(*), 6 FROM orders
-      UNION ALL SELECT 'lineitem', COUNT(*), 11 FROM lineitem
-      UNION ALL SELECT 'events', COUNT(*), 6 FROM events
-      UNION ALL SELECT 'documents', COUNT(*), 5 FROM documents
-      UNION ALL SELECT 'embeddings', COUNT(*), 3 FROM embeddings)
-    """,
-)
-def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset manifest — the "data card" audit row per table (name,
-    row count, column count) a versioned corpus publishes with every
-    release; schema drift or a short-loaded table flips the hash. Each
-    count is one metadata-cheap aggregate; the union is k rows."""
-    from functools import reduce
-
-    names = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    frames = []
-    for n in names:
-        df = load_table(spark, sf_dir, n)
-        frames.append(
-            df.agg(F.count("*").alias("n_rows")).select(
-                F.lit(n).alias("table_name"),
-                "n_rows",
-                F.lit(len(df.columns)).alias("n_cols"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), frames)
-
-
-@register(
-    "linenumber_density_check",
-    oracle="""
-    WITH per_order AS (
-      SELECT l_orderkey, COUNT(*) AS n,
-             COUNT(DISTINCT l_linenumber) AS nd,
-             MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
-      FROM lineitem GROUP BY 1)
-    SELECT CASE WHEN nd <> n THEN 'duplicate_linenumber'
-                WHEN mn < 1 THEN 'nonpositive_linenumber'
-                WHEN mn = 1 AND mx = n THEN 'dense_ok'
-                ELSE 'gapped_sequence' END AS seq_check,
-           COUNT(*) AS n_orders
-    FROM per_order GROUP BY 1
-    """,
-)
-def q_linenumber_density_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense-sequence integrity check (dq.linenumber_density_check):
-    every order's line numbers must be exactly 1..n — dropped or
-    double-written child rows that FK and total checks cannot see.
-    One partial-agg pass; k-row output."""
-    return dq.linenumber_density_check(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "calibration_bins",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS score, o_orderkey,
-             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      FROM orders),
-    b AS (
-      SELECT score, y,
-             NTILE(10) OVER (ORDER BY score DESC, o_orderkey ASC) AS bin
-      FROM s)
-    SELECT CAST(bin AS INTEGER) AS bin,
-           COUNT(*) AS n_rows,
-           CAST(SUM(y) AS BIGINT) AS n_pos,
-           ROUND(AVG(CAST(score AS DOUBLE)), 6) AS mean_score,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
-    FROM b GROUP BY bin
-    """,
-)
-def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability diagram over exact global score deciles
-    (analytics.calibration_bins): global_ntile range-partitioned
-    binning + one k-group partial agg — AUC's calibration companion."""
-    return analytics.calibration_bins(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "cusum_drift",
-    oracle="""
-    WITH RECURSIVE daily AS (
-      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-             AVG(CAST(value AS DOUBLE)) AS x
-      FROM events GROUP BY 1),
-    st AS (SELECT AVG(x) AS mu, STDDEV_SAMP(x) AS sigma FROM daily),
-    idx AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
-    walk(i, day, x, s) AS (
-      SELECT i, day, x, GREATEST(0, 0 + (x - mu - 0.25 * sigma))
-      FROM idx, st WHERE i = 1
-      UNION ALL
-      SELECT idx.i, idx.day, idx.x,
-             GREATEST(0, walk.s + (idx.x - st.mu - 0.25 * st.sigma))
-      FROM walk JOIN idx ON idx.i = walk.i + 1 CROSS JOIN st)
-    SELECT day, ROUND(x, 6) AS daily_mean, ROUND(s, 6) AS cusum,
-           ROUND(s, 6) > ROUND(2.0 * (SELECT sigma FROM st), 6) AS alarm
-    FROM walk
-    """,
-)
-def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided CUSUM drift monitor over daily mean event value
-    (events.cusum_drift): non-associative sequential state walked on
-    the calendar-bounded daily rollup in one Arrow group; the oracle
-    re-runs the recursion level-by-level (recursive CTE — the
-    pagerank_checked technique applied to sequential state)."""
-    return events.cusum_drift(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "interval_coverage_daily",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sess0 AS (
-      SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged),
-    sessions AS (
-      SELECT user_id, sid,
-             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS s_us,
-             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS e_us
-      FROM sess0 GROUP BY user_id, sid),
-    covered AS (
-      SELECT CAST(gs.d AS DATE) AS day, s.s_us, s.e_us
-      FROM sessions s,
-           UNNEST(generate_series(CAST(make_timestamp(s.s_us) AS DATE),
-                                  CAST(make_timestamp(s.e_us) AS DATE),
-                                  INTERVAL 1 DAY)) AS gs(d)),
-    clipped AS (
-      SELECT day,
-             GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS cs,
-             LEAST(e_us, epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS ce
-      FROM covered
-      WHERE LEAST(e_us, epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
-            > GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP)))),
-    marked AS (
-      SELECT day, cs, ce,
-             CASE WHEN MAX(ce) OVER (PARTITION BY day ORDER BY cs, ce
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                      IS NULL
-                  OR cs > MAX(ce) OVER (PARTITION BY day ORDER BY cs, ce
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS new_isl
-      FROM clipped),
-    islands AS (
-      SELECT day, cs, ce,
-             SUM(new_isl) OVER (PARTITION BY day ORDER BY cs, ce
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-      FROM marked),
-    spans AS (
-      SELECT day, isl, MAX(ce) - MIN(cs) AS span
-      FROM islands GROUP BY day, isl)
-    SELECT CAST(day AS VARCHAR) AS day,
-           CAST(SUM(span) AS BIGINT) AS covered_us,
-           COUNT(*) AS n_intervals
-    FROM spans GROUP BY day
-    """,
-)
-def q_interval_coverage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day union-of-intervals session coverage
-    (events.interval_coverage_daily): merge-overlapping-intervals
-    sweep per day on the shared gap-islands sessionizer — the
-    occupancy complement of peak_concurrency."""
-    return events.interval_coverage_daily(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "market_concentration",
-    oracle="""
-    WITH rev AS (
-      SELECT r_name AS region, n_name AS nation,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (CAST(1 AS DECIMAL(18,2))
-                    - CAST(l_discount AS DECIMAL(18,2)))) AS rv
-      FROM lineitem
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name, n_name),
-    sh AS (
-      SELECT region,
-             CAST(rv AS DOUBLE)
-               / CAST(SUM(rv) OVER (PARTITION BY region) AS DOUBLE) AS s
-      FROM rev)
-    SELECT region, COUNT(*) AS n_nations, ROUND(SUM(s * s), 6) AS hhi
-    FROM sh GROUP BY region
-    """,
-)
-def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-region HHI (analytics.market_concentration): Σ share² over
-    the star-join aggregate."""
-    return analytics.market_concentration(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-@register(
-    "cart_abandonment",
-    oracle="""
-    WITH c AS (
-      SELECT user_id, ts AS click_ts, CAST(ts AS DATE) AS day
-      FROM events WHERE event_type = 'click'),
-    p AS (
-      SELECT user_id, ts AS purchase_ts
-      FROM events WHERE event_type = 'purchase'),
-    conv AS (
-      SELECT DISTINCT c.day, c.user_id
-      FROM c JOIN p ON c.user_id = p.user_id
-       AND p.purchase_ts > c.click_ts
-       AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE),
-    clickers AS (SELECT DISTINCT day, user_id FROM c),
-    d AS (
-      SELECT cl.day,
-             COUNT(*) AS n_clickers,
-             COUNT(conv.user_id) AS n_converted
-      FROM clickers cl
-      LEFT JOIN conv ON cl.day = conv.day AND cl.user_id = conv.user_id
-      GROUP BY cl.day)
-    SELECT CAST(day AS VARCHAR) AS day, n_clickers, n_converted,
-           ROUND(CAST(n_clickers - n_converted AS DOUBLE)
-                 / CAST(n_clickers AS DOUBLE), 6) AS abandonment_rate
-    FROM d
-    """,
-)
-def q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily abandonment rate (temporal.cart_abandonment): clickers
-    without a purchase within 1h of any same-day click."""
-    return temporal.cart_abandonment(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "duplicate_payment_screen",
-    oracle="""
-    SELECT o_custkey,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
-           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY o_custkey, CAST(o_totalprice AS DECIMAL(18,2)),
-             CAST(o_orderdate AS DATE)
-    HAVING COUNT(*) > 1
-    """,
-)
-def q_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Double-charge audit (dq.duplicate_payment_screen): distinct
-    orders sharing (customer, exact amount, date)."""
-    return dq.duplicate_payment_screen(load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "daily_new_vs_returning",
-    oracle="""
-    WITH active AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-    first AS (SELECT user_id, MIN(day) AS first_day FROM active GROUP BY user_id),
-    d AS (
-      SELECT a.day,
-             COUNT(*) AS n_active,
-             COUNT(*) FILTER (WHERE a.day = f.first_day) AS n_new
-      FROM active a JOIN first f USING (user_id)
-      GROUP BY a.day)
-    SELECT CAST(day AS VARCHAR) AS day, n_active, n_new,
-           n_active - n_new AS n_returning
-    FROM d
-    """,
-)
-def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily actives split new vs returning
-    (events.daily_new_vs_returning): two partial aggs, exact
-    integers."""
-    return events.daily_new_vs_returning(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "peak_concurrency",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sess0 AS (
-      SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged),
-    sessions AS (
-      SELECT user_id, sid,
-             epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS s_us,
-             epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS e_us
-      FROM sess0 GROUP BY user_id, sid),
-    endpoints AS (
-      SELECT s_us AS us, 1 AS delta FROM sessions
-      UNION ALL SELECT e_us, -1 FROM sessions),
-    swept AS (
-      SELECT CAST(make_timestamp(us) AS DATE) AS day, us, delta,
-             SUM(delta) OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
-                  ORDER BY us ASC, delta DESC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-      FROM endpoints),
-    per_day AS (SELECT day, MAX(running) AS mx FROM swept GROUP BY day),
-    days AS (
-      SELECT DISTINCT CAST(gs.d AS DATE) AS day
-      FROM sessions s,
-           UNNEST(generate_series(CAST(make_timestamp(s.s_us) AS DATE),
-                                  CAST(make_timestamp(s.e_us) AS DATE),
-                                  INTERVAL 1 DAY)) AS gs(d)),
-    carry AS (
-      SELECT d.day, COUNT(*) AS c
-      FROM days d JOIN sessions s
-        ON CAST(make_timestamp(s.s_us) AS DATE) < d.day
-       AND CAST(make_timestamp(s.e_us) AS DATE) >= d.day
-      GROUP BY d.day)
-    SELECT CAST(d.day AS VARCHAR) AS day,
-           CAST(COALESCE(c.c, 0) + greatest(COALESCE(p.mx, 0), 0) AS BIGINT)
-             AS peak_concurrent
-    FROM days d
-    LEFT JOIN per_day p ON d.day = p.day
-    LEFT JOIN carry c ON d.day = c.day
-    """,
-)
-def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sweep-line peak concurrent sessions per day
-    (events.peak_concurrency): +1/−1 endpoints, deterministic tie
-    order, midnight carry from a tiny day-keyed aggregate."""
-    return events.peak_concurrency(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "return_rate_by_brand",
-    oracle="""
-    SELECT p_brand,
-           COUNT(*) AS n_lines,
-           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-           ROUND(CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
-    """,
-)
-def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand return-rate screen (analytics.return_rate_by_brand):
-    one conditional-agg pass over the broadcast-dim join."""
-    return analytics.return_rate_by_brand(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-@register(
-    "session_depth_histogram",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-    sess AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id
-                  ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged),
-    depths AS (
-      SELECT user_id, sid, COUNT(*) AS depth FROM sess GROUP BY user_id, sid),
-    hist AS (SELECT depth, COUNT(*) AS n_sessions FROM depths GROUP BY depth),
-    tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS n_total FROM hist)
-    SELECT depth, n_sessions,
-           ROUND(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
-             AS share
-    FROM hist, tot
-    """,
-)
-def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session depth distribution (events.session_depth_histogram):
-    islands → per-session count → histogram + shares."""
-    return events.session_depth_histogram(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "value_drift_psi",
-    oracle="""
-    WITH hist AS (
-      SELECT event_type,
-             CAST(floor(CAST(value AS DECIMAL(18,2)) / CAST(10.0 AS DECIMAL(18,2)))
-                  AS BIGINT) AS bucket,
-             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_before,
-             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
-                  AS BIGINT) AS n_after
-      FROM events GROUP BY event_type, bucket),
-    totals AS (
-      SELECT event_type,
-             CAST(SUM(n_before) AS BIGINT) AS tb,
-             CAST(SUM(n_after) AS BIGINT) AS ta,
-             COUNT(*) AS n_bins
-      FROM hist GROUP BY event_type),
-    j AS (
-      SELECT h.event_type, t.n_bins,
-             CAST(h.n_before + 1 AS DOUBLE)
-               / CAST(t.tb + t.n_bins * 1 AS DOUBLE) AS p,
-             CAST(h.n_after + 1 AS DOUBLE)
-               / CAST(t.ta + t.n_bins * 1 AS DOUBLE) AS q
-      FROM hist h JOIN totals t USING (event_type))
-    SELECT event_type, MAX(n_bins) AS n_bins,
-           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
-    FROM j GROUP BY event_type
-    """,
-)
-def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index per event type
-    (events.value_drift_psi): Laplace-smoothed binned shares over the
-    same decimal buckets and split as the KS screen."""
-    return events.value_drift_psi(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "approx_distinct_checked",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           TRUE AS within_5pct
-    FROM events GROUP BY event_type
-    """,
-)
-def q_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct with its 5% error claim as an oracle-checked
-    boolean (agg.approx_distinct_checked, VERDICT r4 #6): the oracle
-    computes exact and asserts TRUE; sketch drift flips the hash."""
-    return agg.approx_distinct_checked(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "hll_rollup_checked",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
-                AS BIGINT) AS n_days,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS within_5pct
-    FROM events GROUP BY event_type
-    """,
-)
-def q_hll_rollup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable per-(day,type) HLL sketch rollup with the union
-    estimate's 5% bound oracle-checked (agg.hll_rollup_checked): the
-    incremental 100 TB distinct-count pattern, now externally
-    verified instead of rows-only."""
-    return agg.hll_rollup_checked(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "approx_percentiles_checked",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           TRUE AS p50_in_band,
-           TRUE AS p90_in_band
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile's rank-error guarantee oracle-checked
-    (agg.approx_percentiles_checked): the sketch value's true rank
-    interval must intersect p·n ± (n/accuracy + 2) — the exact
-    1/accuracy bound plus two rows of discreteness slack, in rank
-    space (no value-interpolation ambiguity)."""
-    return agg.approx_percentiles_checked(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "stratified_sample_checked",
-    oracle="""
-    SELECT lang AS stratum,
-           CAST(COUNT(*) AS BIGINT) AS n_total,
-           TRUE AS within_bound
-    FROM documents GROUP BY lang
-    """,
-)
-def q_stratified_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum Bernoulli sampler with its 6σ count bound (and the
-    fraction-1.0 exact-passthrough) oracle-checked
-    (sampling.stratified_sample_checked)."""
-    return sampling.stratified_sample_checked(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "zipf_fit",
-    oracle=f"""
-    WITH wc AS (
-      SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
-      GROUP BY word),
-    r AS (
-      SELECT cnt,
-             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
-      FROM wc),
-    p AS (
-      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
-      FROM r WHERE rnk <= 1000)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
-           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
-           ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                           * SUM(x)) / COUNT(*), 6) AS intercept
-    FROM p
-    """,
-)
-def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf-law OLS fit over the top-1000 word frequencies
-    (textstats.zipf_fit): corpus-health slope/intercept; ranks from
-    the range-partitioned global rank."""
-    return textstats.zipf_fit(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "pii_screen",
-    oracle=f"""
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_EMAIL}')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
-           CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_PHONE}')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
-           CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_LONGNUM}')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_longnum,
-           ROUND(CAST(SUM(CASE WHEN regexp_matches(text, '{textstats.PII_EMAIL}')
-                               OR regexp_matches(text, '{textstats.PII_PHONE}')
-                               OR regexp_matches(text, '{textstats.PII_LONGNUM}')
-                          THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS pii_share
-    FROM documents GROUP BY source
-    """,
-)
-def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source PII exposure screen (textstats.pii_screen): email /
-    phone / long-digit-run document counts — the scrub gate before a
-    source enters the training mix. The synthetic corpus is clean, so
-    both engines must agree on zeros; detection semantics are pinned
-    on planted PII in tests/test_round5_fixes.py."""
-    return textstats.pii_screen(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "weighted_median_price",
-    oracle="""
-    WITH t AS (
-      SELECT l_returnflag,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-             CAST(l_quantity AS DECIMAL(18,2)) AS q,
-             l_orderkey, l_linenumber
-      FROM lineitem),
-    c AS (
-      SELECT l_returnflag, p,
-             SUM(q) OVER (PARTITION BY l_returnflag
-                          ORDER BY p, l_orderkey, l_linenumber
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum,
-             SUM(q) OVER (PARTITION BY l_returnflag) AS tot
-      FROM t)
-    SELECT l_returnflag,
-           CAST(MAX(tot) AS DOUBLE) AS total_qty,
-           CAST(MIN(CASE WHEN 2 * cum >= tot THEN p END) AS DOUBLE)
-             AS weighted_median_price
-    FROM c GROUP BY l_returnflag
-    """,
-)
-def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact quantity-weighted median price per return flag
-    (agg.weighted_median_price): range-partitioned cumulative-weight
-    sweep — the weighted-percentile primitive no built-in covers,
-    computed without any task sweeping a whole flag."""
-    return agg.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "gopher_repetition_screen",
-    oracle=_GOPHER_REP_SQL,
-)
-def q_gopher_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repetition filters (textstats.gopher_repetition_screen,
-    Rae et al. 2021 Table A1): top-2/3-gram and duplicated-5-gram
-    character fractions with pass flags — the char-fraction complement
-    to repetition_score's occurrence fraction."""
-    return textstats.gopher_repetition_screen(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "stupid_backoff_scores",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
-    sc AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
-    tri AS (SELECT unnest(CASE WHEN len(t) >= 3
-              THEN list_transform(range(1, len(t)-1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-              ELSE [] END) AS g FROM tr),
-    big AS (SELECT unnest(CASE WHEN len(t) >= 2
-              THEN list_transform(range(1, len(t)),
-                   i -> t[i] || ' ' || t[i+1])
-              ELSE [] END) AS g FROM tr),
-    uni AS (SELECT unnest(t) AS g FROM tr),
-    c3 AS (SELECT g, COUNT(*) AS c3 FROM tri GROUP BY g),
-    c2 AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY g),
-    c1 AS (SELECT g, COUNT(*) AS c1 FROM uni GROUP BY g),
-    n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tr),
-    occ AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
-            FROM sc, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) s
-            WHERE len(t) >= 3),
-    j AS (SELECT occ.doc_id,
-            -- literal backoff constants are Python float repr of
-            -- 0.4**2 and 0.4**3 so both engines see identical doubles
-            CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / cp.c2
-                 WHEN cs.c2 IS NOT NULL THEN 0.4 * cs.c2 / u2.c1
-                 WHEN u3.c1 IS NOT NULL
-                   THEN 0.16000000000000003 * u3.c1 / n.n
-                 ELSE 0.06400000000000002 / n.n END AS s
-          FROM occ
-          LEFT JOIN c3 ON c3.g = occ.w1 || ' ' || occ.w2 || ' ' || occ.w3
-          LEFT JOIN c2 cp ON cp.g = occ.w1 || ' ' || occ.w2
-          LEFT JOIN c2 cs ON cs.g = occ.w2 || ' ' || occ.w3
-          LEFT JOIN c1 u2 ON u2.g = occ.w2
-          LEFT JOIN c1 u3 ON u3.g = occ.w3
-          CROSS JOIN n)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-           ROUND(AVG(log10(s)), 4) AS mean_log10_s
-    FROM j GROUP BY doc_id
-    """,
-)
-def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stupid-backoff trigram scoring (textstats.stupid_backoff_scores,
-    Brants et al. 2007): even-doc counts score odd docs through the
-    count/backoff CASE — the canonical web-scale distributed n-gram LM
-    re-expressed as gram-keyed joins."""
-    return textstats.stupid_backoff_scores(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "kn_continuation_counts",
-    oracle=f"""
-    WITH toks AS (SELECT {DUCK_TOKENS} AS t FROM documents),
-    uni AS (SELECT unnest(t) AS tok FROM toks),
-    cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_total
-           FROM uni GROUP BY tok),
-    pairs AS (SELECT DISTINCT string_split(g, ' ')[1] AS v,
-                              string_split(g, ' ')[2] AS w
-              FROM (SELECT unnest(CASE WHEN len(t) >= 2
-                      THEN list_transform(range(1, len(t)),
-                           i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g
-                    FROM toks)),
-    nt AS (SELECT COUNT(*) AS nt FROM pairs),
-    lc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_left_contexts
-           FROM pairs GROUP BY w),
-    rc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_right_contexts
-           FROM pairs GROUP BY v)
-    SELECT cu.tok, cu.c_total,
-           COALESCE(lc.n_left_contexts, 0) AS n_left_contexts,
-           COALESCE(rc.n_right_contexts, 0) AS n_right_contexts,
-           ROUND(CAST(COALESCE(lc.n_left_contexts, 0) AS DOUBLE) / nt.nt, 6)
-             AS cont_prob
-    FROM cu LEFT JOIN lc ON lc.w = cu.tok
-    LEFT JOIN rc ON rc.v = cu.tok CROSS JOIN nt
-    """,
-)
-def q_kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kneser-Ney continuation statistics per token
-    (textstats.kn_continuation_counts): distinct left/right contexts
-    and the KN continuation probability — one distinct-bigram agg plus
-    vocab-bounded counts."""
-    return textstats.kn_continuation_counts(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "perplexity_tercile_mix",
-    # reuses doc_perplexity's bigram-LM CTE verbatim so the two oracles
-    # can never drift apart, then buckets with SQL NTILE(3) — the exact
-    # semantics topk.global_ntile implements
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-    bi AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-             THEN list_transform(range(1, len(t)),
-                  i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS bigram
-           FROM toks),
-    uni AS (SELECT unnest({DUCK_TOKENS}) AS tok FROM documents),
-    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY bigram),
-    c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
-    v AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
-    s AS (SELECT bi.doc_id,
-                 log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
-          FROM bi JOIN c2 USING (bigram)
-          JOIN c1 ON c1.tok = string_split(bi.bigram, ' ')[1]
-          CROSS JOIN v),
-    ppl AS (SELECT doc_id, ROUND(pow(2.0, -AVG(lp)), 4) AS ppl
-            FROM s GROUP BY doc_id),
-    binned AS (SELECT doc_id, ppl,
-                      NTILE(3) OVER (ORDER BY ppl, doc_id) AS b FROM ppl)
-    SELECT d.source,
-           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-             AS ppl_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           -- decimal SUM then one UNROUNDED divide: order-independent
-           -- and bit-identical to the Spark side (rounding the mean is
-           -- structurally unsafe — 4dp sums over small n hit exact
-           -- .00005 midpoints where the engines' round modes disagree)
-           CAST(SUM(CAST(binned.ppl AS DECIMAL(18,4))) AS DOUBLE)
-             / COUNT(*) AS avg_ppl
-    FROM binned JOIN documents d USING (doc_id)
-    GROUP BY 1, 2
-    """,
-)
-def q_perplexity_tercile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail perplexity terciles per source
-    (textstats.perplexity_tercile_mix): bigram-LM perplexity bucketed
-    by the range-partitioned exact NTILE — a permanent live guard on
-    the round-9 rank-machinery fix (its downstream aggregate keeps
-    source and ppl, the pruning-divergent consumer shape)."""
-    return textstats.perplexity_tercile_mix(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "source_temperature_mix",
-    oracle=f"""
-    WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                        CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS n_tokens
-                 FROM documents GROUP BY source),
-    tot AS (SELECT SUM(n_tokens) AS tot FROM per),
-    p AS (SELECT per.*, CAST(n_tokens AS DOUBLE) / tot.tot AS p FROM per
-          CROSS JOIN tot),
-    z AS (SELECT SUM(pow(p, 0.3)) AS z FROM p)
-    SELECT source, n_docs, n_tokens,
-           ROUND(p, 6) AS p_natural,
-           ROUND(pow(p, 0.3) / z.z, 6) AS p_temperature,
-           ROUND(pow(p, 0.3) / z.z / p, 4) AS oversample_factor
-    FROM p CROSS JOIN z ORDER BY source
-    """,
-)
-def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alpha-temperature source sampling weights
-    (packing.source_temperature_mix, the mT5/XLM-R recipe): natural vs
-    temperature token shares and oversample factors per source — one
-    partial-agg pass plus broadcast scalars."""
-    return packing.source_temperature_mix(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-# ═══ Round-10 additions: corpus-distribution analytics + selection ═════
-
-
-@register(
-    "source_divergence_matrix",
-    oracle=f"""
-    WITH counts AS (
-      SELECT source, tok AS token, COUNT(*) AS c
-      FROM (SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents)
-      GROUP BY 1, 2),
-    totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY 1),
-    j AS (
-      SELECT a.source AS src_a, b.source AS src_b,
-             a.c AS ca, ta.n AS na, b.c AS cb, tb.n AS nb
-      FROM counts a
-      JOIN counts b ON b.token = a.token AND a.source < b.source
-      JOIN totals ta ON ta.source = a.source
-      JOIN totals tb ON tb.source = b.source),
-    agg AS (
-      SELECT src_a, src_b,
-             CAST(COUNT(*) AS BIGINT) AS shared_tokens,
-             SUM(CAST(ROUND((
-                   (ca / CAST(na AS DOUBLE))
-                     * ln((ca / CAST(na AS DOUBLE))
-                          / (((ca / CAST(na AS DOUBLE))
-                              + (cb / CAST(nb AS DOUBLE))) / 2))
-                 + (cb / CAST(nb AS DOUBLE))
-                     * ln((cb / CAST(nb AS DOUBLE))
-                          / (((ca / CAST(na AS DOUBLE))
-                              + (cb / CAST(nb AS DOUBLE))) / 2))
-                 ) * 0.5 * 1e9) AS BIGINT)) AS shared_nano,
-             SUM(ca) AS sca, SUM(cb) AS scb
-      FROM j GROUP BY 1, 2),
-    universe AS (
-      SELECT ta.source AS src_a, ta.n AS na, tb.source AS src_b, tb.n AS nb
-      FROM totals ta JOIN totals tb ON ta.source < tb.source)
-    SELECT u.src_a, u.src_b,
-           CAST(COALESCE(shared_tokens, 0) AS BIGINT) AS shared_tokens,
-           ROUND(COALESCE(shared_nano, 0) / 1e9
-                 + 0.5 * ln(2)
-                   * ((na - COALESCE(sca, 0)) / CAST(na AS DOUBLE)
-                      + (nb - COALESCE(scb, 0)) / CAST(nb AS DOUBLE)),
-                 6) AS js_divergence
-    FROM universe u LEFT JOIN agg
-      ON agg.src_a = u.src_a AND agg.src_b = u.src_b
-    """,
-)
-def q_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Jensen-Shannon divergence between per-source unigram
-    distributions (textstats.source_divergence_matrix) — the
-    domain-distance matrix behind mixture design. DSIR's exactness
-    discipline: per-token contributions fixed-pointed to integer
-    nano-units, pair aggregation an exact integer sum; one-sided mass
-    in closed form from exact shared-count sums (inner join only)."""
-    return textstats.source_divergence_matrix(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "ngram_coverage_curve",
-    oracle=f"""
-    WITH toks AS (SELECT {DUCK_TOKENS} AS ts FROM documents),
-    grams AS (
-      SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram,
-             COUNT(*) AS c
-      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
-      WHERE len(ts) >= 3
-      GROUP BY 1),
-    total AS (SELECT SUM(c) AS total FROM grams),
-    ranked AS (
-      SELECT c,
-             ROW_NUMBER() OVER (ORDER BY c DESC, gram ASC) AS r,
-             SUM(c) OVER (ORDER BY c DESC, gram ASC
-                          ROWS UNBOUNDED PRECEDING) AS cum
-      FROM grams),
-    ks AS (SELECT * FROM (VALUES (10), (100), (1000)) v(k))
-    SELECT k,
-           CAST(COUNT(*) AS BIGINT) AS head_types,
-           CAST(MAX(cum) AS BIGINT) AS covered_occurrences,
-           (SELECT CAST(total AS BIGINT) FROM total) AS total_occurrences,
-           ROUND(MAX(cum) / (SELECT CAST(total AS DOUBLE) FROM total), 6)
-             AS coverage
-    FROM ranked JOIN ks ON r <= k
-    GROUP BY k
-    """,
-)
-def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram head-coverage curve (textstats.ngram_coverage_curve):
-    the fraction of n-gram occurrences covered by the top-10/100/1000
-    types — vocabulary/cache truncation design. The head cut is
-    TakeOrderedAndProject (per-task heap, no global sort); the
-    cumulative walk is a window over the bounded head frame."""
-    return textstats.ngram_coverage_curve(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "token_position_stats",
-    oracle=f"""
-    WITH placed AS (
-      SELECT t[i] AS token,
-             CASE WHEN len(t) <= 1 THEN 500
-                  ELSE (1000 * (i - 1)) // (len(t) - 1) END AS pos_mil
-      FROM (SELECT {DUCK_TOKENS} AS t FROM documents),
-           UNNEST(generate_series(1, len(t))) AS u(i)),
-    stats AS (
-      SELECT token, COUNT(*) AS n_occurrences,
-             SUM(CAST(pos_mil AS DECIMAL(38,0))) AS s1,
-             SUM(CAST(pos_mil * pos_mil AS DECIMAL(38,0))) AS s2
-      FROM placed GROUP BY 1)
-    SELECT token,
-           CAST(n_occurrences AS BIGINT) AS n_occurrences,
-           ROUND(CAST(s1 AS DOUBLE) / n_occurrences, 2) AS mean_pos_mil,
-           ROUND(sqrt(GREATEST(
-                 CAST(s2 AS DOUBLE) / n_occurrences
-                 - (CAST(s1 AS DOUBLE) / n_occurrences)
-                   * (CAST(s1 AS DOUBLE) / n_occurrences), 0.0)), 2)
-             AS stddev_pos_mil
-    FROM stats
-    ORDER BY n_occurrences DESC, token ASC
-    LIMIT 20
-    """,
-)
-def q_token_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional token distribution (textstats.token_position_stats):
-    integer-permille positions via exact integer division (no floats
-    in the per-token path), DECIMAL(38,0) moment sums, top-20 by
-    occurrence — the boilerplate/header screen content dedup misses."""
-    return textstats.token_position_stats(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "stratified_kfold_assign",
-    oracle=f"""
-    SELECT doc_id, source AS stratum,
-           CAST((ROW_NUMBER() OVER (
-                 PARTITION BY source
-                 ORDER BY {sampling.sql_md5_bucket('doc_id', 8)},
-                          md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
-                AS INTEGER) AS fold
-    FROM documents
-    """,
-)
-def q_stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified 5-fold assignment
-    (sampling.stratified_kfold_assign): round-robin deal over the fixed
-    md5 permutation within each source stratum, ranks from the
-    two-phase bucket prefix sum (no whole-stratum window task). The
-    oracle's single per-stratum window is the semantic spec."""
-    return sampling.stratified_kfold_assign(
-        load_table(spark, sf_dir, "documents"), k=5, buckets=8
-    )
-
-
-@register(
-    "dsir_topk_selection",
-    oracle=f"""
-    SELECT * FROM (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY log_weight_micro DESC,
-                                     doc_id ASC) AS INTEGER) AS sel_rank,
-             doc_id, n_grams, log_weight_micro
-      FROM ({_DSIR_SQL}) w)
-    WHERE sel_rank <= 50
-    """,
-)
-def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR selection head (packing.dsir_topk_selection): top-50 most
-    target-like documents by the importance log-ratio, deterministic
-    (weight DESC, doc_id ASC) — TakeOrderedAndProject cut over the
-    shared weight computation; oracle wraps the shared DSIR SQL."""
-    return packing.dsir_topk_selection(
-        load_table(spark, sf_dir, "documents"), k=50
-    )
-
-
-@register(
-    "ks_drift_exact",
-    oracle="""
-    WITH tagged AS (
-      SELECT event_type, value,
-             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
-               AS before
-      FROM events),
-    per_v AS (
-      SELECT event_type, value,
-             SUM(before) AS ca, SUM(1 - before) AS cb
-      FROM tagged GROUP BY 1, 2),
-    cum AS (
-      SELECT event_type,
-             SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
-      FROM per_v
-      WINDOW w AS (PARTITION BY event_type ORDER BY value
-                   ROWS UNBOUNDED PRECEDING)),
-    tot AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
-            FROM per_v GROUP BY 1),
-    m AS (
-      SELECT c.event_type, MAX(na) AS na, MAX(nb) AS nb,
-             MAX(ABS(CAST(cuma AS HUGEINT) * nb
-                     - CAST(cumb AS HUGEINT) * na)) AS ks_num
-      FROM cum c JOIN tot USING (event_type) GROUP BY 1)
-    SELECT event_type,
-           CAST(na AS BIGINT) AS n_before,
-           CAST(nb AS BIGINT) AS n_after,
-           CASE WHEN na > 0 AND nb > 0
-                THEN ROUND(CAST(ks_num AS DOUBLE)
-                           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
-           END AS ks_stat
-    FROM m
-    """,
-)
-def q_ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT two-sample KS drift statistic per event type
-    (events.ks_drift_exact) — the unbucketed upgrade of
-    value_drift_screen: DECIMAL(38,0) CDF-gap numerators maximized
-    exactly over the value-domain-bounded distinct frame, one float
-    division at the end."""
-    return events.ks_drift_exact(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "mannwhitney_value_shift",
-    oracle="""
-    WITH tagged AS (
-      SELECT event_type, value,
-             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
-               AS before
-      FROM events),
-    per_v AS (
-      SELECT event_type, value,
-             SUM(before) AS ca, SUM(1 - before) AS cb
-      FROM tagged GROUP BY 1, 2),
-    ranked AS (
-      SELECT event_type, ca, cb,
-             CAST(ca AS HUGEINT)
-               * (2 * COALESCE(SUM(ca + cb) OVER (
-                      PARTITION BY event_type ORDER BY value
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  + (ca + cb) + 1) AS c
-      FROM per_v),
-    per_type AS (
-      SELECT event_type,
-             CAST(SUM(ca) AS BIGINT) AS n_before,
-             CAST(SUM(cb) AS BIGINT) AS n_after,
-             SUM(c) AS r2a
-      FROM ranked GROUP BY 1)
-    SELECT event_type, n_before, n_after,
-           CAST(r2a - CAST(n_before AS HUGEINT) * (n_before + 1) AS DOUBLE)
-             / 2.0 AS u_stat,
-           CASE WHEN n_before > 0 AND n_after > 0
-                THEN ROUND(CAST(r2a - CAST(n_before AS HUGEINT)
-                                      * (n_before + 1) AS DOUBLE)
-                           / (2.0 * CAST(n_before AS DOUBLE)
-                              * CAST(n_after AS DOUBLE)), 6)
-           END AS cles
-    FROM per_type
-    """,
-)
-def q_mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U location-shift test per event type
-    (events.mannwhitney_value_shift): doubled midrank sums carried as
-    exact DECIMAL(38,0) integers (ties are half-integer midranks), U
-    presented as the exact half-integer double, CLES (Vargha-Delaney
-    A) as one 6dp division — the rank-based complement to the exact
-    KS shape test."""
-    return events.mannwhitney_value_shift(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "streaming_p2_median",
-    # approx_distinct_checked pattern: the P2 marker recurrence is not
-    # SQL-replayable, so the oracle pins (count, exact median,
-    # accuracy-contract flag) and the estimate participates through
-    # the flag
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4)
-             AS exact_median,
-           TRUE AS within_10pct
-    FROM events GROUP BY event_type
-    """,
-)
-def q_streaming_p2_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming P2 median estimator per event type
-    (streaming/runners.streaming_p2_median; Jain & Chlamtac 1985):
-    five-marker constant-memory state carried across three
-    chronological micro-batches via applyInPandasWithState; settled
-    estimate checked against the exact range-partitioned median."""
-    from dumbo_spark.streaming import runners
-
-    return runners.streaming_p2_median(spark, sf_dir)
-
-
-@register(
-    "min_cost_supplier",
-    oracle="""
-    WITH region_supp AS (
-      SELECT s_suppkey, s_name, s_acctbal, n_name
-      FROM supplier
-      JOIN nation ON s_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      WHERE r_name = 'EUROPE'),
-    costs AS (
-      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
-             CAST(MIN((2 * CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
-                       + CAST(l_quantity AS BIGINT))
-                      // (2 * CAST(l_quantity AS BIGINT)))
-                  AS BIGINT) AS unit_cost_e4
-      FROM lineitem
-      JOIN (SELECT p_partkey, p_name FROM part WHERE p_size = 15) p
-        ON l_partkey = p_partkey
-      JOIN region_supp ON l_suppkey = s_suppkey
-      WHERE l_quantity > 0
-      GROUP BY 1, 2, 3, 4, 5, 6),
-    mn AS (SELECT p_partkey, MIN(unit_cost_e4) AS m FROM costs GROUP BY 1)
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost_e4
-    FROM costs JOIN mn USING (p_partkey)
-    WHERE unit_cost_e4 = m
-    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-    LIMIT 20
-    """,
-)
-def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (analytics.min_cost_supplier, adapted — supply
-    cost is the min OBSERVED lineitem unit price since the fixture has
-    no partsupp): correlated-min via partial agg + equi-join back,
-    all argmin ties kept, dims broadcast."""
-    return analytics.min_cost_supplier(
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register(
-    "dominant_part_suppliers",
-    oracle="""
-    WITH promo AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
-    sp AS (
-      SELECT l_suppkey, l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
-      FROM lineitem JOIN promo ON l_partkey = p_partkey
-      GROUP BY 1, 2),
-    pt AS (SELECT l_partkey, SUM(q) AS tot FROM sp GROUP BY 1),
-    dom AS (
-      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
-      FROM sp JOIN pt USING (l_partkey)
-      WHERE q * 5 > tot
-      GROUP BY 1)
-    SELECT s_name, n_name, n_dominated_parts
-    FROM supplier
-    JOIN dom ON s_suppkey = l_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    ORDER BY s_name
-    """,
-)
-def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (analytics.dominant_part_suppliers, adapted —
-    the availqty excess-stock predicate becomes shipped-share
-    dominance): nested-IN chain as filter -> partial aggs -> DIVISIONLESS
-    threshold (5q > tot over exact DECIMAL sums) -> semi-join back."""
-    return analytics.dominant_part_suppliers(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-@register(
-    "audio_window_energy",
-    oracle="""
-    WITH d AS (
-      -- the operator works on UTF-8 PAYLOAD BYTES (attach_binary);
-      -- this oracle walks CHARACTERS, which is only equivalent for
-      -- pure-ASCII text — assert that loudly (ADVICE r10 low) so a
-      -- fixture regeneration with non-ASCII fails instead of
-      -- silently diverging
-      SELECT doc_id, source, text AS t,
-             CASE WHEN length(text) = octet_length(encode(text))
-                  THEN length(text)
-                  ELSE CAST(error('audio_window_energy oracle requires '
-                                  'ASCII fixture text') AS BIGINT)
-             END AS n
-      FROM documents),
-    c AS (
-      SELECT *, CASE WHEN n = 0 THEN 0
-                     WHEN n <= 25 THEN 1
-                     ELSE 1 + CAST(CEIL((n - 25) / 10.0) AS BIGINT)
-                END AS nw
-      FROM d),
-    win AS (
-      SELECT source, t, n,
-             (w - 1) * 10 AS lo, LEAST((w - 1) * 10 + 25, n) AS hi
-      FROM c, UNNEST(generate_series(1, nw)) AS u(w)),
-    we AS (
-      SELECT source, hi - lo AS wl,
-             list_sum(list_transform(generate_series(lo + 1, hi),
-                                     i -> ord(substr(t, i, 1)))) AS e
-      FROM win),
-    clip AS (SELECT source, COUNT(*) AS n_clips, SUM(nw) AS n_windows
-             FROM c GROUP BY 1),
-    agg AS (SELECT source, SUM(e) AS es,
-                   SUM(CASE WHEN e < 80 * wl THEN 1 ELSE 0 END) AS qw
-            FROM we GROUP BY 1)
-    SELECT clip.source,
-           CAST(n_clips AS BIGINT) AS n_clips,
-           CAST(n_windows AS BIGINT) AS n_windows,
-           CASE WHEN n_windows > 0
-                THEN ROUND(es / CAST(n_windows AS DOUBLE), 4)
-           END AS mean_energy,
-           CASE WHEN n_windows > 0
-                THEN ROUND(qw / CAST(n_windows AS DOUBLE), 4)
-           END AS silence_frac
-    FROM clip LEFT JOIN agg USING (source)
-    """,
-)
-def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-shaped multimodal census (multimodal.audio_window_energy):
-    25ms/10ms windowed energy + silence fraction over binary payloads
-    via an Arrow mapInPandas pass (real plumbing, analytically-defined
-    stand-in decode — hence a FULL oracle, unlike typical stubs)."""
-    from dumbo_spark.operators import multimodal
-
-    return multimodal.audio_window_energy(
-        load_table(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "chi2_lang_source",
-    oracle="""
-    WITH cells AS (
-      SELECT lang, source, COUNT(*) AS observed
-      FROM documents GROUP BY 1, 2),
-    r AS (SELECT lang, SUM(observed) AS n_lang FROM cells GROUP BY 1),
-    c AS (SELECT source, SUM(observed) AS n_source FROM cells GROUP BY 1),
-    t AS (SELECT SUM(observed) AS n_total FROM cells),
-    fl AS (
-      SELECT r.lang, c.source, COALESCE(observed, 0) AS o,
-             n_lang, n_source, n_total
-      FROM r CROSS JOIN c
-      LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
-      CROSS JOIN t),
-    k AS (
-      SELECT CAST(ROUND((CAST(o AS DOUBLE)
-                         - CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
-                           / CAST(n_total AS DOUBLE))
-                        * (CAST(o AS DOUBLE)
-                           - CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
-                             / CAST(n_total AS DOUBLE))
-                        / (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
-                           / CAST(n_total AS DOUBLE))
-                        * 1e9) AS BIGINT) AS cn,
-             lang, source, n_total
-      FROM fl)
-    SELECT CAST(COUNT(DISTINCT lang) AS INTEGER) AS n_langs,
-           CAST(COUNT(DISTINCT source) AS INTEGER) AS n_sources,
-           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
-                AS INTEGER) AS dof,
-           CAST(MAX(n_total) AS BIGINT) AS n_total,
-           ROUND(SUM(cn) / 1e9, 4) AS chi2
-    FROM k
-    """,
-)
-def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square independence test over lang x source
-    (textstats.chi2_lang_source): structural-zero cells included via
-    the marginal cross, per-cell contributions fixed-pointed to
-    integer nano-units (order-independent exact sum), dof from the
-    marginal cardinalities."""
-    return textstats.chi2_lang_source(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "error_rate_wilson",
-    oracle="""
-    WITH base AS (
-      SELECT EXTRACT(hour FROM ts) AS hour_of_day,
-             CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_errors
-      FROM events GROUP BY 1)
-    SELECT hour_of_day, n_events, n_errors,
-           ROUND(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
-             AS error_rate,
-           ROUND(GREATEST(
-             ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
-              + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
-              - 1.96 * sqrt(
-                  (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
-                  * (1.0 - CAST(n_errors AS DOUBLE)
-                           / CAST(n_events AS DOUBLE))
-                  / CAST(n_events AS DOUBLE)
-                  + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)
-                              * CAST(n_events AS DOUBLE))))
-             / (1.0 + 3.8416 / CAST(n_events AS DOUBLE)), 0.0), 4)
-             AS wilson_lo,
-           ROUND(LEAST(
-             ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
-              + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
-              + 1.96 * sqrt(
-                  (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
-                  * (1.0 - CAST(n_errors AS DOUBLE)
-                           / CAST(n_events AS DOUBLE))
-                  / CAST(n_events AS DOUBLE)
-                  + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)
-                              * CAST(n_events AS DOUBLE))))
-             / (1.0 + 3.8416 / CAST(n_events AS DOUBLE)), 1.0), 4)
-             AS wilson_hi
-    FROM base ORDER BY hour_of_day
-    """,
-)
-def q_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly error rate with Wilson-score 95% bounds
-    (events.error_rate_wilson): the uncertainty-aware companion to
-    error_rate_by_hour; fixed closed-form expression over exact
-    integer counts, written identically in both engines."""
-    return events.error_rate_wilson(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "decontamination_census",
-    oracle=f"""
-    WITH scores AS ({_CONTAM_SQL}),
-    corpus AS (
-      SELECT doc_id, source, len({DUCK_TOKENS}) AS n_tokens
-      FROM documents WHERE doc_id % 20 <> 0),
-    j AS (
-      SELECT c.source, c.n_tokens,
-             CASE WHEN 100 * COALESCE(s.n_contaminated, 0)
-                       > 10 * COALESCE(s.n_grams, 0)
-                  THEN 1 ELSE 0 END AS d
-      FROM corpus c LEFT JOIN scores s USING (doc_id))
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(d) AS BIGINT) AS n_dropped,
-           CAST(SUM(CASE WHEN d = 0 THEN n_tokens ELSE 0 END) AS BIGINT)
-             AS kept_tokens,
-           CAST(SUM(CASE WHEN d = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
-             AS dropped_tokens,
-           ROUND(SUM(d) / CAST(COUNT(*) AS DOUBLE), 4) AS drop_rate
-    FROM j GROUP BY source
-    """,
-)
-def q_decontamination_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination removal census (textstats.decontamination_census):
-    the acting half of benchmark_contamination — drop corpus docs over
-    10% eval-gram overlap via a DIVISIONLESS integer threshold and
-    report per-source kept/dropped docs and tokens; oracle wraps the
-    shared contamination-score SQL."""
-    return textstats.decontamination_census(
-        load_table(spark, sf_dir, "documents")
-    )
-
 
 # ── public accessors (driver contract) ──────────────────────────────────
 
