@@ -276,6 +276,7 @@ HEADLINE = [
     "ivfpq_recall_checked",
     "greedy_pack_bins",
     "bpe_learn_merges",
+    "bpe_learn_merges_batched",
     "padding_waste_census",
     "bpe_compression_stats",
     "cms_hitters_checked",

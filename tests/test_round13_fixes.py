@@ -85,3 +85,96 @@ def test_pagerank_shared_durable_dir_no_collision(spark, tmp_path):
     # durable mode must agree with the localCheckpoint default
     local1 = {r.doc_id: r.rank for r in dedup.pagerank(e1, max_iter=3).collect()}
     assert got1 == pytest.approx(local1)
+
+
+def _py_bpe_batched(word_counts, n_rounds, batch_k):
+    """Pure-python reference for textstats.bpe_learn_merges_batched:
+    top-k pairs by (count DESC, a, b); keep a candidate iff it shares
+    no symbol with ANY higher-ranked candidate; apply all kept merges
+    in one left-to-right scan per word."""
+    vocab = {w: (c, list(w)) for w, c in word_counts.items()}
+    merges = []
+    for r in range(n_rounds):
+        counts = {}
+        for _, (c, syms) in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:batch_k]
+        kept = []
+        for i, ((a, b), c) in enumerate(top):
+            if any({a, b} & {top[j][0][0], top[j][0][1]} for j in range(i)):
+                continue
+            kept.append((a, b, c))
+        for sel, (a, b, c) in enumerate(kept, 1):
+            merges.append((r + 1, sel, a, b, c))
+        pairset = {(a, b): a + b for a, b, _ in kept}
+        for w, (c, syms) in vocab.items():
+            acc = []
+            for x in syms:
+                if acc and (acc[-1], x) in pairset:
+                    acc[-1] = pairset[(acc[-1], x)]
+                else:
+                    acc.append(x)
+            vocab[w] = (c, acc)
+    return merges
+
+
+def test_bpe_batched_matches_python_reference(spark):
+    texts = [
+        "abab abab cdcd",
+        "abab efef cdcd cdcd",
+        "efef abab zz",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split())
+    from dumbo_spark.operators.textstats import bpe_learn_merges_batched
+
+    got = [
+        (r["round"], r["sel_rank"], r["left_sym"], r["right_sym"],
+         r["pair_count"])
+        for r in bpe_learn_merges_batched(docs, n_rounds=3, batch_k=3)
+        .orderBy("round", "sel_rank").collect()
+    ]
+    assert got == _py_bpe_batched(dict(wc), 3, 3)
+    # at least one round must actually batch >1 merge, or the test
+    # exercises nothing beyond greedy
+    per_round = {}
+    for rnd, sel, *_ in got:
+        per_round[rnd] = max(per_round.get(rnd, 0), sel)
+    assert max(per_round.values()) >= 2
+
+
+def test_bpe_batched_k1_equals_greedy(spark):
+    """With batch_k=1 the disjointness rule is vacuous and each round
+    IS the greedy argmax — the batched trainer must reproduce
+    bpe_learn_merges exactly."""
+    texts = ["the cat sat on the mat", "the bat and the rat", "cat cat"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from dumbo_spark.operators.textstats import (
+        bpe_learn_merges,
+        bpe_learn_merges_batched,
+    )
+
+    greedy = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=4)
+        .orderBy("merge_rank").collect()
+    ]
+    batched = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn_merges_batched(docs, n_rounds=4, batch_k=1)
+        .orderBy("round").collect()
+    ]
+    assert batched == greedy

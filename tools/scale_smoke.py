@@ -242,6 +242,8 @@ def main() -> None:
         "ivfpq_recall_checked",
         "greedy_pack_bins",
         "bpe_learn_merges",
+        # round-13: batched variant — same vocab-bounded rounds, 1/k jobs
+        "bpe_learn_merges_batched",
         "padding_waste_census",
         "bpe_compression_stats",
         "cms_hitters_checked",
