@@ -896,6 +896,14 @@ def pagerank(
     with Σ rank = 1 up to float error.
 
     edges: (doc_a, doc_b) pairs.
+
+    ``durable_dir`` must be a LOCAL filesystem path: the run claims a
+    private ``run-N`` subtree via an O_EXCL mkdir (same no-collision
+    contract as :func:`connected_components`), so URI schemes
+    (``hdfs://``, ``s3a://``) raise ValueError since r13 — previously
+    they ran with a documented collision risk. Cluster runs wanting
+    shared storage should point durable_dir at a job-unique local
+    staging path or pre-create per-run URIs themselves.
     """
     # Claim a private run-N subtree up front (same no-collision
     # contract as connected_components, ADVICE r12): two pagerank runs

@@ -1219,8 +1219,15 @@ def _bpe_train_batched(
     round count (VERDICT r12 "What's wrong" #2): a 30k-merge vocabulary
     takes ~30k/k rounds instead of 30k. Symbol-disjointness makes the
     single-pass apply well-defined — at most one kept pair can match at
-    a scan position, and a merged token is a new symbol no kept pair
-    references, so within-round chaining cannot occur. The trade,
+    a scan position. Within-round chaining CAN still occur in one
+    narrow case: when a merged token's string equals another kept
+    pair's left symbol (e.g. kept ('a','b') and ('ab','c') are
+    string-disjoint as pairs, yet the fold that just produced 'ab' can
+    immediately match ('ab','c') at the next scan position). That is
+    fine for correctness because the Spark fold, the DuckDB oracle,
+    and the pure-python test reference all apply the identical
+    left-to-right single-pass semantics — chaining happens (or not)
+    identically in all three. The trade,
     documented: merge order deviates from strict greedy (lower-ranked
     pairs merge a round earlier than greedy would), which is the same
     trade every batched/parallel BPE trainer makes.

@@ -79,6 +79,7 @@ def _in_list(words: tuple[str, ...]) -> str:
 
 
 # NOTE (r13): this module holds the registry PRIMITIVES only; the
-# 324 query registrations live in dumbo_spark/queries/*.py and are
+# query registrations (len(QUERIES) of them) live in
+# dumbo_spark/queries/*.py and are
 # imported (in original registration order) by dumbo_spark/registry.py,
 # which remains the public surface.

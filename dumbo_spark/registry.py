@@ -33,7 +33,9 @@ from dumbo_spark.queries._base import (  # noqa: F401
     register,
 )
 
-# The 324 registrations, split per family in round 13 (VERDICT r12
+# The registrations (one per registered query; count them via
+# len(QUERIES), not this comment), split per family in round 13
+# (VERDICT r12
 # Next #7). IMPORT ORDER = ORIGINAL REGISTRATION ORDER — QUERIES dict
 # order is observable through _ordered_names()'s fallback, so the
 # sequence below must not be re-sorted.
