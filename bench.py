@@ -275,7 +275,6 @@ HEADLINE = [
     "knn_cosine_ivfpq",
     "ivfpq_recall_checked",
     "greedy_pack_bins",
-    "bpe_learn_merges",
     "bpe_learn_merges_batched",
     "padding_waste_census",
     "bpe_compression_stats",
@@ -309,6 +308,16 @@ MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
 # (VERDICT r9 Next #6) so the headline's composition is auditable in
 # BENCH.json and cannot drift silently.
 EXCLUDE_REASONS = {
+    "bpe_learn_merges": (
+        "batched-twinned reference row: greedy Sennrich BPE runs one "
+        "Spark job per merge round BY DESIGN (it is the oracle-replayed "
+        "classic whose own docstring routes production users to the "
+        "batched trainer) — ~15s of every sf0.1 sweep for a documented "
+        "anti-pattern-by-design; the production plan shape is "
+        "headline-benched via bpe_learn_merges_batched, and the oracle "
+        "row stays registered so the correctness rotation still "
+        "samples it (VERDICT r13 Next #3)"
+    ),
     "semantic_dedup_checked": (
         "audit-twin: documented O(n^2) brute-force verification twin "
         "(54s at sf0.1) — verification-scale by design"
@@ -389,6 +398,130 @@ def emit_line(timings: dict[str, float], sf: str) -> str:
         kept = dict(sorted(slowest))
 
 
+CALIB_EVERY = 25  # in-sweep calibration cadence (queries between samples)
+
+
+def spark_calib(spark) -> float:
+    """The fixed Spark calibration kernel: a 2e9-row codegen'd sum.
+
+    ~0.6s on the reference machine when the window is quiet. Sampled
+    at sweep start/end (machine_context) AND every CALIB_EVERY queries
+    during the sweep (VERDICT r13 Next #1: in round 13 the start-of-run
+    calibration read NORMAL while mid-sweep rows inflated up to 7.4x —
+    the contention lived in the parallel dimension and arrived AFTER
+    calibration ran, so a single start sample is provably not a
+    sufficient canary; the in-sweep series timestamps the window state
+    next to the queries that ran under it)."""
+    t0 = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr(
+        "sum(id * 2 + (id % 7)) AS s"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def load_close_queries(here: str, sf: str) -> dict[str, float] | None:
+    """Per-query map from the committed builder close at the same sf,
+    or None when absent/mismatched — the adjudication baseline."""
+    try:
+        with open(os.path.join(here, "BENCH_CLOSE.json")) as f:
+            close = json.load(f)
+    except (OSError, ValueError):
+        return None
+    try:
+        if abs(float(close.get("sf")) - float(sf)) > 1e-9:
+            return None
+    except (TypeError, ValueError):
+        return None
+    q = close.get("queries")
+    return q if isinstance(q, dict) and q else None
+
+
+# Adjudication thresholds: a row is suspect when BOTH hold — the 2x
+# gate the judge reads, plus an absolute floor so sub-second codegen
+# wobble (0.04s -> 0.09s) doesn't trigger re-runs that cost more than
+# the signal is worth.
+ADJ_RATIO = 2.0
+ADJ_FLOOR_SEC = 0.5
+ADJ_MAX_ROWS = 12  # bound the post-sweep re-run budget
+
+
+def adjudicate(
+    spark,
+    queries,
+    sf_dir: str,
+    timings: dict[str, float],
+    close_map: dict[str, float] | None,
+    release_persistent_rdds,
+) -> dict:
+    """Self-adjudicate window contention (VERDICT r13 Next #1).
+
+    BENCH_r13 shipped 7 per-query rows >2x the builder's close; every
+    one took a manual three-way worktree A/B (SCALE.md "r13 close") or
+    the judge's own isolated re-timings to clear as machine-window
+    contention rather than regression. This automates that protocol
+    inside the artifact: after the sweep — the JVM now quiet, no
+    concurrent query work — re-run each suspect row median-of-3 and
+    record BOTH readings plus a calibration sample taken at
+    adjudication time, so a gate-reader can see whether the isolated
+    number collapses back toward close (window noise) or stays high
+    (real regression) without any human A/B.
+
+    Returns {"calib_spark_sec": float, "rows": {name: {...}}}; empty
+    rows dict when nothing breached or no close baseline exists.
+
+    Baseline note: BENCH_CLOSE.json is whatever close is committed at
+    run time — for the driver's sweep that is THIS round's builder
+    close (the exact comparison the judge reads); for a builder
+    BENCH_CLOSE=1 run it is the previous close, making the block a
+    round-over-round A/B (the manual protocol from SCALE.md "r13
+    close", now automatic).
+    """
+    out: dict = {"rows": {}}
+    if not close_map:
+        out["baseline"] = "no BENCH_CLOSE.json at this sf - skipped"
+        return out
+    suspects = []
+    for name, sweep_sec in timings.items():
+        close_sec = close_map.get(name)
+        if close_sec is None or close_sec <= 0:
+            continue
+        if sweep_sec > ADJ_RATIO * close_sec and sweep_sec >= ADJ_FLOOR_SEC:
+            suspects.append((sweep_sec / close_sec, name, sweep_sec, close_sec))
+    if not suspects:
+        return out
+    suspects.sort(reverse=True)  # worst ratio first under the row cap
+    dropped = len(suspects) - ADJ_MAX_ROWS
+    if dropped > 0:
+        out["rows_dropped_over_cap"] = dropped
+        suspects = suspects[:ADJ_MAX_ROWS]
+    out["calib_spark_sec"] = spark_calib(spark)
+    for ratio, name, sweep_sec, close_sec in suspects:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            release_persistent_rdds(spark)
+        iso = round(statistics.median(runs), 3)
+        out["rows"][name] = {
+            "sweep_sec": sweep_sec,
+            "close_sec": close_sec,
+            "sweep_ratio": round(ratio, 2),
+            "isolated_runs": runs,
+            "isolated_median_sec": iso,
+            "isolated_ratio": round(iso / close_sec, 2),
+            "verdict": (
+                "window-contention"
+                if iso <= ADJ_RATIO * close_sec
+                else "regression-suspect"
+            ),
+        }
+    return out
+
+
 def machine_context(spark) -> dict:
     """Close-window comparability metadata (VERDICT r12 Next #5):
     SCALE.md shows 205→243s closes on IDENTICAL code across machine
@@ -427,11 +560,7 @@ def machine_context(spark) -> dict:
         acc += i ^ (i >> 3)
     ctx["calib_python_sec"] = round(time.perf_counter() - t0, 3)
     ctx["_calib_acc"] = acc % 997  # defeat dead-code elimination
-    t0 = time.perf_counter()
-    spark.range(2_000_000_000).selectExpr(
-        "sum(id * 2 + (id % 7)) AS s"
-    ).collect()
-    ctx["calib_spark_sec"] = round(time.perf_counter() - t0, 3)
+    ctx["calib_spark_sec"] = spark_calib(spark)
     del ctx["_calib_acc"]
     return ctx
 
@@ -519,7 +648,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
-    for name in names:
+    # In-sweep calibration series (VERDICT r13 Next #1): the start-of-
+    # run calibration provably missed r13's mid-sweep contention, so
+    # sample the fixed Spark kernel every CALIB_EVERY queries and ship
+    # the series in the artifact next to the timings it contextualizes.
+    calib_sweep: list[dict] = []
+    for i, name in enumerate(names):
         q = QUERIES[name]
         samples = []
         for _ in range(runs):
@@ -538,12 +672,35 @@ def main() -> None:
         # inflation of an iterative query in a shared session vs its
         # fresh-process time); release them explicitly
         release_persistent_rdds(spark)
+        if (i + 1) % CALIB_EVERY == 0:
+            calib_sweep.append(
+                {"after_query": i + 1, "calib_spark_sec": spark_calib(spark)}
+            )
+
+    # Post-sweep self-adjudication: re-run (median-of-3, JVM now quiet)
+    # every row >2x its committed BENCH_CLOSE counterpart and record
+    # both readings, so contention-inflated rows clear themselves in
+    # the artifact instead of requiring a human A/B (VERDICT r13 #1).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        adjudications = adjudicate(
+            spark,
+            QUERIES,
+            sf_dir,
+            timings,
+            load_close_queries(here, sf),
+            release_persistent_rdds,
+        )
+    except Exception as exc:  # adjudication must never fail the bench
+        print(f"adjudication failed: {exc!r}", file=sys.stderr)
+        adjudications = {"rows": {}, "error": repr(exc)}
 
     # Comparability metadata sampled at sweep END, same JVM, so the
     # Spark calibration kernel sees the sweep's codegen/GC state — the
     # state the late-sweep query timings actually ran under.
     try:
         machine = machine_context(spark)
+        machine["calib_sweep"] = calib_sweep
     except Exception as exc:  # metadata must never fail the bench
         print(f"machine_context failed: {exc!r}", file=sys.stderr)
         machine = None
@@ -555,8 +712,8 @@ def main() -> None:
     # contract stays small while the headline's composition stays
     # auditable (VERDICT r9 Next #6).
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
         record = build_record(timings, all_samples, sf, set(QUERIES), machine)
+        record["adjudications"] = adjudications
         write_artifacts(record, here)
     except Exception as exc:  # the stdout line is the driver contract —
         print(f"BENCH.json write failed: {exc!r}", file=sys.stderr)
