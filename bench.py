@@ -298,6 +298,8 @@ HEADLINE = [
     "chi2_lang_source",
     "error_rate_wilson",
     "decontamination_census",
+    # round-14 additions
+    "semantic_dedup_planted",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1011,3 +1011,71 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_planted",
+    # VERDICT r13 Next #2: semantic_dedup's external row runs the
+    # fixture-informative threshold 0.2 (the fixture is duplicate-free
+    # at 0.95), so the SHIPPED default threshold never carried an
+    # external value row. This registration plants exact-replica
+    # duplicates deterministically IN SQL-REPLAYABLE form (the
+    # max-duplication replica trick scale_smoke uses): every vec_id
+    # divisible by 10 gains a replica at vec_id+1e7, every vec_id
+    # divisible by 20 a second replica at vec_id+2e7 — identical float
+    # lists, so cosine rounds to 1.0 ≥ 0.95 in both engines and the
+    # LSH signatures collide by construction. Expected clusters: size-3
+    # for %20 ids, size-2 for the remaining %10 ids; the oracle is the
+    # same composed LSH-pair + recursive-CTE-CC SQL as semantic_dedup,
+    # over the planted union at the PRODUCTION threshold 0.95.
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL),
+    planted AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000000, embedding FROM base WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 20000000, embedding FROM base WHERE vec_id % 20 = 0),
+    sig AS (
+      SELECT vec_id, embedding,
+           {_duck_lsh_sig('embedding')} AS sg
+      FROM planted),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+      WHERE round({_duck_dot('a.embedding', 'b.embedding')}
+                  / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                     * sqrt({_duck_dot('b.embedding', 'b.embedding')})),
+                  6) >= 0.95),
+    edges AS (SELECT va AS src, vb AS dst FROM p
+              UNION ALL SELECT vb, va FROM p),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src),
+    cc AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+    SELECT cc.vec_id, cc.cluster_id,
+           cc.vec_id = cc.cluster_id AS is_keeper, sz.cluster_size
+    FROM cc JOIN sz USING (cluster_id)
+    """,
+)
+def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup at the PRODUCTION threshold 0.95 over the fixture
+    union exact-replica planted duplicates (deterministic vec_id
+    arithmetic, so the DuckDB oracle reconstructs the identical input).
+    Proves the shipped default end to end: replica pairs cosine to
+    exactly 1.0, survive the 0.95 gate, and close into the expected
+    size-2/size-3 clusters with min-id keepers."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.where(F.col("vec_id").isNotNull())
+    r1 = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    r2 = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"), "embedding"
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(r1).unionByName(r2), threshold=0.95
+    )
+
+
