@@ -44,6 +44,8 @@ from dumbo_spark.queries import (  # noqa: E402,F401
     dedup_sim,
     tpch,
     temporal_ml,
+    ann_graph_stream,  # the r14 suffix split of temporal_ml — must
+    # stay immediately after it to preserve registration order
     compat_pack,
     distribution,
 )

@@ -127,3 +127,55 @@ def test_release_persistent_rdds_frees_checkpoint_blocks(spark):
     assert release_persistent_rdds(spark) >= 1
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     assert release_persistent_rdds(spark) == 0  # idempotent
+
+
+def test_load_close_queries_guards(tmp_path):
+    # missing file / wrong sf / empty map -> None; matching sf -> map
+    assert bench.load_close_queries(str(tmp_path), "0.1") is None
+    (tmp_path / "BENCH_CLOSE.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0}})
+    )
+    assert bench.load_close_queries(str(tmp_path), "0.1") == {"q1": 1.0}
+    assert bench.load_close_queries(str(tmp_path), "0.01") is None
+    (tmp_path / "BENCH_CLOSE.json").write_text(json.dumps({"sf": 0.1}))
+    assert bench.load_close_queries(str(tmp_path), "0.1") is None
+    (tmp_path / "BENCH_CLOSE.json").write_text("not json")
+    assert bench.load_close_queries(str(tmp_path), "0.1") is None
+
+
+def test_adjudicate_flags_only_true_breaches(spark, sf_dir):
+    # VERDICT r13 #1: rows >2x close AND above the absolute floor are
+    # re-run median-of-3 in the quiet JVM and carry BOTH readings; the
+    # isolated number decides window-contention vs regression-suspect.
+    from dumbo_spark.registry import QUERIES
+    from dumbo_spark.testing import release_persistent_rdds
+
+    name = "group_sum"
+    timings = {
+        name: 10.0,        # pretend the sweep read 10s
+        "wordcount": 0.4,  # >2x its close but under the 0.5s floor
+        "join_inner": 1.0, # exactly 2x close -> NOT a breach (strict >)
+    }
+    close = {name: 0.05, "wordcount": 0.1, "join_inner": 0.5}
+    out = bench.adjudicate(
+        spark, QUERIES, sf_dir, timings, close, release_persistent_rdds
+    )
+    assert set(out["rows"]) == {name}
+    row = out["rows"][name]
+    assert row["sweep_sec"] == 10.0 and row["close_sec"] == 0.05
+    assert len(row["isolated_runs"]) == 3
+    # a trivial group-by at sf0.001 re-times well under the fake 10s
+    assert row["isolated_median_sec"] < 10.0
+    assert row["verdict"] in {"window-contention", "regression-suspect"}
+    assert out["calib_spark_sec"] > 0
+
+
+def test_adjudicate_without_baseline_is_a_noop(spark, sf_dir):
+    from dumbo_spark.registry import QUERIES
+    from dumbo_spark.testing import release_persistent_rdds
+
+    out = bench.adjudicate(
+        spark, QUERIES, sf_dir, {"group_sum": 99.0}, None,
+        release_persistent_rdds,
+    )
+    assert out["rows"] == {} and "baseline" in out

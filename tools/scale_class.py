@@ -34,6 +34,38 @@ from scale_smoke import BASE_SF, build  # noqa: E402
 
 QUERIES_UNDER_TEST = ["pagerank_checked", "copurchase_components", "dup_cluster_sizes"]
 
+# ANN family (VERDICT r13 Next #5): 3 of the top-6 bench rows and the
+# only expensive family without 10x/30x shuffle-byte rows in SCALE.md.
+# scale_smoke.build deliberately keeps embeddings at the fixed fixture
+# (its smoke expectations depend on that), so the ANN sweep replicates
+# embeddings into its OWN dir: replicas are exact vector dups at
+# vec_id + r*1e7, which (a) leaves the `vec_id < sample` codebook
+# training and `vec_id < n_queries` probe sets pinned to the base rows
+# — the bounded-training property under test — and (b) makes the
+# candidate fan-out worst-case (identical vectors share every LSH
+# bucket / IVF cell), so the probe join's scale class is measured at
+# its adversarial bound, mirroring the documents-replica dedup trick.
+ANN_QUERIES = ["knn_cosine_lsh", "knn_cosine_ivfpq", "ivfpq_recall_checked"]
+
+
+def build_ann(spark, repl: int, out: str) -> str:
+    from pyspark.sql import functions as F
+
+    from dumbo_spark.sources.catalog import load_table
+
+    os.makedirs(out, exist_ok=True)
+    dst = f"{out}/embeddings.parquet"
+    if not os.path.exists(dst):
+        df = load_table(spark, BASE_SF, "embeddings")
+        rep = df.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(repl)]))
+        )
+        rep = rep.withColumn(
+            "vec_id", F.col("vec_id") + F.col("_r").cast("long") * 10_000_000
+        ).drop("_r")
+        rep.write.mode("overwrite").parquet(dst)
+    return out
+
 
 def _ui_base(spark) -> str:
     return spark.sparkContext.uiWebUrl
@@ -86,7 +118,11 @@ def main() -> None:
     spark = get_session(
         "scale_class", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 16))
     )
-    results: dict[str, dict[int, dict]] = {q: {} for q in QUERIES_UNDER_TEST}
+    only_ann = os.environ.get("SCALE_CLASS_ONLY_ANN", "") == "1"
+    iter_q = [] if only_ann else QUERIES_UNDER_TEST
+    results: dict[str, dict[int, dict]] = {
+        q: {} for q in iter_q + ANN_QUERIES
+    }
     for repl in repls:
         if repl == 1:
             sf_dir = BASE_SF
@@ -95,8 +131,22 @@ def main() -> None:
             t0 = time.perf_counter()
             build(spark, repl=repl, out=sf_dir)
             print(f"# build x{repl}: {time.perf_counter()-t0:.1f}s", flush=True)
-        for name in QUERIES_UNDER_TEST:
+        for name in iter_q:
             rec = run_one(spark, name, sf_dir)
+            results[name][repl] = rec
+            print(f"# x{repl} {name}: {json.dumps(rec)}", flush=True)
+        if repl == 1:
+            ann_dir = BASE_SF
+        else:
+            ann_dir = f"/tmp/dumbo_spark_scale_ann_x{repl}"
+            t0 = time.perf_counter()
+            build_ann(spark, repl=repl, out=ann_dir)
+            print(
+                f"# build_ann x{repl}: {time.perf_counter()-t0:.1f}s",
+                flush=True,
+            )
+        for name in ANN_QUERIES:
+            rec = run_one(spark, name, ann_dir)
             results[name][repl] = rec
             print(f"# x{repl} {name}: {json.dumps(rec)}", flush=True)
 
@@ -105,7 +155,7 @@ def main() -> None:
         "| per-stage shuffle-write MB |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in QUERIES_UNDER_TEST:
+    for name in iter_q + ANN_QUERIES:
         for repl in repls:
             r = results[name].get(repl)
             if not r:
