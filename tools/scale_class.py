@@ -90,8 +90,11 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
         s for s in _completed_stages(spark) if s["stageId"] not in before
     ]
     stages.sort(key=lambda s: s["stageId"])
+    # 3-decimal MB: the ANN family's per-stage shuffles are KB-scale
+    # (5k embeddings x 64 floats), and 1-decimal rounding read 0.0
+    # for every stage — scale-class-invisible
     writes_mb = [
-        round(s["shuffleWriteBytes"] / 1e6, 1)
+        round(s["shuffleWriteBytes"] / 1e6, 3)
         for s in stages
         if s["shuffleWriteBytes"] > 0
     ]
@@ -102,7 +105,7 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
         "sec": round(wall, 1),
         "n_stages": len(stages),
         "shuffle_write_mb_total": round(
-            sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 1
+            sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 3
         ),
         "shuffle_write_mb_per_stage": writes_mb,
     }
@@ -126,7 +129,7 @@ def main() -> None:
     for repl in repls:
         if repl == 1:
             sf_dir = BASE_SF
-        else:
+        elif iter_q:  # the full-table replicas feed only the iterative set
             sf_dir = f"/tmp/dumbo_spark_scale_x{repl}"
             t0 = time.perf_counter()
             build(spark, repl=repl, out=sf_dir)
