@@ -300,6 +300,7 @@ HEADLINE = [
     "decontamination_census",
     # round-14 additions
     "semantic_dedup_planted",
+    "dedup_substring_trim",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1335,6 +1335,110 @@ def substring_dup_pairs(
     )
 
 
+def substring_dedup_trim(
+    documents: DataFrame, window_tokens: int = 20
+) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. 2022's
+    ExactSubstr dedup actually *excises* the duplicated span, it
+    doesn't just report pairs — :func:`substring_dup_pairs` is the
+    detection half, this is the trim): every token position covered by
+    a verbatim ``window_tokens``-token span that also appears in an
+    earlier document (min doc_id keeps ALL its occurrences — the
+    deterministic "first document wins" rule) is removed, and each
+    document is re-emitted from its surviving tokens in order.
+
+    Plan: token windows at every position → md5 fingerprints → per-
+    window (keeper=min doc_id, distinct-doc df) aggregate → occurrences
+    in non-keeper docs explode to their covered positions (×w only on
+    the DUPLICATED text, not the corpus) → distinct → anti-join against
+    the positional token table → per-doc ordered reassembly
+    (array_sort over (pos, token) structs; collect_list alone is
+    shuffle-order-nondeterministic). Unlike the pair detector, no
+    ``max_df`` cap is needed: removal never forms pairs — each
+    occurrence joins one per-window stats row, so a boilerplate window
+    shared by 10⁴ docs costs 10⁴ linear rows, not 10⁸ pairs, and
+    boilerplate is precisely what the trim SHOULD remove from every
+    non-keeper.
+
+    At 100 TB: two shuffles over ~corpus_tokens rows (window-hash agg,
+    per-doc reassembly) plus the covered-position blowup bounded by
+    w × duplicated_tokens. The reassembly groupBy keys on doc_id, so
+    partitioning matches the corpus layout; no window function over a
+    global key, no driver materialization.
+
+    Output: (doc_id, n_tokens, n_removed, kept_text) for EVERY input
+    document — kept_text is the whitespace-normalized token rejoin
+    (identical normalization to the tokenizer, so untouched docs
+    round-trip as their token stream, and a fully-duplicated doc
+    becomes the empty string rather than vanishing).
+    """
+    w = window_tokens
+    toked = documents.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    )
+    occ = (
+        toked.where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), w))).alias(
+                "wh"
+            ),
+        )
+    )
+    stats = occ.groupBy("wh").agg(
+        F.min("doc_id").alias("_keeper"),
+        F.count_distinct("doc_id").alias("_df"),
+    )
+    covered = (
+        occ.join(stats.where(F.col("_df") >= 2), "wh")
+        .where(F.col("doc_id") != F.col("_keeper"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(w - 1))).alias(
+                "i"
+            ),
+        )
+        .distinct()
+    )
+    toks_pos = toked.select(
+        "doc_id", F.posexplode("toks").alias("_i0", "tok")
+    ).select("doc_id", (F.col("_i0") + 1).alias("i"), "tok")
+    kept = (
+        toks_pos.join(covered, ["doc_id", "i"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        toked.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def winnowed_dup_pairs(
     documents: DataFrame,
     gram_tokens: int = 8,

@@ -422,6 +422,59 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_trim",
+    # r14: the REMOVAL half of ExactSubstr dedup (dedup_substring is
+    # the detection half) — 747 duplicated windows exist at sf0.01, so
+    # the trim is exercised on real rows. Same DUCK_TOKENS fragment and
+    # 1-based inclusive list slicing as the detection oracle; ordered
+    # reassembly via string_agg(... ORDER BY i) mirrors Spark's
+    # array_sort-of-structs (collect_list alone would be
+    # shuffle-order-nondeterministic).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks
+      FROM documents),
+    occ AS (
+      SELECT doc_id, p, md5(array_to_string(toks[p : p + 19], ' ')) AS wh
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19, 1))
+                       AS p) s
+      WHERE len(toks) >= 20),
+    stats AS (
+      SELECT wh, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS df
+      FROM occ GROUP BY wh),
+    cov AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT o.doc_id, unnest(generate_series(o.p, o.p + 19, 1)) AS i
+        FROM occ o JOIN stats USING (wh)
+        WHERE stats.df >= 2 AND o.doc_id <> stats.keeper) t),
+    tp AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks), 1))
+                       AS i) s),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.tok FROM tp
+      ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS kept_text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(agg.kept_text, '') AS kept_text
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (dedup.substring_dedup_trim): positions
+    covered by a verbatim 20-token span already present in an
+    earlier (min-doc_id) document are excised; every document
+    re-emitted from its surviving tokens in order."""
+    return dedup.substring_dedup_trim(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_winnowed",
     # ADVICE r8: shared DUCK_TOKENS fragment (see dedup_substring).
     oracle=f"""
