@@ -284,6 +284,14 @@ def main() -> None:
         # join and the LSH→verify→components pipeline)
         "dedup_simhash_md5",
         "dedup_clusters_md5",
+        # round-14 additions: the trim rides the max-duplication
+        # replicas at their adversarial worst (every replica doc is a
+        # full-length exact dup, so the covered-position explode hits
+        # its w× bound on ~the whole corpus); semantic_dedup_planted
+        # plants its own replicas on the FIXED embeddings fixture, so
+        # it smokes the planted-cluster plan rather than corpus growth
+        "dedup_substring_trim",
+        "semantic_dedup_planted",
     ]
     only = os.environ.get("SCALE_ONLY")
     if only:
