@@ -445,7 +445,11 @@ def load_close_queries(here: str, sf: str) -> dict[str, float] | None:
 # the signal is worth.
 ADJ_RATIO = 2.0
 ADJ_FLOOR_SEC = 0.5
-ADJ_MAX_ROWS = 12  # bound the post-sweep re-run budget
+# Runaway backstop only — must comfortably exceed a BAD window's breach
+# count (measured: 6 and 17 breaches in the two r14 close windows; the
+# adjudication contract is "no unadjudicated >2x row", so a cap that
+# CLIPS a real window defeats the feature; 12 did exactly that once)
+ADJ_MAX_ROWS = 40
 
 
 def adjudicate(
