@@ -78,17 +78,37 @@ def _completed_stages(spark) -> list[dict]:
         return json.load(r)
 
 
-def run_one(spark, name: str, sf_dir: str) -> dict:
+def run_one(spark, name: str, sf_dir: str, noop: bool = False) -> dict:
+    """Time one query and attribute its completed stages.
+
+    ``noop=False`` (default, the historical method): time ``.count()``.
+    Fine for the iterative/ANN roster, whose work is aggregations and
+    checkpointed loops that a count cannot prune. ``noop=True``
+    (SCALE_CLASS_NOOP=1): time the full-materialization noop write —
+    REQUIRED for queries whose final step Catalyst can eliminate under
+    count() (measured: dedup_substring_trim's count() pruned the whole
+    trim to a 3-stage 0-shuffle token count, because count over a left
+    join with a unique-keyed, unreferenced right side drops the join).
+    Rows are then counted untimed afterwards."""
     from dumbo_spark.registry import QUERIES
     from dumbo_spark.session import release_persistent_rdds
 
     before = {s["stageId"] for s in _completed_stages(spark)}
+    df = QUERIES[name].fn(spark, sf_dir)
     t0 = time.perf_counter()
-    rows = QUERIES[name].fn(spark, sf_dir).count()
+    if noop:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        rows = df.count()
     wall = time.perf_counter() - t0
+    # stage attribution snapshot happens HERE, before any untimed
+    # follow-up count, so the noop path's metrics cover exactly the
+    # timed materialization
     stages = [
         s for s in _completed_stages(spark) if s["stageId"] not in before
     ]
+    if noop:
+        rows = df.count()  # untimed, excluded from the stage window
     stages.sort(key=lambda s: s["stageId"])
     # 3-decimal MB: the ANN family's per-stage shuffles are KB-scale
     # (5k embeddings x 64 floats), and 1-decimal rounding read 0.0
@@ -123,8 +143,16 @@ def main() -> None:
     )
     only_ann = os.environ.get("SCALE_CLASS_ONLY_ANN", "") == "1"
     iter_q = [] if only_ann else QUERIES_UNDER_TEST
+    # SCALE_CLASS_QUERIES=a,b,c overrides the iterative set (still runs
+    # on the full-table replicas); combine with SCALE_CLASS_SKIP_ANN=1
+    # to pin a single new operator's scale class without re-timing the
+    # whole roster.
+    override = os.environ.get("SCALE_CLASS_QUERIES", "")
+    if override:
+        iter_q = [n.strip() for n in override.split(",") if n.strip()]
+    ann_q = [] if os.environ.get("SCALE_CLASS_SKIP_ANN", "") == "1" else ANN_QUERIES
     results: dict[str, dict[int, dict]] = {
-        q: {} for q in iter_q + ANN_QUERIES
+        q: {} for q in iter_q + ann_q
     }
     for repl in repls:
         if repl == 1:
@@ -134,11 +162,14 @@ def main() -> None:
             t0 = time.perf_counter()
             build(spark, repl=repl, out=sf_dir)
             print(f"# build x{repl}: {time.perf_counter()-t0:.1f}s", flush=True)
+        noop = os.environ.get("SCALE_CLASS_NOOP", "") == "1"
         for name in iter_q:
-            rec = run_one(spark, name, sf_dir)
+            rec = run_one(spark, name, sf_dir, noop=noop)
             results[name][repl] = rec
             print(f"# x{repl} {name}: {json.dumps(rec)}", flush=True)
-        if repl == 1:
+        if not ann_q:
+            ann_dir = None
+        elif repl == 1:
             ann_dir = BASE_SF
         else:
             ann_dir = f"/tmp/dumbo_spark_scale_ann_x{repl}"
@@ -148,7 +179,7 @@ def main() -> None:
                 f"# build_ann x{repl}: {time.perf_counter()-t0:.1f}s",
                 flush=True,
             )
-        for name in ANN_QUERIES:
+        for name in ann_q:
             rec = run_one(spark, name, ann_dir)
             results[name][repl] = rec
             print(f"# x{repl} {name}: {json.dumps(rec)}", flush=True)
@@ -158,7 +189,7 @@ def main() -> None:
         "| per-stage shuffle-write MB |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in iter_q + ANN_QUERIES:
+    for name in iter_q + ann_q:
         for repl in repls:
             r = results[name].get(repl)
             if not r:

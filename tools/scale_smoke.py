@@ -5,6 +5,16 @@ linearly (no accidental n² joins, no driver collects, no window over a
 global key) before anyone pays for a real cluster run.
 
     python tools/scale_smoke.py            # prints a timing table
+
+MEASUREMENT CAVEAT (r14): the smoke drives each query with ``.count()``
+because its PRIMARY signal is the row count (cross-sweep row drift =
+semantics change). Row counts are always exact, but the WALL-CLOCK is
+the count-path time, and for a query whose final step is a left join
+with a unique-keyed, otherwise-unreferenced right side, Catalyst
+eliminates that join under count() — the timing then under-reports the
+full materialization (measured: dedup_substring_trim count-pruned to a
+3-stage token count). Full-materialization scale timings live in
+SCALE.md's scale-class tables (tools/scale_class.py SCALE_CLASS_NOOP=1).
 """
 
 from __future__ import annotations
