@@ -1347,30 +1347,48 @@ def substring_dedup_trim(
     deterministic "first document wins" rule) is removed, and each
     document is re-emitted from its surviving tokens in order.
 
-    Plan: token windows at every position → md5 fingerprints → per-
-    window (keeper=min doc_id, distinct-doc df) aggregate → occurrences
-    in non-keeper docs explode to their covered positions (×w only on
-    the DUPLICATED text, not the corpus) → distinct → anti-join against
-    the positional token table → per-doc ordered reassembly
-    (array_sort over (pos, token) structs; collect_list alone is
-    shuffle-order-nondeterministic). Unlike the pair detector, no
-    ``max_df`` cap is needed: removal never forms pairs — each
-    occurrence joins one per-window stats row, so a boilerplate window
-    shared by 10⁴ docs costs 10⁴ linear rows, not 10⁸ pairs, and
-    boilerplate is precisely what the trim SHOULD remove from every
-    non-keeper.
+    Plan (r15 — interval-merge rewrite, VERDICT r14 #3): token windows
+    at every position → md5 fingerprints → per-window (keeper=min
+    doc_id, distinct-doc df) aggregate → duplicated-window START
+    positions in non-keeper docs → per-doc gaps-and-islands merge of
+    the overlapping ``[p, p+w)`` spans (lag/sum over a doc_id window —
+    bounded by occurrences, never ×w) → the few merged intervals per
+    doc collect into an array → ONE doc-keyed join back to the token
+    arrays, where the excision runs entirely JVM-side with
+    higher-order functions: ``filter(positions, i → ¬exists(ivs,
+    s≤i≤e))`` then ``transform``+``concat_ws`` re-emit the survivors
+    in order. No covered-position explode, no positional anti-join,
+    no collect_list reassembly — the r14 plan's one superlinear stage
+    (×w occurrence explode before distinct: 0.099→18.3→58.9 MB at
+    1×/10×/30×) is gone; the covered stage now shuffles the merged
+    intervals, which track duplicated-window OCCURRENCES. Unlike the
+    pair detector, no ``max_df`` cap is needed: removal never forms
+    pairs — each occurrence joins one per-window stats row, so a
+    boilerplate window shared by 10⁴ docs costs 10⁴ linear rows, not
+    10⁸ pairs, and boilerplate is precisely what the trim SHOULD
+    remove from every non-keeper.
 
-    At 100 TB: two shuffles over ~corpus_tokens rows (window-hash agg,
-    per-doc reassembly) plus the covered-position blowup bounded by
-    w × duplicated_tokens. The reassembly groupBy keys on doc_id, so
-    partitioning matches the corpus layout; no window function over a
-    global key, no driver materialization.
+    At 100 TB: shuffle ledger is (1) the window-hash aggregate over
+    ~corpus_tokens fingerprint rows, (2) the duplicated-start rows
+    shuffled ONCE on doc_id (the islands window, the interval groupBy,
+    and the per-doc collect all reuse that partitioning — Catalyst's
+    EnsureRequirements accepts the doc_id hash for the (doc_id, isl)
+    clustering), and (3) the corpus shuffled once on doc_id for the
+    final join. The corpus is tokenized twice (fingerprints + final
+    rejoin) — down from 3× in the r14 shape (ADVICE r14); Catalyst
+    does not dedupe the subtree, so the scan cost model is 2× scan +
+    2× tokenize, each linear. The per-token ``exists`` probe is
+    O(merged_intervals_per_doc), small by construction since merging
+    collapses every overlapping boilerplate run to one interval. No
+    window function over a global key, no driver materialization.
 
     Output: (doc_id, n_tokens, n_removed, kept_text) for EVERY input
     document — kept_text is the whitespace-normalized token rejoin
     (identical normalization to the tokenizer, so untouched docs
     round-trip as their token stream, and a fully-duplicated doc
-    becomes the empty string rather than vanishing).
+    becomes the empty string rather than vanishing). Bit-identical to
+    the r14 anti-join formulation (the DuckDB oracle keeps that shape
+    as the independent recomputation).
     """
     w = window_tokens
     toked = documents.select(
@@ -1397,45 +1415,59 @@ def substring_dedup_trim(
         F.min("doc_id").alias("_keeper"),
         F.count_distinct("doc_id").alias("_df"),
     )
-    covered = (
+    # duplicated-window start positions in non-keeper docs; one row per
+    # (doc_id, p) — occ is position-unique and stats is window-unique
+    starts = (
         occ.join(stats.where(F.col("_df") >= 2), "wh")
         .where(F.col("doc_id") != F.col("_keeper"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(w - 1))).alias(
-                "i"
-            ),
-        )
-        .distinct()
+        .select("doc_id", "p")
     )
-    toks_pos = toked.select(
-        "doc_id", F.posexplode("toks").alias("_i0", "tok")
-    ).select("doc_id", (F.col("_i0") + 1).alias("i"), "tok")
-    kept = (
-        toks_pos.join(covered, ["doc_id", "i"], "left_anti")
-        .groupBy("doc_id")
+    # gaps-and-islands over sorted starts: spans [p, p+w-1] of equal
+    # width merge iff the next start is within w of the previous (a gap
+    # of exactly w is contiguous coverage); running sum of breaks is
+    # the island id
+    win = Window.partitionBy("doc_id").orderBy("p")
+    intervals = (
+        starts.withColumn("_lag", F.lag("p").over(win))
+        .withColumn(
+            "_isl",
+            F.sum(
+                F.when(
+                    F.col("_lag").isNull()
+                    | (F.col("p") - F.col("_lag") <= F.lit(w)),
+                    0,
+                ).otherwise(1)
+            ).over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("doc_id", "_isl")
         .agg(
-            F.count("*").alias("_n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                    lambda x: x["tok"],
-                ),
-            ).alias("kept_text"),
+            F.min("p").alias("s"),
+            (F.max("p") + F.lit(w - 1)).alias("e"),
         )
     )
-    return (
-        toked.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).cast("bigint").alias("n_removed"),
-            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
-        )
+    ivs = intervals.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("_ivs")
+    )
+    # excise JVM-side: surviving 1-based positions, then ordered rejoin.
+    # sequence(1, 0) would count DOWN, so empty token arrays get an
+    # explicit empty positions array; exists() over the coalesced empty
+    # interval list is false, keeping every token of untouched docs.
+    pos = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    safe_ivs = F.coalesce(F.col("_ivs"), F.array().cast("array<struct<s:int,e:int>>"))
+    kept_idx = F.filter(
+        pos,
+        lambda i: ~F.exists(safe_ivs, lambda iv: (iv["s"] <= i) & (i <= iv["e"])),
+    )
+    return toked.join(ivs, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept_idx)).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i)),
+        ).alias("kept_text"),
     )
 
 

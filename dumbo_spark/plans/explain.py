@@ -40,5 +40,13 @@ def physical_summary(df: DataFrame) -> dict:
         + plan.count("FlatMapGroupsInPandas"),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]+\]", formatted)),
         "take_ordered": plan.count("TakeOrderedAndProject"),
+        # Scale-killer joins: an O(n*m) plan node anywhere is the one
+        # class this audit exists to rule out. CartesianProduct is the
+        # non-broadcast cross join; BroadcastNestedLoopJoin is Spark's
+        # fallback for non-equi joins (fine when the broadcast side is a
+        # bounded aggregate, catastrophic when it is data-proportional),
+        # so both are surfaced and every non-zero row must justify itself.
+        "cartesian_products": plan.count("CartesianProduct"),
+        "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
         "plan": plan,
     }

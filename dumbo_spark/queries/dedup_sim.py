@@ -421,30 +421,49 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# dedup_substring_trim's window width, shared by the operator call and
+# the oracle SQL below (ADVICE r14: the oracle used to hardcode 19/20
+# literals, silently desyncing if the operator default ever changed).
+_TRIM_W = 20
+# the trim operator coalesces null text to '' (n_tokens=0, kept_text='')
+# — the oracle must tokenize the same value or a null-text row would
+# yield NULL n_tokens and diverge (ADVICE r14; latent, no fixture has
+# null text today). DUCK_TOKENS itself stays un-coalesced because the
+# detection-half oracles filter len(toks) >= w, which drops NULLs.
+_TRIM_TOKENS = (
+    r"list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),"
+    r" t -> t <> '')"
+)
+
+
 @register(
     "dedup_substring_trim",
     # r14: the REMOVAL half of ExactSubstr dedup (dedup_substring is
     # the detection half) — 747 duplicated windows exist at sf0.01, so
-    # the trim is exercised on real rows. Same DUCK_TOKENS fragment and
+    # the trim is exercised on real rows. Same tokenization and
     # 1-based inclusive list slicing as the detection oracle; ordered
     # reassembly via string_agg(... ORDER BY i) mirrors Spark's
-    # array_sort-of-structs (collect_list alone would be
-    # shuffle-order-nondeterministic).
+    # ordered-position rejoin. The oracle deliberately keeps the
+    # direct covered-position anti-join formulation as an INDEPENDENT
+    # recomputation of the r15 operator's interval-merge plan.
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, {DUCK_TOKENS} AS toks
+      SELECT doc_id, {_TRIM_TOKENS} AS toks
       FROM documents),
     occ AS (
-      SELECT doc_id, p, md5(array_to_string(toks[p : p + 19], ' ')) AS wh
-      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19, 1))
+      SELECT doc_id, p,
+             md5(array_to_string(toks[p : p + {_TRIM_W - 1}], ' ')) AS wh
+      FROM d, LATERAL (SELECT unnest(
+                         generate_series(1, len(toks) - {_TRIM_W - 1}, 1))
                        AS p) s
-      WHERE len(toks) >= 20),
+      WHERE len(toks) >= {_TRIM_W}),
     stats AS (
       SELECT wh, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS df
       FROM occ GROUP BY wh),
     cov AS (
       SELECT DISTINCT doc_id, i FROM (
-        SELECT o.doc_id, unnest(generate_series(o.p, o.p + 19, 1)) AS i
+        SELECT o.doc_id,
+               unnest(generate_series(o.p, o.p + {_TRIM_W - 1}, 1)) AS i
         FROM occ o JOIN stats USING (wh)
         WHERE stats.df >= 2 AND o.doc_id <> stats.keeper) t),
     tp AS (
@@ -468,10 +487,12 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr REMOVAL (dedup.substring_dedup_trim): positions
-    covered by a verbatim 20-token span already present in an
+    covered by a verbatim _TRIM_W-token span already present in an
     earlier (min-doc_id) document are excised; every document
     re-emitted from its surviving tokens in order."""
-    return dedup.substring_dedup_trim(load_table(spark, sf_dir, "documents"))
+    return dedup.substring_dedup_trim(
+        load_table(spark, sf_dir, "documents"), window_tokens=_TRIM_W
+    )
 
 
 @register(

@@ -421,6 +421,43 @@ def test_dpp_partition_filters_injected(spark, sf_dir):
     assert s["python_evals"] == 0
 
 
+def test_physical_summary_detects_cartesian_and_bnlj(spark, sf_dir):
+    """The audit's scale-killer counters must actually fire. PLANS.md is
+    cited every round as proof of 'zero cartesians'; that proof is only
+    worth anything if a genuinely cartesian plan reads non-zero — so
+    build one of each pathology on purpose and assert detection, then
+    assert a healthy equi-join reads zero on both (VERDICT r14 #1)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    # genuine cartesian: cross join of two non-broadcast frames.
+    # Disable autoBroadcast so Spark can't rescue it into a BNLJ.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cart = physical_summary(docs.crossJoin(ords))
+        assert cart["cartesian_products"] >= 1, "CartesianProduct not detected"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # genuine BNLJ: non-equi theta join with a broadcastable side
+    bnlj = physical_summary(
+        docs.join(F.broadcast(ords), docs["doc_id"] > ords["o_orderkey"], "inner")
+    )
+    assert bnlj["bnl_joins"] >= 1, "BroadcastNestedLoopJoin not detected"
+
+    # a healthy equi-join must read zero on both counters
+    healthy = physical_summary(
+        joins.join_inner(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+        )
+    )
+    assert healthy["cartesian_products"] == 0
+    assert healthy["bnl_joins"] == 0
+
+
 def test_incremental_dedup_prune_is_broadcast_semi(spark, sf_dir):
     """The Bloom-style prune must plan as a BROADCAST left-semi on the
     bucket key (bounded build side) feeding the exact left-anti — the

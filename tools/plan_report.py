@@ -27,9 +27,13 @@ def main() -> None:
     print(f"Generated against `{SF_DIR}`. Columns: shuffle exchanges, "
           "broadcast/sort-merge joins, whole-stage-codegen spans, Python "
           "evals (Arrow UDF boundaries), parquet filter pushdown, "
-          "TakeOrderedAndProject.\n")
-    print("| query | exch | bcast | smj | codegen | py | pushdown | topk |")
-    print("|---|---|---|---|---|---|---|---|")
+          "TakeOrderedAndProject, CartesianProduct nodes, "
+          "BroadcastNestedLoopJoin nodes. The last two are the scale-killer "
+          "columns: every non-zero cell must correspond to a "
+          "broadcast-scalar-attach pattern (crossJoin against a bounded "
+          "1-row aggregate) or it is a bug.\n")
+    print("| query | exch | bcast | smj | codegen | py | pushdown | topk | cart | bnlj |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for name, q in sorted(QUERIES.items()):
         try:
             s = physical_summary(q.fn(spark, SF_DIR))
@@ -37,10 +41,11 @@ def main() -> None:
                 f"| {name} | {s['exchanges']} | {s['broadcast_joins']} | "
                 f"{s['sortmerge_joins']} | {s['wholestage_codegen_spans']} | "
                 f"{s['python_evals']} | {'✓' if s['pushed_filters'] else '—'} | "
-                f"{s['take_ordered']} |"
+                f"{s['take_ordered']} | {s['cartesian_products']} | "
+                f"{s['bnl_joins']} |"
             )
         except Exception as e:  # pragma: no cover
-            print(f"| {name} | ERROR: {str(e)[:60]} | | | | | | |")
+            print(f"| {name} | ERROR: {str(e)[:60]} | | | | | | | | |")
     spark.stop()
 
 
