@@ -355,9 +355,11 @@ _REPLAY_REASON = (
     "driver harness and tests"
 )
 _CORE_REASON = (
-    "sub-second-core: fast core operator; excluded from the stdout "
-    "headline for driver-buffer signal-to-noise, still covered by the "
-    "correctness harness"
+    "sub-second-core: fast core operator; excluded from the per-query "
+    "stdout headline for driver-buffer signal-to-noise, but timed as "
+    "part of the aggregated core_suite row (one pass over every "
+    "sub-second-core name, summed) so a regression here is "
+    "bench-visible; correctness covered by the driver harness"
 )
 
 
@@ -373,6 +375,39 @@ def build_manifest(registered: set[str]) -> dict:
         else:
             excluded[n] = _CORE_REASON
     return {"included": included, "excluded": excluded}
+
+
+def core_suite_names(registered: set[str]) -> list[str]:
+    """Exactly the sub-second-core exclusion set (the names whose
+    manifest reason is _CORE_REASON) — the roster the aggregated
+    ``core_suite`` bench row times (VERDICT r14 Next #2: these 50+
+    operators were entirely untimed, so a 10x regression in
+    group_sum/join_inner-class code was invisible to BENCH while
+    staying correctness-green)."""
+    m = build_manifest(registered)
+    return sorted(n for n, r in m["excluded"].items() if r == _CORE_REASON)
+
+
+def core_suite_pass(
+    spark, queries, sf_dir: str, release_persistent_rdds
+) -> tuple[float, dict[str, float]]:
+    """One timed noop-write pass over every sub-second-core name.
+
+    Single pass (not median-of-3): the row's job is regression
+    VISIBILITY across ~50 fast operators, and first-execution codegen
+    is part of what a regression would inflate; the per-name detail
+    ships in BENCH.json's core_suite_detail so a moved total can be
+    pinpointed without re-running the sweep."""
+    detail: dict[str, float] = {}
+    for n in core_suite_names(set(queries)):
+        t0 = time.perf_counter()
+        queries[n].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        detail[n] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        release_persistent_rdds(spark)
+    return round(sum(detail.values()), 3), detail
 
 
 def emit_line(timings: dict[str, float], sf: str) -> str:
@@ -459,6 +494,7 @@ def adjudicate(
     timings: dict[str, float],
     close_map: dict[str, float] | None,
     release_persistent_rdds,
+    extra_runners: dict | None = None,
 ) -> dict:
     """Self-adjudicate window contention (VERDICT r13 Next #1).
 
@@ -506,9 +542,14 @@ def adjudicate(
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            queries[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # synthetic rows (core_suite) re-run via their own runner;
+            # registry rows re-run as the standard noop write
+            if extra_runners and name in extra_runners:
+                extra_runners[name]()
+            else:
+                queries[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
             release_persistent_rdds(spark)
@@ -529,13 +570,21 @@ def adjudicate(
     return out
 
 
+def _loadavg() -> list | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def machine_context(spark) -> dict:
     """Close-window comparability metadata (VERDICT r12 Next #5):
     SCALE.md shows 205→243s closes on IDENTICAL code across machine
     windows, so cross-round deltas need a normalizer recorded in the
     artifact itself. Three signals:
 
-    - loadavg: background contention at sweep time;
+    - loadavg_after: background contention at sweep end (pairs with
+      main()'s pre-sweep loadavg_before sample);
     - cpu_mhz: the governor/turbo state (the biggest single source of
       window-to-window drift on shared hosts);
     - two fixed calibration kernels, chosen to finish in ~1-2s on the
@@ -547,11 +596,12 @@ def machine_context(spark) -> dict:
       the machine moved, not the code.
     """
     ctx: dict = {}
-    try:
-        la1, la5, la15 = os.getloadavg()
-        ctx["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
-    except OSError:
-        ctx["loadavg"] = None
+    # sampled at sweep END — inevitably reads the sweep's own 32-core
+    # load; the pre-sweep sample (loadavg_before, attached in main) is
+    # the one that proves window quietness. Shipping BOTH makes the
+    # quiet-window claim self-contained in the artifact instead of
+    # living in SCALE.md prose (VERDICT r14 Next #4).
+    ctx["loadavg_after"] = _loadavg()
     mhz = []
     try:
         with open("/proc/cpuinfo") as f:
@@ -650,6 +700,9 @@ def main() -> None:
 
     names = sorted(QUERIES) if full else [n for n in HEADLINE if n in QUERIES]
 
+    # pre-sweep load sample: the END-of-sweep loadavg is the sweep's own
+    # load, so THIS is the reading that proves a quiet close window
+    loadavg_before = _loadavg()
     spark = get_session("dumbo_spark_bench", cpus=cpus)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up JVM
 
@@ -684,6 +737,26 @@ def main() -> None:
                 {"after_query": i + 1, "calib_spark_sec": spark_calib(spark)}
             )
 
+    # Aggregated sub-second-core row (VERDICT r14 Next #2): one timed
+    # pass over every _CORE_REASON-excluded operator, summed into a
+    # single headline row so a core-operator regression is
+    # bench-visible without re-bloating the stdout line. Skipped under
+    # BENCH_FULL, where every name is already timed individually.
+    core_detail: dict[str, float] = {}
+    core_runner = None
+    if not full:
+        try:
+            core_total, core_detail = core_suite_pass(
+                spark, QUERIES, sf_dir, release_persistent_rdds
+            )
+            timings["core_suite"] = core_total
+            all_samples["core_suite"] = [core_total]
+
+            def core_runner() -> None:
+                core_suite_pass(spark, QUERIES, sf_dir, release_persistent_rdds)
+        except Exception as exc:  # the suite must never fail the bench
+            print(f"core_suite failed: {exc!r}", file=sys.stderr)
+
     # Post-sweep self-adjudication: re-run (median-of-3, JVM now quiet)
     # every row >2x its committed BENCH_CLOSE counterpart and record
     # both readings, so contention-inflated rows clear themselves in
@@ -697,6 +770,7 @@ def main() -> None:
             timings,
             load_close_queries(here, sf),
             release_persistent_rdds,
+            extra_runners={"core_suite": core_runner} if core_runner else None,
         )
     except Exception as exc:  # adjudication must never fail the bench
         print(f"adjudication failed: {exc!r}", file=sys.stderr)
@@ -704,13 +778,17 @@ def main() -> None:
 
     # Comparability metadata sampled at sweep END, same JVM, so the
     # Spark calibration kernel sees the sweep's codegen/GC state — the
-    # state the late-sweep query timings actually ran under.
+    # state the late-sweep query timings actually ran under. The
+    # in-sweep calibration series and the pre-sweep load sample attach
+    # OUTSIDE the try: a machine_context failure must not drop the
+    # contention evidence already collected (ADVICE r14).
     try:
         machine = machine_context(spark)
-        machine["calib_sweep"] = calib_sweep
     except Exception as exc:  # metadata must never fail the bench
         print(f"machine_context failed: {exc!r}", file=sys.stderr)
-        machine = None
+        machine = {"error": repr(exc)}
+    machine["calib_sweep"] = calib_sweep
+    machine["loadavg_before"] = loadavg_before
 
     print(emit_line(timings, sf))
     spark.stop()
@@ -721,6 +799,8 @@ def main() -> None:
     try:
         record = build_record(timings, all_samples, sf, set(QUERIES), machine)
         record["adjudications"] = adjudications
+        if core_detail:
+            record["core_suite_detail"] = core_detail
         write_artifacts(record, here)
     except Exception as exc:  # the stdout line is the driver contract —
         print(f"BENCH.json write failed: {exc!r}", file=sys.stderr)

@@ -62,20 +62,80 @@ def test_record_carries_machine_comparability_metadata(spark):
     # VERDICT r12 #5: 205->243s closes on identical code across machine
     # windows — record loadavg, cpu MHz, and fixed calibration kernels
     # so cross-round deltas can be normalized from the artifact alone.
+    # r15 (VERDICT r14 #4): the context's own sample is loadavg_AFTER
+    # (the sweep's load); the pre-sweep loadavg_before is attached by
+    # main() so the artifact self-proves the quiet-window claim.
     ctx = bench.machine_context(spark)
     assert set(ctx) == {
-        "loadavg", "cpu_mhz_mean", "calib_python_sec", "calib_spark_sec"
+        "loadavg_after", "cpu_mhz_mean", "calib_python_sec",
+        "calib_spark_sec",
     }
     assert ctx["calib_python_sec"] > 0
     assert ctx["calib_spark_sec"] > 0
-    if ctx["loadavg"] is not None:
-        assert len(ctx["loadavg"]) == 3
+    if ctx["loadavg_after"] is not None:
+        assert len(ctx["loadavg_after"]) == 3
+    lb = bench._loadavg()
+    if lb is not None:
+        assert len(lb) == 3
     timings = {"q1": 1.0}
     samples = {"q1": [1.0]}
     rec = bench.build_record(timings, samples, "0.1", {"q1"}, ctx)
     assert rec["machine"] == ctx
     # machine=None (metadata collection failed) must not add the key
     assert "machine" not in bench.build_record(timings, samples, "0.1", {"q1"})
+
+
+def test_core_suite_covers_exactly_the_sub_second_core_set():
+    # VERDICT r14 #2: the aggregated core_suite row must time exactly
+    # the names excluded with the sub-second-core reason — nothing
+    # more (no double-timing headline/streaming/audit-twin rows),
+    # nothing less (every core name is regression-visible).
+    m = bench.build_manifest(set(QUERIES))
+    expected = sorted(
+        n for n, r in m["excluded"].items() if r == bench._CORE_REASON
+    )
+    got = bench.core_suite_names(set(QUERIES))
+    assert got == expected
+    assert len(got) >= 40  # the r14 gap was ~59 untimed operators
+    assert not set(got) & set(m["included"])
+    assert not any(n.startswith("streaming_") for n in got)
+
+
+def test_core_suite_pass_times_each_name_once(spark, sf_dir):
+    # run the real pass on a 2-name slice of the registry: the detail
+    # map must carry one positive timing per core name and the total
+    # must be their sum
+    sub = {n: QUERIES[n] for n in ("count_distinct", "compat_wordcount")}
+    from dumbo_spark.testing import release_persistent_rdds
+
+    total, detail = bench.core_suite_pass(
+        spark, sub, sf_dir, release_persistent_rdds
+    )
+    assert set(detail) == set(sub)
+    assert all(v > 0 for v in detail.values())
+    assert total == round(sum(detail.values()), 3)
+
+
+def test_adjudicate_uses_extra_runner_for_synthetic_rows(spark, sf_dir):
+    # core_suite is a synthetic timing row with no registry entry; a
+    # breach on it must re-run via its own runner instead of KeyErroring
+    from dumbo_spark.testing import release_persistent_rdds
+
+    calls = []
+    out = bench.adjudicate(
+        spark,
+        QUERIES,
+        sf_dir,
+        {"core_suite": 10.0},
+        {"core_suite": 0.5},
+        release_persistent_rdds,
+        extra_runners={"core_suite": lambda: calls.append(1)},
+    )
+    assert set(out["rows"]) == {"core_suite"}
+    assert len(calls) == 3  # median-of-3 re-run went through the runner
+    assert out["rows"]["core_suite"]["verdict"] in {
+        "window-contention", "regression-suspect"
+    }
 
 
 def test_bench_close_survives_a_simulated_driver_sync(tmp_path, monkeypatch):

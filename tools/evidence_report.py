@@ -125,7 +125,10 @@ def _bench_provenance(repo_dir: str | None = None) -> str:
                 # comparability metadata (VERDICT r12 Next #5): lets a
                 # cross-round delta be normalized by the machine window
                 parts.append(
-                    f"  - machine window: loadavg={m.get('loadavg')}, "
+                    "  - machine window: "
+                    f"loadavg_before={m.get('loadavg_before', m.get('loadavg'))}"
+                    " (pre-sweep — the quietness reading), "
+                    f"loadavg_after={m.get('loadavg_after')} (sweep's own load), "
                     f"cpu_mhz_mean={m.get('cpu_mhz_mean')}, "
                     f"calib_python={m.get('calib_python_sec')}s, "
                     f"calib_spark={m.get('calib_spark_sec')}s"
