@@ -301,6 +301,8 @@ HEADLINE = [
     # round-14 additions
     "semantic_dedup_planted",
     "dedup_substring_trim",
+    # round-15 additions
+    "dedup_selfrepeat_trim",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom

@@ -1422,10 +1422,27 @@ def substring_dedup_trim(
         .where(F.col("doc_id") != F.col("_keeper"))
         .select("doc_id", "p")
     )
-    # gaps-and-islands over sorted starts: spans [p, p+w-1] of equal
-    # width merge iff the next start is within w of the previous (a gap
-    # of exactly w is contiguous coverage); running sum of breaks is
-    # the island id
+    return _excise_covered_spans(toked, starts, w)
+
+
+def _excise_covered_spans(
+    toked: DataFrame, starts: DataFrame, w: int
+) -> DataFrame:
+    """Shared trim tail (substring_dedup_trim / selfrepeat_trim):
+    given the tokenized corpus ``(doc_id, toks)`` and the set of
+    covered w-token span STARTS ``(doc_id, p)`` (position-unique per
+    doc), merge overlapping spans per doc and re-emit every document
+    from its surviving tokens.
+
+    Gaps-and-islands over sorted starts: spans [p, p+w-1] of equal
+    width merge iff the next start is within w of the previous (a gap
+    of exactly w is contiguous coverage); running sum of breaks is the
+    island id. The few merged intervals per doc collect into an array
+    and the excision runs JVM-side with higher-order functions — no
+    covered-position explode, no positional anti-join. Shuffle ledger:
+    starts once on doc_id (window + both groupBys reuse the
+    partitioning), corpus once on doc_id for the final join.
+    """
     win = Window.partitionBy("doc_id").orderBy("p")
     intervals = (
         starts.withColumn("_lag", F.lag("p").over(win))
@@ -1469,6 +1486,62 @@ def substring_dedup_trim(
             F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i)),
         ).alias("kept_text"),
     )
+
+
+def selfrepeat_trim(documents: DataFrame, window_tokens: int = 10) -> DataFrame:
+    """INTRA-document ExactSubstr trim: Lee et al. 2022's suffix-array
+    dedup also fires on a span repeated WITHIN one document (templated
+    boilerplate, copy-paste runs, degenerate generation loops — the
+    self-repetition that length filters miss and
+    :func:`substring_dedup_trim` by construction cannot see, since its
+    keeper rule is cross-document). Every token position covered by a
+    ``window_tokens``-token span whose identical content already
+    occurred at an EARLIER position of the same document (keep-first:
+    the minimum start position retains its tokens) is removed, and the
+    document re-emitted from its surviving tokens in order.
+
+    Plan: per-position window md5 → per-(doc, hash) (first=min p,
+    occurrence count) aggregate — keyed on doc_id+hash, so the shuffle
+    is corpus_tokens rows partitioned WITH the corpus, never a global
+    hash table — → non-first occurrence starts → the shared
+    gaps-and-islands merge + JVM-side excision
+    (:func:`_excise_covered_spans`). At 100 TB: same ledger as the
+    cross-doc trim minus its window-hash global aggregate; repeats
+    cost rows proportional to repeated-span occurrences, never pairs.
+
+    Output: (doc_id, n_tokens, n_removed, kept_text) for EVERY input
+    document, identical contract to :func:`substring_dedup_trim`.
+    """
+    w = window_tokens
+    toked = documents.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    )
+    occ = (
+        toked.where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), w))).alias(
+                "wh"
+            ),
+        )
+    )
+    firsts = occ.groupBy("doc_id", "wh").agg(
+        F.min("p").alias("_first"), F.count("*").alias("_n")
+    )
+    starts = (
+        occ.join(firsts.where(F.col("_n") >= 2), ["doc_id", "wh"])
+        .where(F.col("p") != F.col("_first"))
+        .select("doc_id", "p")
+    )
+    return _excise_covered_spans(toked, starts, w)
 
 
 def winnowed_dup_pairs(

@@ -495,6 +495,90 @@ def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# selfrepeat_trim's window width, shared operator-call/oracle like
+# _TRIM_W. 10 (not 20): the planted partial repeat is a ~120-char
+# prefix (~20 tokens), so w=10 exercises both full- and partial-repeat
+# branches.
+_SELF_W = 10
+
+
+@register(
+    "dedup_selfrepeat_trim",
+    # r15: INTRA-document ExactSubstr trim. The synthetic corpus has
+    # ZERO intra-doc repeated windows at any w (measured 5..20 at
+    # sf0.01), so repeats are PLANTED by SQL-replayable doc_id
+    # arithmetic (the semantic_dedup_planted pattern): doc_id%7=0 docs
+    # append a full self-copy, doc_id%7=3 docs append their 120-char
+    # prefix — the trim must excise exactly the planted repetition
+    # (keep-first) and round-trip every other doc untouched.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                  WHEN doc_id % 7 = 3 THEN text || ' ' || substr(text, 1, 120)
+                  ELSE text END AS text
+      FROM documents),
+    d AS (
+      SELECT doc_id, {_TRIM_TOKENS} AS toks
+      FROM base),
+    occ AS (
+      SELECT doc_id, p,
+             md5(array_to_string(toks[p : p + {_SELF_W - 1}], ' ')) AS wh
+      FROM d, LATERAL (SELECT unnest(
+                         generate_series(1, len(toks) - {_SELF_W - 1}, 1))
+                       AS p) s
+      WHERE len(toks) >= {_SELF_W}),
+    firsts AS (
+      SELECT doc_id, wh, MIN(p) AS fp, COUNT(*) AS n
+      FROM occ GROUP BY doc_id, wh),
+    cov AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT o.doc_id,
+               unnest(generate_series(o.p, o.p + {_SELF_W - 1}, 1)) AS i
+        FROM occ o JOIN firsts f ON o.doc_id = f.doc_id AND o.wh = f.wh
+        WHERE f.n >= 2 AND o.p <> f.fp) t),
+    tp AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks), 1))
+                       AS i) s),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.tok FROM tp
+      ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS kept_text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(agg.kept_text, '') AS kept_text
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_dedup_selfrepeat_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document ExactSubstr trim (dedup.selfrepeat_trim) on the
+    planted-repeat corpus: keep-first removal of every _SELF_W-token
+    span repeated within one document."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.col("text"), F.lit(" "), F.substring(F.col("text"), 1, 120)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.selfrepeat_trim(planted, window_tokens=_SELF_W)
+
+
 @register(
     "dedup_winnowed",
     # ADVICE r8: shared DUCK_TOKENS fragment (see dedup_substring).

@@ -1,0 +1,94 @@
+"""Round-15 operator semantics: selfrepeat_trim (intra-document
+ExactSubstr removal, keep-first) and the shared interval-merge trim
+tail it reuses from substring_dedup_trim."""
+
+import pyspark.sql.functions as F
+
+from dumbo_spark.operators import dedup
+
+
+def _trim(spark, rows, w=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.selfrepeat_trim(df, window_tokens=w)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_selfrepeat_keeps_first_occurrence_only(spark):
+    # "a b c d" repeats at positions 1 and 7; the first stays, the
+    # second's 4 positions are excised
+    got = _trim(spark, [(1, "a b c d x y a b c d z")])
+    assert got[1]["n_tokens"] == 11
+    assert got[1]["n_removed"] == 4
+    assert got[1]["kept_text"] == "a b c d x y z"
+
+
+def test_selfrepeat_is_per_document_not_cross_document(spark):
+    # the same span in two DIFFERENT docs is NOT self-repetition
+    got = _trim(spark, [(1, "a b c d tail"), (2, "a b c d other")])
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 0
+    assert got[2]["kept_text"] == "a b c d other"
+
+
+def test_selfrepeat_degenerate_run_collapses_to_prefix(spark):
+    # "x x x x x x x x": every 4-window is identical; only the first
+    # window's start survives as keeper, positions 5..8 are covered by
+    # non-first starts 2..5 -> covered = [2..8]; kept = "x"
+    got = _trim(spark, [(1, "x x x x x x x x")])
+    assert got[1]["n_tokens"] == 8
+    assert got[1]["kept_text"] == "x"
+    assert got[1]["n_removed"] == 7
+
+
+def test_selfrepeat_short_empty_null_pass_through(spark):
+    got = _trim(spark, [(1, "a b c"), (2, ""), (3, None)])
+    for d in (1, 2, 3):
+        assert got[d]["n_removed"] == 0
+    assert got[1]["kept_text"] == "a b c"
+    assert got[2]["n_tokens"] == 0 and got[2]["kept_text"] == ""
+    assert got[3]["n_tokens"] == 0 and got[3]["kept_text"] == ""
+
+
+def test_selfrepeat_matches_pure_python_reference(spark):
+    # seeded fuzz: docs built from tiny vocabularies so w-window
+    # self-repeats occur organically, plus planted doubled docs
+    import random
+    from collections import defaultdict
+
+    w = 4
+    rows, expect = [], {}
+    for seed in range(25):
+        rng = random.Random(seed)
+        vocab = [f"s{seed}w{i}" for i in range(rng.randrange(2, 6))]
+        for d in range(4):
+            did = seed * 100 + d
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+            if d == 3:
+                toks = toks + toks  # planted full self-repeat
+            firsts, covered = {}, set()
+            for p in range(len(toks) - w + 1):
+                key = tuple(toks[p : p + w])
+                if key in firsts:
+                    covered.update(range(p, p + w))
+                else:
+                    firsts[key] = p
+            kept = [t for i, t in enumerate(toks) if i not in covered]
+            expect[did] = (" ".join(kept), len(toks), len(covered))
+            rows.append((did, " ".join(toks)))
+
+    got = _trim(spark, rows, w=w)
+    for did, (ktext, nt, nr) in expect.items():
+        g = got[did]
+        assert (g["kept_text"], g["n_tokens"], g["n_removed"]) == (
+            ktext, nt, nr,
+        ), did
+
+
+def test_selfrepeat_plan_stays_jvm_side(spark, sf_dir):
+    from dumbo_spark.plans.explain import physical_summary
+    from dumbo_spark.registry import QUERIES
+
+    s = physical_summary(QUERIES["dedup_selfrepeat_trim"].fn(spark, sf_dir))
+    assert s["python_evals"] == 0
+    assert s["cartesian_products"] == 0
+    assert s["bnl_joins"] == 0
