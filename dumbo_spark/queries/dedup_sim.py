@@ -495,11 +495,14 @@ def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# selfrepeat_trim's window width, shared operator-call/oracle like
-# _TRIM_W. 10 (not 20): the planted partial repeat is a ~120-char
+# selfrepeat_trim's window width and the planted-prefix length, shared
+# operator-call/oracle like _TRIM_W (same desync class: a literal
+# edited on one side would silently diverge until the differential
+# fails). w=10 (not 20): the planted partial repeat is a ~120-char
 # prefix (~20 tokens), so w=10 exercises both full- and partial-repeat
 # branches.
 _SELF_W = 10
+_SELF_PREFIX_CHARS = 120
 
 
 @register(
@@ -515,7 +518,7 @@ _SELF_W = 10
     WITH base AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
-                  WHEN doc_id % 7 = 3 THEN text || ' ' || substr(text, 1, 120)
+                  WHEN doc_id % 7 = 3 THEN text || ' ' || substr(text, 1, {_SELF_PREFIX_CHARS})
                   ELSE text END AS text
       FROM documents),
     d AS (
@@ -570,7 +573,7 @@ def q_dedup_selfrepeat_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.col("doc_id") % 7 == 3,
             F.concat(
-                F.col("text"), F.lit(" "), F.substring(F.col("text"), 1, 120)
+                F.col("text"), F.lit(" "), F.substring(F.col("text"), 1, _SELF_PREFIX_CHARS)
             ),
         )
         .otherwise(F.col("text"))
