@@ -574,16 +574,22 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     not NTILE: a quantile boundary compare is a scan predicate and
     scales; a global rank does not.
     """
+    # lazy checkpoints: `per` feeds the as-of scalar AND the recency
+    # frame, `withr` feeds the bounds AND the scoring — without
+    # truncation Catalyst re-embeds (and re-executes) the fact-table
+    # groupBy once per branch (4 scans); one scan with the checkpoints,
+    # no extra job (r15 optimization, guide §2.4)
     per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("_last"),
         F.count("*").alias("frequency"),
         dsum("o_totalprice", "monetary"),
-    )
+    ).localCheckpoint(eager=False)
     asof = per.agg(F.max("_last").alias("_asof"))
     withr = (
         per.crossJoin(F.broadcast(asof))
         .withColumn("recency_days", F.datediff(F.col("_asof"), F.col("_last")))
         .drop("_last", "_asof")
+        .localCheckpoint(eager=False)
     )
     bounds = withr.agg(
         F.percentile("recency_days", F.lit(0.5)).alias("_r50"),
@@ -673,9 +679,11 @@ def revenue_share_parts(lineitem: DataFrame, threshold_bp: int = 7) -> DataFrame
     At 100 TB: |parts| rows after the first agg; everything downstream
     is dimension-sized.
     """
+    # lazy checkpoint: referenced by the total scalar AND the final
+    # projection — one fact-table aggregation instead of two (r15)
     per_part = lineitem.groupBy("l_partkey").agg(
         F.sum(_revenue()).alias("_rev")
-    )
+    ).localCheckpoint(eager=False)
     total = per_part.agg(F.sum("_rev").alias("_tot"))
     share = F.col("_rev").cast("double") / F.col("_tot").cast("double")
     return (
@@ -907,6 +915,8 @@ def decile_lift_table(events: DataFrame, min_purchases: int = 14) -> DataFrame:
     any score cardinality). Every rate/lift is a ratio of exact longs,
     rounded.
     """
+    # lazy checkpoint: referenced by the totals scalar AND the rank pass
+    # — one fact-table aggregation instead of two (r15 optimization)
     per_user = events.groupBy("user_id").agg(
         F.count("*").alias("score"),
         (
@@ -915,7 +925,7 @@ def decile_lift_table(events: DataFrame, min_purchases: int = 14) -> DataFrame:
         )
         .cast("int")
         .alias("converted"),
-    )
+    ).localCheckpoint(eager=False)
     from dumbo_spark.operators.sampling import exact_global_rank
 
     total = per_user.agg(
@@ -1182,12 +1192,20 @@ def churn_risk_buckets(orders: DataFrame, bucket_days: int = 30) -> DataFrame:
 
     Output: (bucket, days_from, n_customers, share) ascending.
     """
-    mx = orders.agg(F.max("o_orderdate").alias("_mx"))
-    last = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("_last"))
+    # one fact scan (r15 optimization): the per-customer maxes are
+    # checkpointed and the global anchor derives from THEM (max of
+    # per-customer maxes ≡ global max) instead of a second orders scan;
+    # hist is checkpointed because the share scalar re-references it
+    last = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last")
+    ).localCheckpoint(eager=False)
+    mx = last.agg(F.max("_last").alias("_mx"))
     bucketed = last.crossJoin(F.broadcast(mx)).select(
         F.floor(F.datediff("_mx", "_last") / F.lit(bucket_days)).alias("bucket")
     )
-    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("n_customers"))
+    hist = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_customers")
+    ).localCheckpoint(eager=False)
     total = hist.agg(F.sum("n_customers").alias("_n"))
     return (
         hist.crossJoin(F.broadcast(total))
@@ -1220,9 +1238,11 @@ def top_percent_customers(orders: DataFrame, pct: float = 1.0) -> DataFrame:
     """
     from dumbo_spark.operators.topk import global_rank
 
+    # lazy checkpoint: referenced by the rank pass AND the share scalar
+    # — one fact-table aggregation instead of two (r15 optimization)
     per = orders.groupBy("o_custkey").agg(
         F.sum(dmoney("o_totalprice")).alias("_rev")
-    )
+    ).localCheckpoint(eager=False)
     ranked = global_rank(
         per, [F.col("_rev").desc(), F.col("o_custkey").asc()]
     )

@@ -226,7 +226,13 @@ def connected_components(
 
     def truncate(df: DataFrame, rnd: int) -> DataFrame:
         if durable_dir is None:
-            return df.localCheckpoint()
+            # LAZY checkpoint: the convergence count below is a FULL
+            # count (no limit) and is the first action over the frame,
+            # so it materializes every partition of the checkpoint in
+            # the same job — one job per round instead of the old
+            # eager-checkpoint job + count job (guide §1.2: per-round
+            # driver actions are pure overhead at every scale).
+            return df.localCheckpoint(eager=False)
         path = f"{run_dir}/labels_{rnd % 2}"
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
@@ -241,7 +247,9 @@ def connected_components(
     # Durable runs round-trip through the run dir so the restart contract
     # holds for the input too, not just the labels.
     if durable_dir is None:
-        e0 = edges.select("doc_a", "doc_b").localCheckpoint()
+        # lazy: materialized by the adjacency persist-count below in the
+        # same job chain (no standalone checkpoint job)
+        e0 = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
     else:
         edges_path = f"{run_dir}/edges"
         edges.select("doc_a", "doc_b").write.mode("overwrite").parquet(edges_path)
@@ -277,11 +285,21 @@ def connected_components(
         adj_path = f"{run_dir}/adj"
         adj.write.mode("overwrite").parquet(adj_path)
         adj = adj.sparkSession.read.parquet(adj_path)
-    labels = truncate(nodes.withColumn("label", F.col("node")), rnd=1)
+    labels = None  # None ⇒ implicit identity labeling (round 1 inlined)
     converged = False
     for it in range(max_iter):
+        if labels is None:
+            # Round 1 inlined: with identity labels the label join is
+            # the identity (each dst delivers its own id as its label),
+            # so min-over-neighbors is min(dst) directly and prev — the
+            # self-loop's delivered label — is src. Saves the initial
+            # label checkpoint AND the first round's join; arithmetic
+            # and convergence semantics are identical.
+            joined = adj.select("src", "dst", F.col("dst").alias("label"))
+        else:
+            joined = adj.join(labels, adj.dst == labels.node)
         new_labels = truncate(
-            adj.join(labels, adj.dst == labels.node)
+            joined
             .groupBy("src")
             .agg(
                 F.min("label").alias("label"),
@@ -292,10 +310,11 @@ def connected_components(
             .select(F.col("src").alias("node"), "label", "prev"),
             rnd=it,
         )
-        changed = (
-            new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
-        )
-        if durable_dir is None:
+        # FULL count (not limit(1)): touches every partition, so the
+        # lazy checkpoint above is completely materialized by this one
+        # job and lineage truncation still holds round to round
+        changed = new_labels.where(F.col("label") != F.col("prev")).count()
+        if labels is not None and durable_dir is None:
             # new_labels is materialized and convergence read from it —
             # the previous round's checkpoint has no consumer left
             _release_local_checkpoint(labels)
@@ -930,7 +949,9 @@ def pagerank(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     if run_dir is None:
-        both = both.localCheckpoint()
+        # lazy: materialized (through the groupBy shuffle, which runs
+        # once) by the deg count below — one setup job instead of three
+        both = both.localCheckpoint(eager=False)
     else:
         edges_path = f"{run_dir}/pr_edges"
         both.write.mode("overwrite").parquet(edges_path)
@@ -940,7 +961,7 @@ def pagerank(
     # localCheckpoint'd deg dies with an executor and has no recompute
     # path, failing every remaining iteration on a cluster run
     if run_dir is None:
-        deg = deg.localCheckpoint()
+        deg = deg.localCheckpoint(eager=False)
     else:
         deg_path = f"{run_dir}/pr_deg"
         deg.write.mode("overwrite").parquet(deg_path)
@@ -983,10 +1004,7 @@ def pagerank(
         adj_path = f"{run_dir}/pr_adj"
         adj.write.mode("overwrite").parquet(adj_path)
         adj = adj.sparkSession.read.parquet(adj_path)
-    ranks = truncate(
-        deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")),
-        rnd=1,
-    )
+    ranks = None  # None ⇒ implicit uniform 1/N ranks (round 1 inlined)
     for it in range(max_iter):
         # Every node of the symmetric edge list has in-edges, so the
         # inflow agg's key set IS the node set — the old left-join back
@@ -994,9 +1012,21 @@ def pagerank(
         # per-round shuffle that could never fire its null arm. The
         # contribution stays rank/deg (NOT rank·(1/deg)): the recursive-
         # CTE oracles replay that exact IEEE division edge-by-edge.
+        if ranks is None:
+            # Round 1 inlined: every rank is the SAME literal 1/N, so
+            # the rank join is the identity — contribute lit(1/N)/deg
+            # straight off the adjacency. Same IEEE division (the
+            # literal is the identical double the init frame carried);
+            # saves the init-rank checkpoint and the first join round.
+            contrib = adj.select(
+                "dst", (F.lit(1.0 / n_nodes) / F.col("deg")).alias("c")
+            )
+        else:
+            contrib = adj.join(ranks, adj.src == ranks.node).select(
+                "dst", (F.col("rank") / F.col("deg")).alias("c")
+            )
         new_ranks = truncate(
-            adj.join(ranks, adj.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            contrib
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
             .select(
@@ -1005,9 +1035,19 @@ def pagerank(
             ),
             rnd=it,
         )
-        if run_dir is None:
+        if ranks is not None and run_dir is None:
             _release_local_checkpoint(ranks)  # stale round, no consumer
         ranks = new_ranks
+    if ranks is None:
+        # max_iter == 0: the uniform initialization (kept lazy over the
+        # still-live deg checkpoint — nothing to truncate)
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+        )
+        if run_dir is None:
+            adj.unpersist()
+            _release_local_checkpoint(both)
+        return ranks.select(F.col("node").alias("doc_id"), "rank")
     if run_dir is None:
         # final ranks are checkpointed; the adjacency cache and the
         # edge/degree checkpoints that fed it have no consumer left
@@ -1533,12 +1573,19 @@ def selfrepeat_trim(documents: DataFrame, window_tokens: int = 10) -> DataFrame:
             ),
         )
     )
-    firsts = occ.groupBy("doc_id", "wh").agg(
-        F.min("p").alias("_first"), F.count("*").alias("_n")
-    )
+    # r15 optimization: non-first occurrences via ONE window over
+    # (doc_id, wh) instead of groupBy + join-back — the join form
+    # evaluated the tokenize→explode→md5 subtree twice (Catalyst does
+    # not dedupe it) and paid two shuffles. `p > min(p) over (doc, wh)`
+    # is exactly "has an earlier identical occurrence" (it implies the
+    # old `_n >= 2` — another position exists). The window partition is
+    # one document's repeats of one hash — bounded by doc length, never
+    # corpus-skewed (unlike the cross-doc trim, whose per-hash groups
+    # are corpus-wide and keep the partial-agg groupBy form).
+    win = Window.partitionBy("doc_id", "wh")
     starts = (
-        occ.join(firsts.where(F.col("_n") >= 2), ["doc_id", "wh"])
-        .where(F.col("p") != F.col("_first"))
+        occ.withColumn("_first", F.min("p").over(win))
+        .where(F.col("p") > F.col("_first"))
         .select("doc_id", "p")
     )
     return _excise_covered_spans(toked, starts, w)
@@ -1666,9 +1713,18 @@ def dedup_recall_checked(
     ver = dedup_fuzzy_verified(documents, jaccard_threshold=jaccard_threshold).select(
         "doc_a", "doc_b"
     )
-    n = ex.agg(F.count("*").alias("n_exact_pairs"))
-    hits = ex.join(ver, ["doc_a", "doc_b"]).agg(F.count("*").alias("_hits"))
-    return n.crossJoin(hits).select(
+    # one pass over the exact pair set: the old (count-agg ⨯ hit-join)
+    # shape evaluated the whole PPJoin subtree twice (Catalyst does not
+    # dedupe subtrees across crossJoin branches — 16 exchanges in the
+    # audited plan); a left join against the (pair-unique) verified set
+    # folds count and hit-count into one aggregate over one evaluation
+    ex_hits = ex.join(
+        ver.withColumn("_h", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.count("_h").alias("_hits"),
+    )
+    return ex_hits.select(
         "n_exact_pairs",
         (F.col("_hits") >= F.lit(bound) * F.col("n_exact_pairs")).alias(
             "recall_ok"
@@ -1708,9 +1764,16 @@ def simhash_recall_checked(
         .select("doc_a", "doc_b")
     )
     sim = dedup_simhash(documents).select("doc_a", "doc_b")
-    n = ex.agg(F.count("*").alias("n_exact_pairs"))
-    hits = ex.join(sim, ["doc_a", "doc_b"]).agg(F.count("*").alias("_hits"))
-    return n.crossJoin(hits).select(
+    # single evaluation of the PPJoin subtree (same fold as
+    # dedup_recall_checked): left-join the pair-unique SimHash set and
+    # aggregate count + hits in one pass
+    ex_hits = ex.join(
+        sim.withColumn("_h", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.count("_h").alias("_hits"),
+    )
+    return ex_hits.select(
         "n_exact_pairs",
         (F.col("_hits") >= F.lit(bound) * F.col("n_exact_pairs")).alias(
             "recall_ok"

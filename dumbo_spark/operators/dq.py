@@ -116,10 +116,13 @@ def benford_screen(orders: DataFrame) -> DataFrame:
 
     cents = (dmoney("o_totalprice") * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    # lazy checkpoint: counts feeds the total scalar AND the share
+    # stream — one fact scan instead of two (r15 optimization)
     counts = (
         orders.where(cents > 0)
         .groupBy(digit.alias("digit"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n").alias("n_total"))
     share = F.col("n").cast("double") / F.col("n_total").cast("double")

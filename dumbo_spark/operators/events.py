@@ -779,10 +779,12 @@ def dow_hour_heatmap(events: DataFrame) -> DataFrame:
     One partial-agg scan to ≤ 168 cells; the total joins back as a
     broadcast scalar; shares divide exact longs.
     """
+    # lazy checkpoint: cells feeds the total scalar AND the share
+    # stream — one fact scan instead of two (r15 optimization)
     cells = events.groupBy(
         (F.weekday("ts") + F.lit(1)).alias("dow"),
         F.hour("ts").alias("hr"),
-    ).agg(F.count("*").alias("n_events"))
+    ).agg(F.count("*").alias("n_events")).localCheckpoint(eager=False)
     total = cells.agg(F.sum("n_events").alias("n_total"))
     return cells.crossJoin(F.broadcast(total)).select(
         "dow",
@@ -1121,7 +1123,11 @@ def session_depth_histogram(
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("depth"))
     )
-    hist = depths.groupBy("depth").agg(F.count("*").alias("n_sessions"))
+    # lazy checkpoint: hist feeds the total scalar AND the share
+    # stream — one sessionize+aggregate pass instead of two (r15)
+    hist = depths.groupBy("depth").agg(
+        F.count("*").alias("n_sessions")
+    ).localCheckpoint(eager=False)
     total = hist.agg(F.sum("n_sessions").alias("n_total"))
     return hist.crossJoin(F.broadcast(total)).select(
         "depth",
@@ -1508,7 +1514,11 @@ def user_active_days_histogram(events: DataFrame) -> DataFrame:
     per = events.groupBy("user_id").agg(
         F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_active_days")
     )
-    hist = per.groupBy("n_active_days").agg(F.count("*").alias("n_users"))
+    # lazy checkpoint: hist feeds the total scalar AND the share
+    # stream — one fact scan instead of two (r15 optimization)
+    hist = per.groupBy("n_active_days").agg(
+        F.count("*").alias("n_users")
+    ).localCheckpoint(eager=False)
     total = hist.agg(F.sum("n_users").alias("_t"))
     return (
         hist.crossJoin(F.broadcast(total))
@@ -1633,9 +1643,12 @@ def cusum_drift(
     """
     import pandas as pd
 
+    # lazy checkpoint: daily feeds the mu/sigma scalars AND the walk
+    # frame — one fact scan instead of two (r15 optimization)
     daily = (
         events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.avg(F.col("value").cast("double")).alias("x"))
+        .localCheckpoint(eager=False)
     )
     stats = daily.agg(
         F.avg("x").alias("_mu"),

@@ -55,11 +55,14 @@ def copurchase_triangles(
     # node instead of degree² — on a co-purchase graph whose hub
     # products have huge degrees, this is the difference between the
     # plan surviving a dense graph and quadratic blowup at the hubs.
+    # deg is referenced twice (both orientation joins) — lazy-checkpoint
+    # so the union+groupBy over the edge list runs once, not per branch
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     oriented = (
         edges.join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "ds"), "src")
@@ -187,10 +190,16 @@ def kcore_nodes(
             .agg(F.count("*").alias("degree"))
         )
         # checkpoint the (tiny) weak set so the degree aggregation runs
-        # ONCE per round — lazily it would execute twice, once for the
-        # isEmpty probe and again inside each anti-join's subplan
-        weak = deg.where(F.col("degree") < k).select("v").localCheckpoint()
-        if weak.isEmpty():
+        # ONCE per round — lazily-unmaterialized it would execute twice,
+        # once for the emptiness probe and again inside each anti-join's
+        # subplan. The checkpoint is LAZY and the probe is a FULL count
+        # (touches every partition), so materialization and the probe
+        # share one job instead of eager-checkpoint + isEmpty (guide
+        # §1.2: per-round driver actions are overhead at every scale).
+        weak = deg.where(F.col("degree") < k).select("v").localCheckpoint(
+            eager=False
+        )
+        if weak.count() == 0:
             _release_local_checkpoint(weak)
             break
         new_edges = (
@@ -276,7 +285,11 @@ def basket_rules(
     n_orders = po.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
-    item_freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    # referenced twice (fa/fb) — lazy checkpoint so the groupBy over the
+    # basket frame runs once, not per branch (r15 optimization)
+    item_freq = po.groupBy("l_partkey").agg(
+        F.count("*").alias("n_item")
+    ).localCheckpoint(eager=False)
 
     pairs = _pair_counts(po).where(F.col("n_ab") >= min_cooccur)
     fa = item_freq.select(
@@ -322,7 +335,11 @@ def item_similarity(
     item tie-break (house convention).
     """
     po = _basket_po(lineitem, max_basket)
-    freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    # referenced twice (fi/fo) — lazy checkpoint so the groupBy over the
+    # basket frame runs once, not per branch (r15 optimization)
+    freq = po.groupBy("l_partkey").agg(
+        F.count("*").alias("n_item")
+    ).localCheckpoint(eager=False)
 
     pairs = (
         _pair_counts(po)
@@ -456,7 +473,10 @@ def ktruss_edges(
     Output: (part_a, part_b, support) — surviving oriented edges and
     their final triangle counts.
     """
-    edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
+    # lazy checkpoint: the count materializes it in the same job
+    edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint(
+        eager=False
+    )
     n_edges = edges.count()
     backing = edges  # the checkpoint holding the current edge set's blocks
     final = None
@@ -477,7 +497,9 @@ def ktruss_edges(
                 "src", "dst", F.coalesce(F.col("supp"), F.lit(0)).alias("supp")
             )
             .where(F.col("supp") >= k - 2)
-            .localCheckpoint()
+            # lazy: the full count below materializes every partition in
+            # the same job (one job/round instead of checkpoint + count)
+            .localCheckpoint(eager=False)
         )
         n_kept = kept.count()
         _release_local_checkpoint(backing)  # stale round, no consumer left
@@ -526,11 +548,16 @@ def clustering_coefficient(
     Output: (part, degree, n_triangles, clustering_coeff).
     """
     edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
+    # deg is referenced THREE times (both orientation joins + the final
+    # left join) — lazy-checkpoint it so the union+groupBy over the
+    # edge list runs once instead of per branch (no extra job; the
+    # query's own action materializes it)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     oriented = (
         edges.join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "ds"), "src")

@@ -383,6 +383,8 @@ def interleaved_mix_head(
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
     ).select("source", "bucket", "_off")
+    # lazy checkpoint: srcs feeds the count scalar AND the index join
+    # — one corpus distinct instead of two (r15 optimization)
     srcs = (
         documents.select("source")
         .distinct()
@@ -390,6 +392,7 @@ def interleaved_mix_head(
             "src_idx",
             F.row_number().over(Window.orderBy("source")) - 1,
         )
+        .localCheckpoint(eager=False)
     )
     n_src = srcs.agg(F.count("*").alias("_ns"))
     w_in = Window.partitionBy("source", "bucket").orderBy("_k", "doc_id")
@@ -436,10 +439,12 @@ def training_mix_epochs(
     ordered by source.
     """
     weights = weights or {}
+    # lazy checkpoint: avail feeds the weight-total scalar AND the final
+    # projection — one corpus scan instead of two (r15 optimization)
     avail = documents.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(_n_tokens()).alias("available_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     if weights:
         w_col = F.coalesce(
             *[
@@ -597,15 +602,19 @@ def source_temperature_mix(documents: DataFrame, alpha: float = 0.3) -> DataFram
     ``|sources|`` doubles — identical inputs across engines; 6dp
     rounding absorbs summation-order ulps.
     """
+    # lazy checkpoints: per feeds the total AND the share frame; p
+    # feeds the normalizer AND the final projection — one corpus scan
+    # instead of four (r15 optimization)
     per = (
         documents.select("source", F.size(tokens("text")).alias("_n"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_tokens").alias("_tot"))
     p = per.crossJoin(F.broadcast(tot)).withColumn(
         "_p", F.col("n_tokens") / F.col("_tot")
-    )
+    ).localCheckpoint(eager=False)
     z = p.agg(F.sum(F.pow(F.col("_p"), F.lit(alpha))).alias("_z"))
     return (
         p.crossJoin(F.broadcast(z))

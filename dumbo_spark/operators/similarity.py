@@ -808,19 +808,27 @@ def knn_recall_checked(
     ivf = knn_cosine_ivf(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
-    nq = ex.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_exact_pairs"),
-    )
-    lh = ex.join(lsh, ["query_id", "neighbor_id"]).agg(
-        F.count("*").alias("_lsh_hits")
-    )
-    ih = ex.join(ivf, ["query_id", "neighbor_id"]).agg(
-        F.count("*").alias("_ivf_hits")
+    # one evaluation of the exact brute-force subtree: the old
+    # (count-agg ⨯ lsh-hit-join ⨯ ivf-hit-join) shape evaluated it
+    # THREE times (17 exchanges in the audited plan); both ANN sides
+    # are pair-unique top-k outputs, so two left joins preserve
+    # cardinality and one aggregate folds all four counters
+    folded = (
+        ex.join(
+            lsh.withColumn("_l", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .join(
+            ivf.withColumn("_i", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact_pairs"),
+            F.count("_l").alias("_lsh_hits"),
+            F.count("_i").alias("_ivf_hits"),
+        )
     )
     return (
-        nq.crossJoin(lh)
-        .crossJoin(ih)
+        folded
         .select(
             "n_queries",
             "n_exact_pairs",
@@ -1223,14 +1231,17 @@ def pq_recall_checked(
     """
     ex = knn_cosine(embeddings, n_queries, k).select("query_id", "neighbor_id")
     pq = knn_cosine_pq(embeddings, n_queries, k).select("query_id", "neighbor_id")
-    nq = ex.agg(
+    # single evaluation of the exact subtree (same fold as
+    # knn_recall_checked): left-join the pair-unique PQ top-k and
+    # aggregate all counters in one pass
+    folded = ex.join(
+        pq.withColumn("_h", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    ).agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count("*").alias("n_exact_pairs"),
+        F.count("_h").alias("_hits"),
     )
-    hits = ex.join(pq, ["query_id", "neighbor_id"]).agg(
-        F.count("*").alias("_hits")
-    )
-    return nq.crossJoin(hits).select(
+    return folded.select(
         "n_queries",
         "n_exact_pairs",
         F.col("_hits").alias("n_hits"),
@@ -1565,14 +1576,17 @@ def ivfpq_recall_checked(
     ann = knn_cosine_ivfpq(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
-    nq = ex.agg(
+    # single evaluation of the exact subtree (same fold as
+    # knn_recall_checked): left-join the pair-unique IVFPQ top-k and
+    # aggregate all counters in one pass
+    folded = ex.join(
+        ann.withColumn("_h", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    ).agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count("*").alias("n_exact_pairs"),
+        F.count("_h").alias("_hits"),
     )
-    hits = ex.join(ann, ["query_id", "neighbor_id"]).agg(
-        F.count("*").alias("_hits")
-    )
-    return nq.crossJoin(hits).select(
+    return folded.select(
         "n_queries",
         "n_exact_pairs",
         F.col("_hits").alias("n_hits"),
