@@ -574,22 +574,16 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     not NTILE: a quantile boundary compare is a scan predicate and
     scales; a global rank does not.
     """
-    # lazy checkpoints: `per` feeds the as-of scalar AND the recency
-    # frame, `withr` feeds the bounds AND the scoring — without
-    # truncation Catalyst re-embeds (and re-executes) the fact-table
-    # groupBy once per branch (4 scans); one scan with the checkpoints,
-    # no extra job (r15 optimization, guide §2.4)
     per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("_last"),
         F.count("*").alias("frequency"),
         dsum("o_totalprice", "monetary"),
-    ).localCheckpoint(eager=False)
+    )
     asof = per.agg(F.max("_last").alias("_asof"))
     withr = (
         per.crossJoin(F.broadcast(asof))
         .withColumn("recency_days", F.datediff(F.col("_asof"), F.col("_last")))
         .drop("_last", "_asof")
-        .localCheckpoint(eager=False)
     )
     bounds = withr.agg(
         F.percentile("recency_days", F.lit(0.5)).alias("_r50"),

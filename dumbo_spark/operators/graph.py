@@ -335,11 +335,7 @@ def item_similarity(
     item tie-break (house convention).
     """
     po = _basket_po(lineitem, max_basket)
-    # referenced twice (fi/fo) — lazy checkpoint so the groupBy over the
-    # basket frame runs once, not per branch (r15 optimization)
-    freq = po.groupBy("l_partkey").agg(
-        F.count("*").alias("n_item")
-    ).localCheckpoint(eager=False)
+    freq = po.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
 
     pairs = (
         _pair_counts(po)

@@ -516,13 +516,8 @@ def doc_perplexity(documents: DataFrame) -> DataFrame:
     ).select("doc_id", F.explode(ngrams(F.col("_t"), 2)).alias("bigram"))
     uni = documents.select(F.explode(tokens("text")).alias("tok"))
     c2 = bi.groupBy("bigram").agg(F.count("*").alias("c2"))
-    # c1 lazy-checkpointed: it feeds the scoring join AND |V| (which is
-    # exactly c1's row count — identical to countDistinct over the raw
-    # token stream), so the corpus token explode runs once, not twice
-    c1 = uni.groupBy("tok").agg(F.count("*").alias("c1")).localCheckpoint(
-        eager=False
-    )
-    vocab = c1.agg(F.count("*").alias("v"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = uni.select(F.countDistinct("tok").alias("v"))
     scored = (
         bi.join(c2, "bigram")
         .withColumn("_prev", F.split_part("bigram", F.lit(" "), F.lit(1)))
@@ -593,9 +588,7 @@ def heavy_hitter_tokens(documents: DataFrame, k: int = 500) -> DataFrame:
     vocabulary (Heaps' law) is millions of rows — the filter and join
     are noise.
     """
-    # lazy checkpoint: wc feeds the total scalar AND the filter stream —
-    # one corpus pass instead of two (r15 optimization)
-    wc = wordcount(documents).localCheckpoint(eager=False)
+    wc = wordcount(documents)
     total = wc.agg(F.sum("cnt").alias("total_tokens"))
     return (
         wc.crossJoin(F.broadcast(total))
@@ -620,76 +613,36 @@ def filter_funnel_report(documents: DataFrame) -> DataFrame:
     final yield): a rule that kills 40% of the crawl deserves a look
     regardless of the end-to-end pass rate.
 
-    r15 optimization rewrite: ONE map-only pass + a 1-row aggregate.
-    The old shape composed the two screens as DataFrames and left-
-    joined them back to `documents` on doc_id — three scans of the
-    corpus and two corpus-sized joins for flags that are all pure
-    per-row functions of the token array. The flags are now computed
-    in a single projection from the same expressions the screens use
-    (:func:`_gram_top_chars` / :func:`_gram_dup_chars` are shared code;
-    the quality metrics replicate gopher_quality_screen's expression
-    sequence — rounded mean/alpha exactly as the screen rounds them),
-    so the funnel is scan → project → 1-row agg: no join, no shuffle
-    of the corpus, at any scale. Documents the quality screen drops
-    (zero tokens) fail the `nonempty` rule (`n_words > 0` ⇔ "has a
-    quality-screen row" in the old join form).
+    Composes :func:`gopher_quality_screen` and
+    :func:`gopher_repetition_screen` (both map-only flag passes; this
+    adds two doc-keyed joins and a 1-row aggregate — at 100 TB the
+    joins co-partition on doc_id and the report is 6 rows). Documents
+    the quality screen drops (zero tokens) fail the `nonempty` rule,
+    anchored on the full documents table so nothing silently exits the
+    funnel.
 
     Output: 6 rows (rule_order, rule, n_input, n_pass, n_fail,
     pass_pct).
     """
-    base = documents.select(tokens("text").alias("_t"))
-    toks = F.col("_t")
-    per = base.select(
-        F.size(toks).alias("n_words"),
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
-        ).alias("_len_sum"),
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("_n_alpha"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).alias(
-            "n_stopwords"
-        ),
-        _gram_top_chars(toks, 2).alias("_top2_chars"),
-        _gram_top_chars(toks, 3).alias("_top3_chars"),
-        _gram_dup_chars(toks, 5).alias("_dup5_chars"),
-    ).withColumn("n_chars_tok", F.col("_len_sum").cast("bigint"))
-    # quality flags — the exact gopher_quality_screen expressions
-    # (rounded metrics, default thresholds). The n_words > 0 guard
-    # replaces the screen's row filter: under ANSI mode x/0 THROWS, and
-    # CASE WHEN short-circuits the division for 0-word docs, which then
-    # carry NULL metrics — coalesced below exactly like the old
-    # left-join nulls
-    mean_len = F.when(
-        F.col("n_words") > 0,
-        F.round(F.col("_len_sum") / F.col("n_words").cast("double"), 4),
+    q = gopher_quality_screen(documents).select(
+        "doc_id", "words_ok", "word_len_ok", "alpha_ok", "stopword_ok"
     )
-    alpha_frac = F.when(
-        F.col("n_words") > 0,
-        F.round(F.col("_n_alpha") / F.col("n_words").cast("double"), 4),
+    rep = gopher_repetition_screen(documents).select(
+        "doc_id", "repetition_pass"
     )
-    words_ok = (F.col("n_words") >= 10) & (F.col("n_words") <= 100_000)
-    word_len_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
-    alpha_ok = alpha_frac >= 0.8
-    stopword_ok = F.col("n_stopwords") >= 2
-    # repetition flags — the exact gopher_repetition_screen fractions
-    rfrac = lambda c: F.when(  # noqa: E731
-        F.col("n_chars_tok") > 0,
-        F.least(
-            F.round(F.coalesce(c, F.lit(0)) / F.col("n_chars_tok"), 4), F.lit(1.0)
-        ),
-    ).otherwise(F.lit(0.0))
-    repetition_pass = (
-        (rfrac(F.col("_top2_chars")) <= 0.20)
-        & (rfrac(F.col("_top3_chars")) <= 0.18)
-        & (rfrac(F.col("_dup5_chars")) <= 0.15)
+    j = (
+        documents.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(rep, "doc_id", "left")
     )
-    flag = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
-    c0 = F.col("n_words") > 0
-    c1 = c0 & flag(words_ok)
-    c2 = c1 & flag(word_len_ok)
-    c3 = c2 & flag(alpha_ok)
-    c4 = c3 & flag(stopword_ok)
-    c5 = c4 & flag(repetition_pass)
-    agg = per.agg(
+    flag = lambda c: F.coalesce(F.col(c), F.lit(False))  # noqa: E731
+    c0 = F.col("words_ok").isNotNull()
+    c1 = c0 & flag("words_ok")
+    c2 = c1 & flag("word_len_ok")
+    c3 = c2 & flag("alpha_ok")
+    c4 = c3 & flag("stopword_ok")
+    c5 = c4 & flag("repetition_pass")
+    agg = j.agg(
         F.count("*").alias("n"),
         *[
             F.sum(c.cast("long")).alias(f"s{i}")
@@ -846,14 +799,8 @@ def token_source_mi(
     tok = documents.select(
         "source", F.explode(tokens("text")).alias("token")
     )
-    # lazy checkpoints: n_ts feeds three branches and n_t two — without
-    # truncation each branch re-runs the corpus explode+groupBy (r15)
-    n_ts = tok.groupBy("token", "source").agg(
-        F.count("*").alias("n_ts")
-    ).localCheckpoint(eager=False)
-    n_t = n_ts.groupBy("token").agg(F.sum("n_ts").alias("n_t")).localCheckpoint(
-        eager=False
-    )
+    n_ts = tok.groupBy("token", "source").agg(F.count("*").alias("n_ts"))
+    n_t = n_ts.groupBy("token").agg(F.sum("n_ts").alias("n_t"))
     n_s = n_ts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     total = n_t.agg(F.sum("n_t").alias("n_total"))
 
@@ -1471,13 +1418,10 @@ def distinctive_tokens_by_lang(
 
     Output: top-k (lang, word, n_lang_word, log_odds) per language.
     """
-    # lazy checkpoint: lw feeds four branches (w/l/n totals + the join
-    # stream) — one corpus explode+groupBy instead of four (r15)
     lw = (
         documents.select("lang", F.explode(tokens("text")).alias("word"))
         .groupBy("lang", "word")
         .agg(F.count("*").alias("c_lw"))
-        .localCheckpoint(eager=False)
     )
     w_tot = lw.groupBy("word").agg(F.sum("c_lw").alias("c_w"))
     l_tot = lw.groupBy("lang").agg(F.sum("c_lw").alias("n_l"))
@@ -1685,80 +1629,6 @@ def bm25_topk(
 # ── round-9 additions ───────────────────────────────────────────────────
 
 
-def _gram_top_chars(tok_col, n: int):
-    """c(top n-gram) · gram-chars of one document, as a single
-    higher-order-function scan: equal grams are ADJACENT in the sorted
-    gram array, so a run-length fold recovers exactly the per-(doc,
-    gram) groupBy counts without any shuffle. Strict ``run > best``
-    keeps the FIRST (lexicographically smallest) gram among count ties
-    — identical to the old orderBy(c DESC, g ASC) top-1 window. Shared
-    by :func:`gopher_repetition_screen` and
-    :func:`filter_funnel_report` (single source of truth for the
-    repetition statistics)."""
-    sorted_g = F.array_sort(ngrams(tok_col, n))
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best_c"),
-        F.lit(None).cast("string").alias("best_g"),
-    )
-
-    def step(acc, x):
-        run = F.when(
-            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
-        ).otherwise(F.lit(1).cast("long"))
-        better = run > acc["best_c"]
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["best_c"]).alias("best_c"),
-            F.when(better, x).otherwise(acc["best_g"]).alias("best_g"),
-        )
-
-    return F.aggregate(
-        sorted_g,
-        acc0,
-        step,
-        lambda acc: F.when(
-            acc["best_g"].isNotNull(),
-            acc["best_c"] * (F.length(acc["best_g"]) - F.lit(n - 1)).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-
-
-def _gram_dup_chars(tok_col, n: int):
-    """Σ c·gram-chars over a document's n-grams with c ≥ 2, as a
-    run-length fold over the sorted gram array: each run's contribution
-    is added as the scan leaves it (plus the final run in the finish
-    lambda). Companion of :func:`_gram_top_chars`."""
-    sorted_g = F.array_sort(ngrams(tok_col, n))
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("dup"),
-    )
-
-    def closed(acc):
-        return F.when(
-            acc["run"] >= 2,
-            acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-
-    def step(acc, x):
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(same, acc["dup"])
-            .otherwise(acc["dup"] + closed(acc))
-            .alias("dup"),
-        )
-
-    return F.aggregate(sorted_g, acc0, step, lambda acc: acc["dup"] + closed(acc))
-
-
 def gopher_repetition_screen(documents: DataFrame) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021, Table A1): the
     character-fraction repetition metrics that complement
@@ -1779,40 +1649,47 @@ def gopher_repetition_screen(documents: DataFrame) -> DataFrame:
     the top gram break to the lexicographically smallest gram
     (deterministic cross-engine).
 
-    Plan shape (r15 optimization rewrite): ONE map-only projection —
-    the per-doc gram counts come from run-length folds over each doc's
-    SORTED gram array (:func:`_gram_top_chars` / :func:`_gram_dup_chars`
-    — equal grams are adjacent after array_sort, so the fold recovers
-    exactly the old groupBy(doc_id, gram) counts), replacing three
-    explode→groupBy shuffles, two per-doc top-1 windows and three
-    doc-keyed joins. At 100 TB the screen never shuffles the corpus at
-    all; the per-doc sort is O(L log L) inside the scan task. Short
-    docs (< n tokens) have no grams: their fractions are 0.0 and they
-    pass. Values are bit-identical to the join form (exact integer
-    counts, same division/rounding).
+    Plan shape: three explode → ``groupBy(doc_id, gram)`` partial aggs
+    (keys are (doc, gram) — skew-free), a per-doc top-1 window over the
+    per-doc DISTINCT-gram counts (bounded by a doc's vocabulary, never
+    the corpus), and broadcast-joinable per-doc frames. Short docs
+    (< n tokens) have no grams: their fractions are 0.0 and they pass.
     """
-    # r15 OPTIMIZATION rewrite: the per-doc gram statistics (count of
-    # the most frequent n-gram with lexicographic tie-break; character
-    # mass of duplicated 5-grams) are RUN-LENGTH scans over the doc's
-    # SORTED gram array — equal grams are adjacent after array_sort, so
-    # a single fold recovers exactly the groupBy counts. That turns the
-    # old (3 explode→groupBy(doc,gram) shuffles + 2 per-doc top-1
-    # windows + 3 doc-keyed joins) plan into ONE map-only projection —
-    # at 100 TB the screen never shuffles the corpus at all (guide
-    # §2.4: remove shuffles outright); values are the identical exact
-    # integers, so fractions and flags are bit-unchanged.
     base = documents.select("doc_id", tokens("text").alias("_t"))
-    toks = F.col("_t")
-    stats = base.select(
+    chars = base.select(
         "doc_id",
         F.aggregate(
             F.transform("_t", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
         )
         .cast("bigint")  # align with the oracle's BIGINT count convention
         .alias("n_chars_tok"),
-        _gram_top_chars(toks, 2).alias("_top2_chars"),
-        _gram_top_chars(toks, 3).alias("_top3_chars"),
-        _gram_dup_chars(toks, 5).alias("_dup5_chars"),
+    )
+
+    def _gram_counts(n: int) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(ngrams(F.col("_t"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .withColumn("gchars", F.length("g") - F.lit(n - 1))
+        )
+
+    def _top1(n: int, out: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())
+        return (
+            _gram_counts(n)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", (F.col("c") * F.col("gchars")).alias(out))
+        )
+
+    dup5 = (
+        _gram_counts(5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.col("gchars")).otherwise(0)
+            ).alias("_dup5_chars")
+        )
     )
     # overlapping gram occurrences count shared characters repeatedly
     # (a doc of one repeated word has 19 overlapping top-2-grams over
@@ -1825,12 +1702,17 @@ def gopher_repetition_screen(documents: DataFrame) -> DataFrame:
             F.round(F.coalesce(c, F.lit(0)) / F.col("n_chars_tok"), 4), F.lit(1.0)
         ),
     ).otherwise(F.lit(0.0))
-    out = stats.select(
-        "doc_id",
-        "n_chars_tok",
-        frac(F.col("_top2_chars")).alias("top2_char_frac"),
-        frac(F.col("_top3_chars")).alias("top3_char_frac"),
-        frac(F.col("_dup5_chars")).alias("dup5_char_frac"),
+    out = (
+        chars.join(_top1(2, "_top2_chars"), "doc_id", "left")
+        .join(_top1(3, "_top3_chars"), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_tok",
+            frac(F.col("_top2_chars")).alias("top2_char_frac"),
+            frac(F.col("_top3_chars")).alias("top3_char_frac"),
+            frac(F.col("_dup5_chars")).alias("dup5_char_frac"),
+        )
     )
     return out.select(
         "*",
@@ -1949,9 +1831,6 @@ def kn_continuation_counts(documents: DataFrame) -> DataFrame:
     uni = toks.select(F.explode("_t").alias("tok")).groupBy("tok").agg(
         F.count("*").alias("c_total")
     )
-    # lazy checkpoint: the distinct-bigram table feeds three branches
-    # (type count + left/right context counts) — one corpus
-    # explode+distinct instead of three (r15 optimization)
     pairs = (
         toks.select(F.explode(ngrams(F.col("_t"), 2)).alias("g"))
         .select(
@@ -1959,7 +1838,6 @@ def kn_continuation_counts(documents: DataFrame) -> DataFrame:
             F.split_part("g", F.lit(" "), F.lit(2)).alias("w"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n_types = pairs.agg(F.count("*").alias("_nt"))
     left = pairs.groupBy("w").agg(F.count("*").alias("n_left_contexts"))
