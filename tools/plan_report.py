@@ -45,14 +45,16 @@ _ROLLUP = (
 )
 BNLJ_JUSTIFIED = {
     # bounded-sample audits (ANN probes, recall/fidelity panels)
+    # (r15 optimization: dedup_recall_checked and simhash_recall_checked
+    # left this list — folding their count-scalar ⨯ hit-join crossJoins
+    # into one left-join aggregate removed their BNLJ nodes entirely)
     **{n: _SAMPLE for n in (
         "centroid_affinity", "cms_hitters_checked",
         "consistent_entity_sample", "contrastive_pairs",
-        "dedup_recall_checked", "ivfpq_recall_checked",
+        "ivfpq_recall_checked",
         "knn_classifier_eval", "knn_cosine", "knn_cosine_ivf",
         "knn_cosine_pq", "knn_euclid", "knn_recall_checked",
         "matryoshka_fidelity", "pca_top_component", "pq_recall_checked",
-        "simhash_recall_checked",
     )},
     # bounded grids (densification / coverage curves)
     **{n: _GRID for n in (
