@@ -1144,6 +1144,13 @@ def order_cadence(orders: DataFrame) -> DataFrame:
     from dumbo_spark.operators.agg import grouped_exact_percentiles
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # the gap subtree (scan + custkey shuffle + lag window) feeds BOTH
+    # the counts aggregate and the percentile sweep; lazily checkpoint
+    # so it executes once, not per branch (r15 optimization, guide
+    # §2.4). Both consumers are aggregates/range-repartitions — not the
+    # size-estimated-join class where a stats-less checkpoint loses an
+    # AQE broadcast (the doc_perplexity revert) — so the reuse is pure
+    # win; materialization rides the counts branch's own job.
     gaps = (
         orders.select("o_custkey", "o_orderdate", "o_orderkey")
         .withColumn(
@@ -1153,6 +1160,7 @@ def order_cadence(orders: DataFrame) -> DataFrame:
             ).cast("double"),
         )
         .where(F.col("gap_days").isNotNull())
+        .localCheckpoint(eager=False)
     )
     counts = gaps.agg(
         F.countDistinct("o_custkey").alias("n_customers_multi"),

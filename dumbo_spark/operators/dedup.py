@@ -254,9 +254,17 @@ def connected_components(
         edges_path = f"{run_dir}/edges"
         edges.select("doc_a", "doc_b").write.mode("overwrite").parquet(edges_path)
         e0 = edges.sparkSession.read.parquet(edges_path)
+    # explode(array(ab, ba)) symmetrization: one scan of the e0
+    # checkpoint instead of one per union branch (r15; the adjacency
+    # below still repartition+persists exactly as before)
     both = e0.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(e0.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     nodes = both.select(F.col("src").alias("node")).distinct()
     # Self-loop trick: append (v, v) for every node, so the self row
     # delivers the node's OWN current label into its min-aggregation
@@ -943,11 +951,18 @@ def pagerank(
     # re-optimizes it per round — the same plan-string blowup CC fixed
     # in round 4 (measured here: pagerank_checked on the 10× replica
     # 287s → 45s, SCALE.md round-5 table).
+    # symmetrize via explode(array(ab, ba)) — same row multiset as the
+    # old two-branch unionByName, but the (possibly enormous) edge
+    # subtree is evaluated ONCE when the checkpoint below materializes,
+    # not once per union branch (r15 optimization, guide §2.4)
     both = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     if run_dir is None:
         # lazy: materialized (through the groupBy shuffle, which runs
         # once) by the deg count below — one setup job instead of three

@@ -1056,12 +1056,24 @@ def peak_concurrency(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
             F.unix_micros(F.min("ts")).alias("s_us"),
             F.unix_micros(F.max("ts")).alias("e_us"),
         )
+        # the sessionize+groupBy subtree feeds THREE branches
+        # (endpoints, covered-days via days, carry) — lazily checkpoint
+        # so it runs once, not per branch (r15 optimization, guide
+        # §2.4; consumers are windows/aggregates, not size-estimated
+        # joins, so no AQE stat is lost)
+        .localCheckpoint(eager=False)
     )
+    # explode(array(start, end)) instead of a two-branch unionByName:
+    # the sessionize+groupBy subtree is evaluated ONCE, not once per
+    # endpoint branch (r15 optimization, guide §2.4)
     endpoints = sessions.select(
-        F.col("s_us").alias("us"), F.lit(1).alias("delta")
-    ).unionByName(
-        sessions.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("us"), F.lit(1).alias("delta")),
+                F.struct(F.col("e_us").alias("us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("_e")
+    ).select("_e.us", "_e.delta")
     day = F.to_date(F.timestamp_micros(F.col("us")))
     w_sweep = Window.partitionBy("day").orderBy(
         F.col("us").asc(), F.col("delta").desc()

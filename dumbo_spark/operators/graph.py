@@ -58,8 +58,7 @@ def copurchase_triangles(
     # deg is referenced twice (both orientation joins) — lazy-checkpoint
     # so the union+groupBy over the edge list runs once, not per branch
     deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
+        edges.select(F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=False)
@@ -120,9 +119,7 @@ def copurchase_triangles(
     if n_edge_rows <= 5_000_000:
         closing = F.broadcast(closing)
     triangles = wedges.join(closing, ["b", "c"])
-    nodes = edges.select(F.col("src").alias("n")).unionAll(
-        edges.select(F.col("dst").alias("n"))
-    )
+    nodes = edges.select(F.explode(F.array("src", "dst")).alias("n"))
     return (
         nodes.agg(F.countDistinct("n").alias("n_nodes"))
         .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
@@ -147,14 +144,16 @@ def degree_histogram(lineitem: DataFrame) -> DataFrame:
     have each degree — the first diagnostic you run before choosing a
     graph algorithm's partitioning (uniform vs power-law decides
     whether degree-ordering/salting matters). Two partial aggs over
-    the edge list, which is localCheckpoint()ed because the src/dst
-    union branches off it twice (the triangle-census finding: without
-    truncation each branch re-embeds — and re-executes — the whole
-    edge-construction subplan)."""
-    e = _copurchase_edges(lineitem).localCheckpoint()
+    the edge list; each edge contributes one endpoint row per side via
+    explode(array(src, dst)) — the SAME vertex multiset as the old
+    src/dst unionAll, but the edge subtree is referenced ONCE, so the
+    eager localCheckpoint the union needed (to stop each branch
+    re-executing the edge construction) disappears along with its
+    materialization job (r15 optimization, guide §1.2/§2.4: one pass,
+    no extra action)."""
     deg = (
-        e.select(F.col("src").alias("v"))
-        .unionAll(e.select(F.col("dst").alias("v")))
+        _copurchase_edges(lineitem)
+        .select(F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("degree"))
     )
@@ -183,9 +182,11 @@ def kcore_nodes(
     """
     edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
     for _ in range(max_iter):
+        # explode(array(src, dst)) — same endpoint multiset as the old
+        # src/dst unionAll, but the cached edge RDD is scanned once per
+        # round instead of twice (r15)
         deg = (
-            edges.select(F.col("src").alias("v"))
-            .unionAll(edges.select(F.col("dst").alias("v")))
+            edges.select(F.explode(F.array("src", "dst")).alias("v"))
             .groupBy("v")
             .agg(F.count("*").alias("degree"))
         )
@@ -215,8 +216,7 @@ def kcore_nodes(
         _release_local_checkpoint(edges)
         edges = new_edges
     return (
-        edges.select(F.col("src").alias("l_partkey"))
-        .unionAll(edges.select(F.col("dst").alias("l_partkey")))
+        edges.select(F.explode(F.array("src", "dst")).alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count("*").alias("core_degree"))
     )
@@ -346,13 +346,20 @@ def item_similarity(
             F.col("n_ab").alias("n_common"),
         )
     )
+    # symmetrize via explode(array(ab, ba)) instead of a two-branch
+    # unionByName: the SAME (a→b, b→a) row multiset, but the expensive
+    # pair subtree (basket self-join + co-occurrence groupBy) is
+    # referenced — and evaluated — ONCE (r15 optimization, guide §2.4;
+    # the degree_histogram pattern)
     sym = pairs.select(
-        F.col("pa").alias("item"), F.col("pb").alias("other"), "n_common"
-    ).unionByName(
-        pairs.select(
-            F.col("pb").alias("item"), F.col("pa").alias("other"), "n_common"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("item"), F.col("pb").alias("other")),
+                F.struct(F.col("pb").alias("item"), F.col("pa").alias("other")),
+            )
+        ).alias("_e"),
+        "n_common",
+    ).select("_e.item", "_e.other", "n_common")
     fi = freq.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("n_i"))
     fo = freq.select(F.col("l_partkey").alias("other"), F.col("n_item").alias("n_o"))
     jac = F.round(
@@ -549,8 +556,7 @@ def clustering_coefficient(
     # edge list runs once instead of per branch (no extra job; the
     # query's own action materializes it)
     deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
+        edges.select(F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=False)

@@ -720,8 +720,16 @@ def knn_classifier_eval(
         .where(F.col("rn") == 1)
         .select("query_id", F.col("n_label").alias("pred_label"), "votes")
     )
-    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-        "label", "true_label"
+    # only query ids (vec_id < n_queries, knn_cosine's query set) can
+    # appear in pred — filter the broadcast side down to them so the
+    # broadcast is n_queries rows, not the whole corpus's label table
+    # (r15 optimization, guide §3.1: broadcast the side that fits BY
+    # CONSTRUCTION; join result unchanged since pred.query_id is a
+    # subset of the filtered ids)
+    truth = (
+        labels.where(F.col("vec_id") < n_queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "true_label")
     )
     return pred.join(F.broadcast(truth), "query_id").select(
         "query_id",
@@ -891,20 +899,44 @@ def pca_top_component(
                 continue
             g = x.T @ x
             j, k = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            # column sums ride the SAME batch as k=-1 rows and the row
+            # count as the (-1,-1) row (r15 optimization): the means
+            # used to be a SECOND corpus pass that posexploded every
+            # component (n·d rows shuffled); here they cost d+1 extra
+            # rows per batch inside the pass the Gram matrix already
+            # pays for (guide §2.3/§2.4 — one corpus scan, not two).
             yield pd.DataFrame(
-                {"j": j.ravel(), "k": k.ravel(), "g": g.ravel()}
+                {
+                    "j": np.concatenate([j.ravel(), np.arange(d), [-1]]),
+                    "k": np.concatenate([k.ravel(), np.full(d, -1), [-1]]),
+                    "g": np.concatenate([g.ravel(), x.sum(axis=0), [float(len(x))]]),
+                }
             )
 
-    gram = (
+    # one aggregate holds Gram cells (k≥0), column sums (k=-1) and the
+    # row count (-1,-1); lazily checkpointed because three branches
+    # (gram / sums / count) read it — without truncation each branch
+    # would re-run the corpus pass. All consumers are filters feeding
+    # explicitly-broadcast joins, so no AQE size-estimate is lost.
+    stats = (
         embeddings.select("embedding")
         .mapInPandas(gram_batches, "j int, k int, g double")
         .groupBy("j", "k")
         .agg(F.sum("g").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    gram = stats.where(F.col("k") >= 0)
+    ncnt = stats.where((F.col("j") == -1) & (F.col("k") == -1)).select(
+        F.col("g").cast("long").alias("n")
     )
     means = (
-        embeddings.select(F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("mu"), F.count("*").alias("n"))
+        stats.where((F.col("k") == -1) & (F.col("j") >= 0))
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("j").alias("pos"),
+            (F.col("g") / F.col("n")).alias("mu"),
+            "n",
+        )
     )
     mj = means.select(F.col("pos").alias("j"), F.col("mu").alias("mu_j"), "n")
     mk = means.select(F.col("pos").alias("k"), F.col("mu").alias("mu_k"))
@@ -920,20 +952,29 @@ def pca_top_component(
                 / F.col("n")
             ).alias("c"),
         )
-        .localCheckpoint()
+        # lazy (r15): materialized by the first consumer's job instead
+        # of an eager stand-alone job at construction time
+        .localCheckpoint(eager=False)
     )
     spark = embeddings.sparkSession
     v = spark.range(d).select(
         F.col("id").cast("int").alias("j"),
         (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("val"),
     )
+    # the iterate is d rows (d=|dims|, tiny) — unlike the corpus-sized
+    # CC/PageRank labels, per-round truncation here only bought 8 extra
+    # driver jobs. Chain the rounds in ONE plan over the checkpointed
+    # cov (each reference is a flat cached scan) and pin just the FINAL
+    # vector, which four downstream branches (norm/vn/cv/lam) consume
+    # (r15 optimization, guide §1.2: per-round driver actions are
+    # overhead at every scale).
     for _ in range(n_iter):
         v = (
             cov.join(v.withColumnRenamed("j", "k"), "k")
             .groupBy("j")
             .agg(F.sum(F.col("c") * F.col("val")).alias("val"))
-            .localCheckpoint()
         )
+    v = v.localCheckpoint(eager=False)
     norm = v.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("_nrm"))
     vn = v.crossJoin(F.broadcast(norm)).select(
         "j", (F.col("val") / F.col("_nrm")).alias("val")
