@@ -499,6 +499,13 @@ def jaccard_ngram_pairs(
     )
     # ceil(num·|d|/den) without floats: floor((num·|d| + den − 1)/den)
     req = F.floor((F.lit(num) * F.col("n_grams") + F.lit(den - 1)) / den)
+    # NOTE (r15): a lazy checkpoint here — to fold the two Window nodes
+    # the self-join shows in the audited plan — was MEASURED SLOWER
+    # (near_dup_rate_by_source 3.4→10.4 s, dedup_recall_checked
+    # 4.9→7.0 s): the planner already reuses the identical self-join
+    # exchanges, so the "duplicate" window is largely shared, while the
+    # checkpoint pays a full materialization of the exploded gram
+    # stream and forfeits the reuse. Keep the plain form.
     prefix = ranked.where(F.col("pos") <= F.col("n_grams") - req + 1)
     # PPJoin length filter rides the equi-join: J(a,b) ≥ t forces
     # den·|a| ≥ num·|b| and vice versa (J ≤ min/max), so size-skewed
@@ -1359,6 +1366,11 @@ def substring_dup_pairs(
         F.size("toks") >= w
     )
     pos = F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1), F.lit(stride))
+    # lazy checkpoints (r15, guide §2.4): without them the audited plan
+    # evaluated the tokenize→explode→md5→distinct subtree FOUR times (4
+    # parquet scans: once per df-band branch × once per self-join side).
+    # uw pins the corpus pass; banded pins the df-band join so the a/b
+    # self-join reads a cached frame instead of re-running it per side.
     uw = (
         toked.select("doc_id", "toks", F.explode(pos).alias("p"))
         .select(
@@ -1368,6 +1380,7 @@ def substring_dup_pairs(
             ),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     banded = uw.join(
         uw.groupBy("wh")
@@ -1375,7 +1388,7 @@ def substring_dup_pairs(
         .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
         .select("wh"),
         "wh",
-    )
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -1668,6 +1681,10 @@ def winnowed_dup_pairs(
         .where(F.col("p") <= F.col("n_grams") - F.lit(k - 1))
         .select("doc_id", "fp")
         .distinct()
+        # lazy checkpoints (r15): same 4×-evaluation fix as
+        # substring_dup_pairs — the gram/winnow subtree ran once per
+        # df-band branch × once per self-join side
+        .localCheckpoint(eager=False)
     )
     banded = uf.join(
         uf.groupBy("fp")
@@ -1675,7 +1692,7 @@ def winnowed_dup_pairs(
         .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
         .select("fp"),
         "fp",
-    )
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
