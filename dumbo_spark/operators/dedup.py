@@ -1459,9 +1459,12 @@ def substring_dedup_trim(
     as the independent recomputation).
     """
     w = window_tokens
+    # lazy checkpoint (r15): toked feeds the fingerprint pass AND the
+    # final rejoin — pinning it halves the tokenize work (one corpus
+    # scan, one regex tokenization)
     toked = documents.select(
         "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     occ = (
         toked.where(F.size("toks") >= w)
         .select(
@@ -1478,6 +1481,14 @@ def substring_dedup_trim(
                 "wh"
             ),
         )
+        # lazy checkpoint (r15, guide §2.4): occ feeds stats AND the
+        # starts join-back — the band side is an aggregate of the base,
+        # so no exchange reuse fires and the fingerprint pass ran
+        # twice. With toked also pinned (below the fn's entry), the
+        # ledger is ONE parquet scan + ONE tokenize + ONE fingerprint
+        # pass; the materialized frames are what Lee et al.'s
+        # ExactSubstr materializes (to disk) at scale.
+        .localCheckpoint(eager=False)
     )
     stats = occ.groupBy("wh").agg(
         F.min("doc_id").alias("_keeper"),
@@ -1581,9 +1592,13 @@ def selfrepeat_trim(documents: DataFrame, window_tokens: int = 10) -> DataFrame:
     document, identical contract to :func:`substring_dedup_trim`.
     """
     w = window_tokens
+    # lazy checkpoint (r15): toked feeds the fingerprint pass AND the
+    # final rejoin in _excise_covered_spans — pinning it halves the
+    # tokenize work (occ itself is referenced once via the window, so
+    # it needs no pin here)
     toked = documents.select(
         "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     occ = (
         toked.where(F.size("toks") >= w)
         .select(
