@@ -414,6 +414,11 @@ def value_anomalies_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
     med = events.groupBy(*keys).agg(
         F.percentile("value", F.lit(0.5)).alias("_med")
     )
+    # NOTE (r15): pinning with_dev with a lazy checkpoint — to stop the
+    # events⋈med join running twice — was MEASURED 4× SLOWER
+    # (1.10→4.17 s): the two "duplicate" joins are pruned, pipelined
+    # broadcast probes, while the checkpoint materializes the full
+    # corpus-width frame. Keep the recompute.
     with_dev = events.join(med, keys).withColumn(
         "_dev", F.abs(F.col("value") - F.col("_med"))
     )
@@ -1322,6 +1327,10 @@ def seasonal_anomalies(events: DataFrame, z_threshold: float = 2.5) -> DataFrame
     """
     from dumbo_spark.functions.numeric import dsum
 
+    # NOTE (r15): checkpointing daily/resid — to fold the plan's four
+    # scan branches — measured slightly SLOWER (warm 1.9→2.4 s), the
+    # same frozen-200-partition overhead as lang_source_contingency.
+    # Tiny-aggregate recomputes stay.
     daily = (
         events.groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
@@ -1480,9 +1489,12 @@ def event_mix_weekly_drift(events: DataFrame) -> DataFrame:
     Output: (week, n_events, l1_drift) ascending by week.
     """
     week = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    # lazy checkpoint (r15): the weekly cell aggregate feeds THREE
+    # branches (both grid distincts + the densify join) — three corpus
+    # scans in the audited plan for a |weeks|·|types|-row frame
     cell = events.groupBy(week.alias("week"), "event_type").agg(
         F.count("*").alias("_c")
-    )
+    ).localCheckpoint(eager=False)
     # dense week×type grid over OBSERVED weeks (both sides tiny): a
     # type absent in an observed week must contribute its full share
     # to the L1 (a bare lag over sparse cells would skip it)

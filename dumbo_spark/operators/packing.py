@@ -534,6 +534,11 @@ def dsir_importance_weights(
     from dumbo_spark.functions.text import ngrams
 
     b = n_buckets
+    # r15: the gram explode previously fed FOUR branches (raw, tgt,
+    # totals, final doc join). The conditional-count fold below cuts
+    # that to TWO (bucket_counts + the doc join) with plain recomputes —
+    # a checkpoint here measured neutral (the exploded gram stream
+    # outweighs the corpus it derives from, the posting_lists finding).
     grams = documents.select(
         "doc_id", "source", tokens("text").alias("toks")
     ).select(
@@ -543,27 +548,24 @@ def dsir_importance_weights(
     ).select(
         "doc_id", "source", _md5_bucket(F.col("gram"), b).alias("bucket")
     )
-    raw = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = (
-        grams.where(F.col("source") == target_source)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    # one conditional aggregate replaces the old raw/tgt pair (r15):
+    # ct is the target-slice count per bucket (0, not NULL, when the
+    # slice is absent — the old left join's coalesce(ct,0) arm), and
+    # the corpus totals are exact integer sums of the ≤ n_buckets rows
+    bucket_counts = grams.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("source") == target_source, 1)).alias("ct"),
     )
-    totals = grams.agg(
-        F.count("*").alias("nr"),
-        F.count(F.when(F.col("source") == target_source, 1)).alias("nt"),
+    totals = bucket_counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
     ratios = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        bucket_counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(
                 F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        * (F.col("nr") + F.lit(b))
-                    ).cast("double")
+                    ((F.col("ct") + 1) * (F.col("nr") + F.lit(b))).cast("double")
                     / ((F.col("cr") + 1) * (F.col("nt") + F.lit(b))).cast(
                         "double"
                     )

@@ -430,11 +430,14 @@ def cart_abandonment(events: DataFrame, window_minutes: int = 60) -> DataFrame:
     sides then collapse to per-(day, user) flags and one counting
     aggregate per day. Rates are ratios of exact longs.
     """
+    # lazy checkpoint (r15, guide §2.4): the click slice feeds both the
+    # conversion band-join and the clickers rollup — unpinned it
+    # scanned the event table twice
     clicks = events.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts").alias("click_ts"),
         F.col("ts").cast("date").alias("day"),
-    )
+    ).localCheckpoint(eager=False)
     purchases = events.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
     )

@@ -235,11 +235,20 @@ def token_doc_freq(documents: DataFrame) -> DataFrame:
     the corpus size joins in as a broadcast single-row aggregate so the
     whole computation stays in-plan (no driver-side collect of N).
     """
-    per_doc = documents.select(
-        F.explode(F.array_distinct(tokens("text"))).alias("token")
+    return _token_doc_freq_from(
+        documents.select("doc_id", tokens("text").alias("_toks"))
+    )
+
+
+def _token_doc_freq_from(toked: DataFrame) -> DataFrame:
+    """:func:`token_doc_freq` over a pre-tokenized ``(doc_id, _toks)``
+    frame — shared with :func:`tfidf_top_terms` so the composed form
+    can reuse ONE tokenize pass (r15) without diverging idf copies."""
+    per_doc = toked.select(
+        F.explode(F.array_distinct("_toks")).alias("token")
     )
     df_counts = per_doc.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    n_docs = documents.select(F.count("*").alias("n_docs"))
+    n_docs = toked.select(F.count("*").alias("n_docs"))
     return (
         df_counts.crossJoin(F.broadcast(n_docs))
         .select(
@@ -262,12 +271,18 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # one tokenize pass (r15): the tf explode, the idf side's distinct
+    # explode, and its corpus count all derive from a lazily
+    # checkpointed token-array base (previously three scans+tokenizes)
+    base = documents.select("doc_id", tokens("text").alias("_toks")).localCheckpoint(
+        eager=False
+    )
     tf = (
-        documents.select("doc_id", F.explode(tokens("text")).alias("token"))
+        base.select("doc_id", F.explode("_toks").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    idf = token_doc_freq(documents).select("token", "idf")
+    idf = _token_doc_freq_from(base).select("token", "idf")
     scored = tf.join(idf, "token").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
     )
@@ -471,6 +486,10 @@ def posting_lists(
     string (driver canonicalizers cannot hash raw arrays; round-2
     lesson).
     """
+    # NOTE (r15): checkpointing the exploded gram stream — to fold its
+    # two scan branches — measured neutral-to-slower (warm 1.9-2.5 →
+    # 2.5-2.6 s): the gram stream is larger than the corpus it derives
+    # from, so materializing it costs more than the second pruned scan.
     pd_ = documents.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
         F.explode(F.array_distinct(ngrams(F.col("_toks"), n))).alias("token"),
@@ -842,6 +861,12 @@ def lang_source_contingency(documents: DataFrame) -> DataFrame:
     Scale: one partial-agg scan to |langs|·|sources| cells; marginals
     re-aggregate the cell frame (tiny) and broadcast back.
     """
+    # NOTE (r15): checkpointing the cell aggregate — to fold its four
+    # scan branches — was MEASURED 3× SLOWER (1.27→3.83 s): the lazy
+    # checkpoint freezes the groupBy's 200 un-coalesced shuffle
+    # partitions, and every tiny consumer then pays 200 tasks where
+    # AQE-coalesced recomputes were near-free. Keep the recompute for
+    # tiny aggregates.
     cells = documents.groupBy("lang", "source").agg(F.count("*").alias("observed"))
     row = cells.groupBy("lang").agg(F.sum("observed").alias("n_lang"))
     col = cells.groupBy("source").agg(F.sum("observed").alias("n_source"))
@@ -916,6 +941,11 @@ def bigram_pmi(documents: DataFrame, k: int = 20, min_count: int = 10) -> DataFr
         F.get(parts, 0).alias("_x"),
         F.get(parts, 1).alias("_y"),
     )
+    # NOTE (r15): checkpointing the wordcount — to fold its three scan
+    # branches — was MEASURED 3× SLOWER with 5-7 s spikes (1.03→3.08 s
+    # median): the vocabulary-keyed joins lose their planning-time
+    # shape and the checkpoint freezes un-coalesced partitions. Keep
+    # the recompute.
     uni = wordcount(documents)
     n_total = uni.agg(F.sum("cnt").alias("n_tok"))
     ux = uni.select(F.col("word").alias("_x"), F.col("cnt").alias("n_x"))
@@ -1573,6 +1603,13 @@ def bm25_topk(
 
     Output: (doc_id, n_hit_terms, score, rank) — top-k docs.
     """
+    # NOTE (r15): a shared checkpointed token-array base — to fold the
+    # plan's four corpus scans into one — was MEASURED 7× SLOWER
+    # (1.40→9.77 s): materializing every document's token array to
+    # answer a 3-term probe destroys the columnar scan's cheapness, and
+    # the four "scans" are each pruned, pipelined passes. Keep the
+    # plain form; at 100 TB the inverted-index probe would read a
+    # PRE-BUILT posting table instead (posting_lists), not re-derive it.
     toks = documents.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     ).where(F.col("tok").isin(*query_tokens))
@@ -1754,7 +1791,18 @@ def stupid_backoff_scores(documents: DataFrame, alpha: float = 0.4) -> DataFrame
     stream left-joins them on gram keys, N is a broadcast scalar. This
     IS the Brants et al. architecture re-expressed in DataFrames.
     """
-    toks = documents.select("doc_id", tokens("text").alias("_t"))
+    # lazy checkpoint (r15, guide §2.4): the tokenize subtree feeds
+    # SEVEN branches (c3, c2 — referenced twice through the b12/b23
+    # joins, c1 — twice through w2/w3, n_train, and the scored trigram
+    # stream); pinning the base makes every branch an explode/agg over
+    # the cached token arrays instead of its own parquet scan +
+    # re-tokenize. The COUNT aggregates stay lazy, so AQE still sees
+    # their shuffle sizes and broadcasts the small ones (the
+    # doc_perplexity lesson: checkpoint bases, never the aggregates
+    # that feed size-estimated joins).
+    toks = documents.select("doc_id", tokens("text").alias("_t")).localCheckpoint(
+        eager=False
+    )
     train = toks.where(F.col("doc_id") % 2 == 0)
     score = toks.where(F.col("doc_id") % 2 == 1)
 
