@@ -56,7 +56,7 @@ def copurchase_triangles(
     # products have huge degrees, this is the difference between the
     # plan surviving a dense graph and quadratic blowup at the hubs.
     # deg is referenced twice (both orientation joins) — lazy-checkpoint
-    # so the union+groupBy over the edge list runs once, not per branch
+    # so the explode+groupBy over the edge list runs once, not per branch
     deg = (
         edges.select(F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("v")
@@ -552,7 +552,7 @@ def clustering_coefficient(
     """
     edges = _copurchase_edges(lineitem, min_cooccur, max_basket).localCheckpoint()
     # deg is referenced THREE times (both orientation joins + the final
-    # left join) — lazy-checkpoint it so the union+groupBy over the
+    # left join) — lazy-checkpoint it so the explode+groupBy over the
     # edge list runs once instead of per branch (no extra job; the
     # query's own action materializes it)
     deg = (
