@@ -582,9 +582,15 @@ def grouped_exact_percentiles(
     # (round(p*100)·(n−1) divmod 100) as the weighted-quartile path
     # does (ADVICE r5 bound note)
     n = F.col("_n").cast("double")
+    # group counts from the per-partition counts over the CHECKPOINTED
+    # range layout, not a second scan of the raw input (r15: the old
+    # base.groupBy(count) re-read and re-projected the full input once
+    # more per call; pc holds every row of r, so summing its _c per
+    # group is the identical integer — guide §1.2, don't compute
+    # things twice)
     targets = (
-        base.groupBy(group_col)
-        .agg(F.count("*").alias("_n"))
+        pc.groupBy(group_col)
+        .agg(F.sum("_c").alias("_n"))
         .select(
             group_col,
             F.explode(

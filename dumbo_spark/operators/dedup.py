@@ -175,7 +175,10 @@ def dedup_fuzzy_verified(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, durable_dir: str | None = None
+    edges: DataFrame,
+    max_iter: int = 50,
+    durable_dir: str | None = None,
+    chain: int = 2,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -202,6 +205,18 @@ def connected_components(
     large-graph CC shape (GraphFrames does the same with
     large-star/small-star refinements).
 
+    ``chain`` (r15): propagation rounds fused into one plan per
+    materialize+count job. Per-round driver actions are pure overhead
+    (a scheduling barrier at every scale), so chaining two rounds per
+    job halves them; the label arithmetic is round-by-round identical
+    and convergence detection is exact either way (prev is the label
+    entering the LAST chained round, so changed == 0 still means the
+    fixpoint was reached) at the cost of at most ``chain - 1`` identity
+    rounds of extra work past the fixpoint. In-JVM interleaved A/B at
+    sf0.1: chain=2 beats 1 (dedup_canonical 4.80→4.31 s,
+    copurchase_components 6.26→5.30 s medians); chain=3 measured equal
+    to 2, so 2 is the default.
+
     Durability contract: with ``durable_dir=None`` truncation uses
     ``localCheckpoint()`` — executor-memory blocks, fast, but an
     executor loss mid-run kills the job (acceptable in local mode /
@@ -221,6 +236,8 @@ def connected_components(
     edges: (doc_a, doc_b) undirected. Returns (doc_id, cluster_id)
     where cluster_id = min doc_id of the component.
     """
+    if chain < 1:
+        raise ValueError(f"chain must be >= 1, got {chain}")
     if durable_dir is not None:
         run_dir = _claim_run_dir(durable_dir)
 
@@ -295,18 +312,22 @@ def connected_components(
         adj = adj.sparkSession.read.parquet(adj_path)
     labels = None  # None ⇒ implicit identity labeling (round 1 inlined)
     converged = False
-    for it in range(max_iter):
-        if labels is None:
-            # Round 1 inlined: with identity labels the label join is
-            # the identity (each dst delivers its own id as its label),
-            # so min-over-neighbors is min(dst) directly and prev — the
-            # self-loop's delivered label — is src. Saves the initial
-            # label checkpoint AND the first round's join; arithmetic
-            # and convergence semantics are identical.
+
+    def one_round(prev_labels):
+        """One min-label propagation round as a LAZY frame (no action).
+
+        prev_labels None ⇒ round 1 inlined: with identity labels the
+        label join is the identity (each dst delivers its own id as
+        its label), so min-over-neighbors is min(dst) directly and
+        prev — the self-loop's delivered label — is src. Saves the
+        initial label checkpoint AND the first round's join;
+        arithmetic and convergence semantics are identical.
+        """
+        if prev_labels is None:
             joined = adj.select("src", "dst", F.col("dst").alias("label"))
         else:
-            joined = adj.join(labels, adj.dst == labels.node)
-        new_labels = truncate(
+            joined = adj.join(prev_labels, adj.dst == prev_labels.node)
+        return (
             joined
             .groupBy("src")
             .agg(
@@ -315,9 +336,30 @@ def connected_components(
                     F.when(F.col("dst") == F.col("src"), F.col("label"))
                 ).alias("prev"),
             )
-            .select(F.col("src").alias("node"), "label", "prev"),
-            rnd=it,
+            .select(F.col("src").alias("node"), "label", "prev")
         )
+
+    rounds_done = 0
+    chunk = 0
+    while rounds_done < max_iter:
+        # Chain `chain` propagation rounds into ONE plan before the
+        # checkpoint+count action (r15: per-round driver jobs are pure
+        # overhead — two rounds per job halves them; the intermediate
+        # round is a lazy subtree evaluated once inside the same job).
+        # Convergence stays exact: prev is the label entering the LAST
+        # chained round, so changed == 0 ⟺ that round was the identity
+        # ⟺ the fixpoint was already reached — identical detection
+        # semantics, at most `chain - 1` extra (identity) rounds of
+        # work past the fixpoint. The raise-on-nonconvergence valve is
+        # unchanged: exactly max_iter propagation rounds are applied
+        # before giving up.
+        step = min(chain, max_iter - rounds_done)
+        frame = labels
+        for _ in range(step):
+            frame = one_round(frame)
+        new_labels = truncate(frame, rnd=chunk)
+        rounds_done += step
+        chunk += 1
         # FULL count (not limit(1)): touches every partition, so the
         # lazy checkpoint above is completely materialized by this one
         # job and lineage truncation still holds round to round
@@ -916,6 +958,7 @@ def pagerank(
     max_iter: int = 10,
     damping: float = 0.85,
     durable_dir: str | None = None,
+    chain: int = 2,
 ) -> DataFrame:
     """PageRank over an undirected edge list — the numeric-iterative
     complement of :func:`connected_components` (dumbo's repeated
@@ -928,6 +971,14 @@ def pagerank(
     connected_components: ``durable_dir`` for cluster runs).
     Undirected edges mean no dangling mass. Returns (doc_id, rank)
     with Σ rank = 1 up to float error.
+
+    ``chain`` (r15): iterations fused into one plan per checkpoint job
+    (same mechanism and rationale as connected_components' ``chain``;
+    the per-round IEEE arithmetic is unchanged — the intermediate
+    round is a lazy subtree of the same plan, evaluated once).
+    Measured neutral at sf0.1 (pagerank_checked 6.16 vs 6.14 s) but
+    halves the driver's scheduling barriers, which is the posture you
+    want on a cluster; default 2.
 
     edges: (doc_a, doc_b) pairs.
 
@@ -943,6 +994,8 @@ def pagerank(
     # contract as connected_components, ADVICE r12): two pagerank runs
     # sharing a durable_dir previously overwrote each other's
     # pr_edges/pr_deg/pr_adj/ranks files under lazy evaluation.
+    if chain < 1:
+        raise ValueError(f"chain must be >= 1, got {chain}")
     run_dir = None if durable_dir is None else _claim_run_dir(durable_dir)
 
     def truncate(df: DataFrame, rnd: int) -> DataFrame:
@@ -1027,36 +1080,57 @@ def pagerank(
         adj.write.mode("overwrite").parquet(adj_path)
         adj = adj.sparkSession.read.parquet(adj_path)
     ranks = None  # None ⇒ implicit uniform 1/N ranks (round 1 inlined)
-    for it in range(max_iter):
-        # Every node of the symmetric edge list has in-edges, so the
-        # inflow agg's key set IS the node set — the old left-join back
-        # to the previous ranks (and its coalesce(inflow, 0.0)) was a
-        # per-round shuffle that could never fire its null arm. The
-        # contribution stays rank/deg (NOT rank·(1/deg)): the recursive-
-        # CTE oracles replay that exact IEEE division edge-by-edge.
-        if ranks is None:
-            # Round 1 inlined: every rank is the SAME literal 1/N, so
-            # the rank join is the identity — contribute lit(1/N)/deg
-            # straight off the adjacency. Same IEEE division (the
-            # literal is the identical double the init frame carried);
-            # saves the init-rank checkpoint and the first join round.
+
+    def one_iter(prev_ranks):
+        """One power-iteration round as a LAZY frame (no action).
+
+        Every node of the symmetric edge list has in-edges, so the
+        inflow agg's key set IS the node set — the old left-join back
+        to the previous ranks (and its coalesce(inflow, 0.0)) was a
+        per-round shuffle that could never fire its null arm. The
+        contribution stays rank/deg (NOT rank·(1/deg)): the recursive-
+        CTE oracles replay that exact IEEE division edge-by-edge.
+
+        prev_ranks None ⇒ round 1 inlined: every rank is the SAME
+        literal 1/N, so the rank join is the identity — contribute
+        lit(1/N)/deg straight off the adjacency. Same IEEE division
+        (the literal is the identical double the init frame carried);
+        saves the init-rank checkpoint and the first join round.
+        """
+        if prev_ranks is None:
             contrib = adj.select(
                 "dst", (F.lit(1.0 / n_nodes) / F.col("deg")).alias("c")
             )
         else:
-            contrib = adj.join(ranks, adj.src == ranks.node).select(
+            contrib = adj.join(prev_ranks, adj.src == prev_ranks.node).select(
                 "dst", (F.col("rank") / F.col("deg")).alias("c")
             )
-        new_ranks = truncate(
+        return (
             contrib
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
             .select(
                 F.col("dst").alias("node"),
                 (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
-            ),
-            rnd=it,
+            )
         )
+
+    # Chain `chain` power-iteration rounds into ONE plan before the
+    # eager per-chunk checkpoint (r15: the checkpoint is the only
+    # per-round action — two rounds per job halves driver round-trips;
+    # the intermediate round is a lazy subtree evaluated exactly once
+    # inside the same job, and the arithmetic is the identical
+    # IEEE sequence round by round).
+    rounds_done = 0
+    chunk = 0
+    while rounds_done < max_iter:
+        step = min(chain, max_iter - rounds_done)
+        frame = ranks
+        for _ in range(step):
+            frame = one_iter(frame)
+        new_ranks = truncate(frame, rnd=chunk)
+        rounds_done += step
+        chunk += 1
         if ranks is not None and run_dir is None:
             _release_local_checkpoint(ranks)  # stale round, no consumer
         ranks = new_ranks
