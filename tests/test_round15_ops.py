@@ -150,3 +150,26 @@ def test_pagerank_chain_values_identical(spark):
             for c in (1, 2, 3)
         ]
         assert ranks[0] == ranks[1] == ranks[2]
+
+
+def test_containment_join_zero_gram_docs_excluded(spark):
+    """r15 cache fix moved the `_n > 0` filter ABOVE the gram-table
+    persist (the pushed-down form re-inlined the tokenize chain into
+    the Filter, making the cache build O(tokens^2)). Semantics must be
+    unchanged: docs with no 3-grams (under 3 tokens, or empty) never
+    appear on either side, and real containment pairs still verify."""
+    from dumbo_spark.operators.dedup import containment_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # superset doc
+            (2, "alpha beta gamma delta"),           # contained in 1
+            (3, "xy"),                               # 1 token -> 0 grams
+            (4, ""),                                 # empty -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b) for r in containment_join(docs).collect()}
+    ids = {i for pair in got for i in pair}
+    assert 3 not in ids and 4 not in ids
+    assert (2, 1) in got  # all of 2's grams appear in 1
