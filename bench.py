@@ -307,6 +307,42 @@ HEADLINE = [
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave headroom
 
+# FIXED printed row set (VERDICT r15 Next #2a): the stdout line's
+# per-query map prints exactly these rows every round, so the driver's
+# round-over-round diff never sees phantom "dropped" rows from line
+# truncation (r15 shipped 13 of those: emit_line used to keep the
+# SLOWEST rows, so any new slow row silently pushed fast rows off the
+# printed line). This list is the r15 printed set, frozen. Rows may be
+# APPENDED (never removed/renamed) when a new query is slow enough to
+# matter and the line still fits — overflow is absorbed by rounding
+# precision (3dp -> 2dp -> 1dp), never by dropping rows. Every timed
+# row, printed or not, still ships untruncated in BENCH.json.
+PRINTED = [
+    "approx_distinct_checked", "auc_roc_exact", "basket_rules", "bigram_pmi",
+    "bm25_topk", "bpe_compression_stats", "bpe_learn_merges_batched",
+    "bucketed_group_percentiles", "calibration_bins",
+    "clustering_coefficient", "contrastive_pairs", "copurchase_components",
+    "copurchase_kcore", "copurchase_ktruss", "copurchase_triangles",
+    "core_suite", "daily_value_percentiles", "decontamination_census",
+    "dedup_canonical", "dedup_clusters", "dedup_fuzzy", "dedup_jaccard",
+    "dedup_recall_checked", "dedup_report", "dedup_selfrepeat_trim",
+    "dedup_simhash", "dedup_substring", "dedup_substring_trim",
+    "dedup_winnowed", "degree_histogram", "discount_elasticity",
+    "dpp_partitioned_join", "dsir_importance_weights", "dsir_topk_selection",
+    "dup_cluster_sizes", "entity_clusters", "filter_funnel_report",
+    "gini_revenue", "gopher_repetition_screen", "item_similarity",
+    "ivfpq_recall_checked", "kn_continuation_counts", "knn_classifier_eval",
+    "knn_cosine_ivfpq", "knn_cosine_pq", "knn_recall_checked",
+    "market_concentration", "matryoshka_fidelity", "near_dup_rate_by_source",
+    "order_cadence", "order_total_consistency", "pagerank_checked",
+    "pca_top_component", "perplexity_tercile_mix", "posting_lists",
+    "pq_recall_checked", "product_profit", "rank_fusion_rrf",
+    "simhash_recall_checked", "source_divergence_matrix",
+    "stupid_backoff_scores", "theil_sen_trend", "top_revenue_nations",
+    "vocab_coverage", "weighted_median_price", "weighted_price_quartiles",
+    "winsorized_stats",
+]
+
 # Named exclusions with specific reasons; every other registered query
 # not in HEADLINE falls into the generic sub-second-core class. The
 # manifest below is GENERATED from HEADLINE + the registry each run
@@ -415,27 +451,54 @@ def core_suite_pass(
 def emit_line(timings: dict[str, float], sf: str) -> str:
     """Build the one-line JSON payload, guaranteed under MAX_LINE.
 
-    If the per-query map would overflow the driver's tail buffer, keep
-    only the slowest queries (they're the ones the judge audits) until
-    the line fits; the total always reflects the full timed set.
+    VERDICT r15 Next #2: the printed per-query map is the FIXED
+    ``PRINTED`` row set (stable across rounds — no truncation-driven
+    phantom drops), shrunk under the line budget by reducing decimal
+    precision, never by dropping rows. ``value`` is the headline total
+    EXCLUDING the core_suite aggregate (r14 and earlier had no
+    core_suite row, so including its ~35-40s made totals
+    round-incomparable); core_suite still appears as a per-query row
+    AND as its own top-level key so the aggregate's movement stays
+    bench-visible.
     """
-    total = round(sum(timings.values()), 3)
-    kept = dict(sorted(timings.items()))
-    while True:
-        line = json.dumps(
-            {
-                "metric": f"total wall-clock, {len(timings)} queries, sf{sf}",
-                "value": total,
-                "unit": "sec",
-                "queries": kept,
-                "sf": float(sf),
-            },
-            separators=(",", ":"),
+    core = timings.get("core_suite")
+    total = round(sum(v for n, v in timings.items() if n != "core_suite"), 3)
+    n_headline = len(timings) - (1 if core is not None else 0)
+    # strictly the fixed set: a data-dependent append would reintroduce
+    # appear-one-round-vanish-the-next rows, i.e. the phantom-drop bug
+    # this rewrite removes. New rows are added by editing PRINTED.
+    base = {n: timings[n] for n in PRINTED if n in timings}
+    for ndigits in (3, 2, 1, 0):
+        kept = dict(
+            sorted(
+                (n, int(round(v)) if ndigits == 0 else round(v, ndigits))
+                for n, v in base.items()
+            )
         )
-        if len(line) <= MAX_LINE or not kept:
+        payload = {
+            "metric": (
+                f"total wall-clock, {n_headline} queries, sf{sf}"
+            ),
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "sf": float(sf),
+        }
+        if core is not None:
+            payload["core_suite_sec"] = core
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= MAX_LINE:
             return line
-        slowest = sorted(kept.items(), key=lambda kv: -kv[1])[: max(len(kept) - 5, 0)]
-        kept = dict(sorted(slowest))
+    # unreachable in practice (67 rows at 1dp is ~1750 chars); last
+    # resort keeps the contract line parseable by trimming the fastest
+    # rows — and stderr-logs it so it can never happen silently
+    while len(line) > MAX_LINE and kept:
+        victim = min(kept, key=kept.get)
+        print(f"emit_line over budget: trimmed {victim}", file=sys.stderr)
+        kept.pop(victim)
+        payload["queries"] = kept
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 CALIB_EVERY = 25  # in-sweep calibration cadence (queries between samples)
@@ -637,13 +700,22 @@ def build_record(
     dedup family shows 1.5-1.8x single-run cross-session swings with
     unchanged code — record median + min/max + run count so the wobble
     band is MEASURED in the artifact the judge reads, not asserted)."""
+    core = timings.get("core_suite")
+    n_headline = len(timings) - (1 if core is not None else 0)
     record = {
-        "metric": f"total wall-clock, {len(timings)} queries, sf{sf}",
-        "value": round(sum(timings.values()), 3),
+        "metric": f"total wall-clock, {n_headline} queries, sf{sf}",
+        # core_suite excluded from the headline total (same rule as
+        # emit_line) so BENCH.json and the stdout line agree and both
+        # compare like-for-like with pre-core_suite rounds
+        "value": round(
+            sum(v for n, v in timings.items() if n != "core_suite"), 3
+        ),
         "unit": "sec",
         "queries": dict(sorted(timings.items())),
         "sf": float(sf),
     }
+    if core is not None:
+        record["core_suite_sec"] = core
     if machine is not None:
         record["machine"] = machine
     record.update(build_manifest(registered))
@@ -656,6 +728,17 @@ def build_record(
             "runs": len(all_samples[n]),
         }
         for n in sorted(top15)
+    }
+    # VERDICT r15 Next #2c: per-run samples for EVERY query, in run
+    # order. The sweep clears caches between queries but not between
+    # the 3 runs of one query, so run 1 of a persist-heavy operator is
+    # its true cold cost and runs 2-3 read the run-1 cache — the median
+    # hides that (it concealed containment_join's 13-16s true cost for
+    # rounds). Shipping the raw samples makes a flattered median
+    # visible (run1 >> run2/3) without changing the timing methodology
+    # the round-over-round comparison depends on.
+    record["samples"] = {
+        n: [round(s, 3) for s in all_samples[n]] for n in sorted(all_samples)
     }
     return record
 

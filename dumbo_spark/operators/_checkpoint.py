@@ -7,6 +7,27 @@ round's storage eagerly and keep concurrent durable runs from
 overwriting each other's scratch files. Promoted out of dedup.py in
 r13 (ADVICE r12: graph.py importing an underscore-private symbol from
 dedup.py coupled the modules and would break silently on a rename).
+
+LAZY CORPUS-WIDTH CHECKPOINT CONTRACT (ADVICE r15). Many multi-branch
+operators pin a shared subtree with ``localCheckpoint(eager=False)``
+so N consuming branches evaluate the tokenize/fingerprint pass once
+instead of N times (guide §2.4). Two caveats apply to EVERY such site,
+not just the iterative ones documented on connected_components:
+
+- **Storage lifetime.** The checkpoint's blocks live in executor
+  storage until the returned DataFrame is garbage-collected (or the
+  caller runs ``session.release_persistent_rdds``, which the bench and
+  the test harness both do between queries). A long-lived host
+  application that holds many results should release explicitly;
+  within one query's evaluation the pin is exactly the point.
+- **Fault tolerance.** ``localCheckpoint`` has NO recompute path: an
+  executor loss after materialization fails the query (it cannot be
+  rebuilt from lineage). That is the right local-mode/bench trade —
+  one evaluation instead of N full corpus passes — but a cluster run
+  where executor loss must be survivable should use reliable
+  checkpoints (``spark.checkpoint.dir``) or persist-to-storage
+  instead; the operators take DataFrames, so callers can materialize
+  upstream and pass the re-read frame if they need durability.
 """
 
 from __future__ import annotations

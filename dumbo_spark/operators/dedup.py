@@ -108,6 +108,13 @@ def dedup_fuzzy(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     extra signature-lookup joins. The banded table is persisted because
     a self-join evaluates its subplan once per branch otherwise (the
     signature aggregation is the expensive part).
+
+    INVARIANT (ADVICE r15): the output is PAIR-UNIQUE — exactly one row
+    per (doc_a, doc_b), enforced by the dropDuplicates below. The
+    recall-check folds (dedup_recall_checked and friends) left-join
+    this side and count rows to get n_exact_pairs; a duplicate pair
+    here would silently inflate both counters there, so any rewrite of
+    this function must preserve the dedup.
     """
     bands = _band_keys(minhash_signatures(documents)).persist()
     est = (
@@ -454,7 +461,13 @@ def _simhash_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
     """Banded Hamming self-join over (doc_id, simhash) signatures —
     shared by the xxhash64 throughput family and the md5 provability
     family (the banding is hash-family-agnostic: 4×16-bit chunks catch
-    every pair with Hamming ≤ 3 by pigeonhole)."""
+    every pair with Hamming ≤ 3 by pigeonhole).
+
+    INVARIANT (ADVICE r15): the output is PAIR-UNIQUE — one row per
+    (doc_a, doc_b) via the distinct below (a pair can collide in up to
+    4 chunks). simhash_recall_checked left-joins this side and counts
+    rows; duplicates would inflate its counters, so rewrites must keep
+    the distinct."""
     chunks = sigs.select(
         "doc_id",
         "simhash",

@@ -46,6 +46,13 @@ def knn_cosine(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFra
     The query side (vec_id < n_queries) is broadcast; the corpus side
     streams — one narrow pass over the big table, a per-partition
     top-k heap via the rank window on (query_id, rounded cos, id).
+
+    INVARIANT (ADVICE r15, shared by every knn_* top-k in this module):
+    the output is PAIR-UNIQUE — row_number (not rank) over
+    (query_id, score, neighbor_id) emits exactly one row per
+    (query_id, neighbor_id). The *_recall_checked folds left-join a
+    top-k side and count rows for their denominators; duplicates would
+    inflate both counters, so rewrites must keep row_number semantics.
     """
     emb = embeddings.select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < n_queries).select(
@@ -1131,7 +1138,11 @@ def _pq_codebooks(
 
 
 def pq_codes(
-    embeddings: DataFrame, m: int = 16, ksub: int = 32, sample: int = 2048
+    embeddings: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    sample: int = 2048,
+    books=None,
 ) -> DataFrame:
     """Product-quantization codes: each vector compressed to ``m``
     sub-codes (here 16×5 bits = 10 bytes vs 256 bytes float32 — the
@@ -1147,7 +1158,13 @@ def pq_codes(
     import numpy as np
     import pandas as pd
 
-    books = _pq_codebooks(embeddings, m, ksub, sample)
+    # books may be passed in by a caller that already trained them
+    # (knn_cosine_pq needs them for the query lookup tables too) — the
+    # training is deterministic, so the result is identical either way;
+    # passing them skips a duplicate driver collect + Lloyd run (r16,
+    # mirroring ivfpq_codes' index= parameter)
+    if books is None:
+        books = _pq_codebooks(embeddings, m, ksub, sample)
     dsub = books.shape[2]
 
     def assign_batches(batches):
@@ -1196,7 +1213,10 @@ def knn_cosine_pq(
 
     books = _pq_codebooks(embeddings, m, ksub, 2048)
     dsub = books.shape[2]
-    codes = pq_codes(embeddings, m, ksub)
+    # hand the trained books to the coder: identical (deterministic
+    # training), but skips a second driver-side sample collect + Lloyd
+    # run — one fewer blocking driver job per query (r16)
+    codes = pq_codes(embeddings, m, ksub, books=books)
     norms = embeddings.select(
         "vec_id", _norm(F.col("embedding")).alias("_nrm")
     )

@@ -26,6 +26,46 @@ def _formatted(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec — the plan-level
+    signature of ``Window.orderBy(...)`` without ``partitionBy``, which
+    moves all input of that node to a single task. A Window line
+    carries 2 top-level bracket groups when unpartitioned
+    (``Window [exprs], [order]``) and 3 when partitioned
+    (``Window [exprs], [part], [order]``). Bounded-by-construction
+    sites (k-row ``limit`` heads, daily/bucket rollups) are fine and
+    carry their rationale in tools/plan_report.py's WINDOW_BOUNDED
+    allowlist; anything else is a scale bug.
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        groups: list[str] = []
+        depth = 0
+        start = 0
+        for i, ch in enumerate(line[m.end() - 1 :]):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[m.end() - 1 :][start : i + 1])
+        # 3 groups = [exprs], [part], [order] — partitioned. 2 groups is
+        # ambiguous: partitionBy-without-orderBy ([exprs], [part], fine)
+        # vs orderBy-without-partitionBy ([exprs], [order], single-task).
+        # An order group always prints sort direction; a partition group
+        # never does.
+        if len(groups) == 2 and re.search(
+            r"(ASC|DESC) NULLS", groups[1]
+        ):
+            n += 1
+    return n
+
+
 def physical_summary(df: DataFrame) -> dict:
     """Counts of the plan features that matter at scale."""
     plan = _executed_plan(df)
@@ -48,5 +88,9 @@ def physical_summary(df: DataFrame) -> dict:
         # so both are surfaced and every non-zero row must justify itself.
         "cartesian_products": plan.count("CartesianProduct"),
         "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
+        # single-task window nodes (see unpartitioned_windows): every
+        # non-zero row must trace to a WINDOW_BOUNDED-allowlisted source
+        # site whose input is bounded by construction
+        "unpart_windows": unpartitioned_windows(plan),
         "plan": plan,
     }

@@ -161,16 +161,52 @@ def test_bench_close_survives_a_simulated_driver_sync(tmp_path, monkeypatch):
     assert not (tmp_path / "BENCH.json.tmp").exists()  # atomic rename
 
 
-def test_emit_line_truncates_to_slowest_when_oversized():
-    # 400 long-named queries cannot fit; the slowest must survive
-    timings = {f"extremely_long_query_name_{i:03d}": float(i) for i in range(400)}
-    line = bench.emit_line(timings, "0.01")
+def test_emit_line_prints_exactly_the_fixed_row_set():
+    # VERDICT r15 #2a: the printed per-query map is the FIXED PRINTED
+    # set — stable across rounds, so the driver's diff never sees
+    # truncation-driven phantom drops (r15 shipped 13 of those). Rows
+    # outside PRINTED are timed and shipped in BENCH.json only.
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    line = bench.emit_line(timings, "0.1")
     assert len(line) <= 1900
     parsed = json.loads(line)
-    assert parsed["value"] == round(sum(timings.values()), 3)
-    kept = parsed["queries"]
-    assert kept  # never empties entirely
-    assert "extremely_long_query_name_399" in kept  # slowest retained
+    expect = {n for n in bench.PRINTED if n in timings}
+    assert set(parsed["queries"]) == expect
+    # every PRINTED name (core_suite aside, a synthetic row) is a real
+    # headline query, so the printed set can never silently shrink
+    assert expect == set(bench.PRINTED) - {"core_suite"}
+
+
+def test_emit_line_reports_core_suite_outside_the_headline_total():
+    # VERDICT r15 #2b: core_suite is a newly-timed aggregate over ~50
+    # previously-untimed operators — keeping it inside "value" made
+    # r15's total incomparable to every earlier round. It stays a
+    # per-query row (no dropped-row signal, still diffable) and gets
+    # its own top-level key; "value" sums only the real query rows.
+    timings = {"dedup_fuzzy": 2.0, "posting_lists": 1.0, "core_suite": 40.0}
+    parsed = json.loads(bench.emit_line(timings, "0.1"))
+    assert parsed["value"] == 3.0
+    assert parsed["core_suite_sec"] == 40.0
+    assert parsed["queries"]["core_suite"] == 40.0
+    assert "2 queries" in parsed["metric"]
+
+
+def test_emit_line_shrinks_by_precision_never_by_dropping_rows():
+    # worst-case realistic widths (the full suite totals ~400s, so no
+    # single row reaches 4 digits): every printed row at a 3-digit
+    # value must fit by rounding 3dp -> 2dp -> 1dp with zero rows lost
+    timings = {n: 123.4567 for n in bench.HEADLINE}
+    timings["core_suite"] = 123.4567
+    line = bench.emit_line(timings, "0.1")
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.PRINTED)
+
+
+def test_printed_rows_are_timed_rows():
+    # every PRINTED name must actually be produced by the sweep:
+    # headline queries plus the synthetic core_suite row
+    assert set(bench.PRINTED) - {"core_suite"} <= set(bench.HEADLINE)
 
 
 def test_release_persistent_rdds_frees_checkpoint_blocks(spark):

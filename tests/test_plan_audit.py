@@ -64,6 +64,38 @@ def test_every_bnlj_is_allowlisted_with_a_boundedness_class():
     assert all(isinstance(v, str) and v for v in BNLJ_JUSTIFIED.values())
 
 
+def test_every_unpartitioned_window_site_is_allowlisted_with_a_bound():
+    # VERDICT r15 Next #8: a Window.orderBy without partitionBy is a
+    # single-task window — allowed ONLY when its input is bounded by
+    # construction, and the bound must be NAMED in the WINDOW_BOUNDED
+    # allowlist keyed by source site. The AST scan runs here directly
+    # (no Spark, no PLANS.md staleness window): an unlisted site fails
+    # this test the moment it is committed.
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from plan_report import WINDOW_BOUNDED, scan_window_sites, \
+        window_site_violations
+
+    sites = scan_window_sites()
+    assert sites, "scanner found no sites — scan is broken"
+    assert window_site_violations(sites) == []
+    # reverse check: no stale allowlist entries for removed sites
+    live = {key for key, _loc in sites}
+    stale = sorted(set(WINDOW_BOUNDED) - live)
+    assert stale == [], f"allowlist entries with no live site: {stale}"
+    # every bound is a non-empty rationale string
+    assert all(isinstance(v, str) and v for v in WINDOW_BOUNDED.values())
+
+
+def test_plans_md_has_the_uwin_column():
+    # the per-query unpartitioned-window count is part of the committed
+    # audit surface: every row must carry a numeric uwin cell
+    rows = _plans_rows()
+    for name, r in rows.items():
+        assert len(r) >= 11 and re.fullmatch(r"\d+", r[10]), (name, r)
+
+
 def test_registry_and_plans_md_cover_the_same_names():
     # PLANS.md is only a trustworthy audit surface if it is not stale:
     # its row set must equal the live registry exactly

@@ -87,6 +87,112 @@ BNLJ_JUSTIFIED = {
 }
 
 
+# ── Unpartitioned-window allowlist (VERDICT r15 Next #8) ───────────────
+# ``Window.orderBy(...)`` without ``partitionBy`` moves that node's
+# input to ONE task — a scale-killer unless the input is bounded by
+# construction. Every such source site must appear here, keyed
+# "<file>.py:<function>", naming its bound. scan_window_sites() finds
+# the sites by AST (an Attribute access ``Window.orderBy`` — a
+# partitioned spec calls orderBy on the partitionBy() RESULT, so the
+# pattern is exact); the generator fails on an unlisted site, and
+# tests/test_plan_audit.py re-checks without Spark. The per-query
+# ``uwin`` column in PLANS.md shows where these windows surface in
+# executed plans (shared helpers like global_rank ride into many
+# consumers).
+WINDOW_BOUNDED = {
+    "topk.py:moving_avg_daily": (
+        "daily-rollup frame: the window runs over the day-level "
+        "aggregate (365 rows/yr), never the fact table"
+    ),
+    "topk.py:global_rank": (
+        "partition-offset frame: the window orders the per-partition "
+        "count table (one row per range partition, = parallelism), "
+        "not the data"
+    ),
+    "textstats.py:vocab_growth": (
+        "bucket-rollup frame: cumulative sum over doc-id buckets "
+        "(corpus_size/bucket_size rows)"
+    ),
+    "textstats.py:bm25_topk": (
+        "k-row head: rank assignment rides a limit(k) head (k=10), "
+        "not the scored corpus"
+    ),
+    "textstats.py:ngram_coverage_curve": (
+        "k-row head: rank over limit(max(ks)) most-frequent grams"
+    ),
+    "packing.py:interleaved_mix_head": (
+        "vocab-bounded: row_number over DISTINCT sources (a handful "
+        "of rows by schema)"
+    ),
+    "packing.py:dsir_topk_selection": (
+        "k-row head: sel_rank rides a limit(k) head of the weights "
+        "table"
+    ),
+    "analytics.py:skyline_parts": (
+        "dimension-bounded: global order over the part dimension "
+        "(docstring: fact-scale skylines use bucketed cummin + offsets)"
+    ),
+    "events.py:cumulative_new_users": (
+        "daily-rollup frame: cumulative sum over per-day first-seen "
+        "counts"
+    ),
+    "runners.py:_write_event_slices": (
+        "test-fixture writer: slices the bounded replay fixture for "
+        "streaming tests; never a query path"
+    ),
+}
+
+
+def scan_window_sites(pkg_root: str | None = None) -> list[tuple[str, str]]:
+    """AST-scan dumbo_spark/ for ``Window.orderBy`` (unpartitioned spec
+    construction) sites. Returns [(key, "path:lineno"), ...] where key
+    is the WINDOW_BOUNDED allowlist key "<file>.py:<function>"."""
+    import ast
+
+    if pkg_root is None:
+        pkg_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "dumbo_spark",
+        )
+    sites: list[tuple[str, str]] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Attribute)
+                    and node.attr == "orderBy"
+                    and isinstance(node.value, ast.Name)
+                    and node.value.id == "Window"
+                ):
+                    enc = [
+                        name
+                        for (a, b, name) in funcs
+                        if a <= node.lineno <= (b or a)
+                    ]
+                    fname = enc[-1] if enc else "<module>"
+                    sites.append((f"{fn}:{fname}", f"{path}:{node.lineno}"))
+    return sites
+
+
+def window_site_violations(sites: list[tuple[str, str]]) -> list[str]:
+    return [
+        f"{loc} ({key}): unpartitioned Window.orderBy not in "
+        "WINDOW_BOUNDED allowlist"
+        for key, loc in sites
+        if key not in WINDOW_BOUNDED
+    ]
+
+
 def main() -> None:
     from dumbo_spark.plans.explain import physical_summary
     from dumbo_spark.registry import QUERIES
@@ -98,15 +204,18 @@ def main() -> None:
           "broadcast/sort-merge joins, whole-stage-codegen spans, Python "
           "evals (Arrow UDF boundaries), parquet filter pushdown, "
           "TakeOrderedAndProject, CartesianProduct nodes, "
-          "BroadcastNestedLoopJoin nodes. The last two are the scale-killer "
-          "columns: cart must be all-zero, and every bnlj>0 name must "
+          "BroadcastNestedLoopJoin nodes, unpartitioned Window nodes. "
+          "The last three are the scale-killer "
+          "columns: cart must be all-zero, every bnlj>0 name must "
           "appear in tools/plan_report.py's BNLJ_JUSTIFIED allowlist with "
           "its boundedness class (scalar-attach / bounded-sample audit / "
-          "bounded grid / bounded rollup) — the generator exits non-zero "
+          "bounded grid / bounded rollup), and every uwin>0 plan node "
+          "must trace to a WINDOW_BOUNDED-allowlisted source site (the "
+          "table after this one) — the generator exits non-zero "
           "otherwise, and tests/test_plan_audit.py re-checks this file "
-          "against the allowlist without Spark.\n")
-    print("| query | exch | bcast | smj | codegen | py | pushdown | topk | cart | bnlj |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+          "against the allowlists without Spark.\n")
+    print("| query | exch | bcast | smj | codegen | py | pushdown | topk | cart | bnlj | uwin |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     violations = []
     for name, q in sorted(QUERIES.items()):
         try:
@@ -116,15 +225,27 @@ def main() -> None:
                 f"{s['sortmerge_joins']} | {s['wholestage_codegen_spans']} | "
                 f"{s['python_evals']} | {'✓' if s['pushed_filters'] else '—'} | "
                 f"{s['take_ordered']} | {s['cartesian_products']} | "
-                f"{s['bnl_joins']} |"
+                f"{s['bnl_joins']} | {s['unpart_windows']} |"
             )
             if s["cartesian_products"] > 0:
                 violations.append(f"{name}: CartesianProduct in plan")
             if s["bnl_joins"] > 0 and name not in BNLJ_JUSTIFIED:
                 violations.append(f"{name}: unjustified BroadcastNestedLoopJoin")
         except Exception as e:  # pragma: no cover
-            print(f"| {name} | ERROR: {str(e)[:60]} | | | | | | | | |")
+            print(f"| {name} | ERROR: {str(e)[:60]} | | | | | | | | | |")
     spark.stop()
+    # Source-site audit of Window.orderBy-without-partitionBy (VERDICT
+    # r15 Next #8): the uwin column shows WHERE single-task windows
+    # surface; this table pins WHY each one is bounded. Keyed by source
+    # site, not query name, because shared helpers (global_rank's
+    # offsets frame) ride into dozens of consumers.
+    print("\n## Unpartitioned Window sites (WINDOW_BOUNDED allowlist)\n")
+    print("| site | bound |")
+    print("|---|---|")
+    sites = scan_window_sites()
+    for key, _loc in sorted(set(sites)):
+        print(f"| {key} | {WINDOW_BOUNDED.get(key, 'UNLISTED')} |")
+    violations.extend(window_site_violations(sites))
     if violations:  # the report is also a gate (stderr + exit code)
         for v in violations:
             print(f"VIOLATION {v}", file=sys.stderr)
